@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry.queries vs the DuckDB oracle.
+
+Mimics the driver's correctness gate: for each query dir under OUTDIR
+(written by graft.Verify), run the corresponding oracle SQL from
+oracle_sql.json in DuckDB over the same sf parquet tables, sort columns
+by name, sort rows, and compare values exactly.
+
+Usage: python3 dev/check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def load_spark(path):
+    import pyarrow as pa
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    if not files:
+        return None
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    return tbl
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for qdir in sorted(glob.glob(f"{outdir}/*/")):
+        name = qdir.rstrip("/").split("/")[-1]
+        spark_tbl = load_spark(qdir)
+        if spark_tbl is None:
+            print(f"SKIP  {name}: no spark output")
+            n_skip += 1
+            continue
+        if name not in oracle:
+            print(f"ROWS  {name}: rows={spark_tbl.num_rows} (no oracle)")
+            n_skip += 1
+            continue
+        try:
+            duck_tbl = con.sql(oracle[name]).arrow()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        s_cols = sorted(spark_tbl.column_names)
+        d_cols = sorted(duck_tbl.column_names)
+        if s_cols != d_cols:
+            print(f"FAIL  {name}: columns differ spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        s_rows = sorted(
+            (tuple(norm(v) for v in row)
+             for row in zip(*[spark_tbl.column(c).to_pylist() for c in s_cols])),
+            key=repr)
+        d_rows = sorted(
+            (tuple(norm(v) for v in row)
+             for row in zip(*[duck_tbl.column(c).to_pylist() for c in d_cols])),
+            key=repr)
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL  {name}: row count spark={len(s_rows)} duck={len(d_rows)}")
+            n_fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL  {name}: {len(bad)}/{len(s_rows)} rows differ; first at {i}:")
+            print(f"      cols : {s_cols}")
+            print(f"      spark: {a}")
+            print(f"      duck : {b}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(s_rows)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only/skip")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))

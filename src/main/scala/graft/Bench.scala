@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.engine.GraftSession
+
+/** Benchmark main — times the headline queries at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line for the driver. `noop` write forces full evaluation
+  * of every operator (a bare .count() would let Catalyst prune projections).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +13,33 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // One warm-up of the flagship so JIT + parquet footer caches don't get
+    // billed to the first measured query.
+    try Registry.byName("q10_tpch_q1").run(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val results = Registry.headline.map { spec =>
+      val sec = time {
+        try spec.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
+        }
+      }
+      spec.name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

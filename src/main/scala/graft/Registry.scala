@@ -1,0 +1,15 @@
+package graft
+
+/** Single source of truth for every operator/query the engine exposes
+  * through the driver contract. Each group object contributes a
+  * Vector[QuerySpec]; SparkEntry/Verify/Bench all derive from here.
+  */
+object Registry {
+
+  def specs: Vector[QuerySpec] =
+    queries.Relational.specs
+
+  def byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
+
+  def headline: Vector[QuerySpec] = specs.filter(_.headline)
+}

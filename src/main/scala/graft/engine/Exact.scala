@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine-exact aggregation helpers.
+  *
+  * Summing doubles is order-dependent, and Spark's parallel partial/final
+  * aggregation does not add values in the same order as a single-threaded
+  * engine — so `sum(double)` is not bit-reproducible against the DuckDB
+  * oracle (or even across Spark runs with different partitioning). The fix is
+  * to accumulate exactly: cast each input double to DECIMAL(38,10) (a
+  * deterministic rounding of the double's decimal expansion, identical in
+  * both engines), sum exactly in decimal (associative → partitioning-
+  * invariant), and cast the exact result back to double (IEEE
+  * nearest-rounding, identical in both engines).
+  *
+  * This is also the right call at 100 TB: decimal sums are spillable
+  * built-ins, stay inside whole-stage codegen, and make results invariant
+  * under repartitioning — a reproducibility property the fp sum lacks.
+  */
+object Exact {
+
+  private val Dec = DecimalType(38, 10)
+
+  /** Exact, partitioning-invariant sum of a double column, as double.
+    * Oracle SQL equivalent: CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE)
+    */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Exact average: exact decimal sum, double division (deterministic).
+    * Oracle: CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) /
+    *         CAST(COUNT(x) AS DOUBLE)
+    */
+  def davg(c: Column): Column =
+    dsum(c) / count(c).cast(DoubleType)
+
+  /** SQL fragment builders so the Spark-side and oracle-side text stay in
+    * lockstep when queries are written as SQL strings.
+    */
+  /** The DuckDB text has one extra hop: DuckDB's decimal→double cast divides
+    * in double arithmetic (not correctly rounded), while Spark goes through
+    * BigDecimal.doubleValue (correctly rounded). Casting the decimal to
+    * VARCHAR first forces DuckDB through the correctly-rounded string parse,
+    * making the two engines bit-identical.
+    */
+  def sqlSum(expr: String): String =
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+  def sqlAvg(expr: String): String =
+    s"(${sqlSum(expr)} / CAST(COUNT($expr) AS DOUBLE))"
+}
