@@ -7,7 +7,9 @@ package graft
 object Registry {
 
   def specs: Vector[QuerySpec] =
-    queries.Relational.specs
+    queries.Relational.specs ++
+      queries.TextOps.specs ++
+      queries.Dedup.specs
 
   def byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
 

@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure hash kernels, shared by interpreted eval and generated code.
+  * Deterministic across JVMs/partitions — a hard requirement for
+  * dedup at scale (the same document must hash identically on every
+  * executor of a 1000-node cluster and on every retry).
+  */
+object HashAlgos {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a 64-bit over raw bytes. */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Murmur3 fmix64 finalizer — decorrelates fnv output per seed so k
+    * minhash "permutations" come from one base hash (standard one-hash
+    * minhash construction).
+    */
+  def mix64(v0: Long): Long = {
+    var v = v0
+    v ^= v >>> 33
+    v *= 0xff51afd7ed558ccdL
+    v ^= v >>> 33
+    v *= 0xc4ceb9fe1a85ec53L
+    v ^= v >>> 33
+    v
+  }
+
+  /** MinHash signature: for permutation i, min over elements of
+    * mix64(fnv(elem) ^ seed_i). One pass over the elements.
+    */
+  def minHashSig(elems: Array[Array[Byte]], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var e = 0
+    while (e < elems.length) {
+      val base = fnv1a64(elems(e))
+      var i = 0
+      while (i < k) {
+        val h = mix64(base ^ (i * 0x9e3779b97f4a7c15L))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      e += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over element hashes: per bit, +1 if set else -1;
+    * result bit = (counter > 0).
+    */
+  def simHash64(elems: Array[Array[Byte]]): Long = {
+    val counters = new Array[Int](64)
+    var e = 0
+    while (e < elems.length) {
+      val h = mix64(fnv1a64(elems(e)))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      e += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** fnv1a64(string) → long. Native Catalyst expression with full codegen —
+  * stays inside whole-stage codegen (vs. a Scala UDF which breaks it and
+  * pays serialization per row).
+  *
+  * Plays the role the reference's row-hash plays for group keys
+  * (reference: src/executor/aggregate/hash_utils.rs:163-222), but as a
+  * user-facing function for content fingerprinting.
+  */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fnv1a64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.fnv1a64(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.fnv1a64(($c).getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/** minhash_sig(array<string>, k) → array<long>. Empty input → all
+  * Long.MaxValue (no elements seen). CodegenFallback: the O(k·n) inner
+  * loop dominates; codegen would only inline the dispatch.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && k <= 1024, "minhash k out of range")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string> input")
+  }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val elems = new Array[Array[Byte]](arr.numElements())
+    var i = 0
+    while (i < elems.length) {
+      // null elements hash as empty string
+      val s = arr.getUTF8String(i)
+      elems(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      i += 1
+    }
+    new GenericArrayData(HashAlgos.minHashSig(elems, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** simhash64(array<string>) → long. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string> input")
+  }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val elems = new Array[Array[Byte]](arr.numElements())
+    var i = 0
+    while (i < elems.length) {
+      val s = arr.getUTF8String(i)
+      elems(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      i += 1
+    }
+    java.lang.Long.valueOf(HashAlgos.simHash64(elems))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-level API + SQL registration for the custom expressions. */
+object ghash {
+  def fnv1a64(c: Column): Column = ExpressionUtils.column(Fnv1a64(ExpressionUtils.expression(c)))
+  def minhashSig(c: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k))
+  def simhash64(c: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+
+  /** Register fnv1a64 / minhash_sig / simhash64 for spark.sql use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("fnv1a64", es => Fnv1a64(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      es => MinHashSig(es.head, es(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+  }
+}

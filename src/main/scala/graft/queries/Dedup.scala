@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.QuerySpec
+import graft.engine.Tables
+import graft.functions.ghash
+
+/** Deduplication operators over `documents`.
+  *
+  * The synthetic corpus has no duplicates (500/500 distinct), so each query
+  * runs over a *planted corpus*: the documents table UNION'd with exact
+  * copies (doc_id+2_000_000) and near-copies with the last two tokens dropped
+  * (doc_id+1_000_000) of every doc_id % 10 == 0 document. The planting is
+  * part of the query (and the oracle) — deterministic at every SF, and it
+  * gives each detector a known ground truth that the DedupSpec asserts.
+  *
+  * Scale design:
+  *  - exact dedup: hash-groupBy on md5(text) — one shuffle keyed by digest,
+  *    uniform distribution, no skew; this is how you dedup 100 TB.
+  *  - MinHash+LSH: per-doc signature (one pass, custom Catalyst expression),
+  *    banding → shuffle on (band, bucket) — candidates only, never O(n²).
+  *    Exact Jaccard verify runs only on bucket-collision pairs.
+  *  - SimHash: 64-bit sketch, 4×16-bit bands (pigeonhole: hamming ≤ 3 ⇒ at
+  *    least one band equal), bit_count(xor) verify.
+  *  - n-gram Jaccard: exact pairwise within (lang, length-window) blocks —
+  *    the oracle-able exact baseline; at scale you'd feed it LSH candidates
+  *    instead of blocks (that is exactly d03).
+  */
+object Dedup {
+
+  /** documents ∪ exact dups (+2M) ∪ near dups with last 2 tokens dropped (+1M). */
+  def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val tenth = docs.filter(col("doc_id") % 10 === 0)
+    val exact = tenth.select((col("doc_id") + 2000000L).as("doc_id"), col("text"), col("lang"))
+    val near = tenth.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), lit(1), size(split(col("text"), " ")) - 2))
+        .as("text"),
+      col("lang"))
+    docs.unionByName(exact).unionByName(near)
+  }
+
+  /** Shared oracle CTE mirroring plantedCorpus. */
+  private val corpusCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text, lang FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         array_to_string(l[1:len(l)-2], ' '), lang
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l, lang FROM documents)
+      |  WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Word 3-gram shingles, distinct. */
+  def shingles(text: Column): Column = {
+    val t = toks(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(t) - 2, lit(1))),
+        i => concat_ws(" ", slice(t, i, lit(3)))))
+  }
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter)
+  }
+
+  val specs: Vector[QuerySpec] = Vector(
+    // Exact dedup: digest → group → keep min id. Finds exactly the planted
+    // exact copies.
+    QuerySpec(
+      "d01_dedup_exact",
+      (s, d) =>
+        plantedCorpus(s, d)
+          .groupBy(md5(col("text")).as("digest"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .orderBy("keeper"),
+      Some(s"""$corpusCte
+              |SELECT md5(text) AS digest, MIN(doc_id) AS keeper,
+              |       COUNT(*) AS n_copies
+              |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+              |ORDER BY keeper""".stripMargin),
+    ),
+    // Exact dedup, normalized: the deduped surviving set size (lower(trim)).
+    QuerySpec(
+      "d02_dedup_survivors",
+      (s, d) =>
+        plantedCorpus(s, d)
+          .groupBy(md5(lower(trim(col("text")))).as("digest"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .agg(count(lit(1)).as("n_survivors")),
+      Some(s"""$corpusCte
+              |SELECT COUNT(*) AS n_survivors FROM (
+              |  SELECT MIN(doc_id) FROM corpus
+              |  GROUP BY md5(lower(trim(text))))""".stripMargin),
+    ),
+    // MinHash/LSH near-dup pairs: 32-perm signature, 8 bands × 4 rows,
+    // bucket join, exact-Jaccard verify ≥ 0.3 on candidates only.
+    // Custom hash → rows-only; DedupSpec checks the planted pairs are found.
+    QuerySpec(
+      "d03_minhash_lsh_pairs",
+      (s, d) => {
+        val k = 32
+        val bands = 8
+        val rows = k / bands
+        val sig = plantedCorpus(s, d)
+          .select(col("doc_id"), col("text"),
+            ghash.minhashSig(shingles(col("text")), k).as("sig"))
+        val buckets = sig.select(
+          col("doc_id"), col("text"),
+          posexplode(
+            transform(sequence(lit(0), lit(bands - 1)),
+              b => ghash.fnv1a64(concat_ws(",",
+                transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))
+          ).as(Seq("band", "bucket")))
+        val a = buckets.select(col("band"), col("bucket"),
+          col("doc_id").as("a_id"), col("text").as("a_text"))
+        val b = buckets.select(col("band"), col("bucket"),
+          col("doc_id").as("b_id"), col("text").as("b_text"))
+        a.join(b, Seq("band", "bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"))
+          .distinct()
+          .withColumn("jac", jaccard(shingles(col("a_text")), shingles(col("b_text"))))
+          .filter(col("jac") >= 0.3)
+          .select(col("a_id"), col("b_id"), col("jac"))
+          .orderBy("a_id", "b_id")
+      },
+      None,
+    ),
+    // SimHash near-dup pairs: 64-bit sketch, 4×16-bit band join, hamming ≤ 8.
+    QuerySpec(
+      "d04_simhash_pairs",
+      (s, d) => {
+        val sk = plantedCorpus(s, d)
+          .select(col("doc_id"), ghash.simhash64(toks(col("text"))).as("sk"))
+        val banded = sk.select(col("doc_id"), col("sk"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            b => call_function("shiftrightunsigned", col("sk"), b * 16)
+              .bitwiseAND(lit(0xffffL))))
+            .as(Seq("band", "bval")))
+        val a = banded.select(col("band"), col("bval"),
+          col("doc_id").as("a_id"), col("sk").as("a_sk"))
+        val b = banded.select(col("band"), col("bval"),
+          col("doc_id").as("b_id"), col("sk").as("b_sk"))
+        a.join(b, Seq("band", "bval"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("a_sk").bitwiseXOR(col("b_sk"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 8)
+          .orderBy("a_id", "b_id")
+      },
+      None,
+    ),
+    // Exact n-gram Jaccard near-dup join, blocked by (lang, |Δchars| ≤ 60).
+    // DuckDB-oracle-able: no hashing, pure set arithmetic.
+    QuerySpec(
+      "d05_ngram_jaccard",
+      (s, d) => {
+        val c = plantedCorpus(s, d).withColumn("n_ch", length(col("text")))
+        val a = c.select(col("lang"), col("doc_id").as("a_id"),
+          col("text").as("a_text"), col("n_ch").as("a_n"))
+        val b = c.select(col("lang"), col("doc_id").as("b_id"),
+          col("text").as("b_text"), col("n_ch").as("b_n"))
+        a.join(b, Seq("lang"))
+          .filter(col("a_id") < col("b_id") &&
+            abs(col("a_n") - col("b_n")) <= 60)
+          .withColumn("jac", jaccard(shingles(col("a_text")), shingles(col("b_text"))))
+          .filter(col("jac") >= 0.3)
+          .select(col("a_id"), col("b_id"), col("jac"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""$corpusCte,
+              |shingled AS (
+              |  SELECT doc_id, lang, length(text) AS n_ch,
+              |    list_distinct(list_transform(
+              |      range(1, CASE WHEN len(string_split(text,' ')) - 2 > 1
+              |                    THEN len(string_split(text,' ')) - 2
+              |                    ELSE 1 END + 1),
+              |      i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
+              |      AS sh
+              |  FROM corpus)
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |    (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+              |     - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jac
+              |FROM shingled a JOIN shingled b
+              |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+              | AND abs(a.n_ch - b.n_ch) <= 60
+              |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |    (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+              |     - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.3
+              |ORDER BY a_id, b_id""".stripMargin),
+      headline = true,
+    ),
+  )
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.QuerySpec
+import graft.engine.Tables
+import graft.functions.ghash
+
+/** Text-analysis operators over the `documents` table — the reference has no
+  * string processing at all (SURVEY.md §2.3: the expression surface is 6
+  * variants with zero string functions), so this whole module is the
+  * training-data-pipeline extension surface.
+  *
+  * All ops are narrow (per-row map, no shuffle) except the final ORDER BY —
+  * at 100 TB they run at scan speed with full column pruning (only `doc_id`
+  * and `text` are read; .explain shows ReadSchema with 2 columns).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
+
+  /** Whitespace tokens. The testdata is single-space separated; a real corpus
+    * would use the regex variant below (kept identical to the oracle).
+    */
+  private def tokens(c: Column): Column = split(c, " ")
+
+  // Language marker stopwords — tiny, high-precision function-word lists.
+  // The n-gram-free heuristic: count marker hits per language, argmax with a
+  // fixed priority order for ties.
+  private val markers: Seq[(String, Seq[String], Int)] = Seq(
+    ("en", Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"), 5),
+    ("de", Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"), 4),
+    ("fr", Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"), 3),
+    ("es", Seq("el", "los", "las", "es", "una", "en", "que", "por", "para", "con"), 2),
+    ("zh", Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "也"), 1),
+  )
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => array_contains(array(words.map(lit): _*), x)))
+
+  /** Deterministic argmax over (score, priority, lang) structs. */
+  def langIdExpr(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = markers.map { case (lang, words, prio) =>
+      struct(
+        markerCount(toks, words).as("score"),
+        lit(prio).as("prio"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  private val enStop = markers.head._2
+
+  val specs: Vector[QuerySpec] = Vector(
+    // Token counting: whitespace tokens + distinct tokens + char length.
+    QuerySpec(
+      "t01_token_stats",
+      (s, d) =>
+        docs(s, d)
+          .select(
+            col("doc_id"),
+            size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+            size(array_distinct(tokens(col("text")))).cast(LongType).as("n_uniq_tokens"),
+            length(col("text")).cast(LongType).as("n_chars_calc"),
+          )
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars_calc
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    // Quality scoring: length/stopword/token-shape ratios combined into one
+    // deterministic double score (identical expression order in the oracle).
+    QuerySpec(
+      "t02_quality_score",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks).cast(DoubleType)
+        val nStop = markerCount(toks, enStop).cast(DoubleType)
+        val avgTokLen =
+          (length(col("text")).cast(DoubleType) - (size(toks).cast(DoubleType) - 1.0)) / nTok
+        val stopRatio = nStop / nTok
+        val lenScore = least(lit(1.0), nTok / 100.0)
+        val shapeScore =
+          when(avgTokLen >= 3.0 && avgTokLen <= 8.0, 0.3).otherwise(0.0)
+        docs(s, d)
+          .select(
+            col("doc_id"),
+            nTok.cast(LongType).as("n_tokens"),
+            stopRatio.as("stop_ratio"),
+            avgTokLen.as("avg_token_len"),
+            ((lenScore * 0.4) + (stopRatio * 0.3) + shapeScore).as("quality"),
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> list_contains(['the','and','of','to','is','in','that','it','with','for'], x))) AS DOUBLE) AS n_stop,
+             |    CAST(length(text) AS DOUBLE) AS n_ch
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(n_tok AS BIGINT) AS n_tokens,
+             |  n_stop / n_tok AS stop_ratio,
+             |  (n_ch - (n_tok - 1.0)) / n_tok AS avg_token_len,
+             |  ((CASE WHEN n_tok / 100.0 < 1.0 THEN n_tok / 100.0 ELSE 1.0 END) * 0.4)
+             |    + ((n_stop / n_tok) * 0.3)
+             |    + (CASE WHEN (n_ch - (n_tok - 1.0)) / n_tok >= 3.0
+             |            AND  (n_ch - (n_tok - 1.0)) / n_tok <= 8.0 THEN 0.3 ELSE 0.0 END)
+             |    AS quality
+             |FROM q ORDER BY doc_id""".stripMargin),
+    ),
+    // Language ID: marker-word argmax. Deterministic but heuristic-specific →
+    // rows-only for the driver; LangIdSpec asserts correctness on real
+    // multilingual sentences (the synthetic corpus has language-independent
+    // text, so label accuracy is not measurable here).
+    QuerySpec(
+      "t03_lang_id",
+      (s, d) =>
+        docs(s, d)
+          .select(
+            col("doc_id"),
+            col("lang").as("lang_label"),
+            langIdExpr(col("text")).as("lang_pred"),
+          )
+          .orderBy("doc_id"),
+      None,
+    ),
+    // Document fingerprinting: full-content FNV-1a 64 (exact-dup key, custom
+    // codegen'd expression), SimHash over tokens (near-dup key), and the
+    // first minhash component (content sketch). Custom hashes → rows-only;
+    // HashingSpec pins exact expected values.
+    QuerySpec(
+      "t04_fingerprint",
+      (s, d) =>
+        docs(s, d)
+          .select(
+            col("doc_id"),
+            ghash.fnv1a64(col("text")).as("fp_fnv"),
+            ghash.simhash64(tokens(col("text"))).as("fp_simhash"),
+            element_at(ghash.minhashSig(tokens(col("text")), 4), 1).as("fp_minhash0"),
+          )
+          .orderBy("doc_id"),
+      None,
+    ),
+  )
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{HashAlgos, ghash}
+
+class HashingSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("fnv1a64 matches the published FNV-1a test vectors") {
+    // Public FNV-1a 64 vectors: fnv1a64("") = offset basis; fnv1a64("a").
+    assert(HashAlgos.fnv1a64(Array.emptyByteArray) == 0xcbf29ce484222325L)
+    assert(HashAlgos.fnv1a64("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
+    assert(HashAlgos.fnv1a64("foobar".getBytes("UTF-8")) == 0x85944171f73967e8L)
+  }
+
+  test("Fnv1a64 expression agrees with the kernel, survives codegen, nulls are null") {
+    val df = Seq(Some("foobar"), Some(""), None).toDF("s")
+      .select(ghash.fnv1a64(col("s")).as("h"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got(0).contains(0x85944171f73967e8L))
+    assert(got(1).contains(0xcbf29ce484222325L))
+    assert(got(2).isEmpty)
+  }
+
+  test("fnv1a64 is registered for SQL") {
+    ghash.register(spark)
+    val r = spark.sql("SELECT fnv1a64('foobar') h").head().getLong(0)
+    assert(r == 0x85944171f73967e8L)
+  }
+
+  test("minhash signature: identical inputs identical, containment raises overlap") {
+    val a = (1 to 50).map(i => s"tok$i")
+    val b = (1 to 45).map(i => s"tok$i") // 90% containment
+    val c = (100 to 150).map(i => s"zzz$i") // disjoint
+    def sig(xs: Seq[String]) =
+      HashAlgos.minHashSig(xs.map(_.getBytes("UTF-8")).toArray, 64)
+    val (sa, sa2, sb, sc) = (sig(a), sig(a), sig(b), sig(c))
+    assert(sa.sameElements(sa2))
+    val simAB = sa.zip(sb).count { case (x, y) => x == y } / 64.0
+    val simAC = sa.zip(sc).count { case (x, y) => x == y } / 64.0
+    assert(simAB > 0.6, s"near-dup minhash sim $simAB")
+    assert(simAC < 0.2, s"disjoint minhash sim $simAC")
+  }
+
+  test("simhash: near-identical token sets within small hamming, disjoint far") {
+    val a = (1 to 60).map(i => s"tok$i")
+    val b = (1 to 58).map(i => s"tok$i")
+    val c = (1 to 60).map(i => s"other$i")
+    def h(xs: Seq[String]) = HashAlgos.simHash64(xs.map(_.getBytes("UTF-8")).toArray)
+    val dAB = java.lang.Long.bitCount(h(a) ^ h(b))
+    val dAC = java.lang.Long.bitCount(h(a) ^ h(c))
+    assert(dAB <= 8, s"near-dup simhash hamming $dAB")
+    assert(dAC >= 20, s"disjoint simhash hamming $dAC")
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TextOps
+
+class LangIdSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("marker-based language ID classifies real sentences") {
+    val samples = Seq(
+      ("the cat sat on the mat and it is happy with the sun", "en"),
+      ("der hund und die katze sind nicht mit dem ball zu haus", "de"),
+      ("le chat est dans la maison et les enfants sont pour une fête", "fr"),
+      ("el perro y los gatos son una familia en la casa por la tarde", "es"),
+      ("我 的 朋友 是 在 北京 的 大学 学习 了 很多 年", "zh"),
+    ).toDF("text", "expected")
+    val got = samples
+      .withColumn("pred", TextOps.langIdExpr(col("text")))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("pred") == r.getAs[String]("expected"),
+        s"text='${r.getAs[String]("text")}'")
+    }
+  }
+
+  test("tie-break is deterministic (no markers → priority order → en)") {
+    val df = Seq("zzz qqq xxx").toDF("text")
+      .withColumn("pred", TextOps.langIdExpr(col("text")))
+    assert(df.head().getAs[String]("pred") == "en")
+  }
+}
