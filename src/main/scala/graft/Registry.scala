@@ -9,7 +9,10 @@ object Registry {
   def specs: Vector[QuerySpec] =
     queries.Relational.specs ++
       queries.TextOps.specs ++
-      queries.Dedup.specs
+      queries.Dedup.specs ++
+      queries.EventsOps.specs ++
+      queries.Similarity.specs ++
+      queries.MultimodalOps.specs
 
   def byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
 

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.QuerySpec
+import graft.engine.{Exact, Tables}
+
+/** Event-stream (batch) operators over `events`. The reference is batch-only
+  * with no time semantics at all (SURVEY.md §2.4 "Streaming: nothing");
+  * these are the batch halves of the streaming surface (StreamingSpec runs
+  * the Structured Streaming halves and asserts they agree).
+  *
+  * `events.ts` is nanosecond-precision parquet; Spark reads it as LongType
+  * (ns since epoch) under spark.sql.legacy.parquet.nanosAsLong, which keeps
+  * the raw value lossless. DuckDB truncates the same column to µs, so every
+  * derived value is computed in µs on both sides (ts div 1000 == epoch_us).
+  *
+  * Scale notes: sessionization and as-of are window functions partitioned by
+  * user_id — one shuffle on a high-cardinality key, linear state per user,
+  * no cross-user data movement. This is the standard 100 TB sessionization
+  * shape (and the watermarked streaming variant keeps state bounded).
+  */
+object EventsOps {
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables(s, d, "events")
+
+  // events.ts is ns in parquet, but DuckDB truncates to µs on read, so all
+  // derived values are computed in µs on both sides (ts div 1000 == epoch_us).
+  private val GapUs = 1800000000L // 30 min
+  private val HourUs = 3600000000L
+
+  val specs: Vector[QuerySpec] = Vector(
+    // Gap-based sessionization: new-session flag via lag, running sum →
+    // session index, then per-session aggregates.
+    QuerySpec(
+      "e01_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("new_sess",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(w) > GapUs, 1)
+              .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+              .otherwise(0))
+          .withColumn("sess_idx", sum(col("new_sess")).over(cum))
+          .groupBy("user_id", "sess_idx")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"),
+            max(col("ts_us")).as("end_us"),
+            Exact.dsum(col("value")).as("sum_value"),
+          )
+          .orderBy("user_id", "sess_idx")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+              |flagged AS (
+              |  SELECT user_id, event_id, ts_us, value,
+              |    CASE WHEN ts_us - LAG(ts_us) OVER w > ${GapUs}
+              |         THEN 1
+              |         WHEN LAG(ts_us) OVER w IS NULL THEN 1
+              |         ELSE 0 END AS new_sess
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+              |sess AS (
+              |  SELECT user_id, ts_us, value,
+              |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+              |  FROM flagged)
+              |SELECT user_id, sess_idx, COUNT(*) AS n_events,
+              |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+              |  ${Exact.sqlSum("value")} AS sum_value
+              |FROM sess GROUP BY user_id, sess_idx
+              |ORDER BY user_id, sess_idx""".stripMargin),
+    ),
+    // Tumbling 1-hour windows per event type.
+    QuerySpec(
+      "e02_tumbling_window",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("hour_bucket", expr(s"ts div 1000 div $HourUs"))
+          .groupBy("hour_bucket", "event_type")
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+          .orderBy("hour_bucket", "event_type"),
+      Some(s"""SELECT epoch_us(ts) // ${HourUs} AS hour_bucket, event_type,
+              |  COUNT(*) AS n, ${Exact.sqlSum("value")} AS sum_value
+              |FROM events GROUP BY hour_bucket, event_type
+              |ORDER BY hour_bucket, event_type""".stripMargin),
+    ),
+    // Semi-structured extraction: JSON props → typed column → filter + agg.
+    QuerySpec(
+      "e03_json_extract",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("k_val", get_json_object(col("props"), "$.k").cast(LongType))
+          .filter(col("k_val") > 50)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max(col("k_val")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+    // As-of (backward) join: each purchase matched to the user's most recent
+    // signup at-or-before it. RANGE window = "all rows with ts' ≤ ts", which
+    // is exactly the as-of semantics, computed in one pass — no range-join
+    // explosion at scale.
+    QuerySpec(
+      "e04_asof_signup",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("last_signup_us",
+            max(when(col("event_type") === "signup", col("ts_us"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id"), col("user_id"), col("ts_us"),
+            col("last_signup_us"),
+            (col("ts_us") - col("last_signup_us")).as("gap_us"),
+          )
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+             |j AS (
+             |  SELECT event_id, user_id, event_type, ts_us,
+             |    MAX(CASE WHEN event_type = 'signup' THEN ts_us END) OVER
+             |      (PARTITION BY user_id ORDER BY ts_us
+             |       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS last_signup_us
+             |  FROM e)
+             |SELECT event_id, user_id, ts_us, last_signup_us,
+             |  ts_us - last_signup_us AS gap_us
+             |FROM j WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+    ),
+    // Conversion funnel on top of the as-of: purchases within 1h of signup.
+    QuerySpec(
+      "e05_funnel",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("last_signup_us",
+            max(when(col("event_type") === "signup", col("ts_us"))).over(w))
+          .filter(col("event_type") === "purchase" &&
+            col("ts_us") - col("last_signup_us") <= HourUs)
+          .agg(
+            count(lit(1)).as("n_converting_purchases"),
+            countDistinct(col("user_id")).as("n_users"),
+          )
+      },
+      Some(s"""WITH e AS (
+              |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+              |j AS (
+              |  SELECT user_id, event_type, ts_us,
+              |    MAX(CASE WHEN event_type = 'signup' THEN ts_us END) OVER
+              |      (PARTITION BY user_id ORDER BY ts_us
+              |       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS last_signup_us
+              |  FROM e)
+              |SELECT COUNT(*) AS n_converting_purchases,
+              |       COUNT(DISTINCT user_id) AS n_users
+              |FROM j WHERE event_type = 'purchase'
+              |  AND ts_us - last_signup_us <= ${HourUs}""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.QuerySpec
+import graft.engine.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * s01 is the exact brute-force baseline: broadcast the (small) query set,
+  * linear scan the corpus — at 100 TB this is one shuffle-free pass, the
+  * correct exact-kNN shape. s02/s03 are the scale path: sign-random-
+  * projection LSH buckets shrink the candidate set so the exact rerank
+  * touches a fraction of the corpus; d06-style cosine near-dup pairing uses
+  * the same buckets.
+  *
+  * All dot products are computed in double from the float inputs with a
+  * sequential left fold — bit-identical between Spark's `aggregate` and
+  * DuckDB's `list_sum` (verified by the oracle gate).
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
+
+  /** Σ aᵢ·bᵢ in double precision, sequential fold. */
+  def ddot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    ddot(a, b) / (sqrt(ddot(a, a)) * sqrt(ddot(b, b)))
+
+  /** DuckDB equivalent of [[cosine]] with identical evaluation order. */
+  private def duckCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_sum(list_transform(list_zip($x, $y),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** Sign-random-projection bucket code: `nBits` hyperplanes whose ±1
+    * weights come from a deterministic integer mix of (table, bit, dim).
+    * Pure column expressions — codegen'd, no UDF.
+    */
+  def lshCode(vec: Column, table: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      // deterministic ±1 weight per (table, bit, dim index)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(63)), (v, i) => {
+          val h = (i * 2654435761L + lit(table.toLong * 40503L + j * 65537L))
+          v.cast(DoubleType) * when(pmod(h, lit(2)) === 0, 1.0).otherwise(-1.0)
+        }),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj > 0, 1 << j).otherwise(0)
+    }
+    bits.reduce(_ + _)
+  }
+
+  val specs: Vector[QuerySpec] = Vector(
+    // Exact brute-force top-5 cosine neighbors for 10 query vectors.
+    QuerySpec(
+      "s01_ann_brute",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+          .withColumn("rank",
+            row_number().over(
+              Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q.q_id, e.vec_id AS neighbor_id,
+              |    ${duckCos("q.q_emb", "e.embedding")} AS cos
+              |  FROM embeddings e CROSS JOIN q
+              |  WHERE e.vec_id != q.q_id),
+              |ranked AS (
+              |  SELECT q_id, neighbor_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id)
+              |      AS rank
+              |  FROM scored)
+              |SELECT q_id, neighbor_id, rank, cos FROM ranked
+              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+      headline = true,
+    ),
+    // LSH-bucketed ANN: 4 tables × 10-bit codes; candidates = bucket
+    // collisions in any table; exact cosine rerank on candidates only.
+    // Custom bucketing → rows-only; SimilaritySpec measures recall vs s01.
+    QuerySpec(
+      "s02_ann_lsh",
+      (s, d) => {
+        val nTables = 4
+        val nBits = 10
+        val e = emb(s, d)
+        val coded = e.select(
+          col("vec_id"), col("embedding"),
+          posexplode(array((0 until nTables).map(t =>
+            lshCode(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "code")))
+        val q = coded.filter(col("vec_id") < 10)
+          .select(col("tbl"), col("code"),
+            col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cand = coded.join(q, Seq("tbl", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+          .distinct()
+        cand
+          .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+          .withColumn("rank",
+            row_number().over(
+              Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      None,
+    ),
+    // Embedding-cosine near-duplicate pairs: planted perturbed copies
+    // (id+1M, v*0.98 + 0.01 per element) must pair with their originals.
+    // LSH buckets generate candidates; exact cosine ≥ 0.99 verifies.
+    QuerySpec(
+      "s03_embedding_neardup",
+      (s, d) => {
+        val nTables = 4
+        val nBits = 10
+        val e = emb(s, d).select(col("vec_id"), col("embedding"))
+        val perturbed = e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              v => (v.cast(DoubleType) * 0.98 + 0.01).cast("float")).as("embedding"))
+        val corpus = e.unionByName(perturbed)
+        val coded = corpus.select(
+          col("vec_id"), col("embedding"),
+          posexplode(array((0 until nTables).map(t =>
+            lshCode(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "code")))
+        val a = coded.select(col("tbl"), col("code"),
+          col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        val b = coded.select(col("tbl"), col("code"),
+          col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        a.join(b, Seq("tbl", "code"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "a_emb", "b_emb")
+          .distinct()
+          .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+          .filter(col("cos") >= 0.99)
+          .select(col("a_id"), col("b_id"), col("cos"))
+          .orderBy("a_id", "b_id")
+      },
+      None,
+    ),
+  )
+}

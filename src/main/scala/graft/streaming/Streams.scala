@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference has no streaming at all
+  * (SURVEY.md §2.4); this module gives the events pipeline a streaming halve
+  * whose results match the batch operators in EventsOps (StreamingSpec
+  * asserts the equivalence).
+  *
+  * Design: transforms are written against DataFrames so the SAME code runs
+  * in batch and streaming (Spark's unified model). State (sessionization) is
+  * a typed flatMapGroupsWithState keyed by user — per-key state is one open
+  * session, so memory is O(active users), the 100 TB-safe shape; in
+  * production Append mode + event-time timeout evicts idle users, the test
+  * uses Update snapshots.
+  */
+object Streams {
+
+  /** events.parquet schema as Spark reads it with nanosAsLong. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // ns since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** Streaming read of the events table. The file source requires a
+    * *directory* it can watch for new files, so the single events.parquet is
+    * staged into a scratch dir — in production this is simply the ingest
+    * directory new event files land in.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(dir, "events.parquet")
+    val stage = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-stream-${math.abs(dir.hashCode)}")
+    Files.createDirectories(stage)
+    Files.copy(src, stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(stage.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows per event type — identical logic to
+    * e02_tumbling_window; works on batch and streaming inputs alike.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Watermarked variant for production Append-mode sinks: state for windows
+    * older than 2 hours behind the max event time is dropped.
+    */
+  def tumblingCountsWatermarked(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("event_time", "2 hours"))
+
+  case class SessEvent(user_id: Long, ts_us: Long, value: Double)
+  case class Session(
+      user_id: Long, start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
+  case class OpenSession(start_us: Long, end_us: Long, n: Long, sum: Double)
+
+  val GapUs: Long = 1800000000L // 30 min, same as EventsOps
+
+  /** Gap-based sessionization with explicit state. Emits every session of
+    * the key seen so far (closed ones finally, the open one as a snapshot) —
+    * with a single input batch this equals the batch sessionization e01.
+    */
+  def sessionize(ds: Dataset[SessEvent]): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          val sorted = events.toIndexedSeq.sortBy(e => (e.ts_us))
+          var open = state.getOption
+          val out = Vector.newBuilder[Session]
+          sorted.foreach { e =>
+            open match {
+              case Some(o) if e.ts_us - o.end_us <= GapUs =>
+                open = Some(o.copy(end_us = e.ts_us, n = o.n + 1, sum = o.sum + e.value))
+              case Some(o) =>
+                out += Session(uid, o.start_us, o.end_us, o.n, o.sum)
+                open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+              case None =>
+                open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          open.foreach { o =>
+            state.update(o)
+            out += Session(uid, o.start_us, o.end_us, o.n, o.sum) // snapshot
+          }
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf
+
+  test("s02 LSH ANN reaches usable recall vs s01 exact brute force") {
+    val exact = Registry.byName("s01_ann_brute").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Registry.byName("s02_ann_lsh").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"LSH ANN recall vs brute force: $recall")
+  }
+
+  test("s01 ranks are unique 1..5 per query and cosine is within [-1, 1]") {
+    val rows = Registry.byName("s01_ann_brute").run(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.sameElements(1 to 5), s"ranks for q=$q")
+      assert(rs.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+    }
+  }
+
+  test("s03 finds every planted perturbed-copy pair") {
+    val got = Registry.byName("s03_embedding_neardup").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = graft.engine.Tables(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+      .filter(_ % 10 == 0).map(id => (id, id + 1000000L)).toSet
+    // perturbation preserves direction almost exactly (cos ≈ 0.9999); every
+    // planted pair must collide in at least one of the 4 LSH tables
+    val recall = planted.count(got.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"planted embedding near-dup recall: $recall")
+  }
+}

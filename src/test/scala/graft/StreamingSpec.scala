@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf
+
+  test("streaming tumbling-window agg equals the batch e02 result") {
+    val q = Streams.tumblingCounts(Streams.readEvents(spark, sf))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_tumbling")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_tumbling")
+        .select(
+          (unix_timestamp(col("window.start")) / 3600).cast("long").as("hour_bucket"),
+          col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = Registry.byName("e02_tumbling_window").run(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("watermarked append-mode stream runs and registers state eviction") {
+    val q = Streams.tumblingCountsWatermarked(Streams.readEvents(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_wm")
+      .start()
+    try {
+      q.processAllAvailable()
+      val progress = q.lastProgress
+      // with one input batch, append emits only windows older than the
+      // watermark; correctness of contents is covered by the complete-mode
+      // test — here we assert the watermark actually advanced.
+      assert(progress.eventTime.get("watermark") != null)
+    } finally q.stop()
+  }
+
+  test("stateful streaming sessionization equals batch e01 sessionization") {
+    import spark.implicits._
+    val ds = Streams.readEvents(spark, sf)
+      .selectExpr("user_id", "ts_us", "value").as[Streams.SessEvent]
+    val q = Streams.sessionize(ds)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_sessions")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sessions")
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = Registry.byName("e01_sessionize").run(spark, sf)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
