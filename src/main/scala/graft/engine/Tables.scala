@@ -49,10 +49,20 @@ object Tables {
     * 10-record Arrow inference (reference: src/storage/csv.rs:103).
     */
   def loadCsv(spark: SparkSession, name: String, path: String): DataFrame = {
-    val df = spark.read
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.types.StringType
+    val raw = spark.read
       .option("header", "true")
       .option("inferSchema", "true")
       .csv(path)
+    // Arrow CSV semantics (reference: src/storage/csv.rs:133-141 via arrow's
+    // ConvertOptions, strings_can_be_null=false): an empty field is the
+    // empty STRING for utf8 columns but NULL for numeric columns. Spark's
+    // univocity parser nulls both — restore "" for string columns.
+    val df = raw.select(raw.schema.fields.map { f =>
+      if (f.dataType == StringType) coalesce(col(f.name), lit("")).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
     df.createOrReplaceTempView(name)
     df
   }

@@ -89,6 +89,7 @@ object Dedup {
               |       COUNT(*) AS n_copies
               |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
               |ORDER BY keeper""".stripMargin),
+      headline = true,
     ),
     // Exact dedup, normalized: the deduped surviving set size (lower(trim)).
     QuerySpec(
@@ -112,30 +113,44 @@ object Dedup {
         val k = 32
         val bands = 8
         val rows = k / bands
-        val sig = plantedCorpus(s, d)
-          .select(col("doc_id"), col("text"),
-            ghash.minhashSig(shingles(col("text")), k).as("sig"))
-        val buckets = sig.select(
-          col("doc_id"), col("text"),
-          posexplode(
-            transform(sequence(lit(0), lit(bands - 1)),
-              b => ghash.fnv1a64(concat_ws(",",
-                transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))
-          ).as(Seq("band", "bucket")))
-        val a = buckets.select(col("band"), col("bucket"),
-          col("doc_id").as("a_id"), col("text").as("a_text"))
-        val b = buckets.select(col("band"), col("bucket"),
-          col("doc_id").as("b_id"), col("text").as("b_text"))
-        a.join(b, Seq("band", "bucket"))
+        // shingle + sign ONCE per doc (not per candidate pair) — at scale the
+        // candidate set is much larger than the corpus, so per-pair
+        // re-shingling would dominate the cost.
+        // Shingling + signatures are materialized (persist) because three
+        // downstream branches reuse them — Spark replans shared subtrees per
+        // branch, so without this the corpus would be re-shingled 3×. At
+        // cluster scale this is the "write signatures to a temp table" step.
+        val shingled = plantedCorpus(s, d)
+          .select(col("doc_id"), shingles(col("text")).as("sh"))
+          .persist()
+        // Candidate generation moves ONLY (band, bucket, doc_id) through the
+        // shuffle — the heavy shingle arrays never enter the self-join or the
+        // pair dedup. They are re-attached once per confirmed candidate.
+        val buckets = shingled
+          .withColumn("sig", ghash.minhashSig(col("sh"), k))
+          .select(
+            col("doc_id"),
+            posexplode(
+              transform(sequence(lit(0), lit(bands - 1)),
+                b => ghash.fnv1a64(concat_ws(",",
+                  transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))
+            ).as(Seq("band", "bucket")))
+          .persist()
+        val candidates = buckets.as("a")
+          .join(buckets.as("b"), Seq("band", "bucket"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"))
           .distinct()
-          .withColumn("jac", jaccard(shingles(col("a_text")), shingles(col("b_text"))))
+        candidates
+          .join(shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+          .join(shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+          .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
           .filter(col("jac") >= 0.3)
           .select(col("a_id"), col("b_id"), col("jac"))
           .orderBy("a_id", "b_id")
       },
       None,
+      headline = true,
     ),
     // SimHash near-dup pairs: 64-bit sketch, 4×16-bit band join, hamming ≤ 8.
     QuerySpec(
@@ -143,6 +158,7 @@ object Dedup {
       (s, d) => {
         val sk = plantedCorpus(s, d)
           .select(col("doc_id"), ghash.simhash64(toks(col("text"))).as("sk"))
+          .persist() // reused by both sides of the band self-join
         val banded = sk.select(col("doc_id"), col("sk"),
           posexplode(transform(sequence(lit(0), lit(3)),
             b => call_function("shiftrightunsigned", col("sk"), b * 16)
@@ -167,15 +183,18 @@ object Dedup {
     QuerySpec(
       "d05_ngram_jaccard",
       (s, d) => {
-        val c = plantedCorpus(s, d).withColumn("n_ch", length(col("text")))
+        // shingle once per doc before the pair join (see d03 note)
+        val c = plantedCorpus(s, d).select(col("lang"), col("doc_id"),
+          length(col("text")).as("n_ch"), shingles(col("text")).as("sh"))
+          .persist() // reused by both sides of the blocked self-join
         val a = c.select(col("lang"), col("doc_id").as("a_id"),
-          col("text").as("a_text"), col("n_ch").as("a_n"))
+          col("sh").as("a_sh"), col("n_ch").as("a_n"))
         val b = c.select(col("lang"), col("doc_id").as("b_id"),
-          col("text").as("b_text"), col("n_ch").as("b_n"))
+          col("sh").as("b_sh"), col("n_ch").as("b_n"))
         a.join(b, Seq("lang"))
           .filter(col("a_id") < col("b_id") &&
             abs(col("a_n") - col("b_n")) <= 60)
-          .withColumn("jac", jaccard(shingles(col("a_text")), shingles(col("b_text"))))
+          .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
           .filter(col("jac") >= 0.3)
           .select(col("a_id"), col("b_id"), col("jac"))
           .orderBy("a_id", "b_id")
@@ -201,7 +220,6 @@ object Dedup {
               |    (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
               |     - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.3
               |ORDER BY a_id, b_id""".stripMargin),
-      headline = true,
     ),
   )
 }

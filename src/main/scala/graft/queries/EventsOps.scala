@@ -76,6 +76,7 @@ object EventsOps {
               |  ${Exact.sqlSum("value")} AS sum_value
               |FROM sess GROUP BY user_id, sess_idx
               |ORDER BY user_id, sess_idx""".stripMargin),
+      headline = true,
     ),
     // Tumbling 1-hour windows per event type.
     QuerySpec(

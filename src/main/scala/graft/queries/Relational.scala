@@ -195,6 +195,19 @@ object Relational {
       },
       None,
     ),
+    // \load csv equivalent (reference: src/cli.rs:111-129): header + schema
+    // inference + Arrow empty-string semantics, then query the loaded view.
+    // Uses the reference's own employee fixture; rows-only (SltSpec carries
+    // the golden-value checks).
+    QuerySpec(
+      "q34_load_csv",
+      (s, _) => {
+        Tables.loadCsv(s, "employee_csv", "/root/repo/src/test/resources/csv/employee.csv")
+        s.sql("""SELECT state, count(state) AS n, sum(salary) AS sum_salary
+                |FROM employee_csv GROUP BY state ORDER BY state""".stripMargin)
+      },
+      None,
+    ),
 
     // ------------------------------------------------------------- headline
     // TPC-H Q1: the flagship scan+agg. One shuffle (partial→final agg);

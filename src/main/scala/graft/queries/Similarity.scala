@@ -109,6 +109,7 @@ object Similarity {
           col("vec_id"), col("embedding"),
           posexplode(array((0 until nTables).map(t =>
             lshCode(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "code")))
+          .persist() // 40 fold-projections per row; reused by probe + corpus side
         val q = coded.filter(col("vec_id") < 10)
           .select(col("tbl"), col("code"),
             col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -145,6 +146,7 @@ object Similarity {
           col("vec_id"), col("embedding"),
           posexplode(array((0 until nTables).map(t =>
             lshCode(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "code")))
+          .persist() // reused by both sides of the bucket self-join
         val a = coded.select(col("tbl"), col("code"),
           col("vec_id").as("a_id"), col("embedding").as("a_emb"))
         val b = coded.select(col("tbl"), col("code"),

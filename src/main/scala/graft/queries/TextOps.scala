@@ -114,6 +114,7 @@ object TextOps {
              |            AND  (n_ch - (n_tok - 1.0)) / n_tok <= 8.0 THEN 0.3 ELSE 0.0 END)
              |    AS quality
              |FROM q ORDER BY doc_id""".stripMargin),
+      headline = true,
     ),
     // Language ID: marker-word argmax. Deterministic but heuristic-specific →
     // rows-only for the driver; LangIdSpec asserts correctness on real

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's sqllogictest corpus
+  * (reference: tests/slt/{select,filter,aggregation}.slt, runner at
+  * tests/sqllogictest/src/lib.rs:23-44) — same queries, same fixtures, same
+  * rendering rules (reference: src/util/mod.rs:27-54: space-separated, NULL
+  * for nulls, "(empty)" for empty strings). The reference's group output
+  * order is first-appearance (hash_agg.rs:94-95), Spark's is
+  * nondeterministic, so both sides are sorted before comparing (SURVEY.md §5).
+  *
+  * Fixtures load through Tables.loadCsv, which restores Arrow's CSV
+  * semantics (empty field = "" for strings, NULL for numerics).
+  */
+class SltSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  private def res(name: String): String =
+    getClass.getResource(s"/csv/$name.csv").getPath
+
+  private lazy val loaded: Unit = {
+    Seq("employee", "department").foreach { t =>
+      graft.engine.Tables.loadCsv(spark, t, res(t))
+    }
+  }
+
+  /** Reference rendering: src/util/mod.rs:27-54. */
+  private def render(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map { (row: Row) =>
+      row.toSeq.map {
+        case null => "NULL"
+        case "" => "(empty)"
+        case d: Double if d == d.floor && !d.isInfinite => d.toLong.toString
+        case v => v.toString
+      }.mkString(" ")
+    }
+
+  private def check(sql: String, expected: String): Unit = {
+    loaded
+    val got = render(spark.sql(sql)).sorted
+    val exp = expected.stripMargin.trim.split("\n").toSeq.map(_.trim).sorted
+    assert(got == exp, s"\nquery: $sql\ngot:\n${got.mkString("\n")}")
+  }
+
+  test("select.slt: projection with NULL and (empty) rendering") {
+    check(
+      "select first_name, state, id, salary from employee",
+      """Bill CA 1 12000
+        |Gregg CO 2 10000
+        |John CO 3 11500
+        |Von (empty) 4 NULL""")
+  }
+
+  test("filter.slt: where id > 2") {
+    check(
+      "select first_name from employee where id > 2",
+      """John
+        |Von""")
+  }
+
+  test("aggregation.slt: global sum") {
+    check("select sum(salary) from employee", "33500")
+  }
+
+  test("aggregation.slt: sum/count over exprs with where") {
+    check(
+      "select sum(salary), sum(id+1), count(id), count(salary) from employee where id > 1",
+      "21500 12 3 2")
+  }
+
+  test("aggregation.slt: max/min incl. string max") {
+    check(
+      "select max(salary), min(id), max(last_name) from employee",
+      "12000 1 Travis")
+  }
+
+  test("aggregation.slt: group by numeric key with NULL group") {
+    check(
+      "select salary, count(id), sum(salary), max(salary), min(salary) from employee group by salary",
+      """12000 1 12000 12000 12000
+        |10000 1 10000 10000 10000
+        |11500 1 11500 11500 11500
+        |NULL 1 NULL NULL NULL""")
+  }
+
+  test("aggregation.slt: group by string key with empty-string group") {
+    check(
+      "select state, count(state), sum(salary), max(salary), min(salary) from employee group by state",
+      """CA 1 12000 12000 12000
+        |CO 2 21500 11500 10000
+        |(empty) 1 NULL NULL NULL""")
+  }
+
+  test("aggregation.slt: multi-column group by") {
+    check(
+      "select state, id, count(state), sum(salary), max(salary), min(salary) from employee group by state, id",
+      """CA 1 1 12000 12000 12000
+        |CO 2 1 10000 10000 10000
+        |CO 3 1 11500 11500 11500
+        |(empty) 4 1 NULL NULL NULL""")
+  }
+
+  test("beyond-reference: the ops the reference binds but panics on execute") {
+    // != / AND / OR / % / unary minus / alias / NOT
+    // (reference: src/executor/array_compute.rs:62-65 todo!())
+    check(
+      "select -id as neg, id % 2 as m from employee where id != 1 and (id > 3 or id = 2)",
+      """-2 0
+        |-4 0""")
+  }
+
+  test("show tables lists the loaded fixtures") {
+    loaded
+    val tables = spark.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+    assert(Set("employee", "department").subsetOf(tables))
+  }
+
+  test("beyond-reference: join employee to department (reference has no joins)") {
+    check(
+      """select e.first_name, d.name from employee e
+        |join department d on e.department_id = d.id order by e.id""".stripMargin,
+      """Bill IT
+        |Gregg Marketing
+        |John Engineering""")
+  }
+}
