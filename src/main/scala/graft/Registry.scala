@@ -8,6 +8,7 @@ object Registry {
 
   def specs: Vector[QuerySpec] =
     queries.Relational.specs ++
+      queries.Stats.specs ++
       queries.TextOps.specs ++
       queries.Dedup.specs ++
       queries.EventsOps.specs ++

@@ -39,14 +39,19 @@ object Exact {
   /** SQL fragment builders so the Spark-side and oracle-side text stay in
     * lockstep when queries are written as SQL strings.
     */
-  /** The DuckDB text has one extra hop: DuckDB's decimal→double cast divides
-    * in double arithmetic (not correctly rounded), while Spark goes through
-    * BigDecimal.doubleValue (correctly rounded). Casting the decimal to
-    * VARCHAR first forces DuckDB through the correctly-rounded string parse,
-    * making the two engines bit-identical.
+  /** The DuckDB text has two extra VARCHAR hops, because Spark's double↔
+    * decimal casts are string-mediated while DuckDB's are binary:
+    *  - input double→decimal: Spark quantizes the double's SHORTEST STRING
+    *    (BigDecimal.valueOf); DuckDB quantizes the binary expansion. For
+    *    magnitudes above ~1e6 the decimal(38,10) grid is finer than the
+    *    double's ulp and the two quantizations differ — the string hop makes
+    *    DuckDB quantize the same shortest string.
+    *  - output decimal→double: DuckDB divides in double arithmetic (not
+    *    correctly rounded); Spark uses BigDecimal.doubleValue. The string
+    *    hop forces the correctly-rounded parse.
     */
   def sqlSum(expr: String): String =
-    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(CAST(($expr) AS VARCHAR) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
 
   def sqlAvg(expr: String): String =
     s"(${sqlSum(expr)} / CAST(COUNT($expr) AS DOUBLE))"

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.QuerySpec
+import graft.engine.{Exact, Tables}
+
+/** Statistics & reshaping operators — all beyond the reference (its agg
+  * surface is sum/count/min/max only, reference:
+  * src/binder/expression/agg_func.rs:10-15).
+  *
+  * Cross-engine-exact technique: engines disagree on streaming variance
+  * (Welford vs naive) and on float accumulation order, so every moment here
+  * is derived from DECIMAL(38,10)-exact Σx and Σx² and combined in double
+  * with identical, fully-parenthesized expression order on both sides.
+  * Partitioning-invariant by construction — the same property that makes the
+  * results reproducible on a 1000-executor cluster.
+  */
+object Stats {
+
+  val specs: Vector[QuerySpec] = Vector(
+    // Exact variance/stddev from decimal moments.
+    QuerySpec(
+      "q35_stats_exact",
+      (s, d) => {
+        val x = col("o_totalprice")
+        val n = count(x).cast(DoubleType)
+        val sx = Exact.dsum(x)
+        val sx2 = Exact.dsum(x * x)
+        Tables(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            count(x).as("n"),
+            ((sx2 - ((sx * sx) / n)) / (n - 1.0)).as("var_samp"),
+            sqrt((sx2 - ((sx * sx) / n)) / (n - 1.0)).as("stddev_samp"),
+            (sx / n).as("mean"),
+          )
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT o_orderstatus,
+              |    CAST(COUNT(o_totalprice) AS DOUBLE) AS n,
+              |    COUNT(o_totalprice) AS n_out,
+              |    ${Exact.sqlSum("o_totalprice")} AS sx,
+              |    ${Exact.sqlSum("o_totalprice * o_totalprice")} AS sx2
+              |  FROM orders GROUP BY o_orderstatus)
+              |SELECT o_orderstatus, n_out AS n,
+              |  ((sx2 - ((sx * sx) / n)) / (n - 1.0)) AS var_samp,
+              |  sqrt((sx2 - ((sx * sx) / n)) / (n - 1.0)) AS stddev_samp,
+              |  (sx / n) AS mean
+              |FROM m ORDER BY o_orderstatus""".stripMargin),
+    ),
+    // Exact correlation from decimal cross-moments.
+    QuerySpec(
+      "q36_corr_exact",
+      (s, d) => {
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        val n = count(lit(1)).cast(DoubleType)
+        val sx = Exact.dsum(x)
+        val sy = Exact.dsum(y)
+        val sxy = Exact.dsum(x * y)
+        val sx2 = Exact.dsum(x * x)
+        val sy2 = Exact.dsum(y * y)
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            (((n * sxy) - (sx * sy)) /
+              (sqrt((n * sx2) - (sx * sx)) * sqrt((n * sy2) - (sy * sy))))
+              .as("corr_qty_price"),
+          )
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT l_returnflag,
+              |    CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_out,
+              |    ${Exact.sqlSum("l_quantity")} AS sx,
+              |    ${Exact.sqlSum("l_extendedprice")} AS sy,
+              |    ${Exact.sqlSum("l_quantity * l_extendedprice")} AS sxy,
+              |    ${Exact.sqlSum("l_quantity * l_quantity")} AS sx2,
+              |    ${Exact.sqlSum("l_extendedprice * l_extendedprice")} AS sy2
+              |  FROM lineitem GROUP BY l_returnflag)
+              |SELECT l_returnflag, n_out AS n,
+              |  (((n * sxy) - (sx * sy)) /
+              |    (sqrt((n * sx2) - (sx * sx)) * sqrt((n * sy2) - (sy * sy))))
+              |    AS corr_qty_price
+              |FROM m ORDER BY l_returnflag""".stripMargin),
+    ),
+    // Pivot (wide reshaping) = conditional aggregation under the hood.
+    QuerySpec(
+      "q37_pivot",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,
+             |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+    // Distinct counting: exact (oracle-able). The approx variant
+    // (approx_count_distinct / HLL) is engine-specific → rows-only q39.
+    QuerySpec(
+      "q38_count_distinct",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_parts"),
+            countDistinct(col("l_suppkey")).as("nd_supps"),
+            count(lit(1)).as("n"),
+          )
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS nd_parts,
+             |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+    // HLL sketch counting — the 100 TB path for distinct counts (bounded
+    // memory, mergeable partial sketches). Engine-specific estimates →
+    // rows-only; StatsSpec bounds the relative error against q38.
+    QuerySpec(
+      "q39_approx_distinct",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts_approx"),
+            count(lit(1)).as("n"),
+          )
+          .orderBy("l_returnflag"),
+      None,
+    ),
+    // Sorted list aggregation (array-valued result).
+    QuerySpec(
+      "q40_collect_sorted",
+      (s, d) =>
+        Tables(s, d, "orders")
+          .filter(col("o_custkey") < 20)
+          .groupBy("o_custkey")
+          .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+             |FROM orders WHERE o_custkey < 20
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+    ),
+    // Explode/unnest: one row per (order, lineitem-number bucket).
+    QuerySpec(
+      "q41_explode",
+      (s, d) =>
+        Tables(s, d, "orders")
+          .filter(col("o_orderkey") < 100)
+          .select(col("o_orderkey"),
+            explode(sequence(lit(1), col("o_orderkey") % 3 + 1)).as("copy_idx"))
+          .orderBy("o_orderkey", "copy_idx"),
+      Some("""SELECT o_orderkey, u.copy_idx FROM orders,
+             |  UNNEST(range(1, o_orderkey % 3 + 2)) AS u(copy_idx)
+             |WHERE o_orderkey < 100
+             |ORDER BY o_orderkey, copy_idx""".stripMargin),
+    ),
+  )
+}
