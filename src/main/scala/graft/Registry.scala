@@ -9,6 +9,7 @@ object Registry {
   def specs: Vector[QuerySpec] =
     queries.Relational.specs ++
       queries.Stats.specs ++
+      queries.Corpus.specs ++
       queries.TextOps.specs ++
       queries.Dedup.specs ++
       queries.EventsOps.specs ++

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.QuerySpec
+import graft.engine.Tables
+
+/** Corpus-level pipeline operators: deterministic sampling, vocabulary and
+  * n-gram statistics, quantiles. All shuffle-lean shapes: token explosion is
+  * map-side, counting is partial+final agg, top-K is TakeOrderedAndProject.
+  */
+object Corpus {
+
+  val specs: Vector[QuerySpec] = Vector(
+    // Deterministic content-hash sampling — THE way to sample 100 TB
+    // reproducibly: no RNG state, stable under retries/repartitioning,
+    // and the same rows are selected by any engine that implements md5.
+    QuerySpec(
+      "c01_sample_hash",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .filter(substring(md5(col("text")), 1, 1).isin("0", "1", "2", "3"))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE substring(md5(text), 1, 1) IN ('0', '1', '2', '3')
+             |ORDER BY doc_id""".stripMargin),
+    ),
+    // Vocabulary: top-50 tokens by frequency (explode → count → top-K).
+    QuerySpec(
+      "c02_vocab_topk",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token"))
+          .limit(50),
+      Some("""SELECT u.token, COUNT(*) AS freq
+             |FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+             |GROUP BY u.token ORDER BY freq DESC, u.token LIMIT 50""".stripMargin),
+    ),
+    // Bigram counts: windowed zip of the token array, map-side explode.
+    QuerySpec(
+      "c03_bigrams_topk",
+      (s, d) => {
+        val t = split(col("text"), " ")
+        Tables(s, d, "documents")
+          .select(explode(
+            zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+              (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("bigram"))
+          .limit(30)
+      },
+      Some("""WITH l AS (SELECT string_split(text, ' ') AS t FROM documents),
+             |b AS (SELECT u.i AS i, t FROM l, UNNEST(range(1, len(t))) AS u(i))
+             |SELECT t[i] || ' ' || t[i+1] AS bigram, COUNT(*) AS freq
+             |FROM b GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 30""".stripMargin),
+    ),
+    // Continuous percentiles (exact, interpolated) — grouped quartiles of
+    // quantity. Both engines sort exactly and interpolate linearly.
+    QuerySpec(
+      "c04_percentiles",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            percentile_approx(col("l_quantity"), lit(0.5), lit(1000000)).as("p50_approx"),
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.75)").as("p75"),
+          )
+          .drop("p50_approx")
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS p25,
+             |  quantile_cont(l_quantity, 0.5) AS p50,
+             |  quantile_cont(l_quantity, 0.75) AS p75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+    // TF-"IDF" (linear idf = n_docs/doc_freq, no log — keeps the value
+    // cross-engine exact; log differs in the last ulp between libm builds).
+    QuerySpec(
+      "c05_tf_idf",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val nDocs = docs.count().toDouble
+        val tokens = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = tokens.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        tf.join(df, "token")
+          .withColumn("tf_idf",
+            col("tf").cast(DoubleType) * (lit(nDocs) / col("df").cast(DoubleType)))
+          .filter(col("doc_id") < 10)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tf_idf"))
+          .orderBy("doc_id", "token")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, u.token AS token
+             |  FROM documents, UNNEST(string_split(text, ' ')) AS u(token)),
+             |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT token, COUNT(*) AS df
+             |       FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+             |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+             |SELECT doc_id, tf.token AS token, tf, df,
+             |  CAST(tf AS DOUBLE) * (n_docs / CAST(df AS DOUBLE)) AS tf_idf
+             |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+             |WHERE doc_id < 10 ORDER BY doc_id, token""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Exact, Tables}
+
+/** Property-based invariants (SURVEY.md §5.3), checked over seeded samples —
+  * cheap laws the reference never tested. The partitioning-invariance law is
+  * the load-bearing one: it is exactly the property that makes results
+  * reproducible when the same query runs on 4 local threads or 1000
+  * executors.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf
+  private def rng = new scala.util.Random(42)
+
+  test("decimal-exact aggregation is invariant under repartitioning") {
+    val li = Tables(spark, sf, "lineitem")
+    val base = li.agg(Exact.dsum(col("l_extendedprice"))).head().getDouble(0)
+    val r = rng
+    (1 to 6).foreach { _ =>
+      val n = 1 + r.nextInt(17)
+      val got = li.repartition(n)
+        .agg(Exact.dsum(col("l_extendedprice"))).head().getDouble(0)
+      assert(got == base, s"partitions=$n")
+    }
+  }
+
+  test("filter composition: filter(a).filter(b) == filter(a && b)") {
+    val li = Tables(spark, sf, "lineitem")
+    val r = rng
+    (1 to 6).foreach { _ =>
+      val q = 1.0 + r.nextDouble() * 49.0
+      val f = Seq("A", "N", "R")(r.nextInt(3))
+      val chained = li.filter(col("l_quantity") > q).filter(col("l_returnflag") === f).count()
+      val combined = li.filter(col("l_quantity") > q && col("l_returnflag") === f).count()
+      assert(chained == combined, s"q=$q f=$f")
+    }
+  }
+
+  test("group-by sums partition the global sum") {
+    val li = Tables(spark, sf, "lineitem")
+    val global = li.agg(Exact.dsum(col("l_quantity"))).head().getDouble(0)
+    val grouped = li.groupBy("l_returnflag")
+      .agg(Exact.dsum(col("l_quantity")).as("s"))
+      .agg(Exact.dsum(col("s"))).head().getDouble(0)
+    assert(grouped == global)
+  }
+
+  test("limit(n) returns exactly min(n, total) rows") {
+    val o = Tables(spark, sf, "orders")
+    val total = o.count()
+    val r = rng
+    (1 to 6).foreach { _ =>
+      val n = r.nextInt(3000)
+      assert(o.limit(n).count() == math.min(n.toLong, total), s"n=$n")
+    }
+  }
+
+  test("minhash LSH pair set is stable across runs") {
+    val d03 = Registry.byName("d03_minhash_lsh_pairs")
+    val a = d03.run(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = d03.run(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+}
