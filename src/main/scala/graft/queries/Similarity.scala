@@ -128,6 +128,62 @@ object Similarity {
       },
       None,
     ),
+    // IVF (inverted-file) ANN: deterministic coarse quantizer (centroids =
+    // one Lloyd step from hash-picked seeds), vectors indexed by nearest
+    // centroid, queries probe the nprobe closest cells and rerank exactly.
+    // At 100 TB the index build is one pass + a tiny per-cell state, and a
+    // query touches |corpus| · nprobe/k vectors instead of all of them.
+    QuerySpec(
+      "s04_ann_ivf",
+      (s, d) => {
+        val k = 16
+        val nprobe = 4
+        val e = emb(s, d).select(col("vec_id"), col("embedding"))
+        // deterministic seeds: the k lowest vec_ids
+        val seeds = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid0"), col("embedding").as("cvec0"))
+        // one Lloyd iteration: assign to nearest seed, mean per cell & dim
+        val assigned0 = e.crossJoin(broadcast(seeds))
+          .withColumn("cos", cosine(col("embedding"), col("cvec0")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid0"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid0").as("cell"))
+        val centroids = assigned0
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+          .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("cvec"))
+          .persist()
+        // index: assign corpus to final centroids
+        val index = e.crossJoin(broadcast(centroids))
+          .withColumn("cos", cosine(col("embedding"), col("cvec")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+          .persist()
+        // queries probe nprobe cells
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val probes = q.crossJoin(broadcast(centroids))
+          .withColumn("cos", cosine(col("q_emb"), col("cvec")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos").desc, col("cell"))))
+          .filter(col("rn") <= nprobe)
+          .select(col("q_id"), col("q_emb"), col("cell"))
+        probes.join(index, "cell")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      None,
+    ),
     // Embedding-cosine near-duplicate pairs: planted perturbed copies
     // (id+1M, v*0.98 + 0.01 per element) must pair with their originals.
     // LSH buckets generate candidates; exact cosine ≥ 0.99 verifies.

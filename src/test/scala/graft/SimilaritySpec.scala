@@ -25,6 +25,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s04 IVF ANN reaches usable recall vs s01 exact brute force") {
+    val exact = Registry.byName("s01_ann_brute").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Registry.byName("s04_ann_ivf").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"IVF ANN recall vs brute force: $recall")
+    // every query must still return a full top-5 from its probed cells
+    val perQ = ivf.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQ.size == 10 && perQ.values.forall(_ == 5), perQ.toString)
+  }
+
   test("s03 finds every planted perturbed-copy pair") {
     val got = Registry.byName("s03_embedding_neardup").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -42,6 +42,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed agg state merges correctly across multiple micro-batches") {
+    import java.nio.file.{Files, Paths}
+    val stage = Files.createTempDirectory("graft-stream-2batch").toString
+    val ev = Streams.readEvents(spark, sf) // just for schema-compatible batch df
+    val batchDf = spark.read.schema(Streams.eventSchema).parquet(s"$sf/events.parquet")
+    // two halves arriving as separate files = separate micro-batches
+    batchDf.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/half1")
+    val streamIn = Files.createTempDirectory("graft-stream-2batch-in").toString
+    def arrive(src: String, name: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val f = Files.list(Paths.get(src)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      Files.copy(f, Paths.get(streamIn, name))
+    }
+    val events = spark.readStream.schema(Streams.eventSchema).parquet(streamIn)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.tumblingCounts(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_2batch")
+      .start()
+    try {
+      arrive(s"$stage/half1", "a.parquet")
+      q.processAllAvailable()
+      batchDf.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/half2")
+      arrive(s"$stage/half2", "b.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("stream_2batch")
+        .select(
+          (unix_timestamp(col("window.start")) / 3600).cast("long").as("hour_bucket"),
+          col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = Registry.byName("e02_tumbling_window").run(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization equals batch e01 sessionization") {
     import spark.implicits._
     val ds = Streams.readEvents(spark, sf)
