@@ -1,0 +1,64 @@
+package graft.tools
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{GraftSession, Tables}
+
+/** Interactive SQL shell — the equivalent of the reference's REPL entry
+  * point (reference: src/main.rs:6-14 → src/cli.rs:10-38), with the same
+  * meta-commands:
+  *   \dt                      list tables        (reference: src/cli.rs:118-119)
+  *   \load csv <name> <path>  register a CSV     (reference: src/cli.rs:111-129)
+  *   <sql>                    run through spark.sql
+  * Rendering matches the reference's SLT rules (src/util/mod.rs:27-54):
+  * space-separated values, NULL for nulls, (empty) for empty strings.
+  */
+object Repl {
+
+  /** Handle one input line; returns the rendered output. Pure enough to be
+    * unit-tested without a terminal.
+    */
+  def handle(spark: SparkSession, line: String): String = {
+    val trimmed = line.trim
+    try {
+      if (trimmed.isEmpty) ""
+      else if (trimmed == "\\dt") {
+        render(spark, "SHOW TABLES")
+      } else if (trimmed.startsWith("\\load csv ")) {
+        val parts = trimmed.split("\\s+")
+        if (parts.length != 4) "usage: \\load csv <name> <path>"
+        else {
+          val df = Tables.loadCsv(spark, parts(2), parts(3))
+          s"loaded ${parts(2)} (${df.schema.fields.length} columns)"
+        }
+      } else render(spark, trimmed)
+    } catch {
+      case NonFatal(e) => s"error: ${e.getMessage}"
+    }
+  }
+
+  private def render(spark: SparkSession, sql: String): String = {
+    val df = spark.sql(sql)
+    val header = df.schema.fieldNames.mkString(" ")
+    val rows = df.collect().map { row =>
+      row.toSeq.map {
+        case null => "NULL"
+        case "" => "(empty)"
+        case v => v.toString
+      }.mkString(" ")
+    }
+    (header +: rows).mkString("\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("graft-repl")
+    args.headOption.foreach(dir => Tables.registerAll(spark, dir))
+    println("graft> enter SQL, \\dt, \\load csv <name> <path>, or \\q")
+    Iterator.continually(scala.io.StdIn.readLine("graft> "))
+      .takeWhile(l => l != null && l.trim != "\\q")
+      .foreach(l => println(handle(spark, l)))
+    spark.stop()
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf
+
+  test("q39 HLL approx distinct is within its 2% design error of exact q38") {
+    val exact = Registry.byName("q38_count_distinct").run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Registry.byName("q39_approx_distinct").run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      val rel = math.abs(ap - ex).toDouble / ex
+      assert(rel <= 0.05, s"flag=$k exact=$ex approx=$ap rel=$rel")
+    }
+  }
+
+  test("decimal-moment variance agrees with Spark's built-in var_samp") {
+    val ours = Registry.byName("q35_stats_exact").run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val builtin = Tables(spark, sf, "orders")
+      .groupBy("o_orderstatus").agg(var_samp(col("o_totalprice")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ours.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) / builtin(k) < 1e-9,
+        s"$k ours=$v builtin=${builtin(k)}")
+    }
+  }
+
+  test("pivot row totals equal the group counts") {
+    val piv = Registry.byName("q37_pivot").run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1) + r.getLong(2))).toMap
+    val n = Tables(spark, sf, "lineitem").groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(piv == n)
+  }
+}
