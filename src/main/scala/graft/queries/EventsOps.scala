@@ -173,5 +173,30 @@ object EventsOps {
               |FROM j WHERE event_type = 'purchase'
               |  AND ts_us - last_signup_us <= ${HourUs}""".stripMargin),
     ),
+    // Retention cohorts: of the users active on day D, how many are active
+    // again on D+1 (classic DAU retention). Day = epoch_us div 86400e6.
+    QuerySpec(
+      "e06_retention",
+      (s, d) => {
+        val days = ev(s, d)
+          .select(col("user_id"), expr("ts div 1000 div 86400000000").as("day"))
+          .distinct()
+        val next = days.select(col("user_id").as("u2"), (col("day") - 1).as("day0"))
+        days.join(next, col("user_id") === col("u2") && col("day") === col("day0"), "left_outer")
+          .groupBy("day")
+          .agg(
+            count(lit(1)).as("active_users"),
+            count(col("u2")).as("retained_next_day"),
+          )
+          .orderBy("day")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events)
+             |SELECT a.day AS day, COUNT(*) AS active_users,
+             |  COUNT(b.user_id) AS retained_next_day
+             |FROM days a LEFT JOIN days b
+             |  ON a.user_id = b.user_id AND b.day = a.day + 1
+             |GROUP BY a.day ORDER BY a.day""".stripMargin),
+    ),
   )
 }

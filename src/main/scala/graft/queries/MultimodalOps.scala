@@ -27,5 +27,29 @@ object MultimodalOps {
              |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS fmt
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+    // Frame sampling: fixed-size windows over the payload (the shape a
+    // video frame-sampler or audio chunker has), one row per frame with
+    // per-frame features. Map-side explode; no shuffle until the ORDER BY.
+    QuerySpec(
+      "m02_frame_features",
+      (s, d) => {
+        Multimodal.mediaTable(s, d)
+          .select(col("doc_id"), col("payload"),
+            explode(sequence(lit(0),
+              expr("(length(payload) - 1) div 100").cast("int"))).as("frame_idx"))
+          .select(
+            col("doc_id"), col("frame_idx"),
+            expr("CAST(length(substring(payload, frame_idx * 100 + 1, 100)) AS BIGINT)")
+              .as("frame_bytes"),
+          )
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT doc_id, u.frame_idx AS frame_idx,
+             |  CAST(length(substring(text, u.frame_idx * 100 + 1, 100)) AS BIGINT)
+             |    AS frame_bytes
+             |FROM documents,
+             |  UNNEST(range(0, (length(text) - 1) // 100 + 1)) AS u(frame_idx)
+             |ORDER BY doc_id, frame_idx""".stripMargin),
+    ),
   )
 }
