@@ -62,6 +62,27 @@ object Streams {
   def tumblingCountsWatermarked(events: DataFrame): DataFrame =
     tumblingCounts(events.withWatermark("event_time", "2 hours"))
 
+  /** Watermarked stream-stream join: purchases joined to the same user's
+    * signups within [0, 1h] before the purchase. Both sides carry watermarks
+    * so the join state is bounded — Spark can discard a signup once the
+    * purchase-side watermark passes signup_time + 1h.
+    */
+  def purchaseSignupJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "2 hours")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("event_time").as("s_time"))
+      .withWatermark("s_time", "2 hours")
+    purchases.join(
+      signups,
+      col("p_user") === col("s_user") &&
+        col("s_time") <= col("p_time") &&
+        col("s_time") >= col("p_time") - expr("INTERVAL 1 HOUR"))
+  }
+
   case class SessEvent(user_id: Long, ts_us: Long, value: Double)
   case class Session(
       user_id: Long, start_us: Long, end_us: Long, n_events: Long, sum_value: Double)

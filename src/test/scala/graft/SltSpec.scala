@@ -111,6 +111,19 @@ class SltSpec extends AnyFunSuite {
         |-4 0""")
   }
 
+  test("unresolvable columns and tables raise analysis errors (binder parity)") {
+    loaded
+    // reference: binder rejects unknown columns/tables (src/binder/mod.rs)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("select no_such_col from employee").collect()
+    }
+    assert(e1.getMessage.contains("no_such_col"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("select 1 from no_such_table").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("no_such_table"))
+  }
+
   test("show tables lists the loaded fixtures") {
     loaded
     val tables = spark.sql("SHOW TABLES").collect().map(_.getString(1)).toSet

@@ -81,6 +81,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join equals the batch interval join") {
+    val q = Streams.purchaseSignupJoin(Streams.readEvents(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_ss_join")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_ss_join")
+        .select("p_id", "s_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = spark.read.schema(Streams.eventSchema).parquet(s"$sf/events.parquet")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val batch = Streams.purchaseSignupJoin(ev)
+        .select("p_id", "s_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization equals batch e01 sessionization") {
     import spark.implicits._
     val ds = Streams.readEvents(spark, sf)
