@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Exact, Tables}
+import graft.functions.ghash
+
+/** Edge-case behavior: empty inputs, degenerate parameters, null paths. */
+class EdgeSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf
+  import spark.implicits._
+
+  test("global agg over zero rows: sums are NULL, counts are 0") {
+    val empty = Tables(spark, sf, "lineitem").filter(col("l_quantity") < 0)
+    val r = empty.agg(
+      Exact.dsum(col("l_quantity")).as("s"),
+      count(col("l_quantity")).as("n")).head()
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) == 0L)
+  }
+
+  test("group-by over zero rows produces zero groups") {
+    val empty = Tables(spark, sf, "lineitem").filter(col("l_quantity") < 0)
+    assert(empty.groupBy("l_returnflag").agg(count(lit(1))).count() == 0)
+  }
+
+  test("minhash/simhash of empty and single-token docs are well-defined") {
+    val df = Seq("", "one", "one two three").toDF("text")
+      .select(
+        ghash.minhashSig(split(col("text"), " "), 4).as("sig"),
+        ghash.simhash64(split(col("text"), " ")).as("sk"))
+    val rows = df.collect()
+    assert(rows.length == 3)
+    // split("") yields [""], so even empty text has a defined signature
+    assert(rows.forall(r => r.getSeq[Long](0).length == 4))
+  }
+
+  test("joins against an empty side behave correctly") {
+    val empty = Tables(spark, sf, "orders").filter(col("o_orderkey") < 0)
+    val c = Tables(spark, sf, "customer")
+    assert(c.join(empty, col("c_custkey") === col("o_custkey")).count() == 0)
+    assert(c.join(empty, col("c_custkey") === col("o_custkey"), "left_anti").count() == c.count())
+    assert(c.join(empty, col("c_custkey") === col("o_custkey"), "left_outer").count() == c.count())
+  }
+
+  test("ANN with k larger than the corpus returns the whole corpus ranked") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, sf, "embeddings").limit(3)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === e.head().getLong(0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val res = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", graft.queries.Similarity.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 100)
+    assert(res.count() == 2)
+  }
+}
