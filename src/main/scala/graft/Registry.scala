@@ -9,6 +9,7 @@ object Registry {
   def specs: Vector[QuerySpec] =
     queries.Relational.specs ++
       queries.Relational2.specs ++
+      queries.Relational3.specs ++
       queries.Stats.specs ++
       queries.Corpus.specs ++
       queries.TextOps.specs ++

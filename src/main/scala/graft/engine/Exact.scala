@@ -53,6 +53,13 @@ object Exact {
   def sqlSum(expr: String): String =
     s"CAST(CAST(SUM(CAST(CAST(($expr) AS VARCHAR) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
 
+  /** Spark-SQL-side text of the same exact sum (for spark.sql queries).
+    * Spark's own double↔decimal casts are already string-mediated, so no
+    * VARCHAR hops are needed on this side.
+    */
+  def sqlSparkSum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,10))) AS DOUBLE)"
+
   def sqlAvg(expr: String): String =
     s"(${sqlSum(expr)} / CAST(COUNT($expr) AS DOUBLE))"
 }
