@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.QuerySpec
 import graft.engine.{Exact, Tables}
@@ -163,6 +163,45 @@ object Stats {
              |  UNNEST(range(1, o_orderkey % 3 + 2)) AS u(copy_idx)
              |WHERE o_orderkey < 100
              |ORDER BY o_orderkey, copy_idx""".stripMargin),
+    ),
+    // Table profiling: per-column null counts, distinct counts, extremes —
+    // the standard data-validation pass before a training run. One scan,
+    // all stats in a single aggregate.
+    QuerySpec(
+      "q52_profile",
+      (s, d) =>
+        Tables(s, d, "orders").agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_custkey")).as("nn_custkey"),
+          countDistinct(col("o_custkey")).as("nd_custkey"),
+          countDistinct(col("o_orderstatus")).as("nd_status"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+        ),
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  COUNT(o_custkey) AS nn_custkey,
+             |  COUNT(DISTINCT o_custkey) AS nd_custkey,
+             |  COUNT(DISTINCT o_orderstatus) AS nd_status,
+             |  MIN(o_totalprice) AS min_price,
+             |  MAX(o_totalprice) AS max_price,
+             |  MIN(o_orderkey) AS min_key,
+             |  MAX(o_orderkey) AS max_key
+             |FROM orders""".stripMargin),
+    ),
+    // Fixed-width histogram: integer bucket index = value div width. All
+    // integer arithmetic → cross-engine exact; one shuffle of B buckets.
+    QuerySpec(
+      "q53_histogram",
+      (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy(floor(col("o_totalprice") / 50000).cast(LongType).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin),
     ),
   )
 }
