@@ -25,7 +25,13 @@ import graft.engine.{Exact, Tables}
   */
 object EventsOps {
 
-  private def ev(s: SparkSession, d: String): DataFrame = Tables(s, d, "events")
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    // events needs nanosAsLong; set it even when the caller's session was
+    // built without GraftSession (tune() is idempotent, and Tables reads
+    // lazily so the conf lands before the scan is planned)
+    graft.engine.GraftSession.tune(s)
+    Tables(s, d, "events")
+  }
 
   // events.ts is ns in parquet, but DuckDB truncates to µs on read, so all
   // derived values are computed in µs on both sides (ts div 1000 == epoch_us).

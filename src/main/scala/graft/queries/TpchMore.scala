@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.engine.{Exact, Tables}
+
+/** More TPC-H query families (Q7/Q12/Q14/Q19 shapes, predicates adapted to
+  * the synthetic dimension values). Each exercises a distinct plan shape:
+  * bilateral nation join, case-inside-agg, conditional revenue share,
+  * multi-bracket OR-of-ANDs predicate pushdown.
+  */
+object TpchMore {
+
+  val specs: Vector[QuerySpec] = Vector(
+    // Q7 shape: supplier-nation ↔ customer-nation trade volume.
+    QuerySpec(
+      "q54_tpch_q7",
+      (s, d) => {
+        val n1 = Tables(s, d, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables(s, d, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter(col("supp_nation") < col("cust_nation")) // distinct pairs
+          .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+          .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+              |  ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE n1.n_name < n2.n_name
+              |GROUP BY supp_nation, cust_nation, l_year
+              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+    ),
+    // Q12 shape: CASE-inside-aggregate priority counting per group.
+    QuerySpec(
+      "q55_tpch_q12",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("low_line_count"),
+          )
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |           THEN 1 ELSE 0 END) AS high_line_count,
+             |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |           THEN 1 ELSE 0 END) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+    // Q14 shape: conditional revenue share (promo = ECONOMY parts here).
+    QuerySpec(
+      "q56_tpch_q14",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(
+            (Exact.dsum(when(col("p_type") === "ECONOMY",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+              Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("promo_revenue_pct"),
+          ),
+      Some(s"""SELECT
+              |  ${Exact.sqlSum("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+              |    * 100.0 /
+              |  ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")}
+              |    AS promo_revenue_pct
+              |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin),
+    ),
+    // Q19 shape: OR of multi-condition brackets — the whole disjunction is
+    // pushed below the join as a partial filter by Catalyst.
+    QuerySpec(
+      "q57_tpch_q19",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+              (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+                col("l_quantity").between(10, 30)) ||
+              (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+                col("l_quantity").between(20, 50)))
+          .agg(
+            Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n"),
+          ),
+      Some(s"""SELECT
+              |  ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+              |  COUNT(*) AS n
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+              |       AND l_quantity BETWEEN 1 AND 20)
+              |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+              |       AND l_quantity BETWEEN 10 AND 30)
+              |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+              |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin),
+    ),
+  )
+}

@@ -35,6 +35,7 @@ object Streams {
     * directory new event files land in.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    graft.engine.GraftSession.tune(spark) // ns-as-long for the ts column
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(dir, "events.parquet")
     val stage = Paths.get(sys.props("java.io.tmpdir"),

@@ -78,6 +78,40 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("output file count is controllable (small-files hygiene)") {
+    val out = tmp("graft-files")
+    val li = Tables(spark, sf, "lineitem")
+    // repartition governs file count; maxRecordsPerFile caps file size
+    li.repartition(4).write.mode("overwrite").parquet(s"$out/by4")
+    val files4 = new java.io.File(s"$out/by4").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files4 == 4, s"got $files4 files")
+    li.repartition(1).write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000).parquet(s"$out/capped")
+    val capped = new java.io.File(s"$out/capped").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(capped == math.ceil(li.count() / 1000.0).toInt, s"got $capped files")
+  }
+
+  test("streaming file sink recovers from its checkpoint without duplicates") {
+    import graft.streaming.Streams
+    val ckpt = tmp("graft-ckpt")
+    val out = tmp("graft-sink")
+    def start() = Streams.readEvents(spark, sf)
+      .selectExpr("event_id", "user_id", "value")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // restart against the same checkpoint: no new input → no new output
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val written = spark.read.parquet(out)
+    assert(written.count() == 1000) // sf0.001 events table size, exactly once
+    assert(written.select("event_id").distinct().count() == 1000)
+  }
+
   test("csv and json sinks round-trip a query result") {
     val result = Registry.byName("q05_group_agg").run(spark, sf)
     val csvOut = tmp("graft-csv")
