@@ -112,5 +112,25 @@ object Corpus {
              |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
              |WHERE doc_id < 10 ORDER BY doc_id, token""".stripMargin),
     ),
+    // Stratified sampling: exactly 20 docs per language, chosen by content
+    // hash — deterministic, engine-independent, and balanced regardless of
+    // the strata's raw sizes. The window shuffles one partition per stratum.
+    QuerySpec(
+      "c06_stratified_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+        Tables(s, d, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("lang"), col("doc_id"), col("rn"))
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, doc_id, rn FROM (
+             |  SELECT lang, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin),
+    ),
   )
 }

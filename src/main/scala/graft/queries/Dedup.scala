@@ -221,5 +221,32 @@ object Dedup {
               |     - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.3
               |ORDER BY a_id, b_id""".stripMargin),
     ),
+    // Incremental dedup: a "new batch" (docs ≥ 250 plus the planted copies)
+    // arrives against the already-ingested corpus (docs < 250) — keep only
+    // new docs whose digest is unseen. This is the streaming-ingestion
+    // shape: the historical side is a digest-only table, the join is a
+    // broadcast/shuffle anti join on the digest key.
+    QuerySpec(
+      "d06_dedup_incremental",
+      (s, d) => {
+        val corpus = plantedCorpus(s, d)
+        val historical = corpus.filter(col("doc_id") < 250)
+          .select(md5(col("text")).as("digest")).distinct()
+        val newBatch = corpus.filter(col("doc_id") >= 250)
+          .withColumn("digest", md5(col("text")))
+        newBatch.join(historical, Seq("digest"), "left_anti")
+          .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$corpusCte,
+              |hist AS (
+              |  SELECT DISTINCT md5(text) AS digest FROM corpus WHERE doc_id < 250),
+              |batch AS (
+              |  SELECT md5(text) AS digest, doc_id FROM corpus WHERE doc_id >= 250)
+              |SELECT MIN(doc_id) AS doc_id FROM batch
+              |WHERE digest NOT IN (SELECT digest FROM hist)
+              |GROUP BY digest ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
