@@ -204,5 +204,58 @@ object EventsOps {
              |  ON a.user_id = b.user_id AND b.day = a.day + 1
              |GROUP BY a.day ORDER BY a.day""".stripMargin),
     ),
+    // Structured JSON parsing: props → typed struct via from_json, then
+    // typed field access (vs e03's string extraction path).
+    QuerySpec(
+      "e07_from_json",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("parsed",
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("k", LongType)))))
+          .select(col("event_id"), col("parsed.k").as("k_val"))
+          .filter(col("k_val").isNotNull)
+          .groupBy((col("k_val") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), max(col("k_val")).as("max_k"))
+          .orderBy("k_mod"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+             |  COUNT(*) AS n,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events
+             |WHERE json_extract_string(props, '$.k') IS NOT NULL
+             |GROUP BY k_mod ORDER BY k_mod""".stripMargin),
+    ),
+    // Time-series gap filling: dense hourly spine (sequence join) with
+    // last-observation-carried-forward via an unbounded-preceding window.
+    // The spine is generated, not collected — no driver-side loop.
+    QuerySpec(
+      "e08_gap_fill",
+      (s, d) => {
+        val hourly = ev(s, d)
+          .groupBy(expr(s"ts div 1000 div $HourUs").as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+        val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("hour"))
+        val w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("hour"), "left_outer")
+          .withColumn("n_filled", coalesce(col("n"), lit(0L)))
+          .withColumn("n_locf", last(col("n"), ignoreNulls = true).over(w))
+          .select(col("hour"), col("n_filled"), col("n_locf"))
+          .orderBy("hour")
+      },
+      Some(s"""WITH hourly AS (
+              |  SELECT epoch_us(ts) // ${HourUs} AS hour, COUNT(*) AS n
+              |  FROM events GROUP BY hour),
+              |spine AS (
+              |  SELECT u.hour FROM (SELECT MIN(hour) lo, MAX(hour) hi FROM hourly),
+              |    UNNEST(range(lo, hi + 1)) AS u(hour))
+              |SELECT s.hour AS hour, COALESCE(h.n, 0) AS n_filled,
+              |  LAST_VALUE(h.n IGNORE NULLS) OVER
+              |    (ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS n_locf
+              |FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+              |ORDER BY hour""".stripMargin),
+    ),
   )
 }
