@@ -228,7 +228,9 @@ object EventsOps {
     ),
     // Time-series gap filling: dense hourly spine (sequence join) with
     // last-observation-carried-forward via an unbounded-preceding window.
-    // The spine is generated, not collected — no driver-side loop.
+    // The spine is generated, not collected — no driver-side loop. The
+    // un-partitioned window is over the SPINE (one row per hour — tiny at
+    // any corpus scale), not the raw events, so single-partition is fine.
     QuerySpec(
       "e08_gap_fill",
       (s, d) => {

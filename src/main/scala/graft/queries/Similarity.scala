@@ -49,17 +49,41 @@ object Similarity {
     */
   def lshCode(vec: Column, table: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { j =>
-      // deterministic ±1 weight per (table, bit, dim index)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(63)), (v, i) => {
-          val h = (i * 2654435761L + lit(table.toLong * 40503L + j * 65537L))
-          v.cast(DoubleType) * when(pmod(h, lit(2)) === 0, 1.0).otherwise(-1.0)
-        }),
-        lit(0.0),
-        (acc, x) => acc + x)
-      when(proj > 0, 1 << j).otherwise(0)
+      when(lshProj(vec, table, j) > 0, 1 << j).otherwise(0)
     }
     bits.reduce(_ + _)
+  }
+
+  /** Signed projection of `vec` onto hyperplane (table, bit). */
+  private def lshProj(vec: Column, table: Int, j: Int): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), lit(63)), (v, i) => {
+        // deterministic ±1 weight per (table, bit, dim index)
+        val h = (i * 2654435761L + lit(table.toLong * 40503L + j * 65537L))
+        v.cast(DoubleType) * when(pmod(h, lit(2)) === 0, 1.0).otherwise(-1.0)
+      }),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** All `nBits` projections for one table as an array column. */
+  def lshProjs(vec: Column, table: Int, nBits: Int): Column =
+    array((0 until nBits).map(j => lshProj(vec, table, j)): _*)
+
+  /** Code from a materialized projection array. */
+  def codeOf(projs: Column, nBits: Int): Column =
+    (0 until nBits)
+      .map(j => when(element_at(projs, j + 1) > 0, 1 << j).otherwise(0))
+      .reduce(_ + _)
+
+  /** Multi-probe code: flip the bit whose projection has the smallest
+    * magnitude — the hyperplane the vector is closest to, i.e. the flip a
+    * near-neighbor is most likely to differ in.
+    */
+  def probeCodeOf(projs: Column, nBits: Int): Column = {
+    val absArr = transform(projs, p => abs(p))
+    val minIdx = array_position(absArr, array_min(absArr)) // 1-based
+    codeOf(projs, nBits)
+      .bitwiseXOR(pow(lit(2.0), (minIdx - 1).cast(DoubleType)).cast("int"))
   }
 
   val specs: Vector[QuerySpec] = Vector(
@@ -96,8 +120,10 @@ object Similarity {
               |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
       headline = true,
     ),
-    // LSH-bucketed ANN: 4 tables × 10-bit codes; candidates = bucket
-    // collisions in any table; exact cosine rerank on candidates only.
+    // LSH-bucketed ANN: 4 tables × 10-bit codes; the corpus is indexed under
+    // its primary code per table, queries additionally probe the code with
+    // the lowest-margin bit flipped (multi-probe — recall of a 2nd table per
+    // probe at zero extra index size). Exact cosine rerank on candidates.
     // Custom bucketing → rows-only; SimilaritySpec measures recall vs s01.
     QuerySpec(
       "s02_ann_lsh",
@@ -105,13 +131,19 @@ object Similarity {
         val nTables = 4
         val nBits = 10
         val e = emb(s, d)
+        // one row per (vector, table) carrying the projection array; code and
+        // probe code are derived from the SAME materialized projections
         val coded = e.select(
           col("vec_id"), col("embedding"),
           posexplode(array((0 until nTables).map(t =>
-            lshCode(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "code")))
+            lshProjs(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "projs")))
+          .select(col("vec_id"), col("embedding"), col("tbl"),
+            codeOf(col("projs"), nBits).as("code"),
+            probeCodeOf(col("projs"), nBits).as("probe"))
           .persist() // 40 fold-projections per row; reused by probe + corpus side
         val q = coded.filter(col("vec_id") < 10)
-          .select(col("tbl"), col("code"),
+          .select(col("tbl"),
+            explode(array(col("code"), col("probe"))).as("code"),
             col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val cand = coded.join(q, Seq("tbl", "code"))
           .filter(col("vec_id") =!= col("q_id"))

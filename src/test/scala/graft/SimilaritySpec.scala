@@ -12,7 +12,8 @@ class SimilaritySpec extends AnyFunSuite {
     val approx = Registry.byName("s02_ann_lsh").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
-    assert(recall >= 0.4, s"LSH ANN recall vs brute force: $recall")
+    // measured 0.72 at sf0.001 / 0.56 at sf0.1 with multi-probe
+    assert(recall >= 0.5, s"LSH ANN recall vs brute force: $recall")
   }
 
   test("s01 ranks are unique 1..5 per query and cosine is within [-1, 1]") {
@@ -31,7 +32,8 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf = Registry.byName("s04_ann_ivf").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(ivf.contains).toDouble / exact.size
-    assert(recall >= 0.4, s"IVF ANN recall vs brute force: $recall")
+    // measured 0.94 at sf0.001 / 0.98 at sf0.1
+    assert(recall >= 0.7, s"IVF ANN recall vs brute force: $recall")
     // every query must still return a full top-5 from its probed cells
     val perQ = ivf.groupBy(_._1).view.mapValues(_.size).toMap
     assert(perQ.size == 10 && perQ.values.forall(_ == 5), perQ.toString)
