@@ -11,6 +11,7 @@ object Registry {
       queries.Relational2.specs ++
       queries.Relational3.specs ++
       queries.TpchMore.specs ++
+      queries.TypedOps.specs ++
       queries.Stats.specs ++
       queries.Corpus.specs ++
       queries.TextOps.specs ++

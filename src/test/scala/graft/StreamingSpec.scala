@@ -27,6 +27,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dropDuplicates with watermark equals batch distinct") {
+    val q = Streams.readEvents(spark, sf)
+      .withWatermark("event_time", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_dedup")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = spark.read.schema(Streams.eventSchema)
+        .parquet(s"$sf/events.parquet")
+        .select("user_id", "event_type").distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("watermarked append-mode stream runs and registers state eviction") {
     val q = Streams.tumblingCountsWatermarked(Streams.readEvents(spark, sf))
       .writeStream.outputMode("append")
