@@ -12,6 +12,7 @@ object Registry {
       queries.Relational3.specs ++
       queries.TpchMore.specs ++
       queries.TypedOps.specs ++
+      queries.Collections.specs ++
       queries.Stats.specs ++
       queries.Corpus.specs ++
       queries.TextOps.specs ++

@@ -259,5 +259,35 @@ object EventsOps {
               |FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
               |ORDER BY hour""".stripMargin),
     ),
+    // Native session_window operator — Spark's built-in gap-session grouping
+    // (the declarative form of e01's lag/cumsum; also works in streaming).
+    // Oracled against the window-function formulation in DuckDB.
+    QuerySpec(
+      "e09_session_window",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            col("n_events"))
+          .orderBy("user_id", "start_us"),
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+              |flagged AS (
+              |  SELECT user_id, ts_us,
+              |    CASE WHEN ts_us - LAG(ts_us) OVER w > ${GapUs} THEN 1
+              |         WHEN LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+              |sess AS (
+              |  SELECT user_id, ts_us,
+              |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+              |  FROM flagged)
+              |SELECT user_id, MIN(ts_us) AS start_us, COUNT(*) AS n_events
+              |FROM sess GROUP BY user_id, sess_idx
+              |ORDER BY user_id, start_us""".stripMargin),
+    ),
   )
 }
