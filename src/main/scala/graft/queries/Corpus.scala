@@ -9,6 +9,9 @@ import graft.engine.Tables
 /** Corpus-level pipeline operators: deterministic sampling, vocabulary and
   * n-gram statistics, quantiles. All shuffle-lean shapes: token explosion is
   * map-side, counting is partial+final agg, top-K is TakeOrderedAndProject.
+  * Entirely beyond the reference (no string functions, no sampling, no
+  * percentiles — reference: src/binder/expression/mod.rs:16-24,
+  * src/binder/expression/agg_func.rs:10-15).
   */
 object Corpus {
 

@@ -9,7 +9,10 @@ import graft.engine.{Exact, Tables}
 
 /** Second tranche of relational surface: cube/grouping sets, the rest of the
   * window-function family, ordered-selection aggregates, richer string
-  * functions, full outer join, union all. Everything oracled.
+  * functions, full outer join, union all. Everything oracled. All beyond the
+  * reference, which has no set ops, windows, or string functions at all
+  * (reference: src/binder/statement/mod.rs:25 todo!() on non-Select set
+  * exprs; src/binder/expression/mod.rs:16-24 closed 6-variant expr enum).
   */
 object Relational2 {
 
@@ -149,6 +152,25 @@ object Relational2 {
              |  SELECT o_custkey AS custkey, 'pending' AS src FROM orders
              |  WHERE o_orderstatus = 'P')
              |GROUP BY src ORDER BY src""".stripMargin),
+    ),
+    // Regular expressions: extraction, matching, counting. Patterns kept in
+    // the RE2 ∩ java.util.regex common subset so both engines agree.
+    QuerySpec(
+      "q61_regexp",
+      (s, d) =>
+        Tables(s, d, "part")
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_digits"),
+            col("p_name").rlike("^[a-z]+ [a-z]+").as("two_words"),
+            regexp_count(col("p_name"), lit("a")).as("n_a"),
+          )
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  COALESCE(regexp_extract(p_brand, '([0-9]+)', 1), '') AS brand_digits,
+             |  regexp_matches(p_name, '^[a-z]+ [a-z]+') AS two_words,
+             |  CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a
+             |FROM part ORDER BY p_partkey""".stripMargin),
     ),
   )
 }

@@ -9,6 +9,10 @@ import graft.engine.{Exact, Tables}
   * families) — these exercise Catalyst's subquery decorrelation, which
   * rewrites the correlated form into joins + aggregates; the plans contain
   * no per-row subquery execution. Plus the user-defined-function surface.
+  * All beyond the reference: it binds only projection/from/selection/
+  * group_by (reference: src/binder/statement/mod.rs:36-62) and has no UDF
+  * registry beyond four hardcoded agg names
+  * (src/binder/expression/agg_func.rs:53-75).
   */
 object Relational3 {
 

@@ -8,7 +8,9 @@ import graft.engine.{Exact, Tables}
 /** More TPC-H query families (Q7/Q12/Q14/Q19 shapes, predicates adapted to
   * the synthetic dimension values). Each exercises a distinct plan shape:
   * bilateral nation join, case-inside-agg, conditional revenue share,
-  * multi-bracket OR-of-ANDs predicate pushdown.
+  * multi-bracket OR-of-ANDs predicate pushdown. The reference supports no
+  * joins of any kind (reference: src/binder/table/mod.rs:15-20 ignores the
+  * joins field; src/optimizer/plan_node/mod.rs:63-78 has no join node).
   */
 object TpchMore {
 

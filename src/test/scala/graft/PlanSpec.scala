@@ -62,6 +62,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("codegen id"), p)
   }
 
+  test("AQE coalesces shuffle partitions at runtime (q05)") {
+    val df = Registry.byName("q05_group_agg").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // 3 groups through a 4-partition shuffle → AQE folds them into one read
+    assert(p.contains("AQEShuffleRead"), p)
+  }
+
   test("custom Fnv1a64 expression does not break codegen (t04 fingerprint)") {
     val df: DataFrame = Registry.byName("t04_fingerprint").run(spark, sf)
     df.collect()
