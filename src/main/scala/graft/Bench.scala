@@ -46,7 +46,29 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Optional larger-SF point: the headline set is overhead-dominated at
+    // sf0.1 on 32 cores (~0.4 s fixed job setup per query), so per-row
+    // throughput trends only show at bigger data. Runs when the data exists
+    // (or SPARK_GRAFT_SF1_DIR points elsewhere); emitted as extra fields in
+    // the same single JSON line the driver parses.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/testdata/sf1")
+    val sf1 = if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
+      val r1 = Registry.headline.map { spec =>
+        val secs = (1 to 2).map { _ =>
+          time {
+            try spec.run(spark, sf1Dir).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] sf1 ${spec.name} failed: ${e.getMessage}")
+            }
+          }
+        }
+        spec.name -> secs.min
+      }
+      val q1 = r1.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s""","sf1_total":${r1.map(_._2).sum},"sf1_queries":$q1,"sf1_dir":"$sf1Dir""""
+    } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1}""")
     spark.stop()
   }
 }

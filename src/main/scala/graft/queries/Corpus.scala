@@ -90,15 +90,19 @@ object Corpus {
       "c05_tf_idf",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val nDocs = docs.count().toDouble
+        // n_docs as a broadcast 1-row frame, not a driver-side .count():
+        // a .count() here would run a full extra scan-job before the real
+        // query at 100 TB. This mirrors the oracle's CROSS JOIN n.
+        val nDocs = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
         val tokens = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         val df = tokens.select("doc_id", "token").distinct()
           .groupBy("token").agg(count(lit(1)).as("df"))
         tf.join(df, "token")
+          .crossJoin(broadcast(nDocs))
           .withColumn("tf_idf",
-            col("tf").cast(DoubleType) * (lit(nDocs) / col("df").cast(DoubleType)))
+            col("tf").cast(DoubleType) * (col("n_docs") / col("df").cast(DoubleType)))
           .filter(col("doc_id") < 10)
           .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tf_idf"))
           .orderBy("doc_id", "token")

@@ -73,6 +73,67 @@ object Dedup {
     inter / (size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter)
   }
 
+  /** Drop hot buckets before a bucket self-join. Real corpora produce
+    * degenerate LSH buckets (boilerplate/templated docs); a bucket of n docs
+    * contributes n² candidate pairs, so one mega-bucket turns the self-join
+    * quadratic. Buckets above `cap` are removed entirely — their members
+    * still pair through their other (non-degenerate) bands, and true mass
+    * duplicates are already caught by exact dedup (d01) upstream. The
+    * hot-bucket list is tiny by construction (only buckets > cap), so the
+    * anti join broadcasts.
+    */
+  def dropHotBuckets(buckets: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val hot = buckets.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > cap)
+      .select(keys.map(col): _*)
+    buckets.join(broadcast(hot), keys, "left_anti")
+  }
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification — the d03/d07
+    * engine, parameterized so specs can plant mega-buckets and vary banding.
+    * k permutations, `bands` bands of k/bands rows, buckets above `cap`
+    * dropped (hot-bucket guard), candidates verified at `threshold`.
+    */
+  def lshJaccardPairs(corpus: DataFrame, k: Int, bands: Int, cap: Int,
+      threshold: Double): DataFrame = {
+    val rows = k / bands
+    // shingle + sign ONCE per doc (not per candidate pair) — at scale the
+    // candidate set is much larger than the corpus, so per-pair re-shingling
+    // would dominate the cost. Persisted: three downstream branches reuse it
+    // (Spark replans shared subtrees per branch); at cluster scale this is
+    // the "write signatures to a temp table" step.
+    val shingled = corpus
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .persist()
+    // Candidate generation moves ONLY (band, bucket, doc_id) through the
+    // shuffle — the heavy shingle arrays never enter the self-join or the
+    // pair dedup. They are re-attached once per confirmed candidate.
+    val buckets = shingled
+      .withColumn("sig", ghash.minhashSig(col("sh"), k))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => ghash.fnv1a64(concat_ws(",",
+              transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))
+        ).as(Seq("band", "bucket")))
+      .persist()
+    val pruned = dropHotBuckets(buckets, Seq("band", "bucket"), cap)
+    val candidates = pruned.as("a")
+      .join(pruned.as("b"), Seq("band", "bucket"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .distinct()
+    candidates
+      .join(shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+      .orderBy("a_id", "b_id")
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     // Exact dedup: digest → group → keep min id. Finds exactly the planted
     // exact copies.
@@ -105,52 +166,30 @@ object Dedup {
               |  GROUP BY md5(lower(trim(text))))""".stripMargin),
     ),
     // MinHash/LSH near-dup pairs: 32-perm signature, 8 bands × 4 rows,
-    // bucket join, exact-Jaccard verify ≥ 0.3 on candidates only.
-    // Custom hash → rows-only; DedupSpec checks the planted pairs are found.
+    // hot-bucket guard (cap 100), bucket join, exact-Jaccard verify ≥ 0.3 on
+    // candidates only.
+    // Custom hash → rows-only; DedupSpec checks the planted pairs are found
+    // and that a planted mega-bucket cannot go quadratic.
     QuerySpec(
       "d03_minhash_lsh_pairs",
-      (s, d) => {
-        val k = 32
-        val bands = 8
-        val rows = k / bands
-        // shingle + sign ONCE per doc (not per candidate pair) — at scale the
-        // candidate set is much larger than the corpus, so per-pair
-        // re-shingling would dominate the cost.
-        // Shingling + signatures are materialized (persist) because three
-        // downstream branches reuse them — Spark replans shared subtrees per
-        // branch, so without this the corpus would be re-shingled 3×. At
-        // cluster scale this is the "write signatures to a temp table" step.
-        val shingled = plantedCorpus(s, d)
-          .select(col("doc_id"), shingles(col("text")).as("sh"))
-          .persist()
-        // Candidate generation moves ONLY (band, bucket, doc_id) through the
-        // shuffle — the heavy shingle arrays never enter the self-join or the
-        // pair dedup. They are re-attached once per confirmed candidate.
-        val buckets = shingled
-          .withColumn("sig", ghash.minhashSig(col("sh"), k))
-          .select(
-            col("doc_id"),
-            posexplode(
-              transform(sequence(lit(0), lit(bands - 1)),
-                b => ghash.fnv1a64(concat_ws(",",
-                  transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))
-            ).as(Seq("band", "bucket")))
-          .persist()
-        val candidates = buckets.as("a")
-          .join(buckets.as("b"), Seq("band", "bucket"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .filter(col("a_id") < col("b_id"))
-          .distinct()
-        candidates
-          .join(shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-          .join(shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-          .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
-          .filter(col("jac") >= 0.3)
-          .select(col("a_id"), col("b_id"), col("jac"))
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => lshJaccardPairs(plantedCorpus(s, d), k = 32, bands = 8,
+        cap = 100, threshold = 0.3),
       None,
       headline = true,
+    ),
+    // Production-scale exact-Jaccard near-dup join: the SAME verification as
+    // d05 (exact word-3-gram Jaccard ≥ 0.3) but candidates come from LSH
+    // banding instead of (lang, Δlen) blocks — no per-lang cartesian
+    // anywhere in the plan. 16 bands × 2 rows: at r=2 the banding threshold
+    // (1/16)^(1/2) ≈ 0.25 sits below the 0.3 verify cut, so every pair d05
+    // finds is (whp) also a candidate here; DedupSpec asserts d07 ⊇ the
+    // planted near-dup pairs. d05 remains the small-corpus DuckDB oracle;
+    // this is the shape you run at 100 TB.
+    QuerySpec(
+      "d07_ngram_jaccard_scale",
+      (s, d) => lshJaccardPairs(plantedCorpus(s, d), k = 32, bands = 16,
+        cap = 100, threshold = 0.3),
+      None,
     ),
     // SimHash near-dup pairs: 64-bit sketch, 4×16-bit band join, hamming ≤ 8.
     QuerySpec(
@@ -164,9 +203,13 @@ object Dedup {
             b => call_function("shiftrightunsigned", col("sk"), b * 16)
               .bitwiseAND(lit(0xffffL))))
             .as(Seq("band", "bval")))
-        val a = banded.select(col("band"), col("bval"),
+        // same hot-bucket guard as d03: a degenerate 16-bit band value
+        // (e.g. boilerplate docs hashing to one sketch) must not turn the
+        // band self-join quadratic
+        val pruned = dropHotBuckets(banded, Seq("band", "bval"), cap = 100)
+        val a = pruned.select(col("band"), col("bval"),
           col("doc_id").as("a_id"), col("sk").as("a_sk"))
-        val b = banded.select(col("band"), col("bval"),
+        val b = pruned.select(col("band"), col("bval"),
           col("doc_id").as("b_id"), col("sk").as("b_sk"))
         a.join(b, Seq("band", "bval"))
           .filter(col("a_id") < col("b_id"))

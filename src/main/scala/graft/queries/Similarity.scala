@@ -171,40 +171,52 @@ object Similarity {
         val k = 16
         val nprobe = 4
         val e = emb(s, d).select(col("vec_id"), col("embedding"))
-        // deterministic seeds: the k lowest vec_ids
-        val seeds = e.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid0"), col("embedding").as("cvec0"))
-        // one Lloyd iteration: assign to nearest seed, mean per cell & dim
-        val assigned0 = e.crossJoin(broadcast(seeds))
-          .withColumn("cos", cosine(col("embedding"), col("cvec0")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid0"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid0").as("cell"))
+        // Nearest-centroid assignment is a PER-ROW argmax over the broadcast
+        // centroid array — zero shuffle. (The round-1 shape exploded
+        // corpus×k and Window-argmin'd per vec_id: a 16×-corpus shuffle,
+        // twice. With only k=16 broadcastable centroids that work belongs
+        // inside the row.) Tie-break matches the old (cos DESC, cell ASC):
+        // struct max on (cos, -cell).
+        def nearestCell(cents: Column, vec: Column): Column =
+          array_max(transform(cents, c =>
+            struct(
+              cosine(vec, c.getField("cvec")).as("cos"),
+              (-c.getField("cell")).as("neg_cell"),
+              c.getField("cell").as("cell"))))
+            .getField("cell")
+        // deterministic seeds: the k lowest vec_ids, as ONE array row
+        val seedArr = e.filter(col("vec_id") < k)
+          .agg(collect_list(struct(col("vec_id").as("cell"),
+            col("embedding").as("cvec"))).as("cents"))
+        // one Lloyd iteration: per-row nearest seed, mean per cell & dim
+        val assigned0 = e.crossJoin(broadcast(seedArr))
+          .select(col("vec_id"), col("embedding"),
+            nearestCell(col("cents"), col("embedding")).as("cell"))
         val centroids = assigned0
           .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
           .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
           .groupBy("cell")
           .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
           .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("cvec"))
+        val centArr = centroids
+          .agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
           .persist()
-        // index: assign corpus to final centroids
-        val index = e.crossJoin(broadcast(centroids))
-          .withColumn("cos", cosine(col("embedding"), col("cvec")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cell"))
+        // index: per-row assignment of the corpus to its final centroid
+        val index = e.crossJoin(broadcast(centArr))
+          .select(col("vec_id"), col("embedding"),
+            nearestCell(col("cents"), col("embedding")).as("cell"))
           .persist()
-        // queries probe nprobe cells
+        // queries probe nprobe cells: per-row top-nprobe via array_sort on
+        // (-cos, cell) — ascending sort = cos DESC, cell ASC — then explode
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val probes = q.crossJoin(broadcast(centroids))
-          .withColumn("cos", cosine(col("q_emb"), col("cvec")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("q_id").orderBy(col("cos").desc, col("cell"))))
-          .filter(col("rn") <= nprobe)
-          .select(col("q_id"), col("q_emb"), col("cell"))
+        val probes = q.crossJoin(broadcast(centArr))
+          .select(col("q_id"), col("q_emb"),
+            explode(slice(array_sort(transform(col("cents"), c =>
+              struct(
+                (-cosine(col("q_emb"), c.getField("cvec"))).as("neg_cos"),
+                c.getField("cell").as("cell")))), 1, nprobe)).as("pc"))
+          .select(col("q_id"), col("q_emb"), col("pc.cell").as("cell"))
         probes.join(index, "cell")
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("cos", cosine(col("q_emb"), col("embedding")))

@@ -137,16 +137,19 @@ object Stats {
           .orderBy("l_returnflag"),
       None,
     ),
-    // Sorted list aggregation (array-valued result).
+    // Sorted list aggregation. The list is emitted as a comma-joined string:
+    // the driver's pandas compare cannot hash an array<long> column, and the
+    // string form is order-deterministic on both engines.
     QuerySpec(
       "q40_collect_sorted",
       (s, d) =>
         Tables(s, d, "orders")
           .filter(col("o_custkey") < 20)
           .groupBy("o_custkey")
-          .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+          .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("orderkeys"))
           .orderBy("o_custkey"),
-      Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+      Some("""SELECT o_custkey,
+             |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
              |FROM orders WHERE o_custkey < 20
              |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
     ),

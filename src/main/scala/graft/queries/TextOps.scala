@@ -116,10 +116,13 @@ object TextOps {
              |FROM q ORDER BY doc_id""".stripMargin),
       headline = true,
     ),
-    // Language ID: marker-word argmax. Deterministic but heuristic-specific →
-    // rows-only for the driver; LangIdSpec asserts correctness on real
-    // multilingual sentences (the synthetic corpus has language-independent
-    // text, so label accuracy is not measurable here).
+    // Language ID: marker-word argmax. The struct argmax compares (score,
+    // prio, lang) lexicographically; since every prio is a distinct value in
+    // 1..5, `score*10 + prio` induces exactly the same total order, which
+    // makes the heuristic expressible as plain SQL — so it gets a full DuckDB
+    // oracle (the SQL text is generated from the same `markers` list).
+    // LangIdSpec additionally asserts label accuracy on real multilingual
+    // sentences (the synthetic corpus text is language-independent).
     QuerySpec(
       "t03_lang_id",
       (s, d) =>
@@ -130,7 +133,24 @@ object TextOps {
             langIdExpr(col("text")).as("lang_pred"),
           )
           .orderBy("doc_id"),
-      None,
+      Some {
+        val keys = markers.map { case (lang, words, prio) =>
+          val list = words.map(w => s"'$w'").mkString(", ")
+          s"""len(list_filter(string_split(text, ' '),
+             |      x -> list_contains([$list], x))) * 10 + $prio AS k_$lang""".stripMargin
+        }.mkString(",\n    ")
+        val ks = markers.map { case (lang, _, _) => s"k_$lang" }.mkString(", ")
+        val cases = markers.init.map { case (lang, _, _) =>
+          s"WHEN k_$lang THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH sc AS (
+           |  SELECT doc_id, lang AS lang_label,
+           |    $keys
+           |  FROM documents)
+           |SELECT doc_id, lang_label,
+           |  CASE greatest($ks) $cases ELSE '${markers.last._1}' END AS lang_pred
+           |FROM sc ORDER BY doc_id""".stripMargin
+      },
     ),
     // Document fingerprinting: full-content FNV-1a 64 (exact-dup key, custom
     // codegen'd expression), SimHash over tokens (near-dup key), and the

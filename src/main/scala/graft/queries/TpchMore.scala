@@ -61,11 +61,13 @@ object TpchMore {
               .as("low_line_count"),
           )
           .orderBy("l_returnflag"),
+      // DuckDB SUM(int) yields HUGEINT, which pandas widens to float64 and
+      // the driver's value-hash then sees 2260.0 != Spark's int64 2260.
       Some("""SELECT l_returnflag,
-             |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-             |           THEN 1 ELSE 0 END) AS high_line_count,
-             |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-             |           THEN 1 ELSE 0 END) AS low_line_count
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              |  AND l_shipdate < TIMESTAMP '1998-01-01'

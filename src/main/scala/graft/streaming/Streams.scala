@@ -122,4 +122,59 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** Typed event that keeps the watermarked `event_time` column — required
+    * so the watermark survives into the stateful operator below.
+    */
+  case class TimedEvent(
+      user_id: Long, ts_us: Long, value: Double, event_time: java.sql.Timestamp)
+
+  /** Production sessionization: Append mode + event-time timeout. Emits a
+    * session exactly once, when it CLOSES — either a later event of the same
+    * user arrives past the gap, or the watermark passes session end + gap
+    * (timeout) and the user's state is evicted. State is O(active users) and
+    * actually shrinks as users go idle, unlike the Update-mode snapshot
+    * variant above — this is the shape you run forever against an unbounded
+    * stream.
+    */
+  def sessionizeAppend(events: DataFrame, delay: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("event_time", delay)
+      .select(col("user_id"), col("ts_us"), col("value"), col("event_time"))
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[TimedEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the open session can never extend
+            val o = state.get
+            state.remove()
+            Iterator.single(Session(uid, o.start_us, o.end_us, o.n, o.sum))
+          } else {
+            val sorted = events.toIndexedSeq.sortBy(_.ts_us)
+            var open = state.getOption
+            val out = Vector.newBuilder[Session]
+            sorted.foreach { e =>
+              open match {
+                case Some(o) if e.ts_us - o.end_us <= GapUs =>
+                  open = Some(o.copy(end_us = e.ts_us, n = o.n + 1, sum = o.sum + e.value))
+                case Some(o) =>
+                  out += Session(uid, o.start_us, o.end_us, o.n, o.sum)
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // evict once no event can extend this session: end + gap
+              state.setTimeoutTimestamp(o.end_us / 1000L + GapUs / 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -121,6 +121,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode sessionization closes sessions across micro-batches and evicts state") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val batchDf = spark.read.schema(Streams.eventSchema).parquet(s"$sf/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+    // split by TIME (not id) so batch 2 carries no late data and the
+    // watermark advance between batches exercises the event-time timeout
+    val midUs = batchDf.agg(
+      ((min(col("ts_us")) + max(col("ts_us"))) / 2).cast("long")).head().getLong(0)
+    val stage = Files.createTempDirectory("graft-sess-append").toString
+    val streamIn = Files.createTempDirectory("graft-sess-append-in").toString
+    def arrive(src: String, name: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val f = Files.list(Paths.get(src)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      Files.copy(f, Paths.get(streamIn, name))
+    }
+    batchDf.filter(col("ts_us") <= midUs).drop("ts_us").coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/half1")
+    batchDf.filter(col("ts_us") > midUs).drop("ts_us").coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/half2")
+    val events = spark.readStream.schema(Streams.eventSchema).parquet(streamIn)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.sessionizeAppend(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions_append")
+      .start()
+    try {
+      arrive(s"$stage/half1", "a.parquet")
+      q.processAllAvailable()
+      arrive(s"$stage/half2", "b.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sessions_append")
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // expected: every batch session EXCEPT each user's last one when its
+      // end + gap is still ahead of the final watermark (those stay open)
+      val all = Registry.byName("e01_sessionize").run(spark, sf)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val lastEnd = all.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+      val maxUs = batchDf.agg(max(col("ts_us"))).head().getLong(0)
+      val wmMs = maxUs / 1000L - 2L * 3600L * 1000L // 2h watermark delay
+      val expected = all.filter { case (u, _, end, _) =>
+        end != lastEnd(u) || (end / 1000L + Streams.GapUs / 1000L) < wmMs
+      }.toSet
+      assert(streamed == expected)
+      // at least one session must have closed via the timeout path: a user
+      // whose ONLY activity was in batch 1 has no closing arrival
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization equals batch e01 sessionization") {
     import spark.implicits._
     val ds = Streams.readEvents(spark, sf)
