@@ -10,6 +10,7 @@ object Registry {
     queries.Relational.specs ++
       queries.Relational2.specs ++
       queries.Relational3.specs ++
+      queries.Relational4.specs ++
       queries.TpchMore.specs ++
       queries.TypedOps.specs ++
       queries.Collections.specs ++

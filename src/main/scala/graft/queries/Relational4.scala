@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.QuerySpec
+import graft.engine.{Exact, Skew, Tables}
+import graft.plans.TopK
+
+/** Round-2 widening: more TPC-H plan families (Q4/Q6/Q10/Q18/Q22 shapes,
+  * predicates adapted to the synthetic schema — no commitdate/receiptdate/
+  * phone columns exist, so the date/prefix predicates are re-expressed on
+  * available columns), an explicitly salted skew join proven equal to the
+  * plain join, GROUPING SETS, regex (BPE-ish) tokenization, and a RANGE-frame
+  * rolling window. All oracle-backed. The reference supports none of these
+  * shapes (no joins: reference src/optimizer/plan_node/mod.rs:63-78; no
+  * subqueries/windows/sets: SURVEY.md §2.4).
+  */
+object Relational4 {
+
+  private val Dec = DecimalType(38, 10)
+
+  val specs: Vector[QuerySpec] = Vector(
+    // Q4 shape: EXISTS-correlated order counting — plans as a left-semi join
+    // with a non-equi residual (lineitem shipped >60 days after the order).
+    QuerySpec(
+      "q62_tpch_q4_exists",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val l = Tables(s, d, "lineitem")
+        o.join(l,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+             |FROM orders
+             |WHERE EXISTS (
+             |  SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey
+             |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+    // Q6 shape: pure filter+agg forecasting query — everything pushes to the
+    // scan, the whole query is one codegen stage over pruned columns.
+    QuerySpec(
+      "q63_tpch_q6",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(
+            Exact.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+            count(lit(1)).as("n"),
+          ),
+      Some(s"""SELECT
+              |  ${Exact.sqlSum("l_extendedprice * l_discount")} AS revenue,
+              |  COUNT(*) AS n
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              |  AND l_shipdate < TIMESTAMP '1997-01-01'
+              |  AND l_discount BETWEEN 0.05 AND 0.07
+              |  AND l_quantity < 24""".stripMargin),
+    ),
+    // Q10 shape: returned-item revenue per customer, top 20 — big fact join,
+    // broadcast dim, TakeOrderedAndProject on the exact revenue.
+    QuerySpec(
+      "q64_tpch_q10",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20),
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+              |  ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |GROUP BY c_custkey, c_name, c_acctbal, n_name
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+    ),
+    // Q18 shape: large-volume orders — aggregate-then-join (the HAVING
+    // subquery becomes a pre-aggregated build side, not a correlated probe).
+    QuerySpec(
+      "q65_tpch_q18",
+      (s, d) => {
+        val big = Tables(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(Exact.dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 150.0)
+        Tables(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some(s"""WITH big AS (
+              |  SELECT l_orderkey, ${Exact.sqlSum("l_quantity")} AS sum_qty
+              |  FROM lineitem GROUP BY l_orderkey
+              |  HAVING ${Exact.sqlSum("l_quantity")} > 150.0)
+              |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+              |FROM orders
+              |JOIN big ON o_orderkey = l_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin),
+    ),
+    // Q22 shape: rich-but-idle customers — scalar subquery (global exact avg
+    // balance, broadcast as a 1-row frame) + anti join. The synthetic data
+    // gives every customer orders, so "idle" is adapted to "no order above
+    // 300k" — same plan shape (filtered anti join), nonzero at every SF.
+    QuerySpec(
+      "q66_tpch_q22",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val avgBal = c.filter(col("c_acctbal") > 0.0)
+          .agg((Exact.dsum(col("c_acctbal")) /
+            count(col("c_acctbal")).cast(DoubleType)).as("avg_bal"))
+        val bigOrders = Tables(s, d, "orders")
+          .filter(col("o_totalprice") > 300000.0)
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"), Exact.dsum(col("c_acctbal")).as("total_bal"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""WITH a AS (
+              |  SELECT ${Exact.sqlSum("c_acctbal")} /
+              |         CAST(COUNT(c_acctbal) AS DOUBLE) AS avg_bal
+              |  FROM customer WHERE c_acctbal > 0.0)
+              |SELECT c_nationkey, COUNT(*) AS n_cust,
+              |  ${Exact.sqlSum("c_acctbal")} AS total_bal
+              |FROM customer CROSS JOIN a
+              |WHERE c_acctbal > avg_bal
+              |  AND NOT EXISTS (SELECT 1 FROM orders
+              |                  WHERE o_custkey = c_custkey
+              |                    AND o_totalprice > 300000.0)
+              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+    ),
+    // Salted skew join: orders salted over 8 sub-keys, customer replicated —
+    // the oracle is the PLAIN join, proving the salt changes the shuffle
+    // layout but not the result. This is the manual tool for known-skewed
+    // keys; AQE skew-join handles the reactive case.
+    QuerySpec(
+      "q67_salted_join",
+      (s, d) =>
+        Skew.saltedJoin(
+            Tables(s, d, "orders"), "o_custkey",
+            Tables(s, d, "customer"), "c_custkey",
+            nSalts = 8, saltSrc = col("o_orderkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), Exact.dsum(col("o_totalprice")).as("spend"))
+          .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+              |  ${Exact.sqlSum("o_totalprice")} AS spend
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    ),
+    // GROUPING SETS — finer than rollup/cube (q28/q42): an explicit lattice
+    // of (returnflag), (linestatus), and () grand total in one pass.
+    QuerySpec(
+      "q68_grouping_sets",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                 |  ${Exact.sqlSparkSum("l_quantity")} AS sum_qty
+                 |FROM lineitem
+                 |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                 |ORDER BY l_returnflag ASC NULLS FIRST,
+                 |         l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |  ${Exact.sqlSum("l_quantity")} AS sum_qty
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY l_returnflag ASC NULLS FIRST,
+              |         l_linestatus ASC NULLS FIRST""".stripMargin),
+    ),
+    // BPE-ish regex tokenization: runs of letters, runs of digits, single
+    // other non-space chars — the pre-tokenizer shape of byte-pair encoders.
+    // Java regex and RE2 agree on this alternation (no backtracking corners).
+    QuerySpec(
+      "q69_regex_tokens",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+              .cast(LongType).as("n_bpe_tokens"),
+            size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+              .cast(LongType).as("n_number_runs"),
+          )
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+             |    AS BIGINT) AS n_bpe_tokens,
+             |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             |    AS n_number_runs
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    // RANGE-frame rolling window: trailing-30-day order count and exact spend
+    // per customer — a frame defined by VALUE distance, not row count (q23's
+    // running totals are ROWS frames). Decimal accumulation keeps the window
+    // sum order-independent; the VARCHAR hop on the DuckDB side matches
+    // Spark's string-mediated decimal→double cast.
+    QuerySpec(
+      "q70_range_frame_window",
+      (s, d) => {
+        val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast(LongType)
+        val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables(s, d, "orders")
+          .filter(col("o_custkey") < 200)
+          .withColumn("day", day)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("day"),
+            count(lit(1)).over(w).as("n_30d"),
+            sum(col("o_totalprice").cast(Dec)).over(w).cast(DoubleType).as("spend_30d"),
+          )
+          .orderBy("o_custkey", "day", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             |  COUNT(*) OVER w AS n_30d,
+             |  CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,10)))
+             |    OVER w AS VARCHAR) AS DOUBLE) AS spend_30d
+             |FROM orders WHERE o_custkey < 200
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+             |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, day, o_orderkey""".stripMargin),
+    ),
+    // Grouped top-k through the CUSTOM OPERATOR (logical node + Strategy +
+    // partial/final physical exec, graft.plans.TopKPerKey): top-3 orders per
+    // customer. The window row_number plan this replaces shuffles and sorts
+    // every row; this shuffles ≤ 3 rows per customer per map task. The
+    // oracle is the window formulation — same rows, different plan.
+    QuerySpec(
+      "q71_topk_per_key",
+      (s, d) =>
+        TopK.perKey(
+            Tables(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+            keys = Seq(col("o_custkey")),
+            order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+            k = 3)
+          .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t WHERE rn <= 3
+             |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
+    ),
+  )
+}
