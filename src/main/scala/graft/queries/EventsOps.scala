@@ -38,31 +38,33 @@ object EventsOps {
   private val GapUs = 1800000000L // 30 min
   private val HourUs = 3600000000L
 
+  /** Gap-based sessionization (shared by e01 and e10). */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > GapUs, 1)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("sess_idx", sum(col("new_sess")).over(cum))
+      .groupBy("user_id", "sess_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        Exact.dsum(col("value")).as("sum_value"),
+      )
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     // Gap-based sessionization: new-session flag via lag, running sum →
     // session index, then per-session aggregates.
     QuerySpec(
       "e01_sessionize",
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-        val cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev(s, d)
-          .withColumn("ts_us", expr("ts div 1000"))
-          .withColumn("new_sess",
-            when(col("ts_us") - lag(col("ts_us"), 1).over(w) > GapUs, 1)
-              .when(lag(col("ts_us"), 1).over(w).isNull, 1)
-              .otherwise(0))
-          .withColumn("sess_idx", sum(col("new_sess")).over(cum))
-          .groupBy("user_id", "sess_idx")
-          .agg(
-            count(lit(1)).as("n_events"),
-            min(col("ts_us")).as("start_us"),
-            max(col("ts_us")).as("end_us"),
-            Exact.dsum(col("value")).as("sum_value"),
-          )
-          .orderBy("user_id", "sess_idx")
-      },
+      (s, d) => sessionized(s, d).orderBy("user_id", "sess_idx"),
       Some(s"""WITH e AS (
               |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
               |flagged AS (
@@ -288,6 +290,46 @@ object EventsOps {
               |SELECT user_id, MIN(ts_us) AS start_us, COUNT(*) AS n_events
               |FROM sess GROUP BY user_id, sess_idx
               |ORDER BY user_id, start_us""".stripMargin),
+    ),
+    // Top-2 longest sessions per user via the CUSTOM grouped top-k operator
+    // (graft.plans.TopKPerKey) composed over the sessionization pipeline —
+    // map-side bounded heaps instead of a second full window sort. Oracle is
+    // the ROW_NUMBER formulation over the identical session CTE.
+    QuerySpec(
+      "e10_topk_sessions",
+      (s, d) =>
+        graft.plans.TopK.perKey(
+            sessionized(s, d)
+              .withColumn("dur_us", col("end_us") - col("start_us")),
+            keys = Seq(col("user_id")),
+            order = Seq(col("dur_us").desc, col("start_us")),
+            k = 2)
+          .select(col("user_id"), col("start_us"), col("end_us"),
+            col("dur_us"), col("n_events"))
+          .orderBy(col("user_id"), col("dur_us").desc, col("start_us")),
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+              |flagged AS (
+              |  SELECT user_id, event_id, ts_us,
+              |    CASE WHEN ts_us - LAG(ts_us) OVER w > ${GapUs} THEN 1
+              |         WHEN LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+              |sess AS (
+              |  SELECT user_id, ts_us,
+              |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+              |  FROM flagged),
+              |agg AS (
+              |  SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+              |    MAX(ts_us) - MIN(ts_us) AS dur_us, COUNT(*) AS n_events
+              |  FROM sess GROUP BY user_id, sess_idx),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |    ORDER BY dur_us DESC, start_us) AS rn
+              |  FROM agg)
+              |SELECT user_id, start_us, end_us, dur_us, n_events
+              |FROM ranked WHERE rn <= 2
+              |ORDER BY user_id, dur_us DESC, start_us""".stripMargin),
     ),
   )
 }

@@ -154,8 +154,10 @@ object TextOps {
     ),
     // Document fingerprinting: full-content FNV-1a 64 (exact-dup key, custom
     // codegen'd expression), SimHash over tokens (near-dup key), and the
-    // first minhash component (content sketch). Custom hashes → rows-only;
-    // HashingSpec pins exact expected values.
+    // first minhash component (content sketch). The custom hash expressions
+    // are replicated bit-exactly in pure DuckDB SQL (engine/DuckHash:
+    // HUGEINT mod-2^64 arithmetic) → full hash oracle; HashingSpec
+    // additionally pins published test vectors.
     QuerySpec(
       "t04_fingerprint",
       (s, d) =>
@@ -167,7 +169,21 @@ object TextOps {
             element_at(ghash.minhashSig(tokens(col("text")), 4), 1).as("fp_minhash0"),
           )
           .orderBy("doc_id"),
-      None,
+      Some {
+        import graft.engine.DuckHash
+        s"""WITH t AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+           |h AS (
+           |  SELECT doc_id,
+           |    ${DuckHash.fnv("text")} AS fnv_u,
+           |    ${DuckHash.mixChain("toks")} AS hs
+           |  FROM t)
+           |SELECT doc_id,
+           |  ${DuckHash.signed("fnv_u")} AS fp_fnv,
+           |  ${DuckHash.signed(DuckHash.simhash("hs"))} AS fp_simhash,
+           |  ${DuckHash.minhash0("hs")} AS fp_minhash0
+           |FROM h ORDER BY doc_id""".stripMargin
+      },
     ),
   )
 }
