@@ -56,6 +56,25 @@ object DuckHash {
     s"list_transform($e, v -> ${shift33("v")})"
   }
 
+  private val Golden = BigInt("9e3779b97f4a7c15", 16)
+
+  /** Full k-permutation MinHash signature over a pre-FNV'd element list
+    * `base` (list<HUGEINT>): sig[i] = min over elements of
+    * mix64(elem ^ (i·golden)), taken over SIGNED values exactly like the
+    * Scala kernel. Returns list<BIGINT> of length k.
+    */
+  def sigK(base: String, k: Int): String = {
+    val seed = mulc("CAST(i AS HUGEINT)", Golden)
+    var e = s"list_transform($base, v -> xor(v, $seed))"
+    e = s"list_transform($e, v -> ${shift33("v")})"
+    e = s"list_transform($e, v -> ${mulc("v", MixC1)})"
+    e = s"list_transform($e, v -> ${shift33("v")})"
+    e = s"list_transform($e, v -> ${mulc("v", MixC2)})"
+    e = s"list_transform($e, v -> ${shift33("v")})"
+    s"""list_transform(range(0, $k), i ->
+       |  list_min(list_transform($e, u -> ${signed("u")})))""".stripMargin
+  }
+
   /** Unsigned [0,2^64) HUGEINT → signed two's-complement BIGINT. */
   def signed(u: String): String =
     s"CAST(CASE WHEN ($u) >= 9223372036854775808::HUGEINT" +

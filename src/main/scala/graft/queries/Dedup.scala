@@ -59,6 +59,60 @@ object Dedup {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** DuckDB text of [[shingles]] (word 3-grams, distinct) for column `text`
+    * — shared by the d05 oracle and the LSH-pipeline oracles below.
+    */
+  private val shingleSql =
+    """list_distinct(list_transform(
+      |      range(1, CASE WHEN len(string_split(text,' ')) - 2 > 1
+      |                    THEN len(string_split(text,' ')) - 2
+      |                    ELSE 1 END + 1),
+      |      i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))""".stripMargin
+
+  private val jacSql =
+    """CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |    (CAST(len(sa.sh) AS DOUBLE) + CAST(len(sb.sh) AS DOUBLE)
+      |     - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE))""".stripMargin
+
+  /** Full DuckDB oracle of [[lshJaccardPairs]]: the ENTIRE LSH pipeline —
+    * shingling, k-permutation MinHash signatures, banded bucket hashing,
+    * hot-bucket guard, candidate self-join, exact-Jaccard verify — rebuilt
+    * in SQL on top of engine/DuckHash's bit-exact hash replicas. Heavy
+    * stages are MATERIALIZED so the self-join does not recompute signatures.
+    */
+  private def lshOracleSql(k: Int, bands: Int, cap: Int, threshold: Double): String = {
+    import graft.engine.DuckHash
+    val rows = k / bands
+    val bucketStr =
+      s"array_to_string(list_transform(sig[band*$rows+1 : band*$rows+$rows]," +
+        " x -> CAST(x AS VARCHAR)), ',')"
+    s"""$corpusCte,
+       |shingled AS MATERIALIZED (
+       |  SELECT doc_id, $shingleSql AS sh FROM corpus),
+       |sigs AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ${DuckHash.sigK(s"list_transform(sh, s -> ${DuckHash.fnv("s")})", k)} AS sig
+       |  FROM shingled),
+       |buckets AS MATERIALIZED (
+       |  SELECT doc_id, band, ${DuckHash.signed(DuckHash.fnv(bucketStr))} AS bucket
+       |  FROM sigs, (SELECT unnest(range(0, $bands)) AS band)),
+       |hot AS (
+       |  SELECT band, bucket FROM buckets GROUP BY band, bucket
+       |  HAVING COUNT(*) > $cap),
+       |pruned AS MATERIALIZED (
+       |  SELECT b.* FROM buckets b ANTI JOIN hot h USING (band, bucket)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM pruned a JOIN pruned b USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, $jacSql AS jac
+       |FROM cand
+       |JOIN shingled sa ON sa.doc_id = a_id
+       |JOIN shingled sb ON sb.doc_id = b_id
+       |WHERE $jacSql >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Word 3-gram shingles, distinct. */
   def shingles(text: Column): Column = {
     val t = toks(text)
@@ -167,14 +221,14 @@ object Dedup {
     ),
     // MinHash/LSH near-dup pairs: 32-perm signature, 8 bands × 4 rows,
     // hot-bucket guard (cap 100), bucket join, exact-Jaccard verify ≥ 0.3 on
-    // candidates only.
-    // Custom hash → rows-only; DedupSpec checks the planted pairs are found
-    // and that a planted mega-bucket cannot go quadratic.
+    // candidates only. FULL DuckDB oracle (the whole pipeline incl. the
+    // custom hashes is replicated in SQL — see lshOracleSql); DedupSpec
+    // additionally checks planted-pair recall and the mega-bucket guard.
     QuerySpec(
       "d03_minhash_lsh_pairs",
       (s, d) => lshJaccardPairs(plantedCorpus(s, d), k = 32, bands = 8,
         cap = 100, threshold = 0.3),
-      None,
+      Some(lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3)),
       headline = true,
     ),
     // Production-scale exact-Jaccard near-dup join: the SAME verification as
@@ -189,7 +243,7 @@ object Dedup {
       "d07_ngram_jaccard_scale",
       (s, d) => lshJaccardPairs(plantedCorpus(s, d), k = 32, bands = 16,
         cap = 100, threshold = 0.3),
-      None,
+      Some(lshOracleSql(k = 32, bands = 16, cap = 100, threshold = 0.3)),
     ),
     // SimHash near-dup pairs: 64-bit sketch, 4×16-bit band join, hamming ≤ 8.
     QuerySpec(
@@ -219,7 +273,30 @@ object Dedup {
           .filter(col("hamming") <= 8)
           .orderBy("a_id", "b_id")
       },
-      None,
+      // full SQL oracle: SimHash sketch + 16-bit banding + hot-bucket guard
+      // + hamming verify, on DuckHash's bit-exact hash replica
+      Some {
+        import graft.engine.DuckHash
+        s"""$corpusCte,
+           |sk AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    ${DuckHash.simhash(DuckHash.mixChain("string_split(text, ' ')"))} AS usk
+           |  FROM corpus),
+           |banded AS MATERIALIZED (
+           |  SELECT doc_id, ${DuckHash.signed("usk")} AS sk, band,
+           |    CAST((usk // (1::HUGEINT << (band*16))) % 65536 AS BIGINT) AS bval
+           |  FROM sk, (SELECT unnest(range(0, 4)) AS band)),
+           |hot AS (
+           |  SELECT band, bval FROM banded GROUP BY band, bval
+           |  HAVING COUNT(*) > 100),
+           |pruned AS MATERIALIZED (
+           |  SELECT b.* FROM banded b ANTI JOIN hot h USING (band, bval))
+           |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  bit_count(xor(a.sk, b.sk)) AS hamming
+           |FROM pruned a JOIN pruned b USING (band, bval)
+           |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sk, b.sk)) <= 8
+           |ORDER BY a_id, b_id""".stripMargin
+      },
     ),
     // Exact n-gram Jaccard near-dup join, blocked by (lang, |Δchars| ≤ 60).
     // DuckDB-oracle-able: no hashing, pure set arithmetic.

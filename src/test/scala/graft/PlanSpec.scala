@@ -76,4 +76,44 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.explainString(FormattedMode)
     assert(p.contains("codegen id"), p)
   }
+
+  test("q63 (Q6 shape) pushes every predicate to the scan, no joins") {
+    val p = plan("q63_tpch_q6")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q64 (Q10 shape) broadcasts nation and top-20s via TakeOrderedAndProject") {
+    val p = plan("q64_tpch_q10")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q62 EXISTS plans as a left-semi join with the date residual") {
+    val p = plan("q62_tpch_q4_exists")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("s04 IVF assignment is per-row: no Window/Exchange between scan and probe join") {
+    val df = Registry.byName("s04_ann_ivf").run(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    // the round-1 shape had Window-argmin assignments (per-vec_id shuffles);
+    // per-row argmax over the broadcast centroid array removes every Window
+    // from the assignment path — the only Window NODE left is the final
+    // rerank (formatted detail lines read "(n) Window"; WindowGroupLimit is
+    // a different node)
+    val windows = """\(\d+\) Window\b""".r.findAllIn(p).size
+    assert(windows == 1, s"expected only the rerank window, got $windows:\n$p")
+  }
+
+  test("c05 runs as one job: no driver-side count in the query path") {
+    // building the frame must not trigger a Spark job (the old shape ran
+    // docs.count() eagerly); job-free construction == lazy all the way
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    Registry.byName("c05_tf_idf").run(spark, sf)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "c05 construction triggered a Spark job")
+  }
 }
