@@ -43,6 +43,30 @@ object Similarity {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
+  // ---- DuckDB replicas of the sign-LSH pipeline (oracles for s02/s03) ----
+
+  /** All `nBits` signed projections for table column `tbl` — mirrors
+    * [[lshProjs]]: per bit j, Σ over dims of v·(±1) where the sign is the
+    * parity of a deterministic integer mix of (table, bit, dim).
+    */
+  private def duckProjs(vec: String, nBits: Int): String =
+    s"""list_transform(range(0, $nBits), j ->
+       |      list_sum(list_transform(list_zip($vec, range(0, 64)), p ->
+       |        CAST(p[1] AS DOUBLE) *
+       |        CASE WHEN (p[2] * 2654435761 + (tbl * 40503 + j * 65537)) % 2 = 0
+       |             THEN 1.0 ELSE -1.0 END)))""".stripMargin
+
+  /** Mirrors [[codeOf]]: bit j set iff projs[j] > 0. */
+  private def duckCode(projs: String, nBits: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, $nBits), j ->
+       |      CASE WHEN ($projs)[j+1] > 0 THEN 1 << j ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** Mirrors [[probeCodeOf]]: flip the lowest-|projection| bit. */
+  private def duckProbe(projs: String, nBits: Int): String =
+    s"""xor(${duckCode(projs, nBits)},
+       |    CAST(2 ** (list_position(list_transform($projs, p -> abs(p)),
+       |      list_min(list_transform($projs, p -> abs(p)))) - 1) AS BIGINT))""".stripMargin
+
   /** Sign-random-projection bucket code: `nBits` hyperplanes whose ±1
     * weights come from a deterministic integer mix of (table, bit, dim).
     * Pure column expressions — codegen'd, no UDF.
@@ -158,7 +182,36 @@ object Similarity {
           .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
           .orderBy("q_id", "rank")
       },
-      None,
+      // full SQL oracle: the whole sign-LSH pipeline (projections, codes,
+      // multi-probe, bucket join, exact rerank) replicated in DuckDB with
+      // identical float evaluation order
+      Some(s"""WITH proj AS MATERIALIZED (
+              |  SELECT vec_id, embedding, tbl,
+              |    ${duckProjs("embedding", 10)} AS projs
+              |  FROM embeddings, (SELECT unnest(range(0, 4)) AS tbl)),
+              |coded AS MATERIALIZED (
+              |  SELECT vec_id, embedding, tbl,
+              |    ${duckCode("projs", 10)} AS code,
+              |    ${duckProbe("projs", 10)} AS probe
+              |  FROM proj),
+              |q AS (
+              |  SELECT tbl, code AS qcode, vec_id AS q_id, embedding AS q_emb
+              |  FROM coded WHERE vec_id < 10
+              |  UNION ALL
+              |  SELECT tbl, probe AS qcode, vec_id AS q_id, embedding AS q_emb
+              |  FROM coded WHERE vec_id < 10),
+              |cand AS (
+              |  SELECT DISTINCT q.q_id, q.q_emb, c.vec_id, c.embedding
+              |  FROM coded c JOIN q ON c.tbl = q.tbl AND c.code = q.qcode
+              |  WHERE c.vec_id != q.q_id),
+              |ranked AS (
+              |  SELECT q_id, vec_id AS neighbor_id,
+              |    ${duckCos("q_emb", "embedding")} AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id
+              |      ORDER BY ${duckCos("q_emb", "embedding")} DESC, vec_id) AS rank
+              |  FROM cand)
+              |SELECT q_id, neighbor_id, rank, cos FROM ranked
+              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     ),
     // IVF (inverted-file) ANN: deterministic coarse quantizer (centroids =
     // one Lloyd step from hash-picked seeds), vectors indexed by nearest
@@ -194,7 +247,12 @@ object Similarity {
             nearestCell(col("cents"), col("embedding")).as("cell"))
         val centroids = assigned0
           .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-          .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
+          // decimal-exact mean (not avg): order-independent, so centroids —
+          // and every downstream assignment — are identical on any
+          // partitioning AND bit-reproducible by the DuckDB oracle
+          .groupBy("cell", "dim")
+          .agg((graft.engine.Exact.dsum(col("v").cast(DoubleType)) /
+            count(lit(1)).cast(DoubleType)).as("m"))
           .groupBy("cell")
           .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
           .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("cvec"))
@@ -226,7 +284,47 @@ object Similarity {
           .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
           .orderBy("q_id", "rank")
       },
-      None,
+      // full SQL oracle: the Lloyd step uses the decimal-exact mean, so the
+      // centroids — and every assignment, probe, and rerank after them —
+      // are bit-identical across engines
+      Some {
+        import graft.engine.Exact
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |seeds AS (SELECT vec_id AS cell, embedding AS cvec FROM e WHERE vec_id < 16),
+           |a0 AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, s.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "s.cvec")} DESC, s.cell) AS rn
+           |    FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+           |cd AS (
+           |  SELECT cell, dim,
+           |    ${Exact.sqlSum("CAST(embedding[dim+1] AS DOUBLE)")}
+           |      / CAST(COUNT(*) AS DOUBLE) AS m
+           |  FROM a0, UNNEST(range(0, 64)) AS t(dim) GROUP BY cell, dim),
+           |cent AS MATERIALIZED (
+           |  SELECT cell, list(m ORDER BY dim) AS cvec FROM cd GROUP BY cell),
+           |idx AS MATERIALIZED (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
+           |probes AS (
+           |  SELECT q_id, q_emb, cell FROM (
+           |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent c WHERE e.vec_id < 10) t WHERE rn <= 4),
+           |ranked AS (
+           |  SELECT q_id, i.vec_id AS neighbor_id,
+           |    ${duckCos("q_emb", "i.embedding")} AS cos,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY ${duckCos("q_emb", "i.embedding")} DESC, i.vec_id) AS rank
+           |  FROM probes p JOIN idx i USING (cell) WHERE i.vec_id != p.q_id)
+           |SELECT q_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+           |ORDER BY q_id, rank""".stripMargin
+      },
     ),
     // Embedding-cosine near-duplicate pairs: planted perturbed copies
     // (id+1M, v*0.98 + 0.01 per element) must pair with their originals.
@@ -260,7 +358,31 @@ object Similarity {
           .select(col("a_id"), col("b_id"), col("cos"))
           .orderBy("a_id", "b_id")
       },
-      None,
+      // full SQL oracle: planted perturbation (same float rounding), codes,
+      // bucket self-join, exact cosine verify
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 1000000,
+              |    list_transform(embedding,
+              |      v -> CAST(CAST(v AS DOUBLE) * 0.98 + 0.01 AS FLOAT))
+              |  FROM embeddings WHERE vec_id % 10 = 0),
+              |proj AS MATERIALIZED (
+              |  SELECT vec_id, embedding, tbl,
+              |    ${duckProjs("embedding", 10)} AS projs
+              |  FROM corpus, (SELECT unnest(range(0, 4)) AS tbl)),
+              |coded AS MATERIALIZED (
+              |  SELECT vec_id, embedding, tbl, ${duckCode("projs", 10)} AS code
+              |  FROM proj),
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS a_id, a.embedding AS a_emb,
+              |    b.vec_id AS b_id, b.embedding AS b_emb
+              |  FROM coded a JOIN coded b USING (tbl, code)
+              |  WHERE a.vec_id < b.vec_id)
+              |SELECT a_id, b_id, ${duckCos("a_emb", "b_emb")} AS cos
+              |FROM cand
+              |WHERE ${duckCos("a_emb", "b_emb")} >= 0.99
+              |ORDER BY a_id, b_id""".stripMargin),
     ),
   )
 }
