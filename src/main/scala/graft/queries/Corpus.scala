@@ -139,5 +139,49 @@ object Corpus {
              |  FROM documents)
              |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin),
     ),
+    // Corpus-shard similarity via the MERGEABLE MinHash sketch Aggregator
+    // (functions/MinHashAgg): one 16-slot signature per language shard
+    // (slot-wise-min merge = the partial-sketch contract that works on a
+    // 1000-executor cluster), then pairwise estimated Jaccard = matching
+    // slots / k. Deterministic, so even the sketch Aggregator gets a
+    // hash-exact oracle (per-doc signatures + slot-wise min in SQL — min of
+    // mins over docs == min over all tokens).
+    QuerySpec(
+      "c07_lang_sketch_similarity",
+      (s, d) => {
+        import graft.functions.MinHashAgg
+        val toks = Tables(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        val sk = toks.groupBy("lang").agg(MinHashAgg.sketch(col("token"), 16).as("sk"))
+        val a = sk.select(col("lang").as("lang_a"), col("sk").as("a_sk"))
+        val b = sk.select(col("lang").as("lang_b"), col("sk").as("b_sk"))
+        a.crossJoin(b)
+          .filter(col("lang_a") < col("lang_b"))
+          .select(
+            col("lang_a"), col("lang_b"),
+            (size(filter(zip_with(col("a_sk"), col("b_sk"), (x, y) => x === y),
+              m => m)).cast(DoubleType) / 16.0).as("est_jaccard"),
+          )
+          .orderBy("lang_a", "lang_b")
+      },
+      Some {
+        import graft.engine.DuckHash
+        s"""WITH sigs AS MATERIALIZED (
+           |  SELECT lang,
+           |    ${DuckHash.sigK("list_transform(string_split(text, ' '), s -> " +
+              DuckHash.fnv("s") + ")", 16)} AS sig
+           |  FROM documents),
+           |slot AS (
+           |  SELECT lang, t.i AS slot, MIN(sig[t.i+1]) AS v
+           |  FROM sigs, (SELECT unnest(range(0, 16)) AS i) t
+           |  GROUP BY lang, t.i),
+           |sk AS (SELECT lang, list(v ORDER BY slot) AS sk FROM slot GROUP BY lang)
+           |SELECT a.lang AS lang_a, b.lang AS lang_b,
+           |  CAST(len(list_filter(range(1, 17), i -> a.sk[i] = b.sk[i]))
+           |    AS DOUBLE) / 16.0 AS est_jaccard
+           |FROM sk a JOIN sk b ON a.lang < b.lang
+           |ORDER BY lang_a, lang_b""".stripMargin
+      },
+    ),
   )
 }

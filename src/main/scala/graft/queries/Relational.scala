@@ -197,8 +197,11 @@ object Relational {
     ),
     // \load csv equivalent (reference: src/cli.rs:111-129): header + schema
     // inference + Arrow empty-string semantics, then query the loaded view.
-    // Uses the reference's own employee fixture; rows-only (SltSpec carries
-    // the golden-value checks).
+    // Uses the reference's own employee fixture. The oracle reads the same
+    // CSV with read_csv and restores the Arrow empty-vs-NULL convention
+    // (empty field = "" for strings, NULL for numerics) with a COALESCE,
+    // exactly like Tables.loadCsv does on the Spark side; SltSpec
+    // additionally carries the reference's golden values.
     QuerySpec(
       "q34_load_csv",
       (s, _) => {
@@ -206,7 +209,13 @@ object Relational {
         s.sql("""SELECT state, count(state) AS n, sum(salary) AS sum_salary
                 |FROM employee_csv GROUP BY state ORDER BY state""".stripMargin)
       },
-      None,
+      Some("""WITH e AS (
+             |  SELECT COALESCE(state, '') AS state, salary
+             |  FROM read_csv('/root/repo/src/test/resources/csv/employee.csv',
+             |                header=true))
+             |SELECT state, COUNT(state) AS n,
+             |  CAST(SUM(salary) AS BIGINT) AS sum_salary
+             |FROM e GROUP BY state ORDER BY state""".stripMargin),
     ),
 
     // ------------------------------------------------------------- headline
