@@ -23,15 +23,18 @@ object Tables {
 
   val all: Vector[String] = tpch ++ pipeline
 
-  // Keyed by (sparkAppId, dir, name) so a restarted session never sees a
+  // Keyed by the SESSION INSTANCE (identity), not the application id: child
+  // sessions (newSession()) share an appId but have their own catalogs, and
+  // a cached DataFrame registers temp views on the session it was created
+  // by. Identity keying also means a restarted session never sees a
   // DataFrame bound to a stopped SparkContext.
-  private val cache = new ConcurrentHashMap[(String, String, String), DataFrame]()
+  private val cache = new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   /** Load one testdata table (parquet). Column pruning + predicate pushdown
     * reach the scan because this is a plain declarative read.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val key = (spark.sparkContext.applicationId, dir, name)
+    val key = (spark, dir, name)
     cache.computeIfAbsent(key, _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 

@@ -187,13 +187,22 @@ object Relational {
     ),
     // \dt equivalent (reference: src/cli.rs:118-119). Not DuckDB-comparable
     // (catalog contents differ) → rows-only check.
+    // SHOW TABLES / `\dt` — run in a FRESH child session so the catalog
+    // holds exactly the registered tables (the shared verify session also
+    // carries transient views like q34's employee_csv, concurrently). The
+    // oracle pins the full expected catalog as literals.
     QuerySpec(
       "q09_show_tables",
       (s, d) => {
-        Tables.registerAll(s, d)
-        s.sql("SHOW TABLES").select(col("tableName").as("table_name")).orderBy("table_name")
+        val s2 = s.newSession() // fresh catalog; runtime confs do not carry over
+        graft.engine.GraftSession.tune(s2) // ns-as-long for the events table
+        Tables.registerAll(s2, d)
+        s2.sql("SHOW TABLES").select(col("tableName").as("table_name")).orderBy("table_name")
       },
-      None,
+      Some {
+        val names = Tables.all.sorted.map(n => s"('$n')").mkString(", ")
+        s"""SELECT * FROM (VALUES $names) AS t(table_name) ORDER BY table_name"""
+      },
     ),
     // \load csv equivalent (reference: src/cli.rs:111-129): header + schema
     // inference + Arrow empty-string semantics, then query the loaded view.
