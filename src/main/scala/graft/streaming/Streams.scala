@@ -123,6 +123,44 @@ object Streams {
       }
   }
 
+  /** documents.parquet schema (for the streaming file source). */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+  ))
+
+  /** Streaming incremental dedup — the streaming half of batch d06: a stream
+    * of incoming documents is anti-joined against the STATIC historical
+    * digest table (stream-static joins are stateless: the static side is
+    * just a lookup, re-broadcast per micro-batch if small), then first-seen
+    * per digest within the stream via dropDuplicates. In production the
+    * dropDuplicates carries a watermark so digest state ages out; the
+    * unbounded variant here matches the batch operator exactly.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-stream-docs-${math.abs(dir.hashCode)}")
+    Files.createDirectories(stage)
+    Files.copy(Paths.get(dir, "documents.parquet"),
+      stage.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val incoming = spark.readStream
+      .schema(documentSchema)
+      .parquet(stage.toString)
+      .filter(col("doc_id") >= 250)
+      .withColumn("digest", md5(col("text")))
+    val historical = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 250)
+      .select(md5(col("text")).as("digest")).distinct()
+    incoming
+      .join(historical, Seq("digest"), "left_anti")
+      .dropDuplicates("digest")
+      .select(col("digest"), col("doc_id"))
+  }
+
   /** Typed event that keeps the watermarked `event_time` column — required
     * so the watermark survives into the stateful operator below.
     */

@@ -175,6 +175,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static anti-join dedup matches the batch incremental dedup") {
+    val q = Streams.dedupIncremental(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup_inc")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_dedup_inc")
+        .select("digest").collect().map(_.getString(0)).toSet
+      // batch ground truth: digests of >=250 docs unseen among <250 docs
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val hist = docs.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("digest")).distinct()
+      val batch = docs.filter(col("doc_id") >= 250)
+        .select(md5(col("text")).as("digest")).distinct()
+        .join(hist, Seq("digest"), "left_anti")
+        .collect().map(_.getString(0)).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization equals batch e01 sessionization") {
     import spark.implicits._
     val ds = Streams.readEvents(spark, sf)
