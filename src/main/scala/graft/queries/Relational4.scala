@@ -269,5 +269,123 @@ object Relational4 {
              |  FROM orders) t WHERE rn <= 3
              |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
     ),
+    // Q15 shape: top revenue supplier(s) — aggregate view + global-max
+    // scalar subquery, kept exact by the decimal sum on both sides.
+    QuerySpec(
+      "q72_tpch_q15",
+      (s, d) => {
+        val rev = Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-07-01")))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_revenue"))
+        val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+        Tables(s, d, "supplier")
+          .join(rev, col("s_suppkey") === col("supplier_no"))
+          .crossJoin(broadcast(maxRev))
+          .filter(col("total_revenue") === col("max_revenue"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH revenue AS (
+              |  SELECT l_suppkey AS supplier_no,
+              |    ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              |    AND l_shipdate < TIMESTAMP '1996-07-01'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, total_revenue
+              |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+              |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+              |ORDER BY s_suppkey""".stripMargin),
+    ),
+    // Q16 shape: supplier diversity per part attribute — anti join against
+    // an excluded-supplier set, then grouped COUNT(DISTINCT).
+    QuerySpec(
+      "q73_tpch_q16",
+      (s, d) => {
+        val excluded = Tables(s, d, "supplier")
+          .filter(col("s_acctbal") < 0.0).select(col("s_suppkey").as("x_suppkey"))
+        Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .join(excluded, col("l_suppkey") === col("x_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+      },
+      Some("""SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_suppkey NOT IN (
+             |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+             |GROUP BY p_brand, p_type
+             |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin),
+    ),
+    // Q17 shape: small-quantity-order revenue — correlated scalar aggregate
+    // per part (decorrelated by Catalyst into an aggregate+join).
+    QuerySpec(
+      "q74_tpch_q17",
+      (s, d) => {
+        val avgQty = Tables(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("a_partkey"))
+          .agg((Exact.dsum(col("l_quantity")) /
+            count(col("l_quantity")).cast(DoubleType)).as("avg_qty"))
+        Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part").filter(col("p_brand") === "Brand#1")),
+            col("l_partkey") === col("p_partkey"))
+          .join(avgQty, col("l_partkey") === col("a_partkey"))
+          .filter(col("l_quantity") < col("avg_qty") * 0.5)
+          .agg(
+            (Exact.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+            count(lit(1)).as("n"),
+          )
+      },
+      Some(s"""WITH a AS (
+              |  SELECT l_partkey AS a_partkey,
+              |    ${Exact.sqlSum("l_quantity")} / CAST(COUNT(l_quantity) AS DOUBLE)
+              |      AS avg_qty
+              |  FROM lineitem GROUP BY l_partkey)
+              |SELECT ${Exact.sqlSum("l_extendedprice")} / 7.0 AS avg_yearly,
+              |  COUNT(*) AS n
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+              |JOIN a ON l_partkey = a_partkey
+              |WHERE l_quantity < avg_qty * 0.5""".stripMargin),
+    ),
+    // Q21 shape: suppliers whose lineitems are the LAST shipped in
+    // multi-supplier orders — EXISTS(other supplier) + NOT EXISTS(other
+    // supplier shipped later): one semi and one anti join, both non-equi.
+    QuerySpec(
+      "q75_tpch_q21",
+      (s, d) => {
+        val l1 = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"),
+            col("l_shipdate").as("d1"))
+        val l2 = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val l3 = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+            col("l_shipdate").as("d3"))
+        l1
+          .join(l2, col("o2") === col("o1") && col("s2") =!= col("s1"), "left_semi")
+          .join(l3, col("o3") === col("o1") && col("s3") =!= col("s1") &&
+            col("d3") > col("d1"), "left_anti")
+          .groupBy(col("s1").as("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("l_suppkey"))
+          .limit(20)
+      },
+      Some("""SELECT l_suppkey, COUNT(*) AS numwait FROM lineitem l1
+             |WHERE EXISTS (
+             |    SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey != l1.l_suppkey)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey != l1.l_suppkey
+             |      AND l3.l_shipdate > l1.l_shipdate)
+             |GROUP BY l_suppkey ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin),
+    ),
   )
 }
