@@ -58,6 +58,18 @@ object DuckHash {
 
   private val Golden = BigInt("9e3779b97f4a7c15", 16)
 
+  /** Scalar fmix64 of a HUGEINT expression (textual inlining — the operand
+    * is duplicated ~72×, so keep `e` short, e.g. a column or simple
+    * arithmetic). Used to oracle the graft-gen synthetic source.
+    */
+  def mix64(e: String): String = {
+    var v = shift33(e)
+    v = mulc(v, MixC1)
+    v = shift33(v)
+    v = mulc(v, MixC2)
+    shift33(v)
+  }
+
   /** Full k-permutation MinHash signature over a pre-FNV'd element list
     * `base` (list<HUGEINT>): sig[i] = min over elements of
     * mix64(elem ^ (i·golden)), taken over SIGNED values exactly like the

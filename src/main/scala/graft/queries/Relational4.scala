@@ -387,5 +387,45 @@ object Relational4 {
              |      AND l3.l_shipdate > l1.l_shipdate)
              |GROUP BY l_suppkey ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin),
     ),
+    // The CUSTOM DataSource V2 connector (graft.sources.GenSource): a
+    // deterministic file-less corpus generator with column pruning and
+    // doc_id-range partition pruning pushed into generation. Every row is a
+    // pure function of doc_id over the same mix64 kernel as the dedup
+    // hashes, so the DuckDB oracle REGENERATES the identical corpus in SQL
+    // and must agree bit-for-bit on the aggregate.
+    QuerySpec(
+      "q76_gen_source",
+      (s, _) =>
+        s.read.format("graft-gen")
+          .option("rows", "2000").option("parts", "8").load()
+          .filter(col("doc_id") >= 100)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast(LongType)).as("sum_tokens"),
+            sum(length(col("text")).cast(LongType)).as("sum_chars"),
+          )
+          .orderBy("lang"),
+      Some {
+        import graft.engine.DuckHash
+        val langs = graft.sources.GenSource.Langs.map(l => s"'$l'").mkString(", ")
+        s"""WITH ids AS (SELECT unnest(range(100, 2000)) AS id),
+           |g AS (
+           |  SELECT id AS doc_id,
+           |    ([$langs])[CAST(${DuckHash.mix64("CAST(id AS HUGEINT)")} % 5
+           |      AS BIGINT) + 1] AS lang,
+           |    CAST(10 + ${DuckHash.mix64("CAST(xor(id, 24301) AS HUGEINT)")} % 90
+           |      AS BIGINT) AS n_tokens,
+           |    array_to_string(list_transform(
+           |      range(0, CAST(10 + ${DuckHash.mix64("CAST(xor(id, 24301) AS HUGEINT)")} % 90 AS BIGINT)),
+           |      t -> 'w' || CAST(${DuckHash.mix64("CAST(id*131 + t AS HUGEINT)")} % 100
+           |        AS VARCHAR)), ' ') AS text
+           |  FROM ids)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+           |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+      },
+    ),
   )
 }
