@@ -185,5 +185,41 @@ object TextOps {
            |FROM h ORDER BY doc_id""".stripMargin
       },
     ),
+    // Stopword removal + normalization — the standard text-cleaning pass
+    // before tokenizer training. Emits the content-token count, the
+    // content ratio, and an md5 of the normalized text (proves the full
+    // normalized string matches without shipping it through the gate).
+    QuerySpec(
+      "t05_stopword_norm",
+      (s, d) => {
+        val stop = enStop.map(lit)
+        val toks = tokens(col("text"))
+        val content = filter(toks, t => !array_contains(array(stop: _*), t))
+        docs(s, d)
+          .select(
+            col("doc_id"),
+            size(content).cast(LongType).as("n_content"),
+            (size(content).cast(DoubleType) / size(toks).cast(DoubleType))
+              .as("content_ratio"),
+            md5(concat_ws(" ", content)).as("norm_digest"),
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val list = enStop.map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    string_split(text, ' ') AS toks,
+           |    list_filter(string_split(text, ' '),
+           |      x -> NOT list_contains([$list], x)) AS content
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(content) AS BIGINT) AS n_content,
+           |  CAST(len(content) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+           |    AS content_ratio,
+           |  md5(array_to_string(content, ' ')) AS norm_digest
+           |FROM t ORDER BY doc_id""".stripMargin
+      },
+    ),
   )
 }

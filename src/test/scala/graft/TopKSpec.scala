@@ -47,6 +47,15 @@ class TopKSpec extends AnyFunSuite {
     assert(gotAll == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("TopK on empty input yields empty output; GenSource with rows=0 reads empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("k", "id")
+    assert(TopK.perKey(empty, Seq(col("k")), Seq(col("id")), 3).count() == 0)
+    val gen0 = spark.read.format("graft-gen")
+      .option("rows", "0").option("parts", "4").load()
+    assert(gen0.count() == 0)
+  }
+
   test("plan is partial+final TopKPerKeyExec around one hash exchange, no sort") {
     val orders = graft.engine.Tables(spark, sf, "orders")
       .select("o_custkey", "o_orderkey", "o_totalprice")
