@@ -127,22 +127,35 @@ object Dedup {
     inter / (size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter)
   }
 
-  /** Drop hot buckets before a bucket self-join. Real corpora produce
-    * degenerate LSH buckets (boilerplate/templated docs); a bucket of n docs
-    * contributes n² candidate pairs, so one mega-bucket turns the self-join
-    * quadratic. Buckets above `cap` are removed entirely — their members
-    * still pair through their other (non-degenerate) bands, and true mass
-    * duplicates are already caught by exact dedup (d01) upstream. The
-    * hot-bucket list is tiny by construction (only buckets > cap), so the
-    * anti join broadcasts.
+  /** All (a, b) pairs with a < b from a sorted-ascending id array — the
+    * within-bucket candidate pairs, generated row-locally (no self-join).
     */
-  def dropHotBuckets(buckets: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    val hot = buckets.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > cap)
-      .select(keys.map(col): _*)
-    buckets.join(broadcast(hot), keys, "left_anti")
-  }
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, size(ids)), b => array(a, b))))
+
+  /** Bucket id-lists with the hot-bucket guard folded in. Real corpora
+    * produce degenerate LSH buckets (boilerplate/templated docs); a bucket
+    * of n docs contributes n² candidate pairs, so one mega-bucket turns
+    * candidate generation quadratic. One bounded aggregation per bucket key
+    * ([[graft.functions.BoundedCollect.minK]], ≤ cap+1 slots of state per
+    * key at every point of the partial/final lifecycle) collects the
+    * smallest cap+1 ids: a bucket yielding cap+1 ids provably had > cap
+    * members → dropped whole (its members still pair through their other,
+    * non-degenerate bands, and true mass duplicates are already caught by
+    * exact dedup d01 upstream); a kept bucket's list is provably complete.
+    * Versus the groupBy-count + broadcast-anti-join + self-join shape this
+    * replaces: one shuffle instead of three reads of the buckets frame, and
+    * per-key memory stays O(cap) even on a poisoned key.
+    */
+  def bucketCandidates(buckets: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    buckets
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.BoundedCollect.minK(col("doc_id"), cap + 1).as("ids"))
+      .filter(size(col("ids")).between(2, cap))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(element_at(col("p"), 1).as("a_id"), element_at(col("p"), 2).as("b_id"))
+      .distinct()
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification — the d03/d07
     * engine, parameterized so specs can plant mega-buckets and vary banding.
@@ -161,8 +174,8 @@ object Dedup {
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .persist()
     // Candidate generation moves ONLY (band, bucket, doc_id) through the
-    // shuffle — the heavy shingle arrays never enter the self-join or the
-    // pair dedup. They are re-attached once per confirmed candidate.
+    // shuffle — the heavy shingle arrays never enter candidate generation or
+    // the pair dedup. They are re-attached once per confirmed candidate.
     val buckets = shingled
       .withColumn("sig", ghash.minhashSig(col("sh"), k))
       .select(
@@ -172,13 +185,7 @@ object Dedup {
             b => ghash.fnv1a64(concat_ws(",",
               transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))
         ).as(Seq("band", "bucket")))
-      .persist()
-    val pruned = dropHotBuckets(buckets, Seq("band", "bucket"), cap)
-    val candidates = pruned.as("a")
-      .join(pruned.as("b"), Seq("band", "bucket"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .filter(col("a_id") < col("b_id"))
-      .distinct()
+    val candidates = bucketCandidates(buckets, Seq("band", "bucket"), cap)
     candidates
       .join(shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")

@@ -123,19 +123,35 @@ object Stats {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
     // HLL sketch counting — the 100 TB path for distinct counts (bounded
-    // memory, mergeable partial sketches). Engine-specific estimates →
-    // rows-only; StatsSpec bounds the relative error against q38.
+    // memory, mergeable partial sketches). The raw estimate is
+    // engine-specific, so the ORACLE-ABLE output is the exact count plus a
+    // boolean `within_tolerance` asserting the engine's HLL estimate landed
+    // within 5% of it; DuckDB emits the same exact count and literal TRUE.
+    // StatsSpec additionally bounds the relative error against q38.
     QuerySpec(
       "q39_approx_distinct",
       (s, d) =>
         Tables(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts_approx"),
+            countDistinct(col("l_partkey")).as("nd_parts_exact"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
             count(lit(1)).as("n"),
           )
+          .select(
+            col("l_returnflag"),
+            col("nd_parts_exact"),
+            col("n"),
+            (abs(col("approx") - col("nd_parts_exact")).cast(DoubleType) /
+              col("nd_parts_exact").cast(DoubleType) <= 0.05)
+              .as("within_tolerance"),
+          )
           .orderBy("l_returnflag"),
-      None,
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS nd_parts_exact,
+             |  COUNT(*) AS n,
+             |  TRUE AS within_tolerance
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
     // Sorted list aggregation. The list is emitted as a comma-joined string:
     // the driver's pandas compare cannot hash an array<long> column, and the
