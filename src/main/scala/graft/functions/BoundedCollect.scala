@@ -79,5 +79,5 @@ object BoundedCollect {
 
   /** Column aggregate: the k smallest values of `c` per group, ascending. */
   def minK(c: Column, k: Int): Column =
-    udaf(new MinKLongAgg(k))(Encoders.scalaLong).apply(c)
+    udaf(new MinKLongAgg(k), Encoders.scalaLong).apply(c)
 }

@@ -258,25 +258,22 @@ object Dedup {
       (s, d) => {
         val sk = plantedCorpus(s, d)
           .select(col("doc_id"), ghash.simhash64(toks(col("text"))).as("sk"))
-          .persist() // reused by both sides of the band self-join
-        val banded = sk.select(col("doc_id"), col("sk"),
+          .persist() // reused by banding and by both sides of the pair lookup
+        val banded = sk.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(3)),
             b => call_function("shiftrightunsigned", col("sk"), b * 16)
               .bitwiseAND(lit(0xffffL))))
             .as(Seq("band", "bval")))
-        // same hot-bucket guard as d03: a degenerate 16-bit band value
-        // (e.g. boilerplate docs hashing to one sketch) must not turn the
-        // band self-join quadratic
-        val pruned = dropHotBuckets(banded, Seq("band", "bval"), cap = 100)
-        val a = pruned.select(col("band"), col("bval"),
-          col("doc_id").as("a_id"), col("sk").as("a_sk"))
-        val b = pruned.select(col("band"), col("bval"),
-          col("doc_id").as("b_id"), col("sk").as("b_sk"))
-        a.join(b, Seq("band", "bval"))
-          .filter(col("a_id") < col("b_id"))
+        // same guard-folded candidate generation as d03: a degenerate 16-bit
+        // band value (e.g. boilerplate docs hashing to one sketch) must not
+        // turn the band self-join quadratic; buckets > cap dropped whole,
+        // candidate pairs generated row-locally from the bounded id lists
+        val candidates = bucketCandidates(banded, Seq("band", "bval"), cap = 100)
+        candidates
+          .join(sk.select(col("doc_id").as("a_id"), col("sk").as("a_sk")), "a_id")
+          .join(sk.select(col("doc_id").as("b_id"), col("sk").as("b_sk")), "b_id")
           .select(col("a_id"), col("b_id"),
             bit_count(col("a_sk").bitwiseXOR(col("b_sk"))).as("hamming"))
-          .distinct()
           .filter(col("hamming") <= 8)
           .orderBy("a_id", "b_id")
       },
