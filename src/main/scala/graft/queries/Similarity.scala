@@ -53,7 +53,7 @@ object Similarity {
     s"""list_transform(range(0, $nBits), j ->
        |      list_sum(list_transform(list_zip($vec, range(0, 64)), p ->
        |        CAST(p[1] AS DOUBLE) *
-       |        CASE WHEN (p[2] * 2654435761 + (tbl * 40503 + j * 65537)) % 2 = 0
+       |        CASE WHEN (((p[2] + 64 * j + 1024 * tbl) * 2654435761) >> 16) % 2 = 0
        |             THEN 1.0 ELSE -1.0 END)))""".stripMargin
 
   /** Mirrors [[codeOf]]: bit j set iff projs[j] > 0. */
@@ -61,11 +61,16 @@ object Similarity {
     s"""CAST(list_sum(list_transform(range(0, $nBits), j ->
        |      CASE WHEN ($projs)[j+1] > 0 THEN 1 << j ELSE 0 END)) AS BIGINT)""".stripMargin
 
-  /** Mirrors [[probeCodeOf]]: flip the lowest-|projection| bit. */
-  private def duckProbe(projs: String, nBits: Int): String =
+  /** Mirrors [[probeCodeOf]]: flip the rank-th-lowest-|projection| bit.
+    * Ties degrade identically on both engines: `list_position` finds the
+    * first occurrence of the rank-th-smallest |projection|, so equal
+    * magnitudes collapse to a duplicate probe code (harmless — candidates
+    * are DISTINCT'd) rather than diverging between Spark and DuckDB.
+    */
+  private def duckProbe(projs: String, nBits: Int, rank: Int): String =
     s"""xor(${duckCode(projs, nBits)},
        |    CAST(2 ** (list_position(list_transform($projs, p -> abs(p)),
-       |      list_min(list_transform($projs, p -> abs(p)))) - 1) AS BIGINT))""".stripMargin
+       |      list_sort(list_transform($projs, p -> abs(p)))[$rank]) - 1) AS BIGINT))""".stripMargin
 
   /** Sign-random-projection bucket code: `nBits` hyperplanes whose ±1
     * weights come from a deterministic integer mix of (table, bit, dim).
@@ -78,12 +83,21 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Signed projection of `vec` onto hyperplane (table, bit). */
+  /** Signed projection of `vec` onto hyperplane (table, bit).
+    *
+    * The ±1 weight is bit 16 of a Knuth multiplicative hash of the packed
+    * (dim, bit, table) index. Bit 16, NOT bit 0: the parity (bit 0) of
+    * `x * odd` is the parity of `x`, i.e. LINEAR in the inputs — with a
+    * linear mix every hyperplane of a table is the same hyperplane up to
+    * sign, all code bits are perfectly correlated, and the "LSH" collapses
+    * to 2 buckets (a half-corpus scan). A high bit of the product is
+    * nonlinear in x, giving 2^nBits genuinely independent hyperplanes.
+    */
   private def lshProj(vec: Column, table: Int, j: Int): Column =
     aggregate(
       zip_with(vec, sequence(lit(0), lit(63)), (v, i) => {
-        // deterministic ±1 weight per (table, bit, dim index)
-        val h = (i * 2654435761L + lit(table.toLong * 40503L + j * 65537L))
+        val x = i + lit(64L * j + 1024L * table)
+        val h = shiftright(x * lit(2654435761L), 16)
         v.cast(DoubleType) * when(pmod(h, lit(2)) === 0, 1.0).otherwise(-1.0)
       }),
       lit(0.0),
@@ -99,15 +113,57 @@ object Similarity {
       .map(j => when(element_at(projs, j + 1) > 0, 1 << j).otherwise(0))
       .reduce(_ + _)
 
-  /** Multi-probe code: flip the bit whose projection has the smallest
-    * magnitude — the hyperplane the vector is closest to, i.e. the flip a
-    * near-neighbor is most likely to differ in.
+  /** Multi-probe code: flip the bit whose projection magnitude is the
+    * `rank`-th smallest — the hyperplanes the vector is closest to are the
+    * flips a near-neighbor is most likely to differ in. rank=1 is the
+    * classic single probe; probing rank 1 and 2 widens each query to the 3
+    * most likely buckets per table at zero extra index size. Tie-break
+    * matches the DuckDB oracle: first occurrence of the rank-th value.
     */
-  def probeCodeOf(projs: Column, nBits: Int): Column = {
+  def probeCodeOf(projs: Column, nBits: Int, rank: Int = 1): Column = {
     val absArr = transform(projs, p => abs(p))
-    val minIdx = array_position(absArr, array_min(absArr)) // 1-based
+    val idx = array_position(absArr, element_at(array_sort(absArr), rank)) // 1-based
     codeOf(projs, nBits)
-      .bitwiseXOR(pow(lit(2.0), (minIdx - 1).cast(DoubleType)).cast("int"))
+      .bitwiseXOR(pow(lit(2.0), (idx - 1).cast(DoubleType)).cast("int"))
+  }
+
+  /** Sign-LSH approximate top-k: index every corpus vector under its primary
+    * code per table; rows matching `queryPred` are the query set and probe
+    * their primary code plus the two lowest-margin flips per table
+    * (multi-probe T=2). Exact cosine rerank over candidates only — at 100 TB
+    * the bucket join touches |corpus|·(buckets probed)/2^nBits vectors
+    * instead of all of them, and the index is one narrow (id, tbl, code)
+    * table built in a single pass.
+    */
+  def lshAnn(corpus: DataFrame, queryPred: Column, nTables: Int, nBits: Int,
+      k: Int): DataFrame = {
+    // one row per (vector, table) carrying the projection array; code and
+    // probe codes are derived from the SAME materialized projections
+    val coded = corpus.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array((0 until nTables).map(t =>
+        lshProjs(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "projs")))
+      .select(col("vec_id"), col("embedding"), col("tbl"),
+        codeOf(col("projs"), nBits).as("code"),
+        probeCodeOf(col("projs"), nBits, 1).as("probe"),
+        probeCodeOf(col("projs"), nBits, 2).as("probe2"))
+      .persist() // 4·nBits fold-projections per row; reused by query + corpus side
+    val q = coded.filter(queryPred)
+      .select(col("tbl"),
+        explode(array(col("code"), col("probe"), col("probe2"))).as("code"),
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = coded.join(q, Seq("tbl", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .distinct()
+    cand
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .orderBy("q_id", "rank")
   }
 
   val specs: Vector[QuerySpec] = Vector(
@@ -144,61 +200,39 @@ object Similarity {
               |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
       headline = true,
     ),
-    // LSH-bucketed ANN: 4 tables × 10-bit codes; the corpus is indexed under
-    // its primary code per table, queries additionally probe the code with
-    // the lowest-margin bit flipped (multi-probe — recall of a 2nd table per
-    // probe at zero extra index size). Exact cosine rerank on candidates.
-    // Custom bucketing → rows-only; SimilaritySpec measures recall vs s01.
+    // LSH-bucketed ANN: 4 tables × 8-bit codes; the corpus is indexed under
+    // its primary code per table, queries additionally probe the codes with
+    // the two lowest-margin bits flipped (multi-probe T=2 — the recall of
+    // extra tables at zero extra index size). Exact cosine rerank on
+    // candidates. Full SQL oracle; SimilaritySpec measures recall lift over
+    // random scanning (this corpus is near-orthogonal — 5th-neighbor cos
+    // ≈ 0.35 — so absolute recall tracks scan fraction by construction) and
+    // ≥0.9 recall on planted genuinely-near neighbors.
     QuerySpec(
       "s02_ann_lsh",
-      (s, d) => {
-        val nTables = 4
-        val nBits = 10
-        val e = emb(s, d)
-        // one row per (vector, table) carrying the projection array; code and
-        // probe code are derived from the SAME materialized projections
-        val coded = e.select(
-          col("vec_id"), col("embedding"),
-          posexplode(array((0 until nTables).map(t =>
-            lshProjs(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "projs")))
-          .select(col("vec_id"), col("embedding"), col("tbl"),
-            codeOf(col("projs"), nBits).as("code"),
-            probeCodeOf(col("projs"), nBits).as("probe"))
-          .persist() // 40 fold-projections per row; reused by probe + corpus side
-        val q = coded.filter(col("vec_id") < 10)
-          .select(col("tbl"),
-            explode(array(col("code"), col("probe"))).as("code"),
-            col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val cand = coded.join(q, Seq("tbl", "code"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
-          .distinct()
-        cand
-          .withColumn("cos", cosine(col("q_emb"), col("embedding")))
-          .withColumn("rank",
-            row_number().over(
-              Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
-          .orderBy("q_id", "rank")
-      },
+      (s, d) => lshAnn(emb(s, d), col("vec_id") < 10, nTables = 4, nBits = 8,
+        k = 5),
       // full SQL oracle: the whole sign-LSH pipeline (projections, codes,
       // multi-probe, bucket join, exact rerank) replicated in DuckDB with
       // identical float evaluation order
       Some(s"""WITH proj AS MATERIALIZED (
               |  SELECT vec_id, embedding, tbl,
-              |    ${duckProjs("embedding", 10)} AS projs
+              |    ${duckProjs("embedding", 8)} AS projs
               |  FROM embeddings, (SELECT unnest(range(0, 4)) AS tbl)),
               |coded AS MATERIALIZED (
               |  SELECT vec_id, embedding, tbl,
-              |    ${duckCode("projs", 10)} AS code,
-              |    ${duckProbe("projs", 10)} AS probe
+              |    ${duckCode("projs", 8)} AS code,
+              |    ${duckProbe("projs", 8, 1)} AS probe,
+              |    ${duckProbe("projs", 8, 2)} AS probe2
               |  FROM proj),
               |q AS (
               |  SELECT tbl, code AS qcode, vec_id AS q_id, embedding AS q_emb
               |  FROM coded WHERE vec_id < 10
               |  UNION ALL
               |  SELECT tbl, probe AS qcode, vec_id AS q_id, embedding AS q_emb
+              |  FROM coded WHERE vec_id < 10
+              |  UNION ALL
+              |  SELECT tbl, probe2 AS qcode, vec_id AS q_id, embedding AS q_emb
               |  FROM coded WHERE vec_id < 10),
               |cand AS (
               |  SELECT DISTINCT q.q_id, q.q_emb, c.vec_id, c.embedding

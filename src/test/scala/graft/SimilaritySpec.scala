@@ -6,14 +6,57 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
   val sf = SharedSpark.sf
 
-  test("s02 LSH ANN reaches usable recall vs s01 exact brute force") {
+  test("s02 LSH ANN beats random scanning: recall >= 1.5x the scan fraction") {
+    // This corpus is near-orthogonal (5th-neighbor cos ≈ 0.35), so ANY
+    // method's absolute recall tracks the fraction of the corpus it scans —
+    // a degenerate "LSH" that dumps half the corpus in one bucket scores
+    // recall ≈ 0.5 while doing no locality-sensitive work at all (that bug
+    // shipped in rounds 1-3: a linear parity mix made all hyperplanes of a
+    // table identical up to sign). The honest metric is LIFT: recall per
+    // corpus fraction scanned must beat random sampling clearly.
+    import org.apache.spark.sql.functions._
     val exact = Registry.byName("s01_ann_brute").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Registry.byName("s02_ann_lsh").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
-    // measured 0.72 at sf0.001 / 0.56 at sf0.1 with multi-probe
-    assert(recall >= 0.5, s"LSH ANN recall vs brute force: $recall")
+    val n = graft.engine.Tables(spark, sf, "embeddings").count()
+    val e = graft.engine.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // candidate volume of the same pipeline = what the rerank actually scans
+    val nCand = queries.Similarity
+      .lshAnn(e, col("vec_id") < 10, nTables = 4, nBits = 8, k = n.toInt)
+      .count()
+    val scanFrac = nCand.toDouble / (10.0 * (n - 1))
+    assert(scanFrac <= 0.35, s"LSH candidate set is not sublinear: $scanFrac")
+    // the r1-r3 degenerate hash measured lift 1.12x (0.56 recall at 0.5
+    // scan); honest LSH measures 1.9-3.1x across SFs. 1.5x separates them
+    // with headroom for small-corpus noise (50 neighbor pairs at sf0.001).
+    assert(recall >= 1.5 * scanFrac && recall >= 0.2,
+      s"LSH ANN lift too low: recall=$recall scanFrac=$scanFrac")
+  }
+
+  test("s02 LSH ANN finds planted genuinely-near neighbors (cos ~0.95)") {
+    // LSH earns its keep on vectors that HAVE near neighbors. Plant a
+    // noisy copy (deterministic per-dim perturbation, cos ≈ 0.95+) of every
+    // query vector; the planted copy must surface in the query's top-5.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    val e = graft.engine.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planted = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), lit(63)),
+          (v, i) => (v.cast(DoubleType) * 0.95 +
+            when(pmod(i, lit(2)) === 0, 0.05).otherwise(-0.05)).cast("float"))
+          .as("embedding"))
+    val corpus = e.unionByName(planted)
+    val got = queries.Similarity
+      .lshAnn(corpus, col("vec_id") < 10, nTables = 4, nBits = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 10L).map(q => (q, q + 1000000L))
+    val recall = want.count(got.contains).toDouble / want.size
+    assert(recall >= 0.9, s"planted near-neighbor recall: $recall")
   }
 
   test("s01 ranks are unique 1..5 per query and cosine is within [-1, 1]") {
