@@ -130,6 +130,44 @@ class SltSpec extends AnyFunSuite {
     assert(Set("employee", "department").subsetOf(tables))
   }
 
+  test("csv schema inference parity on the reference fixtures") {
+    loaded
+    // reference: Arrow infers from the first 10 records
+    // (reference src/storage/csv.rs:103) → employee gets int64 for
+    // id/salary/department_id, utf8 for the names. Spark's inference lands
+    // on the same integer/string split (width differs: int vs int64 —
+    // both engines then evaluate the SLT corpus identically, which the
+    // render-based tests above pin).
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val sch = spark.table("employee").schema
+    def dt(c: String) = sch(c).dataType
+    assert(dt("id") == IntegerType && dt("salary") == IntegerType &&
+      dt("department_id") == IntegerType)
+    assert(Seq("first_name", "last_name", "state", "job_title")
+      .forall(dt(_) == StringType))
+  }
+
+  test("csv inference on a type-ambiguous file: int-looking prefix, float past record 10") {
+    // The ambiguous fixture is integer for its first 10 records and becomes
+    // a float at record 11 (then empty at 12). A strict 10-record inference
+    // (the reference's Arrow setup) commits to int64 and then fails the
+    // read at '3.5'; Spark samples the whole file by default
+    // (samplingRatio=1.0), infers double, and reads every row. The SAME
+    // loadCsv path also restores the Arrow empty-vs-NULL semantics: the
+    // empty `note` on the last row is "" (string), the empty `x` is NULL
+    // (numeric).
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+    val df = graft.engine.Tables.loadCsv(spark, "ambiguous", res("ambiguous"))
+    val sch = df.schema
+    assert(sch("id").dataType == IntegerType)
+    assert(sch("x").dataType == DoubleType, s"x inferred as ${sch("x").dataType}")
+    assert(sch("note").dataType == StringType)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 12)
+    assert(rows(10).getDouble(1) == 3.5)
+    assert(rows(11).isNullAt(1) && rows(11).getString(2) == "")
+  }
+
   test("beyond-reference: join employee to department (reference has no joins)") {
     check(
       """select e.first_name, d.name from employee e

@@ -70,6 +70,55 @@ class TopKSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), s"unexpected full sort in:\n$plan")
   }
 
+  test("TopK phases by name: one partial, one final, exchange between, child codegen intact") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AQE hides the shuffle subtree inside leaf QueryStageExec nodes; disable
+    // it here so the full physical tree is collectable in one pass
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val orders = graft.engine.Tables(spark, sf, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .filter(col("o_totalprice") > 0) // gives codegen a stage to fuse
+      val df = TopK.perKey(orders, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      df.collect()
+      val p = executed(df)
+      val topks = p.collect { case t: TopKPerKeyExec => t }
+      assert(topks.count(_.partial) == 1 && topks.count(!_.partial) == 1,
+        s"expected exactly one partial and one final phase in:\n$p")
+      val fin = topks.find(!_.partial).get
+      // the hash exchange sits strictly between final and partial
+      val exch = fin.child.collect { case e: ShuffleExchangeLike => e }
+      assert(exch.size == 1, s"expected one exchange under the final phase:\n$p")
+      val partialBelow = exch.head.collect { case t: TopKPerKeyExec if t.partial => t }
+      assert(partialBelow.size == 1, s"partial phase not below the exchange:\n$p")
+      // the heap exec must not force its child out of whole-stage codegen:
+      // the partial phase consumes a codegen'd stage directly
+      val cg = partialBelow.head.child match {
+        case w: WholeStageCodegenExec => Some(w)
+        case other => other.collectFirst { case w: WholeStageCodegenExec => w }
+      }
+      assert(cg.nonEmpty, s"partial phase's child is not codegen'd:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("TopK is partition-count invariant (explicit multi-partition input)") {
+    val orders = graft.engine.Tables(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expected = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (parts <- Seq(2, 7)) {
+      val got = TopK.perKey(orders.repartition(parts), Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"top-k diverged at $parts partitions")
+    }
+  }
+
   test("GraftExtensions wires SQL functions and the top-k strategy") {
     // spark.sql.extensions is static config (needs a fresh SparkContext), so
     // replay the same injections onto a child session through the bridge —
