@@ -183,5 +183,39 @@ object Corpus {
            |ORDER BY lang_a, lang_b""".stripMargin
       },
     ),
+    // Quantile sketch with a tolerance gate — q39's oracle pattern applied
+    // to percentiles: the mergeable bounded-memory sketch
+    // (approx_percentile / Greenwald-Khanna, the 100 TB path where exact
+    // percentile means a full sort) is engine-specific, so the ORACLE-ABLE
+    // output is the exact quantile plus a boolean asserting the sketch
+    // landed within 5% of it; DuckDB emits the same exacts and literal TRUE.
+    // At accuracy 10000 the sketch's rank error is ~6 rows of 60k — the
+    // boolean is stable across partitionings.
+    QuerySpec(
+      "c08_quantile_sketch",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+            expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+            percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"))
+          .select(
+            col("l_returnflag"),
+            col("p50_exact"),
+            col("p95_exact"),
+            (abs(col("a50") - col("p50_exact")) / col("p50_exact") <= 0.05)
+              .as("p50_within"),
+            (abs(col("a95") - col("p95_exact")) / col("p95_exact") <= 0.05)
+              .as("p95_within"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+             |  quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+             |  TRUE AS p50_within,
+             |  TRUE AS p95_within
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
   )
 }

@@ -195,6 +195,48 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over an undirected pair list (a_id, b_id) by
+    * iterative min-label propagation: every vertex starts labeled with its
+    * own id; each round every vertex takes the min of its label and its
+    * neighbors' labels; converged when no label changes. This is the
+    * standard cluster-scale CC shape (what GraphX/Pregel run under the
+    * hood): per round one join + one aggregation, both shuffling on vertex
+    * id, state = one (id, label) row per vertex. Rounds = graph diameter —
+    * near-dup clusters are dense (diameter ≤ 2-3), so a handful of rounds.
+    *
+    * The driver-side loop is inherent to fixpoint iteration (someone must
+    * decide convergence); the per-round convergence probe is a single-value
+    * `sum(label)` — labels only ever decrease, so an unchanged sum means a
+    * fixpoint, with no self-join against the previous round needed.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var sum = labels.agg(coalesce(org.apache.spark.sql.functions.sum("label"),
+      lit(0L))).head().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = edges.toDF("jid", "dst")
+        .join(labels.toDF("jid", "lab"), "jid")
+        .select(col("dst").as("id"), col("lab").as("label"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("label").as("label")).persist()
+      val nextSum = next.agg(coalesce(org.apache.spark.sql.functions.sum("label"),
+        lit(0L))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == sum
+      sum = nextSum
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     // Exact dedup: digest → group → keep min id. Finds exactly the planted
     // exact copies.
@@ -344,6 +386,40 @@ object Dedup {
               |    (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
               |     - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.3
               |ORDER BY a_id, b_id""".stripMargin),
+    ),
+    // Duplicate-cluster assignment: connected components over the d03
+    // near-dup pair graph — the step that turns pairwise matches into
+    // keep-one-per-cluster decisions (a doc A≈B, B≈C chain must dedup as
+    // ONE cluster {A,B,C} even when A≉C directly). Full DuckDB oracle: the
+    // LSH pair pipeline as a CTE, then transitive closure via a recursive
+    // min-label CTE.
+    QuerySpec(
+      "d08_dup_clusters",
+      (s, d) => {
+        val pairs = lshJaccardPairs(plantedCorpus(s, d), k = 32, bands = 8,
+          cap = 100, threshold = 0.3).select("a_id", "b_id")
+        connectedComponents(pairs)
+          .groupBy(col("label").as("component"))
+          .agg(count(lit(1)).as("n_docs"),
+            concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
+          .orderBy("component")
+      },
+      Some {
+        s"""WITH RECURSIVE pairs AS (
+           |${lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3)}
+           |),
+           |sym AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, src AS label FROM sym
+           |  UNION
+           |  SELECT e.dst AS id, r.label FROM reach r JOIN sym e ON e.src = r.id),
+           |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+           |SELECT component, COUNT(*) AS n_docs,
+           |       array_to_string(list_sort(list(id)), ',') AS members
+           |FROM comp GROUP BY component ORDER BY component""".stripMargin
+      },
     ),
     // Incremental dedup: a "new batch" (docs ≥ 250 plus the planted copies)
     // arrives against the already-ingested corpus (docs < 250) — keep only

@@ -221,5 +221,45 @@ object TextOps {
            |FROM t ORDER BY doc_id""".stripMargin
       },
     ),
+    // Repetition ratio: fraction of repeated word 3-grams per doc — the
+    // Gopher/C4-style quality signal that flags boilerplate and template
+    // spam (a doc whose 3-grams mostly repeat is machine-generated filler).
+    // Same n-gram construction as Dedup.shingles but WITHOUT the distinct,
+    // so total vs distinct counts measure repetition. Pure per-row column
+    // math — scan speed at any scale.
+    QuerySpec(
+      "t06_repetition",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val grams = transform(
+          sequence(lit(1), greatest(size(t) - 2, lit(1))),
+          i => concat_ws(" ", slice(t, i, lit(3))))
+        docs(s, d).select(
+          col("doc_id"),
+          size(grams).cast(LongType).as("n_grams"),
+          size(array_distinct(grams)).cast(LongType).as("n_distinct"),
+          ((size(grams) - size(array_distinct(grams))).cast(DoubleType) /
+            size(grams).cast(DoubleType)).as("rep_ratio"))
+          .withColumn("repetitive", col("rep_ratio") >= 0.2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    list_transform(
+             |      range(1, CASE WHEN len(string_split(text,' ')) - 2 > 1
+             |                    THEN len(string_split(text,' ')) - 2
+             |                    ELSE 1 END + 1),
+             |      i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
+             |      AS grams
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(grams) AS BIGINT) AS n_grams,
+             |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+             |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+             |    / CAST(len(grams) AS DOUBLE) AS rep_ratio,
+             |  (CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+             |    / CAST(len(grams) AS DOUBLE)) >= 0.2 AS repetitive
+             |FROM g ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -83,6 +83,42 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"d07 recall vs d05 planted near pairs: $recall")
   }
 
+  test("connectedComponents closes chains transitively and labels by min id") {
+    import spark.implicits._
+    // path 1-2-3-4 (no direct 1-4 edge), triangle 10-11-12, isolated edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val labels = graft.queries.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), s"path: $labels")
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L), s"triangle: $labels")
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+    assert(labels.size == 9) // only vertices that appear in an edge
+  }
+
+  test("d08 clusters are a partition and keep every planted triple together") {
+    // clusters may legitimately merge planted groups through natural
+    // near-dups (the tiny-SF corpus has cross-doc Jaccard >= 0.3 pairs);
+    // the invariants are: members partition the clustered docs, each
+    // component is keyed by its min member, every cluster has >= 2 docs,
+    // and the planted triple {d, d+1M, d+2M} always lands in ONE cluster.
+    val rows = Registry.byName("d08_dup_clusters").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).split(",").map(_.toLong).toSeq))
+    val allMembers = rows.flatMap(_._3)
+    assert(allMembers.distinct.length == allMembers.length, "clusters overlap")
+    rows.foreach { case (comp, n, members) =>
+      assert(n == members.size && n >= 2, s"cluster $comp size mismatch")
+      assert(comp == members.min, s"cluster $comp not keyed by min member")
+    }
+    val compOf = rows.flatMap { case (comp, _, ms) => ms.map(_ -> comp) }.toMap
+    for (id <- plantedIds) {
+      val c = compOf.getOrElse(id, fail(s"planted id $id not clustered"))
+      assert(compOf.get(id + 1000000L).contains(c) &&
+        compOf.get(id + 2000000L).contains(c),
+        s"planted triple of $id split across clusters")
+    }
+  }
+
   test("d05 exact jaccard join recovers planted pairs (same-lang blocks)") {
     val exact = Registry.byName("d05_ngram_jaccard").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
