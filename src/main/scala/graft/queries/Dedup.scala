@@ -421,6 +421,48 @@ object Dedup {
            |FROM comp GROUP BY component ORDER BY component""".stripMargin
       },
     ),
+    // Train/test contamination check — the decontamination op of an LLM
+    // data pipeline: an evaluation doc is contaminated if any of its word
+    // 8-grams appears verbatim anywhere in the training split. Scale shape:
+    // explode both sides to distinct grams (map-side), one hash-partitioned
+    // join keyed by gram in which only (gram, doc_id) rows move, partial+
+    // final count per doc. At 100 TB you'd key the join on a 64-bit gram
+    // hash instead of the string (d03's fnv1a64 — same plan, narrower
+    // shuffle); the string key keeps this oracle trivially exact.
+    QuerySpec(
+      "d09_contamination",
+      (s, d) => {
+        def grams8(t: Column): Column = {
+          val toks = split(t, " ")
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(toks) - 7, lit(1))),
+            i => concat_ws(" ", slice(toks, i, lit(8)))))
+        }
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        val train = docs.filter(col("source") =!= "src0")
+          .select(explode(grams8(col("text"))).as("gram")).distinct()
+        val test = docs.filter(col("source") === "src0")
+          .select(col("doc_id"), explode(grams8(col("text"))).as("gram"))
+        test.join(train, Seq("gram"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlapping"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(
+             |      range(1, CASE WHEN len(string_split(text,' ')) - 7 > 1
+             |                    THEN len(string_split(text,' ')) - 7
+             |                    ELSE 1 END + 1),
+             |      i -> array_to_string((string_split(text,' '))[i:i+7], ' ')))
+             |      AS grams
+             |  FROM documents),
+             |tr AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source <> 'src0'),
+             |te AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE source = 'src0')
+             |SELECT doc_id, COUNT(*) AS n_overlapping
+             |FROM te JOIN tr USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
     // Incremental dedup: a "new batch" (docs ≥ 250 plus the planted copies)
     // arrives against the already-ingested corpus (docs < 250) — keep only
     // new docs whose digest is unseen. This is the streaming-ingestion

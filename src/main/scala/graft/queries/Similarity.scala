@@ -360,6 +360,44 @@ object Similarity {
            |ORDER BY q_id, rank""".stripMargin
       },
     ),
+    // Per-label centroid scoring: decimal-exact mean vector per label (the
+    // s04 Lloyd-step shape — partitioning-invariant, oracle-reproducible),
+    // then every vector's cosine to its own label's centroid. The per-class
+    // outlier/quality score of an embedding pipeline: low cos_to_centroid =
+    // mislabeled or noisy. One explode+agg pass for centroids (k·64 rows of
+    // state), then a broadcast join — no shuffle of the corpus itself.
+    QuerySpec(
+      "s05_label_centroid_score",
+      (s, d) => {
+        import graft.engine.Exact
+        val e = emb(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        val cents = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg((Exact.dsum(col("v").cast(DoubleType)) /
+            count(lit(1)).cast(DoubleType)).as("m"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+          .select(col("label"), transform(col("dm"), x => x.getField("m")).as("cvec"))
+        e.join(broadcast(cents), "label")
+          .select(col("vec_id"), col("label"),
+            cosine(col("embedding"), col("cvec")).as("cos_to_centroid"))
+          .orderBy("vec_id")
+      },
+      Some {
+        import graft.engine.Exact
+        s"""WITH cd AS (
+           |  SELECT label, dim,
+           |    ${Exact.sqlSum("CAST(embedding[dim+1] AS DOUBLE)")}
+           |      / CAST(COUNT(*) AS DOUBLE) AS m
+           |  FROM embeddings, UNNEST(range(0, 64)) AS t(dim) GROUP BY label, dim),
+           |cent AS (SELECT label, list(m ORDER BY dim) AS cvec FROM cd GROUP BY label)
+           |SELECT vec_id, e.label AS label,
+           |  ${duckCos("e.embedding", "c.cvec")} AS cos_to_centroid
+           |FROM embeddings e JOIN cent c USING (label)
+           |ORDER BY vec_id""".stripMargin
+      },
+    ),
     // Embedding-cosine near-duplicate pairs: planted perturbed copies
     // (id+1M, v*0.98 + 0.01 per element) must pair with their originals.
     // LSH buckets generate candidates; exact cosine ≥ 0.99 verifies.
