@@ -107,6 +107,24 @@ class PlanSpec extends AnyFunSuite {
     assert(windows == 1, s"expected only the rerank window, got $windows:\n$p")
   }
 
+  test("d09 pushes the split filters to the scan and joins without cartesian") {
+    val p = plan("d09_contamination")
+    assert(p.contains("EqualTo(source,src0)"), p)
+    assert(p.contains("Not(EqualTo(source,src0))"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-doc overlap counting is a partial+final aggregate
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("s05 broadcasts the centroids; the corpus is never shuffled for the join") {
+    val p = plan("s05_label_centroid_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only Exchanges are in the centroid build (explode+agg) and the
+    // final orderBy's range partitioning — the corpus side of the score
+    // join must go scan -> broadcast join with no hash repartition between
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("c05 runs as one job: no driver-side count in the query path") {
     // building the frame must not trigger a Spark job (the old shape ran
     // docs.count() eagerly); job-free construction == lazy all the way
