@@ -331,5 +331,36 @@ object EventsOps {
               |FROM ranked WHERE rn <= 2
               |ORDER BY user_id, dur_us DESC, start_us""".stripMargin),
     ),
+    // Heavy hitters via a Misra-Gries sketch (functions/MisraGries): one
+    // pass, ≤ k counters per partition, mergeable partials — the bounded-
+    // memory alternative to groupBy-count when the value domain is huge.
+    // The sketch's residual counts are merge-order-dependent, so the
+    // ORACLE-ABLE output is the EXACT heavy hitters (count > n/(k+1),
+    // computable by any engine) plus the boolean `in_sketch`, which the
+    // MG guarantee proves TRUE under ANY partitioning/merge order; DuckDB
+    // emits the same exact rows and literal TRUE. MisraGriesSpec pins the
+    // guarantee on adversarial multi-partition streams.
+    QuerySpec(
+      "e11_heavy_hitters",
+      (s, d) => {
+        import org.apache.spark.sql.types.DoubleType
+        val k = 4
+        val ev = Tables(s, d, "events").select(col("event_type"))
+        val stats = ev.agg(count(lit(1)).as("n"),
+          graft.functions.MisraGries.sketch(col("event_type"), k).as("mg"))
+        ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(stats))
+          .filter(col("cnt").cast(DoubleType) >
+            col("n").cast(DoubleType) / (k + 1).toDouble)
+          .select(col("event_type"), col("cnt"),
+            array_contains(map_keys(col("mg")), col("event_type")).as("in_sketch"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt, TRUE AS in_sketch
+             |FROM events GROUP BY event_type
+             |HAVING CAST(COUNT(*) AS DOUBLE) >
+             |  (SELECT COUNT(*) FROM events) / 5.0
+             |ORDER BY event_type""".stripMargin),
+    ),
   )
 }
