@@ -125,6 +125,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective big-big join") {
+    // At 100 TB a selective filter on one join side should not leave the
+    // other side scanning everything: Spark's runtime bloom filter builds a
+    // filter from the selective (creation) side and injects might_contain
+    // into the probe side's scan stage. Pin that the injection actually
+    // fires on this Spark build for the big-big (non-broadcast) join shape.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = sf
+      val orders = graft.engine.Tables(spark, d, "orders")
+        .filter(col("o_totalprice") > 400000)
+      val lineitem = graft.engine.Tables(spark, d, "lineitem")
+      val j = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), s"no runtime bloom filter injected:\n$p")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("c05 runs as one job: no driver-side count in the query path") {
     // building the frame must not trigger a Spark job (the old shape ran
     // docs.count() eagerly); job-free construction == lazy all the way
