@@ -27,6 +27,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Misra-Gries sketch runs in a streaming aggregation and keeps its guarantee") {
+    // the sketch's mergeable ≤k-counter buffer is exactly the state shape
+    // streaming aggregation needs — the SAME aggregator runs batch (e11)
+    // and streaming, and the n/(k+1) survival guarantee holds because it is
+    // merge-order-independent
+    val q = Streams.readEvents(spark, sf)
+      .agg(graft.functions.MisraGries.sketch(col("event_type"), 4).as("mg"),
+        count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_mg")
+      .start()
+    try {
+      q.processAllAvailable()
+      val row = spark.table("stream_mg").head()
+      val mg = row.getMap[String, Long](0)
+      val n = row.getLong(1)
+      val counts = graft.engine.Tables(spark, sf, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.values.sum == n)
+      val hitters = counts.filter(_._2 > n / 5.0).keySet
+      assert(hitters.subsetOf(mg.keySet.toSet),
+        s"hitters $hitters missing from streaming sketch $mg")
+      assert(mg.size <= 4)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates with watermark equals batch distinct") {
     val q = Streams.readEvents(spark, sf)
       .withWatermark("event_time", "2 hours")
