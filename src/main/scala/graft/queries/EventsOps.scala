@@ -100,6 +100,32 @@ object EventsOps {
               |FROM events GROUP BY hour_bucket, event_type
               |ORDER BY hour_bucket, event_type""".stripMargin),
     ),
+    // Sliding (hopping) windows via Spark's real window() function: 1-hour
+    // windows every 15 minutes — each event contributes to exactly 4
+    // overlapping windows. The streaming-native aggregation shape (the same
+    // expression runs under a watermark in Structured Streaming); the
+    // oracle replicates Spark's epoch-aligned window assignment with
+    // integer µs math: window starts (t_us // slide - k) * slide, k=0..3.
+    QuerySpec(
+      "e12_sliding_window",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .groupBy(window(col("event_time"), "1 hour", "15 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("win_start_s"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("win_start_s", "event_type"),
+      Some(s"""WITH w AS (
+              |  SELECT ((epoch_us(ts) // 900000000) - k.k) * 900 AS win_start_s,
+              |         event_type, value
+              |  FROM events, (SELECT unnest(range(0, 4)) AS k) k)
+              |SELECT win_start_s, event_type, COUNT(*) AS n,
+              |  ${Exact.sqlSum("value")} AS sum_value
+              |FROM w GROUP BY win_start_s, event_type
+              |ORDER BY win_start_s, event_type""".stripMargin),
+    ),
     // Semi-structured extraction: JSON props → typed column → filter + agg.
     QuerySpec(
       "e03_json_extract",
