@@ -405,10 +405,10 @@ object Dedup {
           .orderBy("component")
       },
       Some {
-        s"""WITH RECURSIVE pairs AS (
+        s"""WITH RECURSIVE pairs AS MATERIALIZED (
            |${lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3)}
            |),
-           |sym AS (
+           |sym AS MATERIALIZED (
            |  SELECT a_id AS src, b_id AS dst FROM pairs
            |  UNION ALL SELECT b_id, a_id FROM pairs),
            |reach AS (
