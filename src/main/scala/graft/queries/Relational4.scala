@@ -427,5 +427,41 @@ object Relational4 {
            |FROM g GROUP BY lang ORDER BY lang""".stripMargin
       },
     ),
+    // Remaining window-function family: ntile / first_value / last_value /
+    // nth_value. last_value and nth_value carry an explicit ROWS UNBOUNDED
+    // frame — BOTH engines default to RANGE ... CURRENT ROW, under which
+    // last_value degenerates to the current row; the explicit frame is the
+    // portable (and useful) semantics. Orders are made total by the
+    // (o_orderdate, o_orderkey) tiebreak so every function is deterministic.
+    QuerySpec(
+      "q77_window_suite",
+      (s, d) =>
+        Tables(s, d, "orders")
+          .filter(col("o_custkey") < 50)
+          .selectExpr(
+            "o_custkey",
+            "o_orderkey",
+            "ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile",
+            "first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order",
+            "last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order",
+            "nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order",
+          )
+          .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  ntile(4) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile,
+             |  first_value(o_orderkey) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) AS first_order,
+             |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+             |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+             |FROM orders WHERE o_custkey < 50
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    ),
   )
 }
