@@ -72,4 +72,31 @@ object Multimodal {
       }
     }
   }
+
+  case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, n_bytes: Long, mean_byte: Double)
+
+  /** Partition-mapped "resize": dims divided by `factor`, payload subsampled
+    * by keeping every factor-th byte, features recomputed on the resized
+    * payload. The real-codec version swaps the subsample for an actual
+    * scaler behind the same seam; the Spark mechanics — typed binary
+    * transform in, new meta + features out, constant memory per partition —
+    * are exactly what ships.
+    */
+  def resize(media: DataFrame, factor: Int): Dataset[ResizedMedia] = {
+    require(factor > 0, "resize factor must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaDoc].mapPartitions { rows =>
+      rows.map { doc =>
+        val n = (doc.payload.length + factor - 1) / factor
+        val sub = new Array[Byte](n)
+        var i = 0
+        while (i < n) { sub(i) = doc.payload(i * factor); i += 1 }
+        val f = FakeCodec.decode(sub, doc.meta)
+        ResizedMedia(doc.doc_id, doc.meta.width / factor, doc.meta.height / factor,
+          f.nBytes, f.meanByte)
+      }
+    }
+  }
 }

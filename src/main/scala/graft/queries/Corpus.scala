@@ -217,5 +217,28 @@ object Corpus {
              |  TRUE AS p95_within
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
+    // Inverted index build: token → document frequency + sorted posting
+    // list. Map-side distinct-per-doc explode, then ONE shuffle keyed by
+    // token with partial+final aggregation. At 100 TB the posting list of a
+    // stopword is the whole corpus — production shards postings by
+    // (token, id-range bucket) and delta-encodes; the single-string form
+    // here keeps the structure oracle-able.
+    QuerySpec(
+      "c09_inverted_index",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("df"),
+            concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+          .orderBy("token"),
+      Some("""WITH t AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents)
+             |SELECT token, COUNT(*) AS df,
+             |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+             |FROM t GROUP BY token ORDER BY token""".stripMargin),
+    ),
   )
 }

@@ -51,5 +51,29 @@ object MultimodalOps {
              |  UNNEST(range(0, (length(text) - 1) // 100 + 1)) AS u(frame_idx)
              |ORDER BY doc_id, frame_idx""".stripMargin),
     ),
+    // Resize/downsample through the codec seam: dims halved, payload
+    // subsampled (every 2nd byte), features recomputed on the result. The
+    // ASCII payload keeps the whole transform oracle-able byte-for-byte.
+    QuerySpec(
+      "m03_resize",
+      (s, d) =>
+        Multimodal.resize(Multimodal.mediaTable(s, d), factor = 2)
+          .orderBy("doc_id")
+          .toDF(),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CAST(n_chars % 640 AS INT) AS w0,
+             |    CAST(n_chars % 480 AS INT) AS h0,
+             |    list_transform(list_filter(range(0, length(text)), i -> i % 2 = 0),
+             |                   i -> ascii(text[i+1])) AS sub
+             |  FROM documents)
+             |SELECT doc_id,
+             |  w0 // 2 AS width, h0 // 2 AS height,
+             |  CAST(len(sub) AS BIGINT) AS n_bytes,
+             |  CASE WHEN len(sub) = 0 THEN 0.0
+             |       ELSE CAST(list_sum(sub) AS DOUBLE) / CAST(len(sub) AS DOUBLE)
+             |  END AS mean_byte
+             |FROM b ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
