@@ -32,6 +32,82 @@ object HashAlgos {
     h
   }
 
+  /** FNV-1a 64 continuation: fold `bytes` into running state `h0`. */
+  def fnv1a64(bytes: Array[Byte], h0: Long): Long = {
+    var h = h0
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Distinct FNV-1a-64 hashes of the n-word shingles of `toks`, sorted
+    * ascending. Each window's hash equals
+    * `fnv1a64(concat_ws(" ", slice(toks, i, n)))` bit-exactly — the
+    * separator byte is folded between tokens and null tokens are skipped
+    * without a separator, matching concat_ws — but no shingle string is
+    * ever materialized: one fused pass, zero per-window allocation.
+    * Window count is max(len - n + 1, 1), mirroring the
+    * `sequence(1, greatest(size - (n-1), 1))` shape of the string form
+    * (a short input yields one truncated shingle; empty input hashes "").
+    * Output order is sorted, not first-occurrence: every consumer
+    * (set intersection, minhash) is order-independent.
+    */
+  def shingleHashes(toks: Array[Array[Byte]], n: Int): Array[Long] = {
+    val m = toks.length
+    val count = math.max(m - n + 1, 1)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = FnvOffset
+      var first = true
+      var j = i
+      val end = math.min(i + n, m)
+      while (j < end) {
+        val t = toks(j)
+        if (t != null) {
+          if (!first) { h ^= (' ' & 0xffL); h *= FnvPrime }
+          h = fnv1a64(t, h)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 1
+    while (r < count) {
+      if (out(r) != out(w)) { w += 1; out(w) = out(r) }
+      r += 1
+    }
+    if (w + 1 == count) out else java.util.Arrays.copyOf(out, w + 1)
+  }
+
+  /** MinHash signature over pre-hashed elements: for permutation i, min
+    * over elements of mix64(elem ^ seed_i) — the tail of [[minHashSig]]
+    * with the per-element base hash already computed.
+    */
+  def minHashSigLong(elems: Array[Long], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var e = 0
+    while (e < elems.length) {
+      val base = elems(e)
+      var i = 0
+      while (i < k) {
+        val h = mix64(base ^ (i * 0x9e3779b97f4a7c15L))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      e += 1
+    }
+    sig
+  }
+
   /** Murmur3 fmix64 finalizer — decorrelates fnv output per seed so k
     * minhash "permutations" come from one base hash (standard one-hash
     * minhash construction).
@@ -116,35 +192,84 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** minhash_sig(array<string>, k) → array<long>. Empty input → all
-  * Long.MaxValue (no elements seen). CodegenFallback: the O(k·n) inner
-  * loop dominates; codegen would only inline the dispatch.
+/** minhash_sig(array<string> | array<long>, k) → array<long>. String
+  * elements are FNV-hashed first; long elements are taken as the base hash
+  * directly (the pre-hashed-shingle path — see [[ShingleHash]]). Empty
+  * input → all Long.MaxValue (no elements seen). CodegenFallback: the
+  * O(k·n) inner loop dominates; codegen would only inline the dispatch.
   */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   require(k > 0 && k <= 1024, "minhash k out of range")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string> input")
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> or array<long> input")
   }
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
 
+  private lazy val longInput = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val elems = new Array[Array[Byte]](arr.numElements())
-    var i = 0
-    while (i < elems.length) {
-      // null elements hash as empty string
-      val s = arr.getUTF8String(i)
-      elems(i) = if (s == null) Array.emptyByteArray else s.getBytes
-      i += 1
+    if (longInput) {
+      new GenericArrayData(HashAlgos.minHashSigLong(arr.toLongArray(), k))
+    } else {
+      val elems = new Array[Array[Byte]](arr.numElements())
+      var i = 0
+      while (i < elems.length) {
+        // null elements hash as empty string
+        val s = arr.getUTF8String(i)
+        elems(i) = if (s == null) Array.emptyByteArray else s.getBytes
+        i += 1
+      }
+      new GenericArrayData(HashAlgos.minHashSig(elems, k))
     }
-    new GenericArrayData(HashAlgos.minHashSig(elems, k))
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** shingle_hash(array<string>, n) → array<long>: distinct sorted FNV-1a-64
+  * hashes of the n-word shingles (see [[HashAlgos.shingleHashes]]). The
+  * fused scale form of `array_distinct(transform(... concat_ws ...))` +
+  * per-shingle hashing: one pass, no shingle strings materialized, and the
+  * downstream set arithmetic (Jaccard) runs on 8-byte longs instead of
+  * ~24-byte strings. Bit-compatible with hashing the string shingles —
+  * the DuckDB oracle replicates it as
+  * `list_distinct(list_transform(<shingles>, s -> fnv(s)))`.
+  */
+case class ShingleHash(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0 && n <= 64, "shingle width out of range")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string> input")
+  }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val toks = new Array[Array[Byte]](arr.numElements())
+    var i = 0
+    while (i < toks.length) {
+      val s = arr.getUTF8String(i)
+      toks(i) = if (s == null) null else s.getBytes
+      i += 1
+    }
+    new GenericArrayData(HashAlgos.shingleHashes(toks, n))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash =
     copy(child = newChild)
 }
 
@@ -182,6 +307,8 @@ object ghash {
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k))
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+  def shingleHash(c: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHash(ExpressionUtils.expression(c), n))
 
   /** Register fnv1a64 / minhash_sig / simhash64 for spark.sql use. */
   def register(spark: SparkSession): Unit = {

@@ -25,8 +25,11 @@ object MisraGries {
 
     override def zero: Map[String, Long] = Map.empty
 
+    // nulls are skipped, matching SQL aggregate semantics (count/sum ignore
+    // NULL inputs) — and a null key would not survive the Map encoder anyway
     override def reduce(buf: Map[String, Long], x: String): Map[String, Long] =
-      buf.get(x) match {
+      if (x == null) buf
+      else buf.get(x) match {
         case Some(c) => buf.updated(x, c + 1)
         case None if buf.size < k => buf.updated(x, 1L)
         // full and x unseen: decrement every counter (x's implicit counter

@@ -24,10 +24,24 @@ import org.apache.spark.sql.{GraftColumnBridge => Bridge}
   *
   *   partial TopKPerKeyExec   (map-side: bounded heap per key per partition)
   *        → Exchange(hash by key)   (moves ≤ k rows per key per map task)
-  *   final TopKPerKeyExec     (merge heaps per key)
+  *        → Sort(key, order)        (external sort of the REDUCED data)
+  *   final TopKPerKeyExec     (streaming group scan: first k rows per key)
   *
-  * Memory is O(distinct keys in partition × k) rows — the same working-set
-  * shape as a hash aggregate, and spill-free for bounded k.
+  * Memory honesty at scale:
+  *  - the PARTIAL phase's heap map is O(keys-in-partition × k) rows — the
+  *    hash-aggregate working-set shape, but without
+  *    `UnsafeFixedWidthAggregationMap`'s spill fallback. It therefore caps
+  *    the number of tracked keys (`spark.graft.topk.partialMaxKeys`,
+  *    default 2^20): past the cap, rows of UNSEEN keys pass through
+  *    unbuffered. Pass-through is always correct — partial is only a
+  *    filter that may keep extra rows — it just sheds the map-side
+  *    reduction for the overflow keys instead of OOMing.
+  *  - the FINAL phase must be exact, so it cannot shed state; instead it
+  *    requires child ordering (key, order) and streams — one group at a
+  *    time, O(1) rows of state. The ordering is satisfied by an external
+  *    (spillable) SortExec over the already-reduced ≤ k·mapTasks rows per
+  *    key, NOT over the input — the input-side win of the operator (no
+  *    full shuffle+sort of the fact table) is untouched.
   *
   * This is the (c)-tier extension path: a logical node + planner Strategy +
   * physical exec, registered either per-session (`TopK.install`) or via
@@ -57,18 +71,28 @@ case class TopKPerKeyExec(
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
-  // the final phase needs all rows of a key co-located; EnsureRequirements
-  // inserts the hash Exchange between the two phases
+  // the final phase needs all rows of a key co-located AND sorted: the
+  // Exchange comes from EnsureRequirements; the ordering is satisfied by a
+  // spillable SortExec over the partial-phase-reduced data
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupExprs))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(groupExprs.map(SortOrder(_, Ascending)) ++ sortOrder)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else groupExprs.map(SortOrder(_, Ascending)) ++ sortOrder
 
   protected override def doExecute(): RDD[InternalRow] = {
     val groupE = groupExprs
     val orderE = sortOrder
     val childOutput = child.output
     val kk = k
-    child.execute().mapPartitions { iter =>
+    val maxKeys = conf.getConfString("spark.graft.topk.partialMaxKeys",
+      (1 << 20).toString).toInt
+    if (partial) child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val ord: BaseOrdering = RowOrdering.create(orderE, childOutput)
       // max-heap under `ord`: head = worst retained row, evicted when a
@@ -79,25 +103,49 @@ case class TopKPerKeyExec(
       }
       // most children emit UnsafeRow; LocalTableScan-style children may not
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
-      while (iter.hasNext) {
-        val row = iter.next() match {
+      // absorb into bounded heaps (emitting nothing) until the key cap;
+      // rows of keys beyond the cap stream through unbuffered — correct
+      // (the final phase is exact), just un-reduced for the overflow keys
+      val absorbed = iter.filter { r0 =>
+        val row = r0 match {
           case u: UnsafeRow => u
           case r => toUnsafe(r)
         }
         val key = keyProj(row)
         var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kk + 1, revOrd)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        if (heap == null && heaps.size() >= maxKeys) true
+        else {
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[UnsafeRow](kk + 1, revOrd)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size() < kk) heap.add(row.copy())
+          else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
+          false
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      // ++ evaluates its operand lazily: the heap drain runs only after the
+      // input (and thus every absorption) is exhausted
+      absorbed ++ heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    } else child.execute().mapPartitions { iter =>
+      // input is (key, order)-sorted: stream group boundaries, emit the
+      // first k rows of each group — O(1) state regardless of key count
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      var cur: UnsafeRow = null
+      var n = 0
+      iter.filter { row =>
+        val key = keyProj(row)
+        if (cur == null || !key.equals(cur)) {
+          cur = key.copy()
+          n = 0
+        }
+        n += 1
+        n <= kk
+      }
     }
   }
 

@@ -69,6 +69,17 @@ object Dedup {
       |                    ELSE 1 END + 1),
       |      i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))""".stripMargin
 
+  /** DuckDB text of [[shingleHashes]]: the same distinct 3-gram set as
+    * [[shingleSql]] but carried as FNV-1a-64 hashes — the hash is a
+    * bijection between the two representations for every practical corpus
+    * (a 64-bit collision would fold identically on both engines anyway,
+    * since both apply the SAME hash).
+    */
+  private val hashedShingleSql = {
+    import graft.engine.DuckHash
+    s"list_distinct(list_transform($shingleSql, s -> ${DuckHash.fnv("s")}))"
+  }
+
   private val jacSql =
     """CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
       |    (CAST(len(sa.sh) AS DOUBLE) + CAST(len(sb.sh) AS DOUBLE)
@@ -88,10 +99,9 @@ object Dedup {
         " x -> CAST(x AS VARCHAR)), ',')"
     s"""$corpusCte,
        |shingled AS MATERIALIZED (
-       |  SELECT doc_id, $shingleSql AS sh FROM corpus),
+       |  SELECT doc_id, $hashedShingleSql AS sh FROM corpus),
        |sigs AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    ${DuckHash.sigK(s"list_transform(sh, s -> ${DuckHash.fnv("s")})", k)} AS sig
+       |  SELECT doc_id, ${DuckHash.sigK("sh", k)} AS sig
        |  FROM shingled),
        |buckets AS MATERIALIZED (
        |  SELECT doc_id, band, ${DuckHash.signed(DuckHash.fnv(bucketStr))} AS bucket
@@ -113,7 +123,9 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  /** Word 3-gram shingles, distinct. */
+  /** Word 3-gram shingles, distinct — the readable string form (d05, the
+    * exact small-corpus baseline).
+    */
   def shingles(text: Column): Column = {
     val t = toks(text)
     array_distinct(
@@ -121,6 +133,14 @@ object Dedup {
         sequence(lit(1), greatest(size(t) - 2, lit(1))),
         i => concat_ws(" ", slice(t, i, lit(3)))))
   }
+
+  /** Word 3-gram shingles as distinct 64-bit FNV hashes — the scale form
+    * used by the LSH pipelines (d03/d07/d08): same sets as [[shingles]]
+    * under the hash bijection, but one fused pass with no shingle strings
+    * materialized, an 8-byte element for every downstream shuffle, and a
+    * long-typed (not string-typed) set intersection in the verify step.
+    */
+  def shingleHashes(text: Column): Column = ghash.shingleHash(toks(text), 3)
 
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)
@@ -165,14 +185,20 @@ object Dedup {
   def lshJaccardPairs(corpus: DataFrame, k: Int, bands: Int, cap: Int,
       threshold: Double): DataFrame = {
     val rows = k / bands
-    // shingle + sign ONCE per doc (not per candidate pair) — at scale the
-    // candidate set is much larger than the corpus, so per-pair re-shingling
-    // would dominate the cost. Persisted: three downstream branches reuse it
-    // (Spark replans shared subtrees per branch); at cluster scale this is
-    // the "write signatures to a temp table" step.
+    // shingle ONCE per doc (not per candidate pair) — at scale the candidate
+    // set is much larger than the corpus, so per-pair re-shingling would
+    // dominate the cost. Eager LOCAL CHECKPOINT, not persist: the three
+    // downstream branches (buckets, both re-attach joins) are independent
+    // stages that AQE submits CONCURRENTLY, and a lazily-persisted frame is
+    // computed redundantly by every racing stage before the cache fills
+    // (measured 3× shingle work at sf1); the checkpoint materializes the
+    // blocks exactly once, up front, and its storage is released by the
+    // ContextCleaner when the frame is unreferenced instead of leaking a
+    // cache entry per call. At cluster scale this is the "write signatures
+    // to a temp table" step.
     val shingled = corpus
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .persist()
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .localCheckpoint(true)
     // Candidate generation moves ONLY (band, bucket, doc_id) through the
     // shuffle — the heavy shingle arrays never enter candidate generation or
     // the pair dedup. They are re-attached once per confirmed candidate.
@@ -206,34 +232,57 @@ object Dedup {
     *
     * The driver-side loop is inherent to fixpoint iteration (someone must
     * decide convergence); the per-round convergence probe is a single-value
-    * `sum(label)` — labels only ever decrease, so an unchanged sum means a
-    * fixpoint, with no self-join against the previous round needed.
+    * `sum(label)`. The probe is SOUND, not just heuristic: each vertex's
+    * label is min(previous label, neighbor labels), so every term of the sum
+    * is monotone non-increasing round over round — an unchanged sum forces
+    * every term unchanged (no cancellation is possible when no term can
+    * grow), and termwise-unchanged labels ARE the fixpoint.
+    *
+    * Rounds needed = graph diameter. If `maxRounds` is hit before the
+    * fixpoint this THROWS rather than returning silently-wrong labels —
+    * near-dup graphs are dense (diameter ≤ 2–3) so the default cap is ~20×
+    * headroom, but a generic caller with a long-chain graph must hear about
+    * non-convergence, not get plausible garbage.
+    *
+    * Each round's label frame is materialized by an eager LOCAL CHECKPOINT,
+    * not a cache: `next` references `labels` twice (self ∪ propagated), so
+    * an uncheckpointed lineage doubles every round — 2^rounds plan nodes by
+    * round 20 — and a cache entry leaks storage past the call. The
+    * checkpoint truncates the plan to the materialized blocks (plan size
+    * O(1) in rounds); superseded round RDDs are released by Spark's
+    * ContextCleaner once unreferenced, and the returned frame is
+    * self-contained — no cache entries outlive the call.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    require(maxRounds > 0, "maxRounds must be positive")
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var sum = labels.agg(coalesce(org.apache.spark.sql.functions.sum("label"),
       lit(0L))).head().getLong(0)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       val prop = edges.toDF("jid", "dst")
         .join(labels.toDF("jid", "lab"), "jid")
         .select(col("dst").as("id"), col("lab").as("label"))
       val next = labels.union(prop)
-        .groupBy("id").agg(min("label").as("label")).persist()
+        .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
       val nextSum = next.agg(coalesce(org.apache.spark.sql.functions.sum("label"),
         lit(0L))).head().getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == sum
       sum = nextSum
       rounds += 1
     }
     edges.unpersist()
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          "(graph diameter exceeds the cap); raise maxRounds")
+    }
     labels
   }
 

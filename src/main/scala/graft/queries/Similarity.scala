@@ -93,7 +93,13 @@ object Similarity {
     * to 2 buckets (a half-corpus scan). A high bit of the product is
     * nonlinear in x, giving 2^nBits genuinely independent hyperplanes.
     */
-  private def lshProj(vec: Column, table: Int, j: Int): Column =
+  private def lshProj(vec: Column, table: Int, j: Int): Column = {
+    // the (dim, bit, table) → x packing below is x = i + 64·j + 1024·table
+    // with i < 64: injective only while 64·j < 1024, i.e. ≤ 16 bits per
+    // table. Past that, hyperplane (table, j) aliases (table+1, j−16) — the
+    // exact correlated-hyperplane collapse the bit-16 mix exists to prevent.
+    require(j >= 0 && j < 16, s"sign-LSH supports at most 16 bits/table (got bit $j)")
+    require(table >= 0 && table < (1 << 20), s"table index out of range: $table")
     aggregate(
       zip_with(vec, sequence(lit(0), lit(63)), (v, i) => {
         val x = i + lit(64L * j + 1024L * table)
@@ -102,6 +108,7 @@ object Similarity {
       }),
       lit(0.0),
       (acc, x) => acc + x)
+  }
 
   /** All `nBits` projections for one table as an array column. */
   def lshProjs(vec: Column, table: Int, nBits: Int): Column =
@@ -156,7 +163,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
       .distinct()
-    cand
+    val result = cand
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
       .withColumn("rank",
         row_number().over(
@@ -164,6 +171,51 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
       .orderBy("q_id", "rank")
+      // k rows per query: materialize (lineage-truncating local checkpoint)
+      // so the index cache can be released — without this every call leaks
+      // one storage entry for the lifetime of the session
+      .localCheckpoint(true)
+    coded.unpersist()
+    result
+  }
+
+  /** Embedding near-dup pairs over an arbitrary (vec_id, embedding) corpus:
+    * sign-LSH codes per table index the corpus; candidate pairs come from
+    * the SAME bounded hot-bucket guard as d03/d04
+    * ([[Dedup.bucketCandidates]] — ≤ cap+1 ids of per-key state, buckets
+    * above cap dropped whole), so one degenerate code (a cluster of
+    * near-identical embeddings, the boilerplate-doc case of vector space)
+    * can never turn candidate generation quadratic. Embeddings move only
+    * per confirmed candidate — the bucket shuffle carries (tbl, code,
+    * vec_id), never the 64-float vectors.
+    */
+  def nearDupPairs(corpus: DataFrame, nTables: Int, nBits: Int, cap: Int,
+      threshold: Double = 0.99): DataFrame = {
+    val coded = corpus.select(
+      col("vec_id").as("doc_id"),
+      posexplode(array((0 until nTables).map(t =>
+        lshCode(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "code")))
+    val candidates = Dedup.bucketCandidates(coded, Seq("tbl", "code"), cap)
+    candidates
+      .join(corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The s03 corpus: embeddings ∪ planted perturbed copies (id+1M,
+    * v·0.98 + 0.01 per element — cos ≈ 0.9999 to the original), then
+    * [[nearDupPairs]].
+    */
+  def embeddingNearDup(e: DataFrame, nTables: Int, nBits: Int, cap: Int): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    val perturbed = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          v => (v.cast(DoubleType) * 0.98 + 0.01).cast("float")).as("embedding"))
+    nearDupPairs(base.unionByName(perturbed), nTables, nBits, cap)
   }
 
   val specs: Vector[QuerySpec] = Vector(
@@ -403,35 +455,10 @@ object Similarity {
     // LSH buckets generate candidates; exact cosine ≥ 0.99 verifies.
     QuerySpec(
       "s03_embedding_neardup",
-      (s, d) => {
-        val nTables = 4
-        val nBits = 10
-        val e = emb(s, d).select(col("vec_id"), col("embedding"))
-        val perturbed = e.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            transform(col("embedding"),
-              v => (v.cast(DoubleType) * 0.98 + 0.01).cast("float")).as("embedding"))
-        val corpus = e.unionByName(perturbed)
-        val coded = corpus.select(
-          col("vec_id"), col("embedding"),
-          posexplode(array((0 until nTables).map(t =>
-            lshCode(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "code")))
-          .persist() // reused by both sides of the bucket self-join
-        val a = coded.select(col("tbl"), col("code"),
-          col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-        val b = coded.select(col("tbl"), col("code"),
-          col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-        a.join(b, Seq("tbl", "code"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id", "a_emb", "b_emb")
-          .distinct()
-          .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
-          .filter(col("cos") >= 0.99)
-          .select(col("a_id"), col("b_id"), col("cos"))
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => embeddingNearDup(emb(s, d), nTables = 4, nBits = 10, cap = 100),
       // full SQL oracle: planted perturbation (same float rounding), codes,
-      // bucket self-join, exact cosine verify
+      // the SAME hot-bucket guard (codes above cap dropped whole), bucket
+      // self-join, exact cosine verify
       Some(s"""WITH corpus AS (
               |  SELECT vec_id, embedding FROM embeddings
               |  UNION ALL
@@ -446,10 +473,15 @@ object Similarity {
               |coded AS MATERIALIZED (
               |  SELECT vec_id, embedding, tbl, ${duckCode("projs", 10)} AS code
               |  FROM proj),
+              |hot AS (
+              |  SELECT tbl, code FROM coded GROUP BY tbl, code
+              |  HAVING COUNT(*) > 100),
+              |pruned AS MATERIALIZED (
+              |  SELECT c.* FROM coded c ANTI JOIN hot h USING (tbl, code)),
               |cand AS (
               |  SELECT DISTINCT a.vec_id AS a_id, a.embedding AS a_emb,
               |    b.vec_id AS b_id, b.embedding AS b_emb
-              |  FROM coded a JOIN coded b USING (tbl, code)
+              |  FROM pruned a JOIN pruned b USING (tbl, code)
               |  WHERE a.vec_id < b.vec_id)
               |SELECT a_id, b_id, ${duckCos("a_emb", "b_emb")} AS cos
               |FROM cand

@@ -96,6 +96,22 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.size == 9) // only vertices that appear in an edge
   }
 
+  test("connectedComponents throws past the round cap instead of lying") {
+    import spark.implicits._
+    // a 12-vertex chain has diameter 11 > maxRounds = 3: min-label
+    // propagation cannot finish, and the contract is a LOUD failure — an
+    // unconverged label set is silently-wrong clustering
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ex = intercept[IllegalStateException] {
+      graft.queries.Dedup.connectedComponents(chain, maxRounds = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // the same chain converges with an adequate cap and labels to vertex 0
+    val labels = graft.queries.Dedup.connectedComponents(chain, maxRounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 12 && labels.values.forall(_ == 0L))
+  }
+
   test("d08 clusters are a partition and keep every planted triple together") {
     // clusters may legitimately merge planted groups through natural
     // near-dups (the tiny-SF corpus has cross-doc Jaccard >= 0.3 pairs);

@@ -45,6 +45,33 @@ class HashingSpec extends AnyFunSuite {
     assert(simAC < 0.2, s"disjoint minhash sim $simAC")
   }
 
+  test("shingle_hash equals sorted-distinct fnv of the string shingles, incl. edges") {
+    import org.apache.spark.sql.functions._
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    // edge shapes: empty text, 1 token, 2 tokens, exactly 3, repeats
+    // (distinct must fold them), and a long text
+    val texts = Seq("", "a", "a b", "a b c", "x y x y x y x y",
+      (1 to 200).map(i => s"w${i % 37}").mkString(" "))
+    val df = texts.toDF("text")
+    val got = df.select(graft.queries.Dedup.shingleHashes(col("text")).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val want = df.select(graft.queries.Dedup.shingles(col("text")).as("sh"))
+      .collect().map(_.getSeq[String](0)
+        .map(s => HashAlgos.fnv1a64(s.getBytes("UTF-8"))).distinct.sorted)
+    got.zip(want).zip(texts).foreach { case ((g, w), t) =>
+      assert(g == w, s"shingle_hash mismatch for text '$t'")
+    }
+    // minhash over pre-hashed longs == minhash over the string shingles
+    val sigL = df.select(graft.functions.ghash
+      .minhashSig(graft.queries.Dedup.shingleHashes(col("text")), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    val sigS = df.select(graft.functions.ghash
+      .minhashSig(graft.queries.Dedup.shingles(col("text")), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    sigL.zip(sigS).foreach { case (l, s) => assert(l == s) }
+  }
+
   test("simhash: near-identical token sets within small hamming, disjoint far") {
     val a = (1 to 60).map(i => s"tok$i")
     val b = (1 to 58).map(i => s"tok$i")

@@ -150,6 +150,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("c07 pairs the per-lang sketches via broadcast NLJ, not CartesianProduct") {
+    val p = plan("c07_lang_sketch_similarity")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s03 candidate generation is the bounded guard, not a raw bucket self-join") {
+    val p = plan("s03_embedding_neardup")
+    // bounded minK aggregation keyed on (tbl, code) — the hot-bucket guard —
+    // then candidate pairs re-attach embeddings via two key joins; a raw
+    // self-join of the coded frame would show neither the bounded_min_k
+    // aggregate nor the pair explode
+    assert(p.contains("boundedmink") || p.contains("bounded_min_k") ||
+      p.toLowerCase.contains("mink"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("c05 runs as one job: no driver-side count in the query path") {
     // building the frame must not trigger a Spark job (the old shape ran
     // docs.count() eagerly); job-free construction == lazy all the way

@@ -82,6 +82,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQ.size == 10 && perQ.values.forall(_ == 5), perQ.toString)
   }
 
+  test("s03 hot-bucket guard bounds a planted vector mega-bucket") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 300 identical vectors — the boilerplate-doc case of embedding space.
+    // They land in ONE code per table; without the guard the bucket
+    // self-join would emit 300·299/2 ≈ 45k candidate pairs (cos = 1.0, so
+    // every one survives the verify — pure quadratic output). The guard
+    // must drop the mega-bucket whole while ordinary planted near-dup
+    // pairs keep pairing through their (cold) buckets.
+    val e = graft.engine.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val spamVec = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val spam = (0 until 300).map(i => (9000000L + i, spamVec))
+      .toDF("vec_id", "embedding")
+    val perturbed = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          v => (v.cast("double") * 0.98 + 0.01).cast("float")).as("embedding"))
+    val corpus = e.unionByName(perturbed).unionByName(spam)
+    val got = queries.Similarity
+      .nearDupPairs(corpus, nTables = 4, nBits = 10, cap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists(p => p._1 >= 9000000L && p._2 >= 9000000L),
+      "mega-bucket pairs leaked past the hot-bucket guard")
+    val planted = e.select("vec_id").collect().map(_.getLong(0))
+      .filter(_ % 10 == 0).map(id => (id, id + 1000000L)).toSet
+    val recall = planted.count(got.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"planted recall with guard active: $recall")
+  }
+
   test("s03 finds every planted perturbed-copy pair") {
     val got = Registry.byName("s03_embedding_neardup").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -56,7 +56,8 @@ class TopKSpec extends AnyFunSuite {
     assert(gen0.count() == 0)
   }
 
-  test("plan is partial+final TopKPerKeyExec around one hash exchange, no sort") {
+  test("plan is partial+final TopKPerKeyExec around one hash exchange; sort only above it") {
+    import org.apache.spark.sql.execution.SortExec
     val orders = graft.engine.Tables(spark, sf, "orders")
       .select("o_custkey", "o_orderkey", "o_totalprice")
     val df = TopK.perKey(orders, Seq(col("o_custkey")),
@@ -66,8 +67,42 @@ class TopKSpec extends AnyFunSuite {
     val topks = "TopKPerKey".r.findAllIn(plan).size
     assert(topks >= 2, s"expected partial+final TopKPerKeyExec phases in:\n$plan")
     assert(plan.contains("Exchange hashpartitioning"), s"missing hash exchange:\n$plan")
-    // the whole point: no per-partition full sort of the input
-    assert(!plan.contains("Sort "), s"unexpected full sort in:\n$plan")
+    // the input-side win: the fact table is never fully sorted — the only
+    // Sort sits ABOVE the exchange, over the partial-phase-reduced
+    // ≤ k·mapTasks rows per key (it feeds the streaming final phase)
+    val partials = executed(df).collect { case t: TopKPerKeyExec if t.partial => t }
+    assert(partials.nonEmpty, plan)
+    partials.foreach { p =>
+      assert(p.collect { case s: SortExec => s }.isEmpty,
+        s"full sort below the partial phase:\n$plan")
+    }
+  }
+
+  test("partial-phase key cap streams overflow keys through; 1M distinct keys, no OOM") {
+    // ~1M distinct keys with 3 rows each. With the default (2^20) cap this
+    // exercises real map-state pressure; with a tiny cap it proves the
+    // bounded fallback: the partial phase may pass overflow rows through
+    // un-reduced, and the exact sort-based final phase still returns
+    // precisely the top-k per key.
+    val n = 1000000L
+    val data = spark.range(0, 3 * n, 1, 8)
+      .selectExpr(s"id % $n AS k", "id AS v")
+    spark.conf.set("spark.graft.topk.partialMaxKeys", "1000")
+    try {
+      val got = TopK.perKey(data, Seq(col("k")), Seq(col("v").desc), 2)
+      // spot-check per-key contents without collecting 2M rows to the driver
+      val agg = got.groupBy("k").agg(count(lit(1)).as("c"), min("v").as("lo"),
+        max("v").as("hi"))
+      assert(agg.count() == n)
+      // key k holds rows {k, k+n, k+2n}: top-2 by v desc = {k+2n, k+n}
+      val bad = agg.filter(col("c") =!= 2 || col("lo") =!= col("k") + n ||
+        col("hi") =!= col("k") + 2 * n).count()
+      assert(bad == 0, s"$bad keys with wrong top-2 under partial key cap")
+    } finally spark.conf.unset("spark.graft.topk.partialMaxKeys")
+    // and at the DEFAULT cap (2^20 keys buffered map-side) the same 1M-key
+    // input completes within the test JVM heap
+    val got2 = TopK.perKey(data, Seq(col("k")), Seq(col("v").desc), 2)
+    assert(got2.count() == 2 * n)
   }
 
   test("TopK phases by name: one partial, one final, exchange between, child codegen intact") {
