@@ -15,6 +15,22 @@ class TopKSpec extends AnyFunSuite {
     df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
       .queryExecution.executedPlan
 
+  // Typed collect over a plan that may contain AQE wrapper/leaf nodes:
+  // AdaptiveSparkPlanExec holds the current plan in a field (not children),
+  // and QueryStageExec is a LEAF whose materialized subtree hangs off .plan —
+  // plain TreeNode.collect sees neither, so unwrap both and recurse.
+  private def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    here ++ below.flatMap(deepCollect(_)(pf))
+  }
+
   test("TopK.perKey equals the window row_number formulation") {
     import spark.implicits._
     val orders = graft.engine.Tables(spark, sf, "orders")
@@ -70,10 +86,10 @@ class TopKSpec extends AnyFunSuite {
     // the input-side win: the fact table is never fully sorted — the only
     // Sort sits ABOVE the exchange, over the partial-phase-reduced
     // ≤ k·mapTasks rows per key (it feeds the streaming final phase)
-    val partials = executed(df).collect { case t: TopKPerKeyExec if t.partial => t }
+    val partials = deepCollect(executed(df)) { case t: TopKPerKeyExec if t.partial => t }
     assert(partials.nonEmpty, plan)
     partials.foreach { p =>
-      assert(p.collect { case s: SortExec => s }.isEmpty,
+      assert(deepCollect(p) { case s: SortExec => s }.isEmpty,
         s"full sort below the partial phase:\n$plan")
     }
   }
