@@ -192,6 +192,32 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** mix64(long) → long: the Murmur3 fmix64 finalizer as a standalone
+  * expression. Full codegen. Used where a column-level integer needs
+  * avalanche-quality mixing (e.g. sign-LSH hyperplane weights): every
+  * output bit depends on every input bit, so structurally related inputs
+  * (consecutive packed (dim, bit, table) indices) yield independent bits —
+  * a single multiply provably does not (see [[graft.queries.Similarity
+  * .lshProj]] history).
+  */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires bigint input")
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mix64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.mix64(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.mix64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
 /** minhash_sig(array<string> | array<long>, k) → array<long>. String
   * elements are FNV-hashed first; long elements are taken as the base hash
   * directly (the pre-hashed-shingle path — see [[ShingleHash]]). Empty
@@ -303,6 +329,7 @@ case class SimHash64(child: Expression)
 /** Column-level API + SQL registration for the custom expressions. */
 object ghash {
   def fnv1a64(c: Column): Column = ExpressionUtils.column(Fnv1a64(ExpressionUtils.expression(c)))
+  def mix64(c: Column): Column = ExpressionUtils.column(Mix64(ExpressionUtils.expression(c)))
   def minhashSig(c: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k))
   def simhash64(c: Column): Column =
@@ -314,6 +341,7 @@ object ghash {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("fnv1a64", es => Fnv1a64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("mix64", es => Mix64(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sig",
       es => MinHashSig(es.head, es(1).eval().asInstanceOf[Number].intValue()),

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.QuerySpec
 import graft.engine.Tables
+import graft.functions.ghash
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -47,13 +48,16 @@ object Similarity {
 
   /** All `nBits` signed projections for table column `tbl` — mirrors
     * [[lshProjs]]: per bit j, Σ over dims of v·(±1) where the sign is the
-    * parity of a deterministic integer mix of (table, bit, dim).
+    * low bit of fmix64 of the packed (dim, bit, table) index
+    * ([[graft.engine.DuckHash.mix64]] replicates the finalizer in HUGEINT
+    * arithmetic bit-exactly).
     */
   private def duckProjs(vec: String, nBits: Int): String =
     s"""list_transform(range(0, $nBits), j ->
        |      list_sum(list_transform(list_zip($vec, range(0, 64)), p ->
        |        CAST(p[1] AS DOUBLE) *
-       |        CASE WHEN (((p[2] + 64 * j + 1024 * tbl) * 2654435761) >> 16) % 2 = 0
+       |        CASE WHEN ${graft.engine.DuckHash.mix64(
+                  "CAST(p[2] + 64 * j + 1024 * tbl AS HUGEINT)")} % 2 = 0
        |             THEN 1.0 ELSE -1.0 END)))""".stripMargin
 
   /** Mirrors [[codeOf]]: bit j set iff projs[j] > 0. */
@@ -85,25 +89,31 @@ object Similarity {
 
   /** Signed projection of `vec` onto hyperplane (table, bit).
     *
-    * The ±1 weight is bit 16 of a Knuth multiplicative hash of the packed
-    * (dim, bit, table) index. Bit 16, NOT bit 0: the parity (bit 0) of
-    * `x * odd` is the parity of `x`, i.e. LINEAR in the inputs — with a
-    * linear mix every hyperplane of a table is the same hyperplane up to
-    * sign, all code bits are perfectly correlated, and the "LSH" collapses
-    * to 2 buckets (a half-corpus scan). A high bit of the product is
-    * nonlinear in x, giving 2^nBits genuinely independent hyperplanes.
+    * The ±1 weight is the LOW BIT OF fmix64 of the packed (dim, bit, table)
+    * index ([[graft.functions.Mix64]], full codegen). A full-avalanche
+    * finalizer, not a single multiply, is load-bearing: the weight history
+    * here is two collapses. (r1–r3) parity of `x · odd` is linear in x —
+    * every hyperplane of a table equal up to sign, LSH degenerates to 2
+    * buckets. (r4–r5) bit 16 of the Knuth multiply fixed full-table
+    * collapse but leaves PAIRWISE correlation between adjacent hyperplanes
+    * (x and x+64 differ by a constant, so their product's bit 16 flips
+    * with probability ≈ (64c mod 2¹⁷)/2¹⁷, far from ½) — harmless at ≤ 8
+    * bits/table, but at 16 bits/table correlated sign patterns concentrate
+    * iid-random vectors into mega-buckets (measured at 1M vectors: 90k
+    * spurious candidates per 20k vectors, and the hot-bucket cap then
+    * drops planted pairs with them). fmix64's avalanche makes every weight
+    * bit depend on every index bit — hyperplanes become independent at any
+    * supported nBits.
     */
   private def lshProj(vec: Column, table: Int, j: Int): Column = {
     // the (dim, bit, table) → x packing below is x = i + 64·j + 1024·table
     // with i < 64: injective only while 64·j < 1024, i.e. ≤ 16 bits per
-    // table. Past that, hyperplane (table, j) aliases (table+1, j−16) — the
-    // exact correlated-hyperplane collapse the bit-16 mix exists to prevent.
+    // table. Past that, hyperplane (table, j) aliases (table+1, j−16).
     require(j >= 0 && j < 16, s"sign-LSH supports at most 16 bits/table (got bit $j)")
     require(table >= 0 && table < (1 << 20), s"table index out of range: $table")
     aggregate(
       zip_with(vec, sequence(lit(0), lit(63)), (v, i) => {
-        val x = i + lit(64L * j + 1024L * table)
-        val h = shiftright(x * lit(2654435761L), 16)
+        val h = ghash.mix64(i.cast("long") + lit(64L * j + 1024L * table))
         v.cast(DoubleType) * when(pmod(h, lit(2)) === 0, 1.0).otherwise(-1.0)
       }),
       lit(0.0),
@@ -135,35 +145,59 @@ object Similarity {
   }
 
   /** Sign-LSH approximate top-k: index every corpus vector under its primary
-    * code per table; rows matching `queryPred` are the query set and probe
-    * their primary code plus the two lowest-margin flips per table
-    * (multi-probe T=2). Exact cosine rerank over candidates only — at 100 TB
-    * the bucket join touches |corpus|·(buckets probed)/2^nBits vectors
-    * instead of all of them, and the index is one narrow (id, tbl, code)
-    * table built in a single pass.
+    * code per table; rows matching `queryPred` (a predicate over `vec_id`)
+    * are the query set and probe their primary code plus the two
+    * lowest-margin flips per table (multi-probe T=2). Exact cosine rerank
+    * over candidates only — at 100 TB the bucket join touches
+    * |corpus|·(buckets probed)/2^nBits vectors instead of all of them.
+    *
+    * Scale shape: the index is a NARROW (tbl, code, vec_id) table — the
+    * 64-float embeddings never enter the bucket shuffle (the r5 shape
+    * carried them through every (vector, table) row, 4× vector duplication);
+    * they re-attach once per confirmed candidate, the d03 pattern. And the
+    * index is BOUNDED: one min-`cap` aggregation ([[graft.functions
+    * .BoundedCollect]], ≤ cap ids of state per key at every point of the
+    * partial/final lifecycle) truncates each bucket to its `cap` smallest
+    * vec_ids, so one degenerate code (a boilerplate-doc embedding cluster)
+    * costs a probing query at most `cap` candidates instead of degrading
+    * the query to a corpus scan. Truncation (vs s03's drop-whole-bucket) is
+    * the right guard for SEARCH: the bucket stays probe-able, recall inside
+    * it degrades gracefully, and the kept-ids rule (cap smallest) is
+    * deterministic so the DuckDB oracle replicates it exactly.
     */
   def lshAnn(corpus: DataFrame, queryPred: Column, nTables: Int, nBits: Int,
-      k: Int): DataFrame = {
-    // one row per (vector, table) carrying the projection array; code and
-    // probe codes are derived from the SAME materialized projections
-    val coded = corpus.select(
-      col("vec_id"), col("embedding"),
+      k: Int, cap: Int = 1000): DataFrame = {
+    // one row per (vector, table); code and probe codes derived from the
+    // SAME materialized projection array. Eager local checkpoint, not
+    // persist: index + query sides are independent stages AQE submits
+    // concurrently (the d03 lesson), and nothing leaks past the call.
+    val codes = corpus.select(
+      col("vec_id"),
       posexplode(array((0 until nTables).map(t =>
         lshProjs(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "projs")))
-      .select(col("vec_id"), col("embedding"), col("tbl"),
+      .select(col("vec_id"), col("tbl"),
         codeOf(col("projs"), nBits).as("code"),
         probeCodeOf(col("projs"), nBits, 1).as("probe"),
         probeCodeOf(col("projs"), nBits, 2).as("probe2"))
-      .persist() // 4·nBits fold-projections per row; reused by query + corpus side
-    val q = coded.filter(queryPred)
+      .localCheckpoint(true)
+    val index = codes.groupBy("tbl", "code")
+      .agg(graft.functions.BoundedCollect.minK(col("vec_id"), cap).as("ids"))
+      .select(col("tbl"), col("code"), explode(col("ids")).as("vec_id"))
+    val qcodes = codes.filter(queryPred)
       .select(col("tbl"),
         explode(array(col("code"), col("probe"), col("probe2"))).as("code"),
-        col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val cand = coded.join(q, Seq("tbl", "code"))
+        col("vec_id").as("q_id"))
+    val cand = index.join(qcodes, Seq("tbl", "code"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .select(col("q_id"), col("vec_id"))
       .distinct()
-    val result = cand
+    // embeddings attach per candidate: query side is tiny → broadcast;
+    // corpus side is one shuffle of (vec_id → embedding) against the
+    // candidate list, each vector moving once
+    cand
+      .join(broadcast(corpus.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
       .withColumn("rank",
         row_number().over(
@@ -171,12 +205,6 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
       .orderBy("q_id", "rank")
-      // k rows per query: materialize (lineage-truncating local checkpoint)
-      // so the index cache can be released — without this every call leaks
-      // one storage entry for the lifetime of the session
-      .localCheckpoint(true)
-    coded.unpersist()
-    result
   }
 
   /** Embedding near-dup pairs over an arbitrary (vec_id, embedding) corpus:
@@ -263,39 +291,49 @@ object Similarity {
     QuerySpec(
       "s02_ann_lsh",
       (s, d) => lshAnn(emb(s, d), col("vec_id") < 10, nTables = 4, nBits = 8,
-        k = 5),
+        k = 5, cap = 1000),
       // full SQL oracle: the whole sign-LSH pipeline (projections, codes,
-      // multi-probe, bucket join, exact rerank) replicated in DuckDB with
-      // identical float evaluation order
+      // multi-probe, BOUNDED bucket index, exact rerank) replicated in
+      // DuckDB with identical float evaluation order. The hot-bucket cap
+      // (keep the 1000 smallest vec_ids per (tbl, code)) is the QUALIFY
+      // row_number ≤ cap — same deterministic kept-ids rule as the Spark
+      // side's min-cap aggregation.
       Some(s"""WITH proj AS MATERIALIZED (
               |  SELECT vec_id, embedding, tbl,
               |    ${duckProjs("embedding", 8)} AS projs
               |  FROM embeddings, (SELECT unnest(range(0, 4)) AS tbl)),
               |coded AS MATERIALIZED (
-              |  SELECT vec_id, embedding, tbl,
+              |  SELECT vec_id, tbl,
               |    ${duckCode("projs", 8)} AS code,
               |    ${duckProbe("projs", 8, 1)} AS probe,
               |    ${duckProbe("projs", 8, 2)} AS probe2
               |  FROM proj),
+              |idx AS (
+              |  SELECT tbl, code, vec_id FROM coded
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY tbl, code
+              |    ORDER BY vec_id) <= 1000),
               |q AS (
-              |  SELECT tbl, code AS qcode, vec_id AS q_id, embedding AS q_emb
+              |  SELECT tbl, code AS qcode, vec_id AS q_id
               |  FROM coded WHERE vec_id < 10
               |  UNION ALL
-              |  SELECT tbl, probe AS qcode, vec_id AS q_id, embedding AS q_emb
+              |  SELECT tbl, probe AS qcode, vec_id AS q_id
               |  FROM coded WHERE vec_id < 10
               |  UNION ALL
-              |  SELECT tbl, probe2 AS qcode, vec_id AS q_id, embedding AS q_emb
+              |  SELECT tbl, probe2 AS qcode, vec_id AS q_id
               |  FROM coded WHERE vec_id < 10),
               |cand AS (
-              |  SELECT DISTINCT q.q_id, q.q_emb, c.vec_id, c.embedding
-              |  FROM coded c JOIN q ON c.tbl = q.tbl AND c.code = q.qcode
-              |  WHERE c.vec_id != q.q_id),
+              |  SELECT DISTINCT q.q_id, i.vec_id
+              |  FROM idx i JOIN q ON i.tbl = q.tbl AND i.code = q.qcode
+              |  WHERE i.vec_id != q.q_id),
               |ranked AS (
-              |  SELECT q_id, vec_id AS neighbor_id,
-              |    ${duckCos("q_emb", "embedding")} AS cos,
-              |    ROW_NUMBER() OVER (PARTITION BY q_id
-              |      ORDER BY ${duckCos("q_emb", "embedding")} DESC, vec_id) AS rank
-              |  FROM cand)
+              |  SELECT c.q_id, c.vec_id AS neighbor_id,
+              |    ${duckCos("qe.embedding", "ne.embedding")} AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+              |      ORDER BY ${duckCos("qe.embedding", "ne.embedding")} DESC,
+              |        c.vec_id) AS rank
+              |  FROM cand c
+              |  JOIN embeddings qe ON qe.vec_id = c.q_id
+              |  JOIN embeddings ne ON ne.vec_id = c.vec_id)
               |SELECT q_id, neighbor_id, rank, cos FROM ranked
               |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     ),

@@ -32,7 +32,12 @@ class SimilaritySpec extends AnyFunSuite {
     // the r1-r3 degenerate hash measured lift 1.12x (0.56 recall at 0.5
     // scan); honest LSH measures 1.9-3.1x across SFs. 1.5x separates them
     // with headroom for small-corpus noise (50 neighbor pairs at sf0.001).
-    assert(recall >= 1.5 * scanFrac && recall >= 0.2,
+    // The absolute floor is only a degenerate-output guard: with the r6
+    // fmix64 weights the buckets are UNIFORM, so the pipeline honestly
+    // scans ~5% of the corpus (12 probed buckets / 256 per table) and
+    // absolute recall on this no-structure corpus tracks that — the
+    // planted-neighbor test below is the absolute-quality gate.
+    assert(recall >= 1.5 * scanFrac && recall >= 0.05,
       s"LSH ANN lift too low: recall=$recall scanFrac=$scanFrac")
   }
 
@@ -80,6 +85,49 @@ class SimilaritySpec extends AnyFunSuite {
     // every query must still return a full top-5 from its probed cells
     val perQ = ivf.groupBy(_._1).view.mapValues(_.size).toMap
     assert(perQ.size == 10 && perQ.values.forall(_ == 5), perQ.toString)
+  }
+
+  test("s02 bounded index caps a planted mega-bucket; queries stay sublinear") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 500 identical vectors land in ONE code per table. Uncapped, a query
+    // probing that code scans all 500 (per table) — the corpus-scan
+    // degradation. With cap=50 the index keeps the 50 smallest spam ids
+    // per bucket, so a probing query sees at most 50 of them, and recall
+    // on the ORDINARY planted near-copies is untouched (their buckets are
+    // far below the cap).
+    val e = graft.engine.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val spamVec = Array.tabulate(64)(i => (math.cos(i + 2) * 0.4).toFloat)
+    val spam = (0 until 500).map(i => (9000000L + i, spamVec))
+      .toDF("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), lit(63)),
+          (v, i) => (v.cast("double") * 0.95 +
+            when(pmod(i, lit(2)) === 0, 0.05).otherwise(-0.05)).cast("float"))
+          .as("embedding"))
+    val corpus = e.unionByName(planted).unionByName(spam)
+    val n = corpus.count()
+    // k = corpus size → the result IS the candidate set (before top-k there
+    // are exactly as many rows as distinct candidates)
+    val cands = queries.Similarity
+      .lshAnn(corpus, col("vec_id") < 10, nTables = 4, nBits = 8,
+        k = n.toInt, cap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // per query: ≤ 50 spam candidates can survive the capped index
+    val spamPerQ = cands.filter(_._2 >= 9000000L).groupBy(_._1)
+      .view.mapValues(_.size).toMap
+    assert(spamPerQ.values.forall(_ <= 50),
+      s"mega-bucket leaked past the index cap: $spamPerQ")
+    // and the planted genuine near-copies still surface in top-5
+    val got5 = queries.Similarity
+      .lshAnn(corpus, col("vec_id") < 10, nTables = 4, nBits = 8,
+        k = 5, cap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 10L).map(q => (q, q + 1000000L))
+    val recall = want.count(got5.contains).toDouble / want.size
+    assert(recall >= 0.9, s"planted recall with capped index: $recall")
   }
 
   test("s03 hot-bucket guard bounds a planted vector mega-bucket") {
