@@ -240,9 +240,9 @@ object Corpus {
     // Inverted index build: token → document frequency + sorted posting
     // list. Map-side distinct-per-doc explode, then ONE shuffle keyed by
     // token with partial+final aggregation. At 100 TB the posting list of a
-    // stopword is the whole corpus — production shards postings by
-    // (token, id-range bucket) and delta-encodes; the single-string form
-    // here keeps the structure oracle-able.
+    // stopword is the whole corpus — c10 below is the sharded form that
+    // survives that; the single-row-per-token form here keeps the simple
+    // structure oracle-able.
     QuerySpec(
       "c09_inverted_index",
       (s, d) =>
@@ -259,6 +259,35 @@ object Corpus {
              |SELECT token, COUNT(*) AS df,
              |  array_to_string(list_sort(list(doc_id)), ',') AS postings
              |FROM t GROUP BY token ORDER BY token""".stripMargin),
+    ),
+    // Sharded inverted index — the c09 shape that survives 100 TB. Postings
+    // are keyed by (token, shard) with shard = doc_id div B (deterministic
+    // id-range sharding, so the oracle replicates it): a stopword appearing
+    // in every document yields corpus/B bounded rows instead of ONE row
+    // whose posting string is the entire corpus (an unsplittable
+    // gigabyte-scale cell that breaks the shuffle's row-size assumptions
+    // and serializes through a single task). Per-shard lists stay sorted —
+    // a reader streams shards in (token, shard) order and sees globally
+    // sorted postings, and df is recoverable as sum(df_shard) without
+    // touching the lists. Still ONE hash shuffle, partial+final agg; the
+    // per-key aggregation state is now bounded by B.
+    QuerySpec(
+      "c10_inverted_index_sharded",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("token"))
+          .withColumn("shard", expr("doc_id div 100"))
+          .groupBy("token", "shard")
+          .agg(count(lit(1)).as("df_shard"),
+            concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+          .orderBy("token", "shard"),
+      Some("""WITH t AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents)
+             |SELECT token, doc_id // 100 AS shard, COUNT(*) AS df_shard,
+             |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+             |FROM t GROUP BY token, shard ORDER BY token, shard""".stripMargin),
     ),
   )
 }

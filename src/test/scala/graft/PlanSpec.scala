@@ -116,6 +116,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("c10 sharded inverted index: one hash shuffle, partial+final agg") {
+    val p = plan("c10_inverted_index_sharded")
+    // candidate rows shuffle ONCE, keyed (token, shard); the only other
+    // exchange is the presentation orderBy's range partitioning (formatted
+    // mode lists exchange arguments in the details section)
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx:\n$p")
+    // map-side combine: per-doc distinct tokens reduce before the shuffle
+    assert(p.contains("partial_count"), p)
+  }
+
   test("s05 broadcasts the centroids; the corpus is never shuffled for the join") {
     val p = plan("s05_label_centroid_score")
     assert(p.contains("BroadcastHashJoin"), p)
