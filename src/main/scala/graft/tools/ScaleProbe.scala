@@ -85,12 +85,78 @@ object ScaleProbe {
     val nearFound = pairs.join(plantedNear, Seq("a_id", "b_id")).count()
 
     val planted = n / 100
-    println(s"""{"docs":${n + 2 * planted},"exact_groups":$nExact,""" +
+    println(s"""{"probe":"lsh","docs":${n + 2 * planted},"exact_groups":$nExact,""" +
       s""""exact_sec":$tExact,"sig_sec":$tSig,"band_sec":$tBand,""" +
       s""""cand_pairs":$nCand,"cand_sec":$tCand,""" +
       s""""lsh_pairs":$nPairs,"lsh_sec":$tLsh,""" +
       s""""planted_exact":$planted,"planted_near_found":$nearFound,""" +
       s""""exact_ok":${nExact == planted},"near_ok":${nearFound == planted}}""")
+
+    // ---- d08 probe: connected components over the LSH pair graph ----
+    // Each planted group {d, d+1B, d+2B} is fully linked by the pairs above
+    // (exact copy: jaccard 1; near copy: high overlap), so CC must produce
+    // `planted` clusters of exactly 3 — false-positive edges could only
+    // merge clusters, so ≥ 95% surviving at size 3 is the pass bar. Rounds
+    // = cluster diameter (≤ 2): the fixpoint loop must converge immediately,
+    // proving the probe's O(rounds · one-join-one-agg) cost model.
+    val (ccSizes, tCc) = time {
+      val labels = Dedup.connectedComponents(pairs.select("a_id", "b_id"))
+      labels.groupBy("label").agg(count(lit(1)).as("sz"))
+        .filter(col("sz") > 1)
+        .groupBy("sz").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val size3 = ccSizes.getOrElse(3L, 0L)
+    println(s"""{"probe":"cc","edges":$nPairs,"cc_sec":$tCc,""" +
+      s""""clusters_size3":$size3,"cluster_sizes":"${ccSizes.toSeq.sorted
+        .map { case (k, v) => s"$k:$v" }.mkString(",")}",""" +
+      s""""cc_ok":${size3 >= (planted * 95) / 100}}""")
+    pairs.unpersist()
+
+    // ---- s03 probe: guarded embedding near-dup at the same scale ----
+    // Corpus: n hash-derived pseudo-random 64-dim vectors (near-orthogonal
+    // by construction — entries are independent xxhash64 values, so
+    // E[cos]≈0; an earlier fnv-of-"id_i"-mod-2001 generator produced
+    // measurably CORRELATED vectors — thousands of genuine cos>0.99 pairs
+    // per 20k — and made a fine probe corpus look like a buggy pipeline)
+    // + a perturbed near-copy (cos ≈ 0.9999) per 100th vector + a planted
+    // MEGA-BUCKET of 5000 identical vectors (0.5% of the corpus — the
+    // boilerplate-embedding case). Unguarded, the mega-bucket alone emits
+    // 12.5M all-pairs candidates; the guard must drop it whole while the
+    // planted near-copies keep pairing. nBits=16 (the packing maximum)
+    // keeps the average bucket at n/2^16 ≈ 15 — the knob production turns
+    // as the corpus grows, since candidate volume scales with
+    // n · avg-bucket-size · tables.
+    val nEmb = n
+    val baseEmb = spark.range(nEmb).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(2001)) - 1000)
+          .cast("double") / 1000.0).cast("float")).as("embedding"))
+    val near = baseEmb.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 1000000000L).as("vec_id"),
+        transform(col("embedding"),
+          v => (v.cast("double") * 0.98 + 0.01).cast("float")).as("embedding"))
+    val spamVec = array((0 until 64).map(i =>
+      lit((math.sin(i + 1) * 0.5).toFloat)): _*)
+    val spam = spark.range(5000).select((col("id") + 2000000000L).as("vec_id"),
+      spamVec.as("embedding"))
+    val embCorpus = baseEmb.unionByName(near).unionByName(spam)
+    val (embPairs, tEmb) = time {
+      graft.queries.Similarity.nearDupPairs(embCorpus, nTables = 2,
+        nBits = 16, cap = 100, threshold = 0.99).persist()
+    }
+    val (nEmbPairs, tEmbCount) = time(embPairs.count())
+    val plantedEmb = nEmb / 100
+    val embFound = embPairs
+      .filter(col("b_id") === col("a_id") + 1000000000L).count()
+    val spamPairs = embPairs
+      .filter(col("a_id") >= 2000000000L && col("b_id") >= 2000000000L).count()
+    embPairs.unpersist()
+    println(s"""{"probe":"emb","vectors":${nEmb + plantedEmb + 5000},""" +
+      s""""emb_pairs":$nEmbPairs,"emb_sec":${tEmb + tEmbCount},""" +
+      s""""planted":$plantedEmb,"planted_found":$embFound,""" +
+      s""""spam_pairs":$spamPairs,""" +
+      s""""emb_ok":${embFound >= (plantedEmb * 90) / 100 && spamPairs == 0}}""")
     spark.stop()
   }
 }
