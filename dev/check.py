@@ -6,7 +6,11 @@ Mimics the driver's correctness gate: for each query dir under OUTDIR
 oracle_sql.json in DuckDB over the same sf parquet tables, sort columns
 by name, sort rows, and compare values exactly.
 
-Usage: python3 dev/check.py /root/testdata/sf0.01 /tmp/verify_out
+Usage: python3 dev/check.py /root/testdata/sf0.01 /tmp/verify_out [out.json]
+
+The optional third arg writes a driver-format artifact (per-query
+rows_match/schema_match/hash_match) — used to commit the sf0.1-scale gate
+result (CORRECTNESS_sf0.1.json).
 """
 import glob
 import json
@@ -36,18 +40,28 @@ def load_spark(path):
     return tbl
 
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, json_out=None):
+    import os.path
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    report = {}
+
+    def rec(name, rows_match, schema_match, hash_match, s_rows, d_rows, err):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": s_rows,
+                        "oracle_rows": d_rows, "err": err}
+
     for qdir in sorted(glob.glob(f"{outdir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
         spark_tbl = load_spark(qdir)
         if spark_tbl is None:
             print(f"SKIP  {name}: no spark output")
+            rec(name, False, False, False, 0, 0, "no spark output")
             n_skip += 1
             continue
         if name not in oracle:
@@ -58,12 +72,15 @@ def main(sfdir, outdir):
             duck_tbl = con.sql(oracle[name]).arrow()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            rec(name, False, False, False, spark_tbl.num_rows, 0, str(e)[:200])
             n_fail += 1
             continue
         s_cols = sorted(spark_tbl.column_names)
         d_cols = sorted(duck_tbl.column_names)
         if s_cols != d_cols:
             print(f"FAIL  {name}: columns differ spark={s_cols} duck={d_cols}")
+            rec(name, spark_tbl.num_rows == duck_tbl.num_rows, False, False,
+                spark_tbl.num_rows, duck_tbl.num_rows, "schema mismatch")
             n_fail += 1
             continue
         s_rows = sorted(
@@ -76,6 +93,7 @@ def main(sfdir, outdir):
             key=repr)
         if len(s_rows) != len(d_rows):
             print(f"FAIL  {name}: row count spark={len(s_rows)} duck={len(d_rows)}")
+            rec(name, False, True, False, len(s_rows), len(d_rows), None)
             n_fail += 1
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
@@ -85,11 +103,17 @@ def main(sfdir, outdir):
             print(f"      cols : {s_cols}")
             print(f"      spark: {a}")
             print(f"      duck : {b}")
+            rec(name, True, True, False, len(s_rows), len(d_rows), None)
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(s_rows)} rows")
+            rec(name, True, True, True, len(s_rows), len(d_rows), None)
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only/skip")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(report.items())), f, indent=2)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
