@@ -289,5 +289,66 @@ object Corpus {
              |  array_to_string(list_sort(list(doc_id)), ',') AS postings
              |FROM t GROUP BY token, shard ORDER BY token, shard""".stripMargin),
     ),
+    // BM25 ranking (k1=1.2, b=0.75) for a fixed 3-term query — the retrieval
+    // scorer that sits on top of the c09/c10 index. Shuffle shape: tf is one
+    // (doc, term)-keyed partial+final agg over only the MATCHING tokens
+    // (the isin filter prunes before the explode's output ever shuffles),
+    // df and the corpus stats are tiny broadcasts, and the per-doc term sum
+    // is decimal-exact (partitioning-invariant, engine-reproducible). All
+    // double arithmetic is written with identical literals/evaluation order
+    // in both engines; idf's ln runs on the same double in both.
+    QuerySpec(
+      "c11_bm25",
+      (s, d) => {
+        val qt = Seq("hash", "join", "scan")
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val lens = toks.select(col("doc_id"),
+          size(col("toks")).cast("double").as("len"))
+        val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+          graft.engine.Exact.davg(col("len")).as("avglen"))
+        val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .filter(col("tok").isin(qt: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+        tf.join(broadcast(dfreq), "tok")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+              + lit(1.0)))
+          .withColumn("sc",
+            col("idf") * col("tf") * lit(2.2) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
+          .groupBy("doc_id")
+          .agg(graft.engine.Exact.dsum(col("sc")).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        import graft.engine.Exact
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |lens AS (
+           |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS len FROM toks),
+           |stats AS (
+           |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           |    ${Exact.sqlAvg("len")} AS avglen FROM lens),
+           |tf AS (
+           |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+           |  WHERE tok IN ('hash', 'join', 'scan') GROUP BY doc_id, tok),
+           |dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+           |sc AS (
+           |  SELECT tf.doc_id,
+           |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+           |      (tf + 1.2 * (0.25 + 0.75 * len / avglen)) AS sc
+           |  FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id)
+           |  CROSS JOIN stats)
+           |SELECT doc_id, ${Exact.sqlSum("sc")} AS score FROM sc
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      },
+    ),
   )
 }
