@@ -121,5 +121,80 @@ object TpchMore {
               |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
               |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin),
     ),
+    // Q8 shape (national market share): nation-of-supplier revenue share
+    // within a region's customer base, per year. Two ratios of decimal-
+    // exact sums (numerator = conditional sum) — double division of two
+    // deterministic doubles. Plan: one big-big shuffle (lineitem ⋈ orders);
+    // part/supplier/customer/nation/region all broadcast; the region +
+    // p_type filters prune before any join fans out.
+    QuerySpec(
+      "q78_tpch_q8",
+      (s, d) => {
+        val n1 = Tables(s, d, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+        val n2 = Tables(s, d, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val asia = broadcast(Tables(s, d, "region").filter(col("r_name") === "ASIA"))
+        Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part").filter(col("p_type") === "STANDARD")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables(s, d, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+          .join(asia, col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(Tables(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+          .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            (Exact.dsum(when(col("supp_nation") === "NATION_2", col("volume"))
+              .otherwise(lit(0.0))) / Exact.dsum(col("volume"))).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+              |  ${Exact.sqlSum("CASE WHEN n2.n_name = 'NATION_2' " +
+                 "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+              |  ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              |JOIN region ON n1.n_regionkey = r_regionkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              |WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate < TIMESTAMP '1998-01-01'
+              |GROUP BY o_year ORDER BY o_year""".stripMargin),
+    ),
+    // Q13 shape (customer distribution): LEFT join with an ON-clause
+    // residual (the classic not-the-WHERE-clause trap), count per customer
+    // including zeros, then the distribution of those counts. Plan: one
+    // shuffle keyed o_custkey for the outer join + partial+final counts.
+    QuerySpec(
+      "q79_tpch_q13",
+      (s, d) =>
+        Tables(s, d, "customer")
+          .join(Tables(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""WITH per_cust AS (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+             |  GROUP BY c_custkey)
+             |SELECT CAST(c_count AS BIGINT) AS c_count,
+             |  CAST(COUNT(*) AS BIGINT) AS custdist
+             |FROM per_cust GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+    ),
   )
 }

@@ -116,6 +116,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q78 (Q8 shape) broadcasts all six dims; no cartesian anywhere") {
+    val p = plan("q78_tpch_q8")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the selective p_type filter reaches the part scan
+    assert(p.contains("EqualTo(p_type,STANDARD)"), p)
+  }
+
+  test("q79 (Q13 shape) keeps the ON-residual on the left join's build side") {
+    val p = plan("q79_tpch_q13")
+    // the priority filter must prune orders BEFORE the outer join (ON
+    // residual semantics), i.e. reach the orders scan as a pushed filter
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"), p)
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
+  }
+
   test("c10 sharded inverted index: one hash shuffle, partial+final agg") {
     val p = plan("c10_inverted_index_sharded")
     // candidate rows shuffle ONCE, keyed (token, shard); the only other
