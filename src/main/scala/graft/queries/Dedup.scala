@@ -91,12 +91,21 @@ object Dedup {
     * in SQL on top of engine/DuckHash's bit-exact hash replicas. Heavy
     * stages are MATERIALIZED so the self-join does not recompute signatures.
     */
-  private def lshOracleSql(k: Int, bands: Int, cap: Int, threshold: Double): String = {
+  /** `newPred`: when set, a SQL predicate over a bare `doc_id` that marks
+    * INCOMING docs; candidate pairs are then restricted to those touching
+    * at least one — the oracle of [[incrementalLshPairs]] (the d10 spec's
+    * incoming set is exactly the id range the predicate names).
+    */
+  private def lshOracleSql(k: Int, bands: Int, cap: Int, threshold: Double,
+      newPred: Option[String] = None): String = {
     import graft.engine.DuckHash
     val rows = k / bands
     val bucketStr =
       s"array_to_string(list_transform(sig[band*$rows+1 : band*$rows+$rows]," +
         " x -> CAST(x AS VARCHAR)), ',')"
+    val incrFilter = newPred.map(p =>
+      s"\n    AND ((${p.replace("doc_id", "a.doc_id")}) OR (${p.replace("doc_id", "b.doc_id")}))")
+      .getOrElse("")
     s"""$corpusCte,
        |shingled AS MATERIALIZED (
        |  SELECT doc_id, $hashedShingleSql AS sh FROM corpus),
@@ -114,7 +123,7 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM pruned a JOIN pruned b USING (band, bucket)
-       |  WHERE a.doc_id < b.doc_id)
+       |  WHERE a.doc_id < b.doc_id$incrFilter)
        |SELECT a_id, b_id, $jacSql AS jac
        |FROM cand
        |JOIN shingled sa ON sa.doc_id = a_id
@@ -176,6 +185,67 @@ object Dedup {
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(element_at(col("p"), 1).as("a_id"), element_at(col("p"), 2).as("b_id"))
       .distinct()
+
+  /** Incremental variant of [[bucketCandidates]]: `buckets` additionally
+    * carries an `is_new` boolean; emitted pairs are restricted to those
+    * touching at least one new doc, so the (expensive) shingle re-attach +
+    * exact-Jaccard verification downstream never re-pairs the existing
+    * corpus against itself — at 100 TB that makes a daily ingest's dedup
+    * cost proportional to the INGEST, not the corpus. The flag rides the
+    * low bit of a tagged id (doc_id·2 + is_new): doc_ids are unique, so
+    * tagged-id order equals doc_id order and the bounded guard (min cap+1
+    * ids per bucket, overfull buckets dropped whole) keeps exactly d03's
+    * semantics. Old×old pairs are discarded row-locally inside the explode,
+    * before anything shuffles.
+    */
+  def bucketCandidatesIncremental(buckets: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame =
+    buckets
+      .withColumn("tid", col("doc_id") * 2 + col("is_new").cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.BoundedCollect.minK(col("tid"), cap + 1).as("ids"))
+      .filter(size(col("ids")).between(2, cap))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(element_at(col("p"), 1).as("ta"), element_at(col("p"), 2).as("tb"))
+      .filter(pmod(col("ta"), lit(2)) === 1 || pmod(col("tb"), lit(2)) === 1)
+      .select(expr("ta div 2").as("a_id"), expr("tb div 2").as("b_id"))
+      .distinct()
+
+  /** Incremental MinHash+LSH near-dup: [[lshJaccardPairs]] over
+    * existing ∪ incoming, but candidate pairs (and everything after them)
+    * restricted to pairs involving an incoming doc via
+    * [[bucketCandidatesIncremental]]. The batch-vs-incremental contract:
+    * output = lshJaccardPairs(existing ∪ incoming) filtered to
+    * new-touching pairs (DedupSpec asserts the set equality against d03).
+    */
+  def incrementalLshPairs(existing: DataFrame, incoming: DataFrame, k: Int,
+      bands: Int, cap: Int, threshold: Double): DataFrame = {
+    val rows = k / bands
+    val corpus = existing.select(col("doc_id"), col("text"))
+      .withColumn("is_new", lit(false))
+      .unionByName(incoming.select(col("doc_id"), col("text"))
+        .withColumn("is_new", lit(true)))
+    val shingled = corpus
+      .select(col("doc_id"), col("is_new"), shingleHashes(col("text")).as("sh"))
+      .localCheckpoint(true)
+    val buckets = shingled
+      .withColumn("sig", ghash.minhashSig(col("sh"), k))
+      .select(
+        col("doc_id"), col("is_new"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => ghash.fnv1a64(concat_ws(",",
+              transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))
+        ).as(Seq("band", "bucket")))
+    val candidates = bucketCandidatesIncremental(buckets, Seq("band", "bucket"), cap)
+    candidates
+      .join(shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+      .orderBy("a_id", "b_id")
+  }
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification — the d03/d07
     * engine, parameterized so specs can plant mega-buckets and vary banding.
@@ -328,6 +398,30 @@ object Dedup {
         cap = 100, threshold = 0.3),
       Some(lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3)),
       headline = true,
+    ),
+    // Incremental LSH near-dup: dedup a new batch against the existing
+    // corpus (and itself) without ever re-pairing existing×existing — the
+    // daily-ingest shape whose verify cost scales with the BATCH. The
+    // existing corpus is `documents`, the incoming batch is the planted
+    // exact (+2M) and near (+1M) copies, so the contract is checkable
+    // against d03 on the identical union: d10 = d03 pairs touching an
+    // incoming id (DedupSpec asserts the set equality).
+    QuerySpec(
+      "d10_dedup_incremental_lsh",
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val tenth = docs.filter(col("doc_id") % 10 === 0)
+        val incoming = tenth
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+          .unionByName(tenth.select(
+            (col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), lit(1),
+              size(split(col("text"), " ")) - 2)).as("text")))
+        incrementalLshPairs(docs, incoming, k = 32, bands = 8, cap = 100,
+          threshold = 0.3)
+      },
+      Some(lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3,
+        newPred = Some("doc_id >= 1000000"))),
     ),
     // Production-scale exact-Jaccard near-dup join: the SAME verification as
     // d05 (exact word-3-gram Jaccard ≥ 0.3) but candidates come from LSH

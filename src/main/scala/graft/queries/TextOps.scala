@@ -261,5 +261,55 @@ object TextOps {
              |    / CAST(len(grams) AS DOUBLE)) >= 0.2 AS repetitive
              |FROM g ORDER BY doc_id""".stripMargin),
     ),
+    // PII scrubbing — the redaction pass every training-data pipeline runs
+    // before anything else sees the text. The synthetic corpus carries no
+    // PII, so the spec PLANTS it deterministically (an email + URL appended
+    // to every 20th doc) and scrubs with regexes in the Java∩RE2 dialect
+    // (no backrefs/lookaround — portable across engines AND across the
+    // regex libraries a cluster might link). Counts via regexp_extract_all
+    // so the match sets, not just the replacements, are verified; the
+    // scrubbed text itself is md5-pinned. Pure per-row column ops —
+    // codegen'd, zero shuffle until the presentation sort.
+    QuerySpec(
+      "t07_pii_scrub",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val urlRe = "https?://[^ ]+"
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 20 === 0,
+              concat(col("text"), lit(" mail user"), col("doc_id"),
+                lit("@example.com or https://ex"), col("doc_id"),
+                lit(".test/page now")))
+              .otherwise(col("text")).as("text"))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("text"), lit(urlRe), lit(0)))
+              .cast("long").as("n_urls"),
+            md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+              urlRe, "<URL>")).as("scrubbed_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 20 = 0
+             |         THEN text || ' mail user' || CAST(doc_id AS VARCHAR)
+             |           || '@example.com or https://ex' || CAST(doc_id AS VARCHAR)
+             |           || '.test/page now'
+             |         ELSE text END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             |    AS n_emails,
+             |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT)
+             |    AS n_urls,
+             |  md5(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    'https?://[^ ]+', '<URL>', 'g')) AS scrubbed_md5
+             |FROM planted ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

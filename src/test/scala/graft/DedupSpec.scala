@@ -135,6 +135,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d10 incremental LSH equals batch d03 restricted to new-touching pairs") {
+    // d10's existing∪incoming union IS d03's planted corpus, so the
+    // incremental contract is exactly checkable: same pairs as the batch
+    // run wherever an incoming id is involved, and NEVER an
+    // existing×existing pair (that work is what incremental dedup skips).
+    val d03 = Registry.byName("d03_minhash_lsh_pairs").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d10 = Registry.byName("d10_dedup_incremental_lsh").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d10.forall(p => p._1 >= 1000000L || p._2 >= 1000000L),
+      "existing×existing pair leaked into the incremental output")
+    val expected = d03.filter(p => p._1 >= 1000000L || p._2 >= 1000000L)
+    assert(d10 == expected,
+      s"incremental != batch-restricted: only-in-d10=${d10 -- expected} " +
+        s"only-in-batch=${expected -- d10}")
+    assert(d10.nonEmpty)
+  }
+
   test("d05 exact jaccard join recovers planted pairs (same-lang blocks)") {
     val exact = Registry.byName("d05_ngram_jaccard").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
