@@ -73,7 +73,24 @@ object Bench {
     val sf1Dir = (sys.env.get("SPARK_GRAFT_SF1_DIR").toSeq ++
       Seq("/root/testdata/sf1", "/root/repo/local/sf1"))
       .find(d => new java.io.File(s"$d/lineitem.parquet").exists())
-      .getOrElse("/root/testdata/sf1")
+      .getOrElse("/root/repo/local/sf1")
+    // The tiling is deterministic (tools/GenSf1) and cheap (~1 min once), so
+    // regenerate it rather than silently dropping the sf1 series — the r6
+    // artifact carried sf1_duckdb_total with NO Spark sf1 numbers because
+    // this dir was absent at driver bench time. Guard: only auto-generate
+    // into the repo-local gitignored path, never under /root/testdata.
+    if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists() &&
+        sf1Dir.startsWith("/root/repo/") &&
+        new java.io.File(s"$sfDir/../sf0.1/lineitem.parquet").getCanonicalFile.exists()) {
+      val t = time {
+        try graft.tools.GenSf1.generate(spark,
+          new java.io.File(s"$sfDir/../sf0.1").getCanonicalPath, sf1Dir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] sf1 generation failed: ${e.getMessage}")
+        }
+      }
+      System.err.println(f"[bench] generated sf1 tiling at $sf1Dir in $t%.1f s")
+    }
     val sf1 = if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
       warm(sf1Dir)
       def timed(spec: QuerySpec): (String, Double) = {
@@ -139,7 +156,11 @@ object Bench {
       }
     }
     val duck = duckTotal(sfDir).map(v => s""","duckdb_total":$v""").getOrElse("")
-    val duck1 = duckTotal(sf1Dir).map(v => s""","sf1_duckdb_total":$v""").getOrElse("")
+    // never pair a DuckDB sf1 total with a missing Spark sf1 series (the r6
+    // artifact did exactly that and read as a vanished measurement)
+    val duck1 =
+      if (sf1.isEmpty) ""","sf1":"skipped (no data)""""
+      else duckTotal(sf1Dir).map(v => s""","sf1_duckdb_total":$v""").getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","hll_only":$hll,"note":"$note"$duck$sf1$duck1}""")
     spark.stop()
   }

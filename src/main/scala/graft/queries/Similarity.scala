@@ -44,6 +44,129 @@ object Similarity {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
+  // ---- IVF coarse quantizer (s04) ----
+
+  /** Nearest-centroid assignment as a PER-ROW argmax over the broadcast
+    * centroid array — zero shuffle. (The round-1 shape exploded corpus×k
+    * and Window-argmin'd per vec_id: a 16×-corpus shuffle, twice. With only
+    * k broadcastable centroids that work belongs inside the row.)
+    * Tie-break: struct max on (cos, -cell) = cos DESC, cell ASC — matches
+    * the oracle's ROW_NUMBER ordering.
+    */
+  private def nearestCell(cents: Column, vec: Column): Column =
+    array_max(transform(cents, c =>
+      struct(
+        cosine(vec, c.getField("cvec")).as("cos"),
+        (-c.getField("cell")).as("neg_cell"),
+        c.getField("cell").as("cell"))))
+      .getField("cell")
+
+  /** Lloyd-refined IVF centroids: seeds = the k lowest vec_ids, then `iters`
+    * rounds of (per-row nearest-centroid assignment → decimal-exact mean per
+    * cell & dim). Returns ONE array row `cents: array<struct<cell,cvec>>`
+    * ready to broadcast.
+    *
+    * Loop discipline is the d08 pattern: every round's centroid frame is
+    * EAGERLY localCheckpoint'ed, so the plan stays O(1) deep (round n reads
+    * round n−1's materialized blocks, not a 3-deep re-derivation that AQE
+    * could recompute with different partial-agg groupings), and the
+    * ContextCleaner reclaims each round's blocks when the frame goes out of
+    * scope — unlike `persist()`, nothing leaks past the computation.
+    *
+    * `tol` > 0 switches to convergence mode for index-building callers: the
+    * loop stops early when the round's total assignment similarity
+    * (Σ cos(v, nearest centroid), a SINGLE driver-side scalar per round —
+    * the only thing collected) improves by less than `tol`, and THROWS if
+    * `iters` rounds pass without converging, the d08 round-cap contract.
+    * The s04 CONTRACT query uses tol=0 (exactly `iters` rounds) so the
+    * DuckDB oracle can unroll the identical fixed number of steps.
+    *
+    * Means are decimal-exact ([[graft.engine.Exact.dsum]]), not `avg`:
+    * order-independent, so centroids — and every downstream assignment —
+    * are identical on any partitioning AND bit-reproducible by the oracle.
+    */
+  def ivfCentroids(e: DataFrame, k: Int, iters: Int, tol: Double = 0.0): DataFrame = {
+    import graft.engine.Exact
+    def assign(centArr: DataFrame): DataFrame =
+      e.crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("embedding"),
+          nearestCell(col("cents"), col("embedding")).as("cell"),
+          col("cents"))
+    var centArr = e.filter(col("vec_id") < k)
+      .agg(collect_list(struct(col("vec_id").as("cell"),
+        col("embedding").as("cvec"))).as("cents"))
+      .localCheckpoint(true)
+    var prevScore = Double.NegativeInfinity
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      val assigned = assign(centArr)
+      centArr = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg((Exact.dsum(col("v").cast(DoubleType)) /
+          count(lit(1)).cast(DoubleType)).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("cvec"))
+        .agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
+        .localCheckpoint(true)
+      round += 1
+      if (tol > 0.0) {
+        // convergence probe: one scalar (the d08 sum-probe shape)
+        val score = assign(centArr)
+          .select(cosine(col("embedding"),
+            element_at(filter(col("cents"),
+              c => c.getField("cell") === col("cell")), 1).getField("cvec"))
+            .as("cos"))
+          .agg(Exact.dsum(col("cos")).as("s"))
+          .head().getDouble(0)
+        if (score - prevScore < tol) converged = true
+        prevScore = score
+      }
+    }
+    if (tol > 0.0 && !converged)
+      throw new IllegalStateException(
+        s"IVF Lloyd did not converge within $iters rounds (last Δ vs tol=$tol)")
+    centArr
+  }
+
+  /** IVF ANN end-to-end: build centroids ([[ivfCentroids]]), index the
+    * corpus by nearest cell, probe the `nprobe` closest cells per query
+    * (vec_id < 10), exact-cosine rerank to `topK`. Exposed so the spec can
+    * compare recall across iteration counts.
+    */
+  def ivfAnn(e: DataFrame, k: Int, nprobe: Int, iters: Int, topK: Int): DataFrame = {
+    val centArr = ivfCentroids(e, k, iters)
+    // index: per-row assignment of the corpus to its final centroid.
+    // localCheckpoint (not persist): eager, and the ContextCleaner reclaims
+    // it when the frame goes out of scope — the house pattern from d03/d08
+    // (a bare persist leaks until session shutdown).
+    val index = e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"),
+        nearestCell(col("cents"), col("embedding")).as("cell"))
+      .localCheckpoint(true)
+    // queries probe nprobe cells: per-row top-nprobe via array_sort on
+    // (-cos, cell) — ascending sort = cos DESC, cell ASC — then explode
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = q.crossJoin(broadcast(centArr))
+      .select(col("q_id"), col("q_emb"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct(
+            (-cosine(col("q_emb"), c.getField("cvec"))).as("neg_cos"),
+            c.getField("cell").as("cell")))), 1, nprobe)).as("pc"))
+      .select(col("q_id"), col("q_emb"), col("pc.cell").as("cell"))
+    probes.join(index, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   // ---- DuckDB replicas of the sign-LSH pipeline (oracles for s02/s03) ----
 
   /** All `nBits` signed projections for table column `tbl` — mirrors
@@ -338,108 +461,56 @@ object Similarity {
               |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     ),
     // IVF (inverted-file) ANN: deterministic coarse quantizer (centroids =
-    // one Lloyd step from hash-picked seeds), vectors indexed by nearest
-    // centroid, queries probe the nprobe closest cells and rerank exactly.
-    // At 100 TB the index build is one pass + a tiny per-cell state, and a
-    // query touches |corpus| · nprobe/k vectors instead of all of them.
+    // THREE Lloyd iterations from hash-picked seeds — see [[ivfCentroids]]),
+    // vectors indexed by nearest centroid, queries probe the nprobe closest
+    // cells and rerank exactly. At 100 TB the index build is `iters` passes
+    // + a tiny per-cell state, and a query touches |corpus| · nprobe/k
+    // vectors instead of all of them. The iteration count is FIXED in the
+    // contract (not convergence-driven) so the DuckDB oracle can unroll the
+    // identical three steps and stay bit-exact.
     QuerySpec(
       "s04_ann_ivf",
-      (s, d) => {
-        val k = 16
-        val nprobe = 4
-        val e = emb(s, d).select(col("vec_id"), col("embedding"))
-        // Nearest-centroid assignment is a PER-ROW argmax over the broadcast
-        // centroid array — zero shuffle. (The round-1 shape exploded
-        // corpus×k and Window-argmin'd per vec_id: a 16×-corpus shuffle,
-        // twice. With only k=16 broadcastable centroids that work belongs
-        // inside the row.) Tie-break matches the old (cos DESC, cell ASC):
-        // struct max on (cos, -cell).
-        def nearestCell(cents: Column, vec: Column): Column =
-          array_max(transform(cents, c =>
-            struct(
-              cosine(vec, c.getField("cvec")).as("cos"),
-              (-c.getField("cell")).as("neg_cell"),
-              c.getField("cell").as("cell"))))
-            .getField("cell")
-        // deterministic seeds: the k lowest vec_ids, as ONE array row
-        val seedArr = e.filter(col("vec_id") < k)
-          .agg(collect_list(struct(col("vec_id").as("cell"),
-            col("embedding").as("cvec"))).as("cents"))
-        // one Lloyd iteration: per-row nearest seed, mean per cell & dim
-        val assigned0 = e.crossJoin(broadcast(seedArr))
-          .select(col("vec_id"), col("embedding"),
-            nearestCell(col("cents"), col("embedding")).as("cell"))
-        val centroids = assigned0
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-          // decimal-exact mean (not avg): order-independent, so centroids —
-          // and every downstream assignment — are identical on any
-          // partitioning AND bit-reproducible by the DuckDB oracle
-          .groupBy("cell", "dim")
-          .agg((graft.engine.Exact.dsum(col("v").cast(DoubleType)) /
-            count(lit(1)).cast(DoubleType)).as("m"))
-          .groupBy("cell")
-          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-          .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("cvec"))
-        val centArr = centroids
-          .agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
-          .persist()
-        // index: per-row assignment of the corpus to its final centroid
-        val index = e.crossJoin(broadcast(centArr))
-          .select(col("vec_id"), col("embedding"),
-            nearestCell(col("cents"), col("embedding")).as("cell"))
-          .persist()
-        // queries probe nprobe cells: per-row top-nprobe via array_sort on
-        // (-cos, cell) — ascending sort = cos DESC, cell ASC — then explode
-        val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val probes = q.crossJoin(broadcast(centArr))
-          .select(col("q_id"), col("q_emb"),
-            explode(slice(array_sort(transform(col("cents"), c =>
-              struct(
-                (-cosine(col("q_emb"), c.getField("cvec"))).as("neg_cos"),
-                c.getField("cell").as("cell")))), 1, nprobe)).as("pc"))
-          .select(col("q_id"), col("q_emb"), col("pc.cell").as("cell"))
-        probes.join(index, "cell")
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", cosine(col("q_emb"), col("embedding")))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
-          .orderBy("q_id", "rank")
-      },
-      // full SQL oracle: the Lloyd step uses the decimal-exact mean, so the
+      (s, d) => ivfAnn(emb(s, d).select(col("vec_id"), col("embedding")),
+        k = 16, nprobe = 4, iters = 3, topK = 5),
+      // full SQL oracle: each Lloyd step uses the decimal-exact mean, so the
       // centroids — and every assignment, probe, and rerank after them —
-      // are bit-identical across engines
+      // are bit-identical across engines. The three iterations are UNROLLED
+      // (seeds → cent1 → cent2 → cent3), mirroring the fixed iteration
+      // count in the Spark contract query.
       Some {
         import graft.engine.Exact
+        // one Lloyd step: assign to `prev`'s centroids, recompute means
+        def step(n: Int, prev: String): String =
+          s"""a$n AS (
+             |  SELECT vec_id, embedding, cell FROM (
+             |    SELECT e.vec_id, e.embedding, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+             |    FROM e CROSS JOIN $prev c) t WHERE rn = 1),
+             |cd$n AS (
+             |  SELECT cell, dim,
+             |    ${Exact.sqlSum("CAST(embedding[dim+1] AS DOUBLE)")}
+             |      / CAST(COUNT(*) AS DOUBLE) AS m
+             |  FROM a$n, UNNEST(range(0, 64)) AS t(dim) GROUP BY cell, dim),
+             |cent$n AS MATERIALIZED (
+             |  SELECT cell, list(m ORDER BY dim) AS cvec FROM cd$n GROUP BY cell)""".stripMargin
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
            |seeds AS (SELECT vec_id AS cell, embedding AS cvec FROM e WHERE vec_id < 16),
-           |a0 AS (
-           |  SELECT vec_id, embedding, cell FROM (
-           |    SELECT e.vec_id, e.embedding, s.cell,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${duckCos("e.embedding", "s.cvec")} DESC, s.cell) AS rn
-           |    FROM e CROSS JOIN seeds s) t WHERE rn = 1),
-           |cd AS (
-           |  SELECT cell, dim,
-           |    ${Exact.sqlSum("CAST(embedding[dim+1] AS DOUBLE)")}
-           |      / CAST(COUNT(*) AS DOUBLE) AS m
-           |  FROM a0, UNNEST(range(0, 64)) AS t(dim) GROUP BY cell, dim),
-           |cent AS MATERIALIZED (
-           |  SELECT cell, list(m ORDER BY dim) AS cvec FROM cd GROUP BY cell),
+           |${step(1, "seeds")},
+           |${step(2, "cent1")},
+           |${step(3, "cent2")},
            |idx AS MATERIALIZED (
            |  SELECT vec_id, embedding, cell FROM (
            |    SELECT e.vec_id, e.embedding, c.cell,
            |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
            |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
-           |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
+           |    FROM e CROSS JOIN cent3 c) t WHERE rn = 1),
            |probes AS (
            |  SELECT q_id, q_emb, cell FROM (
            |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell,
            |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
            |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
-           |    FROM e CROSS JOIN cent c WHERE e.vec_id < 10) t WHERE rn <= 4),
+           |    FROM e CROSS JOIN cent3 c WHERE e.vec_id < 10) t WHERE rn <= 4),
            |ranked AS (
            |  SELECT q_id, i.vec_id AS neighbor_id,
            |    ${duckCos("q_emb", "i.embedding")} AS cos,

@@ -125,8 +125,11 @@ object TpchMore {
     // within a region's customer base, per year. Two ratios of decimal-
     // exact sums (numerator = conditional sum) — double division of two
     // deterministic doubles. Plan: one big-big shuffle (lineitem ⋈ orders);
-    // part/supplier/customer/nation/region all broadcast; the region +
-    // p_type filters prune before any join fans out.
+    // part/supplier/nation/region all broadcast; customer is the one
+    // sf-proportional dim, so it is pre-filtered to the region's customers
+    // via the broadcast n1⋈region chain (two broadcast joins, no shuffle)
+    // and then joined UNHINTED — AQE broadcasts the filtered set at bench
+    // SFs and falls back to a shuffle join when it outgrows the threshold.
     QuerySpec(
       "q78_tpch_q8",
       (s, d) => {
@@ -135,6 +138,10 @@ object TpchMore {
         val n2 = Tables(s, d, "nation")
           .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
         val asia = broadcast(Tables(s, d, "region").filter(col("r_name") === "ASIA"))
+        val asiaCust = Tables(s, d, "customer")
+          .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+          .join(asia, col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"))
         Tables(s, d, "lineitem")
           .join(broadcast(Tables(s, d, "part").filter(col("p_type") === "STANDARD")),
             col("l_partkey") === col("p_partkey"))
@@ -142,9 +149,7 @@ object TpchMore {
             .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
               col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables(s, d, "customer")), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
-          .join(asia, col("n_regionkey") === col("r_regionkey"))
+          .join(asiaCust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
           .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))

@@ -33,7 +33,17 @@ object GenSf1 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dst, tiles)
+    spark.stop()
+  }
 
+  /** Deterministic tiling, callable from Bench when the sf1 dir is absent
+    * (the r6 bench artifact carried a DuckDB sf1 total with no Spark sf1
+    * series because this data didn't exist at driver bench time). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session (GraftSession
+    * sets it; Bench routes through GraftSession.tune).
+    */
+  def generate(spark: SparkSession, src: String, dst: String, tiles: Int = 10): Unit = {
     val O = 1000000L // orderkey stride   (max 149,999)
     val C = 100000L  // custkey stride    (max  14,999)
     val P = 100000L  // partkey stride    (max  19,999)
@@ -88,6 +98,5 @@ object GenSf1 {
       shift("doc_id", D)(suffixed, i).withColumn("n_chars", length(col("text")).cast("long"))
     }
     tiled("embeddings")(shift("vec_id", V))
-    spark.stop()
   }
 }

@@ -87,6 +87,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQ.size == 10 && perQ.values.forall(_ == 5), perQ.toString)
   }
 
+  test("s04 Lloyd iteration improves the quantizer objective; recall stays usable") {
+    import org.apache.spark.sql.functions._
+    val e = graft.engine.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // quantizer objective = Σ over corpus of max-cos to any centroid (what
+    // Lloyd refines). NOTE measured at sf0.001: RECALL at fixed nprobe=4 is
+    // NOT monotone in iterations (0.94 → 0.88 over 1 → 3 iters) — tighter
+    // cells repartition a query's neighborhood across more cells on a 1k
+    // corpus — so the gate is on the objective, recall gated loosely below.
+    def objective(iters: Int): Double = {
+      val cents = graft.queries.Similarity.ivfCentroids(e, k = 16, iters = iters)
+      e.crossJoin(broadcast(cents))
+        .select(array_max(transform(col("cents"),
+          c => graft.queries.Similarity.cosine(col("embedding"), c.getField("cvec"))))
+          .as("best"))
+        .agg(sum(col("best")).as("s")).head().getDouble(0)
+    }
+    val (o1, o3) = (objective(1), objective(3))
+    assert(o3 > o1, s"3-iter objective $o3 did not improve on 1-iter $o1")
+    // and the refined index still recalls well vs exact brute force
+    val exact = Registry.byName("s01_ann_brute").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.queries.Similarity
+      .ivfAnn(e, k = 16, nprobe = 4, iters = 3, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"3-iter recall vs brute force: $recall")
+  }
+
+  test("s04 convergence mode: tol>0 stops early within a generous cap, throws past a tight one") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.engine.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // converges well inside 15 rounds at this SF (the probe is one scalar
+    // per round — nothing else is collected)
+    val cents = graft.queries.Similarity.ivfCentroids(e, k = 16, iters = 15, tol = 1e-9)
+    assert(cents.count() == 1)
+    // d08 round-cap contract: a cap too tight to converge THROWS instead of
+    // silently returning an unconverged quantizer
+    assertThrows[IllegalStateException] {
+      graft.queries.Similarity.ivfCentroids(e, k = 16, iters = 1, tol = 1e-12)
+    }
+  }
+
   test("s02 bounded index caps a planted mega-bucket; queries stay sublinear") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
