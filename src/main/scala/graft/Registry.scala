@@ -12,6 +12,7 @@ object Registry {
       queries.Relational3.specs ++
       queries.Relational4.specs ++
       queries.TpchMore.specs ++
+      queries.Partsupp.specs ++
       queries.TypedOps.specs ++
       queries.Collections.specs ++
       queries.Stats.specs ++

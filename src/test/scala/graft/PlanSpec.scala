@@ -127,6 +127,17 @@ class PlanSpec extends AnyFunSuite {
     // "no cartesian", not "broadcast" (r6 verdict item 3)
   }
 
+  test("q81 (Q9 shape): the p_name filter prunes part before the lineitem fan-out") {
+    val p = plan("q81_tpch_q9")
+    // the part-name filter reaches the part parquet scan as a pushed
+    // predicate — partsupp derivation and the lineitem join both fan out
+    // from the FILTERED part set, not all parts
+    assert(p.contains("StringContains(p_name,red)"), p)
+    // filtered part + derived partsupp broadcast into the lineitem scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q79 (Q13 shape) keeps the ON-residual on the left join's build side") {
     val p = plan("q79_tpch_q13")
     // the priority filter must prune orders BEFORE the outer join (ON
