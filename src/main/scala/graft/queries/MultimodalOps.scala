@@ -1,8 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.QuerySpec
+import graft.engine.Tables
 import graft.multimodal.Multimodal
 
 /** Driver-facing wrapper of the multimodal pipeline. The payload here is the
@@ -11,6 +14,59 @@ import graft.multimodal.Multimodal
   * hash-checked gate, not just a rows-only pass.
   */
 object MultimodalOps {
+
+  /** Media corpus with planted near-duplicates for m04: every 10th payload
+    * gets a copy (+3M id) with every 31st byte overwritten — the payload-
+    * level analog of a re-encoded/watermarked image (small, spread-out
+    * corruption; same length).
+    */
+  def plantedMedia(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+    val perturbed = docs.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 3000000L).as("doc_id"),
+      concat_ws("", transform(split(col("text"), ""),
+        (c, i) => when(i % 31 === 0, lit("z")).otherwise(c))).as("text"))
+    docs.unionByName(perturbed)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  }
+
+  /** pHash-style 64-bit perceptual fingerprint of a binary payload: the
+    * payload is cut into 64 contiguous cells, and bit i is set iff cell i's
+    * mean byte value exceeds the payload-wide mean — the block-mean variant
+    * of the classic DCT pHash (same structure: localized corruption moves a
+    * few cell means, so near-identical payloads land within a few bits).
+    *
+    * Shape: one explode over the decoded bytes feeding a PARTIAL aggregate
+    * — the byte-level fan-out is absorbed map-side, so only 64 narrow
+    * (doc, cell, sum, count) rows per payload ever reach the exchange; the
+    * bit-assembly is a per-doc array fold over those 64 rows. (A production
+    * build with real codecs would compute this inside the decode
+    * mapPartitions seam instead; the relational form is what makes the
+    * DuckDB oracle replicate it bit-for-bit here.)
+    */
+  def pHash64(media: DataFrame): DataFrame = {
+    val cells = media
+      .select(col("doc_id"), length(col("payload")).as("n"),
+        posexplode(transform(split(col("payload").cast("string"), ""),
+          c => ascii(c))).as(Seq("pos", "b")))
+      .select(col("doc_id"),
+        floor(col("pos") * lit(64L) / col("n")).cast(IntegerType).as("cell"),
+        col("b"))
+      .groupBy("doc_id", "cell")
+      .agg(sum(col("b")).as("s"), count(lit(1)).as("c"))
+    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    cells
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("cell"), col("s"), col("c"))).as("cells"))
+      .select(col("doc_id"), {
+        val gm = d(aggregate(col("cells"), lit(0L), (a, x) => a + x.getField("s"))) /
+          d(aggregate(col("cells"), lit(0L), (a, x) => a + x.getField("c")))
+        aggregate(col("cells"), lit(0L), (a, x) =>
+          a + when(d(x.getField("s")) / d(x.getField("c")) > gm,
+            call_function("shiftleft", lit(1L), x.getField("cell")))
+            .otherwise(lit(0L))).as("fp")
+      })
+  }
 
   val specs: Vector[QuerySpec] = Vector(
     QuerySpec(
@@ -74,6 +130,70 @@ object MultimodalOps {
              |       ELSE CAST(list_sum(sub) AS DOUBLE) / CAST(len(sub) AS DOUBLE)
              |  END AS mean_byte
              |FROM b ORDER BY doc_id""".stripMargin),
+    ),
+    // Media near-duplicate pairs: perceptual-hash fingerprints, 16-bit
+    // banding, hot-bucket guard, hamming verify — the d04 SimHash machinery
+    // applied to the multimodal payload column. At 100 TB the payload never
+    // enters a shuffle: fingerprints reduce each payload to 8 bytes
+    // map-side, banding shuffles only (band, bval, doc_id), and the
+    // bounded-bucket guard (Dedup.bucketCandidates) keeps one degenerate
+    // fingerprint (e.g. single-color images) from going quadratic.
+    QuerySpec(
+      "m04_media_neardup",
+      (s, d) => {
+        val fps = pHash64(plantedMedia(s, d)).localCheckpoint(true)
+        val banded = fps.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            b => call_function("shiftrightunsigned", col("fp"), b * 16)
+              .bitwiseAND(lit(0xffffL))))
+            .as(Seq("band", "bval")))
+        Dedup.bucketCandidates(banded, Seq("band", "bval"), cap = 100)
+          .join(fps.select(col("doc_id").as("a_id"), col("fp").as("a_fp")), "a_id")
+          .join(fps.select(col("doc_id").as("b_id"), col("fp").as("b_fp")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+          .filter(col("hamming") <= 8)
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        import graft.engine.DuckHash
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 3000000,
+           |    array_to_string(list_transform(range(1, length(text)+1),
+           |      i -> CASE WHEN (i-1) % 31 = 0 THEN 'z'
+           |           ELSE substr(text, CAST(i AS INT), 1) END), '')
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |cells AS MATERIALIZED (
+           |  SELECT doc_id, CAST(((i-1)*64)//length(text) AS INTEGER) AS cell,
+           |    SUM(ascii(substr(text, CAST(i AS INT), 1))) AS s, COUNT(*) AS c
+           |  FROM corpus, UNNEST(range(1, length(text)+1)) AS t(i)
+           |  GROUP BY 1, 2),
+           |g AS (
+           |  SELECT doc_id, CAST(SUM(s) AS DOUBLE)/CAST(SUM(c) AS DOUBLE) AS gm
+           |  FROM cells GROUP BY 1),
+           |fps AS MATERIALIZED (
+           |  SELECT cells.doc_id,
+           |    SUM(CASE WHEN CAST(s AS DOUBLE)/CAST(c AS DOUBLE) > gm
+           |        THEN (1::HUGEINT << cell) ELSE 0::HUGEINT END) AS ufp
+           |  FROM cells JOIN g ON cells.doc_id = g.doc_id
+           |  GROUP BY cells.doc_id, gm),
+           |banded AS MATERIALIZED (
+           |  SELECT doc_id, ${DuckHash.signed("ufp")} AS fp, band,
+           |    CAST((ufp // (1::HUGEINT << (band*16))) % 65536 AS BIGINT) AS bval
+           |  FROM fps, (SELECT unnest(range(0, 4)) AS band)),
+           |hot AS (
+           |  SELECT band, bval FROM banded GROUP BY band, bval
+           |  HAVING COUNT(*) > 100),
+           |pruned AS MATERIALIZED (
+           |  SELECT b.* FROM banded b ANTI JOIN hot h USING (band, bval))
+           |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  bit_count(xor(a.fp, b.fp)) AS hamming
+           |FROM pruned a JOIN pruned b USING (band, bval)
+           |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 8
+           |ORDER BY a_id, b_id""".stripMargin
+      },
     ),
   )
 }

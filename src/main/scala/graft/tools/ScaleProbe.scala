@@ -157,6 +157,74 @@ object ScaleProbe {
       s""""planted":$plantedEmb,"planted_found":$embFound,""" +
       s""""spam_pairs":$spamPairs,""" +
       s""""emb_ok":${embFound >= (plantedEmb * 90) / 100 && spamPairs == 0}}""")
+
+    // ---- d10 probe: incremental LSH — ingest-proportional, not corpus- ----
+    // Existing corpus: the DUPLICATE-RICH planted frame from the lsh probe
+    // (n base docs + n/100 exact + n/100 near copies — the realistic case:
+    // yesterday's corpus already contains its duplicate structure). Incoming
+    // batch (1% of corpus): half brand-new docs (fresh id range), half
+    // near-copies of every 200th existing doc (first token dropped, +3B).
+    // The operator's claim (Dedup.bucketCandidatesIncremental): old×old
+    // pairs are discarded row-locally BEFORE the shuffle, so candidate
+    // volume — and everything downstream (shingle re-attach, exact-Jaccard
+    // verify) — scales with the BATCH. Asserted: (a) every planted
+    // (existing, near-copy) pair is recalled; (b) incremental candidates
+    // stay within a small multiple of the batch size, while full-batch
+    // candidates are corpus-proportional (≥ 3 pairs per planted corpus
+    // group) — re-running batch d03 daily would re-verify all of them.
+    val existing = corpus // duplicate-rich: n + 2·(n/100) docs
+    val newDocs = spark.read.format("graft-gen")
+      .option("rows", (n + n / 200).toString).option("parts", "64").load()
+      .filter(col("doc_id") >= n)
+      .select((col("doc_id") + 4000000000L).as("doc_id"), col("text"))
+    val nearBatch = base.filter(col("doc_id") % 200 === 0)
+      .select((col("doc_id") + 3000000000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 2, 10000)).as("text"))
+    val incoming = newDocs.unionByName(nearBatch)
+    val batchSize = n / 200 + n / 200
+    val (incPairs, tInc) = time {
+      Dedup.incrementalLshPairs(existing.select("doc_id", "text"), incoming,
+        k = 32, bands = 8, cap = 200, threshold = 0.3).persist()
+    }
+    val (nIncPairs, tIncCount) = time(incPairs.count())
+    val plantedInc = incPairs
+      .filter(col("b_id") === col("a_id") + 3000000000L).count()
+    incPairs.unpersist()
+    val plantedBatch = n / 200
+    // candidate-volume comparison at identical banding/caps: full-batch
+    // candidates over existing ∪ incoming vs the incremental ones
+    def bucketsOf(c: org.apache.spark.sql.DataFrame) = c
+      .select(col("doc_id"), col("is_new"),
+        Dedup.shingleHashes(col("text")).as("sh"))
+      .withColumn("sig", ghash.minhashSig(col("sh"), 32))
+      .select(col("doc_id"), col("is_new"),
+        posexplode(
+          transform(sequence(lit(0), lit(7)),
+            b => ghash.fnv1a64(concat_ws(",",
+              transform(slice(col("sig"), b * 4 + 1, lit(4)), x => x.cast("string")))))
+        ).as(Seq("band", "bucket")))
+    val tagged = existing.select(col("doc_id"), col("text"))
+      .withColumn("is_new", lit(false))
+      .unionByName(incoming.select(col("doc_id"), col("text"))
+        .withColumn("is_new", lit(true)))
+    val (nCandFull, tCandFull) = time {
+      Dedup.bucketCandidates(bucketsOf(tagged), Seq("band", "bucket"), cap = 200).count()
+    }
+    val (nCandInc, tCandInc) = time {
+      Dedup.bucketCandidatesIncremental(bucketsOf(tagged), Seq("band", "bucket"),
+        cap = 200).count()
+    }
+    // new-touching planted structure ≤ 3 partners per batch near-copy (its
+    // group) + stray collisions; 4× batch is the generous bound. The full
+    // run must carry the corpus's own ≥ 3·(n/100) group pairs on top.
+    val d10Ok = plantedInc == plantedBatch &&
+      nCandInc <= 4L * batchSize && nCandFull >= 3L * (n / 100)
+    println(s"""{"probe":"d10","corpus":${n + 2 * (n / 100)},"batch":$batchSize,""" +
+      s""""inc_pairs":$nIncPairs,"inc_sec":${tInc + tIncCount},""" +
+      s""""planted":$plantedBatch,"planted_found":$plantedInc,""" +
+      s""""cand_full":$nCandFull,"cand_full_sec":$tCandFull,""" +
+      s""""cand_inc":$nCandInc,"cand_inc_sec":$tCandInc,""" +
+      s""""d10_ok":$d10Ok}""")
     spark.stop()
   }
 }

@@ -37,4 +37,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(r =>
       r.getString(3) == (if (r.getLong(0) % 2 == 0) "png" else "jpg")))
   }
+
+  test("m04 recalls planted perturbed-payload copies; non-planted pairs are rare") {
+    import org.apache.spark.sql.functions.col
+    val got = Registry.byName("m04_media_neardup").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = graft.engine.Tables(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 10 == 0).map(id => (id, id + 3000000L)).toSet
+    val recall = planted.count(got.contains).toDouble / planted.size
+    // every-31st-byte corruption moves each cell mean by < 1: most planted
+    // copies stay within hamming 8 of their original
+    assert(recall >= 0.7, s"planted media near-dup recall: $recall")
+    // the fingerprint must also SEPARATE: unrelated payloads (random ~32-bit
+    // hamming) must not dominate the output
+    val nonPlanted = got -- planted
+    assert(nonPlanted.size <= got.size / 2,
+      s"${nonPlanted.size} non-planted pairs vs ${got.size} total")
+  }
 }
