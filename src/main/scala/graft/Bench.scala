@@ -108,11 +108,14 @@ object Bench {
       // non-headline operators whose cost profile only shows at scale:
       // clustering (iterative CC), contamination (gram join), inverted
       // index (wide posting rows), LSH ANN (index build), heavy hitters
-      // (sketch agg). sf1_total stays the headline-only sum so the
+      // (sketch agg), TPC-H Q9 (6-way join over synthesized partsupp),
+      // media pHash near-dup (payload byte fan-out), unigram LM scoring
+      // (token-model join). sf1_total stays the headline-only sum so the
       // round-over-round series is comparable; the extension is separate.
       val extNames = Vector("d08_dup_clusters", "d09_contamination",
         "c09_inverted_index", "c10_inverted_index_sharded", "s02_ann_lsh",
-        "e11_heavy_hitters")
+        "e11_heavy_hitters", "q81_tpch_q9", "m04_media_neardup",
+        "c13_unigram_lm_score")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = (r1 ++ rExt).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

@@ -164,6 +164,41 @@ object HashAlgos {
     }
     out
   }
+
+  /** pHash-style block-mean fingerprint of a byte payload: the payload is
+    * cut into 64 contiguous cells (byte k → cell ⌊k·64/n⌋), and bit i is
+    * set iff cell i's mean byte value strictly exceeds the payload-wide
+    * mean — the block-mean variant of the classic DCT pHash. One pass,
+    * O(1) state. Empty payload (and cells the payload is too short to
+    * reach) → bit 0. Means are IEEE double divisions of exact long sums,
+    * so the DuckDB relational replica (m04's oracle) is bit-identical for
+    * ASCII payloads (the DuckHash caveat: SQL reads code points, this
+    * kernel reads raw bytes).
+    */
+  def pHash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Int](64)
+    var total = 0L
+    var k = 0
+    while (k < n) {
+      val cell = ((k.toLong * 64L) / n).toInt
+      val b = bytes(k) & 0xff
+      sums(cell) += b
+      cnts(cell) += 1
+      total += b
+      k += 1
+    }
+    val gm = total.toDouble / n.toDouble
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (cnts(i) > 0 && sums(i).toDouble / cnts(i).toDouble > gm) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
 }
 
 /** fnv1a64(string) → long. Native Catalyst expression with full codegen —
@@ -215,6 +250,31 @@ case class Mix64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.mix64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
+/** phash64(binary) → long: perceptual block-mean fingerprint
+  * ([[HashAlgos.pHash64]]) as a native expression with full codegen — the
+  * payload reduces to 8 bytes IN THE SCAN STAGE, so media near-dup (m04)
+  * never moves payload bytes through an exchange (the earlier relational
+  * form shuffled 64 (doc, cell, sum, count) rows per payload; this
+  * shuffles none).
+  */
+case class PHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary input")
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "phash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.pHash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.pHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PHash64 =
     copy(child = newChild)
 }
 
@@ -334,6 +394,8 @@ object ghash {
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k))
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+  def phash64(c: Column): Column =
+    ExpressionUtils.column(PHash64(ExpressionUtils.expression(c)))
   def shingleHash(c: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHash(ExpressionUtils.expression(c), n))
 
@@ -347,5 +409,6 @@ object ghash {
       es => MinHashSig(es.head, es(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("phash64", es => PHash64(es.head), "built-in")
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.QuerySpec
-import graft.engine.Tables
+import graft.engine.{Exact, Tables}
 
 /** Corpus-level pipeline operators: deterministic sampling, vocabulary and
   * n-gram statistics, quantiles. All shuffle-lean shapes: token explosion is
@@ -348,6 +348,88 @@ object Corpus {
            |  CROSS JOIN stats)
            |SELECT doc_id, ${Exact.sqlSum("sc")} AS score FROM sc
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      },
+    ),
+    // Data-mixing weights: per-source token share vs a uniform target —
+    // the knob a pretraining pipeline turns to up/down-sample sources
+    // (weight = target_share / actual_share; >1 means oversample). One
+    // explode absorbed by partial agg (per-source token counts are LONGS —
+    // exact, no decimal needed), one scalar row broadcast back; the corpus
+    // itself never shuffles.
+    QuerySpec(
+      "c12_mixing_weights",
+      (s, d) => {
+        val bySrc = Tables(s, d, "documents")
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        val tot = broadcast(bySrc.agg(
+          sum(col("n_tokens")).as("tot_tokens"),
+          count(lit(1)).as("n_sources")))
+        bySrc.crossJoin(tot)
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            (col("n_tokens").cast(DoubleType) / col("tot_tokens").cast(DoubleType))
+              .as("token_share"),
+            ((lit(1.0) / col("n_sources").cast(DoubleType)) /
+              (col("n_tokens").cast(DoubleType) / col("tot_tokens").cast(DoubleType)))
+              .as("mix_weight"))
+          .orderBy("source")
+      },
+      Some("""WITH by_src AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |tot AS (
+             |  SELECT SUM(n_tokens) AS tot_tokens, COUNT(*) AS n_sources
+             |  FROM by_src)
+             |SELECT source, n_docs, n_tokens,
+             |  CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS token_share,
+             |  (1.0 / CAST(n_sources AS DOUBLE)) /
+             |    (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS mix_weight
+             |FROM by_src, tot ORDER BY source""".stripMargin),
+    ),
+    // Unigram-LM quality scoring: train an add-one-smoothed unigram model
+    // on the corpus (one token-keyed count shuffle), then score every doc
+    // by its mean negative log-likelihood per token — the classic
+    // LM-perplexity filter for pretraining data (high avg_nll = rare-token
+    // soup, low = stereotyped boilerplate). The model is a broadcast
+    // (vocab-sized) table, so scoring is a map-side join: the corpus never
+    // shuffles; the per-doc sum of logs goes through the decimal-exact
+    // accumulator (fp sum of logs is order-dependent, ln itself is
+    // bit-identical across engines — the c11 precedent).
+    QuerySpec(
+      "c13_unigram_lm_score",
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val stats = broadcast(counts.agg(
+          sum(col("c")).as("n_total"), count(lit(1)).as("v")))
+        val lm = broadcast(counts.crossJoin(stats)
+          .select(col("tok"),
+            log((col("c") + 1).cast(DoubleType) /
+              (col("n_total") + col("v")).cast(DoubleType)).as("logp")))
+        toks.join(lm, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            ((lit(0.0) - Exact.dsum(col("logp"))) /
+              count(lit(1)).cast(DoubleType)).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some {
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+           |stats AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM counts),
+           |lm AS (
+           |  SELECT tok,
+           |    ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE)) AS logp
+           |  FROM counts, stats)
+           |SELECT doc_id, COUNT(*) AS n_tokens,
+           |  (0.0 - ${Exact.sqlSum("logp")}) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+           |FROM toks JOIN lm USING (tok)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
     ),
   )

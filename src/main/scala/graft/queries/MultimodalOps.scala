@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.QuerySpec
 import graft.engine.Tables
@@ -36,37 +35,17 @@ object MultimodalOps {
     * of the classic DCT pHash (same structure: localized corruption moves a
     * few cell means, so near-identical payloads land within a few bits).
     *
-    * Shape: one explode over the decoded bytes feeding a PARTIAL aggregate
-    * — the byte-level fan-out is absorbed map-side, so only 64 narrow
-    * (doc, cell, sum, count) rows per payload ever reach the exchange; the
-    * bit-assembly is a per-doc array fold over those 64 rows. (A production
-    * build with real codecs would compute this inside the decode
-    * mapPartitions seam instead; the relational form is what makes the
-    * DuckDB oracle replicate it bit-for-bit here.)
+    * The fingerprint is a native codegen'd expression
+    * ([[graft.functions.PHash64]]): one pass over the payload inside the
+    * scan stage, so every payload reduces to 8 bytes BEFORE anything
+    * shuffles. (An earlier relational form exploded bytes into a partial
+    * aggregate — correct, but it moved 64 (doc, cell, sum, count) rows per
+    * payload through an exchange; the expression moves zero.) The m04
+    * oracle replicates the same cell/mean arithmetic relationally in SQL.
     */
-  def pHash64(media: DataFrame): DataFrame = {
-    val cells = media
-      .select(col("doc_id"), length(col("payload")).as("n"),
-        posexplode(transform(split(col("payload").cast("string"), ""),
-          c => ascii(c))).as(Seq("pos", "b")))
-      .select(col("doc_id"),
-        floor(col("pos") * lit(64L) / col("n")).cast(IntegerType).as("cell"),
-        col("b"))
-      .groupBy("doc_id", "cell")
-      .agg(sum(col("b")).as("s"), count(lit(1)).as("c"))
-    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
-    cells
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("cell"), col("s"), col("c"))).as("cells"))
-      .select(col("doc_id"), {
-        val gm = d(aggregate(col("cells"), lit(0L), (a, x) => a + x.getField("s"))) /
-          d(aggregate(col("cells"), lit(0L), (a, x) => a + x.getField("c")))
-        aggregate(col("cells"), lit(0L), (a, x) =>
-          a + when(d(x.getField("s")) / d(x.getField("c")) > gm,
-            call_function("shiftleft", lit(1L), x.getField("cell")))
-            .otherwise(lit(0L))).as("fp")
-      })
-  }
+  def pHash64(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      graft.functions.ghash.phash64(col("payload")).as("fp"))
 
   val specs: Vector[QuerySpec] = Vector(
     QuerySpec(

@@ -82,4 +82,21 @@ class HashingSpec extends AnyFunSuite {
     assert(dAB <= 8, s"near-dup simhash hamming $dAB")
     assert(dAC >= 20, s"disjoint simhash hamming $dAC")
   }
+
+  test("phash64: hand-computed vectors and locality") {
+    // bytes 0..127: cell i holds bytes {2i, 2i+1}, mean 2i+0.5; global mean
+    // 63.5 → bit i set iff 2i+0.5 > 63.5 iff i >= 32 → high 32 bits
+    val ramp = Array.tabulate(128)(_.toByte)
+    assert(HashAlgos.pHash64(ramp) == 0xffffffff00000000L)
+    // empty → 0; single byte → its cell mean equals the global mean → 0
+    assert(HashAlgos.pHash64(Array.emptyByteArray) == 0L)
+    assert(HashAlgos.pHash64(Array(42.toByte)) == 0L)
+    // locality: flipping a few bytes in one region flips few bits
+    val base = Array.tabulate(640)(i => ((i * 31) % 97 + 30).toByte)
+    val tweaked = base.clone()
+    (300 until 310).foreach(i => tweaked(i) = 127.toByte)
+    val d = java.lang.Long.bitCount(
+      HashAlgos.pHash64(base) ^ HashAlgos.pHash64(tweaked))
+    assert(d <= 6, s"local tweak flipped $d fingerprint bits")
+  }
 }

@@ -138,6 +138,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c13 unigram-LM scoring: model broadcasts, corpus never shuffles for the join") {
+    val p = plan("c13_unigram_lm_score")
+    // token → logp model attaches via broadcast hash join (vocab-sized);
+    // the exploded corpus reaches the per-doc agg without a pre-join
+    // exchange, and the 1-row stats frame rides a broadcast NLJ
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q79 (Q13 shape) keeps the ON-residual on the left join's build side") {
     val p = plan("q79_tpch_q13")
     // the priority filter must prune orders BEFORE the outer join (ON
