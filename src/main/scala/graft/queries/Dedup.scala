@@ -423,6 +423,54 @@ object Dedup {
       Some(lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3,
         newPred = Some("doc_id >= 1000000"))),
     ),
+    // Near-dup SURVIVOR selection — the APPLY step of dedup: cluster the
+    // d03 near-dup pairs (connected components, min-label), drop every
+    // non-canonical cluster member, keep the rest of the corpus untouched.
+    // Exact dups are subsumed (jaccard 1 pairs land in the same cluster).
+    // Output is per-lang kept counts + an md5 of the sorted kept-id list —
+    // the digest pins the exact survivor SET while keeping the result
+    // compact. Scale shape: labels are (id, label) pairs (narrow), the
+    // drop-set attaches with one anti join, and the corpus text never
+    // moves except through d03's already-bounded pipeline.
+    QuerySpec(
+      "d11_neardup_survivors",
+      (s, d) => {
+        val corpus = plantedCorpus(s, d)
+        val pairs = lshJaccardPairs(corpus, k = 32, bands = 8, cap = 100,
+          threshold = 0.3).select("a_id", "b_id")
+        val losers = connectedComponents(pairs)
+          .filter(col("id") =!= col("label"))
+          .select(col("id").as("drop_id"))
+        corpus.join(losers, col("doc_id") === col("drop_id"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+              .as("kept_digest"))
+          .orderBy("lang")
+      },
+      Some {
+        // outer corpus CTE re-declared (the one inside the pairs subquery
+        // is scoped to it); reach/comp mirror the d08 oracle
+        val corpusBody = corpusCte.stripPrefix("WITH ")
+        s"""WITH RECURSIVE pairs AS MATERIALIZED (
+           |${lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3)}
+           |),
+           |$corpusBody,
+           |sym AS MATERIALIZED (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, src AS label FROM sym
+           |  UNION
+           |  SELECT e.dst AS id, r.label FROM reach r JOIN sym e ON e.src = r.id),
+           |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+           |losers AS (SELECT id FROM comp WHERE id != component)
+           |SELECT lang, COUNT(*) AS n_kept,
+           |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS kept_digest
+           |FROM corpus ANTI JOIN losers ON doc_id = id
+           |GROUP BY lang ORDER BY lang""".stripMargin
+      },
+    ),
     // Production-scale exact-Jaccard near-dup join: the SAME verification as
     // d05 (exact word-3-gram Jaccard ≥ 0.3) but candidates come from LSH
     // banding instead of (lang, Δlen) blocks — no per-lang cartesian

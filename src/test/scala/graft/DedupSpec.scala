@@ -153,6 +153,32 @@ class DedupSpec extends AnyFunSuite {
     assert(d10.nonEmpty)
   }
 
+  test("d11 survivors: planted copies dropped, their base docs kept") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.queries.Dedup.plantedCorpus(spark, sf)
+    val pairs = graft.queries.Dedup.lshJaccardPairs(corpus, k = 32, bands = 8,
+      cap = 100, threshold = 0.3).select("a_id", "b_id")
+    val losers = graft.queries.Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("label")).select(col("id").as("drop_id"))
+    val kept = corpus.join(losers, col("doc_id") === col("drop_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // A planted copy (+1M near, +2M exact) can NEVER be canonical: its base
+    // doc shares its cluster and every base id is < 1M, so the cluster min
+    // is always a base doc. (A base doc CAN legitimately be dropped — doc
+    // 360 pairs organically with a smaller base doc at this SF and loses
+    // min-label to it — so "every base doc kept" would over-assert.)
+    plantedIds.foreach { id =>
+      assert(!kept.contains(id + 1000000L), s"near copy of $id survived")
+      assert(!kept.contains(id + 2000000L), s"exact copy of $id survived")
+    }
+    // both copies of every planted base are dropped, so at least 2·planted
+    // rows are gone, and the survivor set is all base-id docs
+    assert(kept.forall(_ < 1000000L))
+    assert(losers.count() >= 2L * plantedIds.size)
+    // conservation: kept + dropped partition the corpus
+    assert(kept.size + losers.count() == corpus.count())
+  }
+
   test("d05 exact jaccard join recovers planted pairs (same-lang blocks)") {
     val exact = Registry.byName("d05_ngram_jaccard").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
