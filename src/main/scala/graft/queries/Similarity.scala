@@ -568,34 +568,88 @@ object Similarity {
       // full SQL oracle: planted perturbation (same float rounding), codes,
       // the SAME hot-bucket guard (codes above cap dropped whole), bucket
       // self-join, exact cosine verify
-      Some(s"""WITH corpus AS (
-              |  SELECT vec_id, embedding FROM embeddings
-              |  UNION ALL
-              |  SELECT vec_id + 1000000,
-              |    list_transform(embedding,
-              |      v -> CAST(CAST(v AS DOUBLE) * 0.98 + 0.01 AS FLOAT))
-              |  FROM embeddings WHERE vec_id % 10 = 0),
-              |proj AS MATERIALIZED (
-              |  SELECT vec_id, embedding, tbl,
-              |    ${duckProjs("embedding", 10)} AS projs
-              |  FROM corpus, (SELECT unnest(range(0, 4)) AS tbl)),
-              |coded AS MATERIALIZED (
-              |  SELECT vec_id, embedding, tbl, ${duckCode("projs", 10)} AS code
-              |  FROM proj),
-              |hot AS (
-              |  SELECT tbl, code FROM coded GROUP BY tbl, code
-              |  HAVING COUNT(*) > 100),
-              |pruned AS MATERIALIZED (
-              |  SELECT c.* FROM coded c ANTI JOIN hot h USING (tbl, code)),
-              |cand AS (
-              |  SELECT DISTINCT a.vec_id AS a_id, a.embedding AS a_emb,
-              |    b.vec_id AS b_id, b.embedding AS b_emb
-              |  FROM pruned a JOIN pruned b USING (tbl, code)
-              |  WHERE a.vec_id < b.vec_id)
-              |SELECT a_id, b_id, ${duckCos("a_emb", "b_emb")} AS cos
-              |FROM cand
-              |WHERE ${duckCos("a_emb", "b_emb")} >= 0.99
-              |ORDER BY a_id, b_id""".stripMargin),
+      Some(s03OracleSql),
+    ),
+    // SEMANTIC dedup — the apply step over embeddings: cluster the s03
+    // cosine-near-dup pairs (min-label CC, the d08/d11 machinery reused
+    // across families), drop every non-canonical cluster member, pin the
+    // exact survivor set with an md5 of the sorted kept ids. At 100 TB:
+    // pairs are narrow (id, id) rows, labels are (id, label), the drop-set
+    // attaches with one anti join — embeddings only move inside s03's
+    // already-bounded bucket pipeline.
+    QuerySpec(
+      "s06_semantic_dedup",
+      (s, d) => {
+        val base = emb(s, d).select(col("vec_id"), col("embedding"))
+        val perturbed = base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              v => (v.cast(DoubleType) * 0.98 + 0.01).cast("float")).as("embedding"))
+        val corpus = base.unionByName(perturbed)
+        val pairs = nearDupPairs(corpus, nTables = 4, nBits = 10, cap = 100)
+          .select(col("a_id"), col("b_id"))
+        val losers = graft.queries.Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("label"))
+          .select(col("id").as("drop_id"))
+        corpus.join(losers, col("vec_id") === col("drop_id"), "left_anti")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(concat_ws(",", sort_array(collect_list(col("vec_id")))))
+              .as("kept_digest"))
+      },
+      Some {
+        s"""WITH RECURSIVE pairs AS MATERIALIZED (
+           |$s03OracleSql
+           |),
+           |ids AS (
+           |  SELECT vec_id FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000 FROM embeddings WHERE vec_id % 10 = 0),
+           |sym AS MATERIALIZED (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, src AS label FROM sym
+           |  UNION
+           |  SELECT e.dst AS id, r.label FROM reach r JOIN sym e ON e.src = r.id),
+           |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+           |losers AS (SELECT id FROM comp WHERE id != component)
+           |SELECT COUNT(*) AS n_kept,
+           |  md5(array_to_string(list_sort(list(vec_id)), ',')) AS kept_digest
+           |FROM ids ANTI JOIN losers ON vec_id = id""".stripMargin
+      },
     ),
   )
+
+  /** s03's full SQL oracle, shared with s06 (which nests it as the pairs
+    * CTE of the survivor computation).
+    */
+  private lazy val s03OracleSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(embedding,
+       |      v -> CAST(CAST(v AS DOUBLE) * 0.98 + 0.01 AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |proj AS MATERIALIZED (
+       |  SELECT vec_id, embedding, tbl,
+       |    ${duckProjs("embedding", 10)} AS projs
+       |  FROM corpus, (SELECT unnest(range(0, 4)) AS tbl)),
+       |coded AS MATERIALIZED (
+       |  SELECT vec_id, embedding, tbl, ${duckCode("projs", 10)} AS code
+       |  FROM proj),
+       |hot AS (
+       |  SELECT tbl, code FROM coded GROUP BY tbl, code
+       |  HAVING COUNT(*) > 100),
+       |pruned AS MATERIALIZED (
+       |  SELECT c.* FROM coded c ANTI JOIN hot h USING (tbl, code)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, a.embedding AS a_emb,
+       |    b.vec_id AS b_id, b.embedding AS b_emb
+       |  FROM pruned a JOIN pruned b USING (tbl, code)
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, ${duckCos("a_emb", "b_emb")} AS cos
+       |FROM cand
+       |WHERE ${duckCos("a_emb", "b_emb")} >= 0.99
+       |ORDER BY a_id, b_id""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -160,6 +160,37 @@ object Streams {
       .dropDuplicates("digest")
       .select(col("digest"), col("doc_id"))
   }
+
+  /** Streaming NEAR-dup ingest daemon — the streaming half of batch d10:
+    * every micro-batch of incoming docs is verified against the
+    * corpus-so-far with the ingest-proportional incremental LSH pipeline
+    * ([[graft.queries.Dedup.incrementalLshPairs]] — old×old pairs never
+    * re-verified), then appended to the corpus. `foreachBatch` is the
+    * right tool, not a continuous query: the LSH pipeline is multi-pass
+    * (signatures, bounded bucket agg, self-join, exact verify) — exactly
+    * how production Spark runs batch-incremental dedup over a stream.
+    * Each batch's pairs frame arrives at `onBatch` eagerly materialized
+    * (localCheckpoint) BEFORE the corpus append, so a late-reading sink
+    * cannot see the batch deduped against itself.
+    *
+    * State is the corpus parquet dir itself (must be seeded non-empty):
+    * restart-safe — reprocessing a batch recomputes the same pairs plus
+    * self-pairs against its own appended copy, which a digest-keyed sink
+    * dedupes; exactly-once is the sink's job, as usual with foreachBatch.
+    */
+  def lshDedupIngest(incoming: DataFrame, corpusDir: String,
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    incoming.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+        val existing = spark.read.parquet(corpusDir)
+        val pairs = graft.queries.Dedup.incrementalLshPairs(existing, b,
+          k = 32, bands = 8, cap = 100, threshold = 0.3)
+          .localCheckpoint(true)
+        onBatch(batchId, pairs)
+        b.write.mode("append").parquet(corpusDir)
+    }
 
   /** Typed event that keeps the watermarked `event_time` column — required
     * so the watermark survives into the stateful operator below.

@@ -224,6 +224,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup ingest equals batch d10 semantics across micro-batches") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = graft.engine.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val tenth = docs.filter(col("doc_id") % 10 === 0)
+    // batch 1: exact copies (+2M); batch 2: near copies (+1M, 2 tokens cut)
+    val b1 = tenth.select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val b2 = tenth.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), lit(1),
+        size(split(col("text"), " ")) - 2)).as("text"))
+    val tmp = Files.createTempDirectory("graft-lsh-ingest")
+    val corpusDir = s"$tmp/corpus"
+    docs.write.mode("overwrite").parquet(corpusDir)
+    val streamIn = s"$tmp/incoming"
+    Files.createDirectories(Paths.get(streamIn))
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val stage = s"$tmp/stage-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val f = Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      Files.copy(f, Paths.get(streamIn, s"$name.parquet"))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val collected = scala.collection.mutable.Set[(Long, Long)]()
+    val incoming = spark.readStream.schema(schema).parquet(streamIn)
+    val q = Streams.lshDedupIngest(incoming, corpusDir, (_, pairs) =>
+      collected.synchronized {
+        collected ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      }).start()
+    try {
+      arrive(b1, "b1")
+      q.processAllAvailable()
+      arrive(b2, "b2")
+      q.processAllAvailable()
+      // expected: batch d03 over the full final corpus, restricted to pairs
+      // touching a streamed doc (>= 1M id) — b1-internal pairs surface in
+      // micro-batch 1, corpus×b1 and (corpus ∪ b1)×b2 in their batches;
+      // corpus-internal pairs must never re-surface
+      val all = graft.queries.Dedup.lshJaccardPairs(
+        docs.unionByName(b1).unionByName(b2), k = 32, bands = 8, cap = 100,
+        threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = all.filter(p => p._1 >= 1000000L || p._2 >= 1000000L)
+      assert(collected.toSet == expected,
+        s"only-streamed=${collected.toSet -- expected} only-batch=${expected -- collected}")
+      assert(collected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization equals batch e01 sessionization") {
     import spark.implicits._
     val ds = Streams.readEvents(spark, sf)
