@@ -311,5 +311,45 @@ object TextOps {
              |    'https?://[^ ]+', '<URL>', 'g')) AS scrubbed_md5
              |FROM planted ORDER BY doc_id""".stripMargin),
     ),
+    // Character-entropy quality score: Shannon entropy (nats) of the
+    // per-doc character distribution — the cheap information-density
+    // signal (low = repeated-character boilerplate, binary-ish junk, or
+    // padding; compresses poorly ⇔ scores high). Shape: the char explode
+    // is absorbed by the partial (doc, char) count — only ≤ |alphabet|
+    // narrow rows per doc reach the exchange; the entropy fold is a
+    // second tiny per-doc aggregation. Each p·ln p term is a double
+    // computed identically in both engines, and the per-doc sum runs
+    // through the decimal-exact accumulator (fp-sum order independence).
+    QuerySpec(
+      "t08_char_entropy",
+      (s, d) => {
+        import graft.engine.Exact
+        val freq = Tables(s, d, "documents")
+          .select(col("doc_id"), length(col("text")).as("n"),
+            explode(split(col("text"), "")).as("c"))
+          .groupBy("doc_id", "n", "c")
+          .agg(count(lit(1)).as("k"))
+        val p = col("k").cast(DoubleType) / col("n").cast(DoubleType)
+        freq
+          .select(col("doc_id"), col("n"), (p * log(p)).as("term"))
+          .groupBy("doc_id")
+          .agg(first(col("n")).cast("long").as("n_chars"),
+            (lit(0.0) - Exact.dsum(col("term"))).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.engine.Exact
+        s"""WITH ch AS (
+           |  SELECT doc_id, length(text) AS n,
+           |    unnest(string_split(text, '')) AS c
+           |  FROM documents),
+           |f AS (SELECT doc_id, n, c, COUNT(*) AS k FROM ch GROUP BY 1, 2, 3)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           |  0.0 - ${Exact.sqlSum(
+              "(CAST(k AS DOUBLE)/CAST(n AS DOUBLE)) * " +
+                "ln(CAST(k AS DOUBLE)/CAST(n AS DOUBLE))")} AS entropy
+           |FROM f GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+      },
+    ),
   )
 }
