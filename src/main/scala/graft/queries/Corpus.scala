@@ -432,5 +432,43 @@ object Corpus {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
     ),
+    // Weighted sampling without replacement (Duffield–Lund–Thorup priority
+    // sampling, JACM 2007) with a DETERMINISTIC hash "random": the
+    // data-mixing primitive — sample docs proportional to a weight (here
+    // n_chars; in practice a quality or mixing weight, c12) reproducibly
+    // across retries, engines, and repartitioning. Per row: u =
+    // hash-uniform in (0,1), priority = w/u; global top-k by priority.
+    // u is built from the top 53 bits of FNV-1a(salt|doc_id) plus 0.5, so
+    // it is an EXACT double in both engines and the single division is
+    // IEEE-correctly-rounded everywhere — bit-exact WITHOUT the
+    // transcendental the Efraimidis–Spirakis key needs (Spark's log is
+    // StrictMath/fdlibm and differs from libm ln by 1 ulp on ~10% of
+    // arguments; priority sampling sidesteps the whole class). Scale
+    // shape: zero shuffle — TakeOrderedAndProject does a per-partition
+    // partial top-k and ships k rows to the driver.
+    QuerySpec(
+      "c14_weighted_sample",
+      (s, d) => {
+        import graft.functions.ghash
+        val h = ghash.fnv1a64(concat(lit("ws|"), col("doc_id").cast("string")))
+        val u = (shiftrightunsigned(h, 11).cast(DoubleType) + lit(0.5)) /
+          lit(9007199254740992.0)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            (col("n_chars").cast(DoubleType) / u).as("priority"))
+          .orderBy(col("priority").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some {
+        import graft.engine.DuckHash
+        val fnv = DuckHash.fnv("'ws|' || CAST(doc_id AS VARCHAR)")
+        s"""SELECT doc_id, n_chars,
+           |  CAST(n_chars AS DOUBLE)
+           |    / ((CAST(($fnv) // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0)
+           |    AS priority
+           |FROM documents
+           |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
+      },
+    ),
   )
 }

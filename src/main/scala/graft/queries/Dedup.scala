@@ -623,25 +623,21 @@ object Dedup {
     QuerySpec(
       "d09_contamination",
       (s, d) => {
-        def grams8(t: Column): Column = {
-          val toks = split(t, " ")
-          array_distinct(transform(
-            sequence(lit(1), greatest(size(toks) - 7, lit(1))),
-            i => concat_ws(" ", slice(toks, i, lit(8)))))
-        }
         val docs = Tables(s, d, "documents")
           .select(col("doc_id"), col("text"), col("source"))
         // the join is keyed on the 64-bit FNV of the gram, not the string:
         // a ~50-char 8-gram key would move ~6× more shuffle bytes than the
-        // hash at 100 TB. Results are identical modulo 64-bit collisions
-        // (none at any tested SF — the string-keyed oracle below verifies
-        // exactly that), which is the standard contamination-check trade.
+        // hash at 100 TB. ShingleHash fuses tokenize→window→hash→distinct
+        // in one pass (bit-equal to fnv1a64(concat_ws(' ', gram)), see
+        // HashAlgos.shingleHashes) so no gram string is ever allocated.
+        // Results are identical modulo 64-bit collisions (none at any
+        // tested SF — the string-keyed oracle below verifies exactly
+        // that), which is the standard contamination-check trade.
+        def grams8h(t: Column): Column = ghash.shingleHash(split(t, " "), 8)
         val train = docs.filter(col("source") =!= "src0")
-          .select(explode(grams8(col("text"))).as("gram"))
-          .select(ghash.fnv1a64(col("gram")).as("gh")).distinct()
+          .select(explode(grams8h(col("text"))).as("gh")).distinct()
         val test = docs.filter(col("source") === "src0")
-          .select(col("doc_id"), explode(grams8(col("text"))).as("gram"))
-          .select(col("doc_id"), ghash.fnv1a64(col("gram")).as("gh"))
+          .select(col("doc_id"), explode(grams8h(col("text"))).as("gh"))
         test.join(train, Seq("gh"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_overlapping"))
           .orderBy("doc_id")
@@ -688,5 +684,99 @@ object Dedup {
               |WHERE digest NOT IN (SELECT digest FROM hist)
               |GROUP BY digest ORDER BY doc_id""".stripMargin),
     ),
+    // Corpus-level line dedup — the C4/RefinedWeb cleaning pass: any LINE
+    // that repeats across the corpus (navigation chrome, cookie banners,
+    // license boilerplate) is removed everywhere except its first
+    // occurrence, and documents are reassembled from their surviving
+    // lines. The synthetic corpus has no newlines, so the spec PLANTS
+    // boilerplate (one of three fixed 12-word banners prepended to every
+    // 7th doc — the t07 planted-PII pattern) and segments text into
+    // 12-word lines; the banner occupies exactly line 0, so it collides
+    // across docs while every other line stays unique.
+    // Scale shape: shuffle 1 counts lines keyed by their 64-bit FNV
+    // (8-byte keys, map-side partial absorbs repeats); shuffle 2 joins the
+    // (hash, count, survivor) table back — line text moves here because
+    // reassembly needs it, which is inherent to the op; shuffle 3 is the
+    // per-doc regroup. Per-key state is O(1) (count + min survivor).
+    QuerySpec(
+      "d12_line_dedup",
+      (s, d) => {
+        val bps = array(LineDedup.boilerplate.map(lit): _*)
+        val planted = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              concat(element_at(bps, (col("doc_id") % 3).cast("int") + 1),
+                lit(" "), col("text")))
+              .otherwise(col("text")).as("text"))
+        val toks = split(col("text"), " ")
+        val nseg = ((size(toks) + lit(11)) / lit(12)).cast("int")
+        val lineArr = transform(sequence(lit(0), nseg - 1),
+          i => concat_ws(" ", slice(toks, i * 12 + 1, lit(12))))
+        val lines = planted
+          .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line")))
+          .select(col("doc_id"), col("pos"), col("line"),
+            ghash.fnv1a64(col("line")).as("h"),
+            (col("doc_id") * 1024 + col("pos")).as("packed"))
+        val counts = lines.groupBy("h")
+          .agg(count(lit(1)).as("cnt"), min(col("packed")).as("surv"))
+        lines.join(counts, Seq("h"))
+          .withColumn("keep", col("cnt") === 1 || col("packed") === col("surv"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(col("keep").cast(LongType)).as("n_kept"),
+            md5(array_join(
+              transform(
+                filter(array_sort(collect_list(struct(col("pos"), col("keep"), col("line")))),
+                  x => x.getField("keep")),
+                x => x.getField("line")),
+              " ")).as("cleaned_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val list = LineDedup.boilerplate.map(b => s"'$b'").mkString(", ")
+        s"""WITH planted AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0
+           |         THEN ([$list])[CAST(doc_id % 3 AS INT) + 1] || ' ' || text
+           |         ELSE text END AS text
+           |  FROM documents),
+           |l0 AS (
+           |  SELECT doc_id,
+           |    list_transform(
+           |      range(0, (len(string_split(text, ' ')) + 11) // 12),
+           |      i -> {'pos': i,
+           |            'line': array_to_string(
+           |              (string_split(text, ' '))[i*12+1 : i*12+12], ' ')}) AS ls
+           |  FROM planted),
+           |l AS (SELECT doc_id, unnest(ls, recursive := true) FROM l0),
+           |c AS (SELECT line, COUNT(*) AS cnt,
+           |        MIN(doc_id * 1024 + pos) AS surv
+           |      FROM l GROUP BY line),
+           |k AS (SELECT doc_id, pos, l.line,
+           |        (cnt = 1 OR doc_id * 1024 + pos = surv) AS keep
+           |      FROM l JOIN c USING (line))
+           |SELECT doc_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+           |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  md5(coalesce(
+           |    string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY pos),
+           |    '')) AS cleaned_md5
+           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+    ),
+  )
+}
+
+/** Fixed 12-word boilerplate banners for [[Dedup]] d12 — exactly 12 words
+  * each so a planted banner occupies exactly one 12-word line after
+  * segmentation and therefore collides verbatim across the docs it was
+  * planted on (while every line of real text stays corpus-unique).
+  */
+private[queries] object LineDedup {
+  val boilerplate: Seq[String] = Seq(
+    "subscribe to our free newsletter today for the latest updates every week",
+    "all rights reserved please read the full terms of service before continuing",
+    "click here to accept cookies and continue reading this page without interruption",
   )
 }

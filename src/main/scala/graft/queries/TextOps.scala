@@ -351,5 +351,73 @@ object TextOps {
            |FROM f GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
       },
     ),
+    // Gopher-style composite document filter — the rule battery every
+    // pretraining pipeline runs (Gopher §A1.1 / RefinedWeb): word-count
+    // bounds, mean-word-length bounds, a minimum stopword count (flags
+    // word-salad and non-prose), and a repetition cap (t06's 3-gram dup
+    // ratio). Emits the per-rule booleans, not just the verdict, because
+    // real pipelines track WHY docs are dropped. Pure per-row column math —
+    // scan speed, zero shuffle before the presentation sort.
+    QuerySpec(
+      "t09_gopher_filter",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val stopList = enStop :+ "a"
+        val grams = transform(
+          sequence(lit(1), greatest(size(t) - 2, lit(1))),
+          i => concat_ws(" ", slice(t, i, lit(3))))
+        docs(s, d)
+          .select(col("doc_id"), col("text"), t.as("toks"), grams.as("grams"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_words"),
+            (length(translate(col("text"), " ", "")).cast(DoubleType) /
+              size(col("toks")).cast(DoubleType)).as("mean_word_len"),
+            size(filter(col("toks"),
+              x => array_contains(array(stopList.map(lit): _*), x)))
+              .cast(LongType).as("n_stopwords"),
+            ((size(col("grams")) - size(array_distinct(col("grams"))))
+              .cast(DoubleType) / size(col("grams")).cast(DoubleType))
+              .as("rep_ratio"))
+          .withColumn("ok_len", col("n_words").between(20, 10000))
+          .withColumn("ok_mwl", col("mean_word_len").between(2.5, 8.0))
+          .withColumn("ok_stop", col("n_stopwords") >= 2)
+          .withColumn("ok_rep", col("rep_ratio") < 0.2)
+          .withColumn("keep",
+            col("ok_len") && col("ok_mwl") && col("ok_stop") && col("ok_rep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val list = (enStop :+ "a").map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS toks
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, text, toks,
+           |    list_transform(
+           |      range(1, CASE WHEN len(toks) - 2 > 1
+           |                    THEN len(toks) - 2 ELSE 1 END + 1),
+           |      i -> array_to_string(toks[i:i+2], ' ')) AS grams
+           |  FROM t),
+           |s AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS BIGINT) AS n_words,
+           |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+           |    CAST(len(list_filter(toks, x -> list_contains([$list], x)))
+           |      AS BIGINT) AS n_stopwords,
+           |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+           |      / CAST(len(grams) AS DOUBLE) AS rep_ratio
+           |  FROM g)
+           |SELECT doc_id, n_words, mean_word_len, n_stopwords, rep_ratio,
+           |  n_words BETWEEN 20 AND 10000 AS ok_len,
+           |  mean_word_len BETWEEN 2.5 AND 8.0 AS ok_mwl,
+           |  n_stopwords >= 2 AS ok_stop,
+           |  rep_ratio < 0.2 AS ok_rep,
+           |  (n_words BETWEEN 20 AND 10000) AND (mean_word_len BETWEEN 2.5 AND 8.0)
+           |    AND n_stopwords >= 2 AND rep_ratio < 0.2 AS keep
+           |FROM s ORDER BY doc_id""".stripMargin
+      },
+    ),
   )
 }

@@ -190,4 +190,30 @@ class DedupSpec extends AnyFunSuite {
     assert(recallNear >= 0.8, s"exact-join near-dup recall $recallNear")
     assert(ex.forall(exact.contains), "exact-dup pairs missing from jaccard join")
   }
+
+  test("d12 line dedup strips the planted banner everywhere but its first occurrence") {
+    val rows = Registry.byName("d12_line_dedup").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // banner variant is doc_id % 3 on docs with doc_id % 7 == 0, so the
+    // first occurrence (min doc_id*1024+pos ⇒ min doc_id; the banner is
+    // always pos 0) of the three banners is docs 0, 7, 14.
+    val survivors = Set(0L, 7L, 14L)
+    val planted = rows.keySet.filter(id => id % 7 == 0)
+    assert(survivors.subsetOf(planted))
+    survivors.foreach { id =>
+      val (n, kept) = rows(id)
+      assert(kept == n, s"survivor $id lost a line ($kept/$n)")
+    }
+    (planted -- survivors).foreach { id =>
+      val (n, kept) = rows(id)
+      assert(kept < n, s"planted doc $id kept its duplicate banner")
+    }
+    // the banner is the only planted repeat: non-survivors lose exactly one
+    // line unless the doc also collides naturally (near-dup docs share
+    // their leading 12-word window) — require that for ≥90% it is exactly 1
+    val exact1 = (planted -- survivors).count(id => {
+      val (n, kept) = rows(id); n - kept == 1
+    })
+    assert(exact1.toDouble / (planted.size - survivors.size) >= 0.9)
+  }
 }

@@ -116,6 +116,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("d12 line dedup: hash-keyed count with partial agg, no cartesian") {
+    val p = plan("d12_line_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-wide line count is partial+final keyed by the 8-byte FNV
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("fnv1a64"), p)
+    // only doc_id + text are read from the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("c14 priority sampling is a partial top-k, not a global sort") {
+    val p = plan("c14_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q78 (Q8 shape) broadcasts the small dims; customer unhinted; no cartesian") {
     val p = plan("q78_tpch_q8")
     assert(p.contains("BroadcastHashJoin"), p)
