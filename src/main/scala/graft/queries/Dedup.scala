@@ -356,6 +356,32 @@ object Dedup {
     labels
   }
 
+  /** Corpus-level line dedup, per-line verdict — the d12/ScaleProbe engine.
+    * Segments each doc into fixed-`width`-word lines, counts every line
+    * across the whole corpus keyed by its 64-bit FNV (8-byte shuffle keys,
+    * map-side partial absorbs repeats, O(1) state per key: count + min
+    * survivor), and marks each (doc, pos) with whether its line survives:
+    * unique lines always, duplicated lines only at their first occurrence
+    * (min doc_id*1024+pos — C4 keeps one copy, not zero).
+    * Returns (doc_id, pos, line, cnt, keep); callers aggregate per doc.
+    */
+  def lineKeep(docs: DataFrame, width: Int = 12): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nseg = ((size(toks) + lit(width - 1)) / lit(width)).cast("int")
+    val lineArr = transform(sequence(lit(0), nseg - 1),
+      i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))
+    val lines = docs
+      .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), col("line"),
+        ghash.fnv1a64(col("line")).as("h"),
+        (col("doc_id") * 1024 + col("pos")).as("packed"))
+    val counts = lines.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(col("packed")).as("surv"))
+    lines.join(counts, Seq("h"))
+      .withColumn("keep", col("cnt") === 1 || col("packed") === col("surv"))
+      .drop("h", "surv")
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     // Exact dedup: digest → group → keep min id. Finds exactly the planted
     // exact copies.
@@ -708,19 +734,7 @@ object Dedup {
               concat(element_at(bps, (col("doc_id") % 3).cast("int") + 1),
                 lit(" "), col("text")))
               .otherwise(col("text")).as("text"))
-        val toks = split(col("text"), " ")
-        val nseg = ((size(toks) + lit(11)) / lit(12)).cast("int")
-        val lineArr = transform(sequence(lit(0), nseg - 1),
-          i => concat_ws(" ", slice(toks, i * 12 + 1, lit(12))))
-        val lines = planted
-          .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line")))
-          .select(col("doc_id"), col("pos"), col("line"),
-            ghash.fnv1a64(col("line")).as("h"),
-            (col("doc_id") * 1024 + col("pos")).as("packed"))
-        val counts = lines.groupBy("h")
-          .agg(count(lit(1)).as("cnt"), min(col("packed")).as("surv"))
-        lines.join(counts, Seq("h"))
-          .withColumn("keep", col("cnt") === 1 || col("packed") === col("surv"))
+        lineKeep(planted)
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_lines"),
@@ -773,7 +787,7 @@ object Dedup {
   * segmentation and therefore collides verbatim across the docs it was
   * planted on (while every line of real text stays corpus-unique).
   */
-private[queries] object LineDedup {
+private[graft] object LineDedup {
   val boilerplate: Seq[String] = Seq(
     "subscribe to our free newsletter today for the latest updates every week",
     "all rights reserved please read the full terms of service before continuing",

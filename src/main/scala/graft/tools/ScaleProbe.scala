@@ -225,6 +225,37 @@ object ScaleProbe {
       s""""cand_full":$nCandFull,"cand_full_sec":$tCandFull,""" +
       s""""cand_inc":$nCandInc,"cand_inc_sec":$tCandInc,""" +
       s""""d10_ok":$d10Ok}""")
+
+    // ---- d12 probe: corpus-level line dedup at the same scale ----
+    // Plant the d12 banners on every 7th generated doc; every banner line
+    // must be dropped except exactly one survivor per variant, and FULL-
+    // WIDTH real lines must survive untouched (12-word windows over the
+    // generator vocab are birthday-negligible at 1M docs — but the sub-
+    // width TAIL line of each doc draws from a tiny combination space and
+    // legitimately collides corpus-wide, so tails are measured, not
+    // asserted zero: that dedup is correct behavior, not a bug).
+    val bps = array(graft.queries.LineDedup.boilerplate.map(lit): _*)
+    val bannered = base.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(element_at(bps, (col("doc_id") % 3).cast("int") + 1),
+          lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val (lineStats, tLines) = time {
+      val lk = Dedup.lineKeep(bannered)
+        .withColumn("full", size(split(col("line"), " ")) === 12)
+      val banner = lk.filter(col("pos") === 0 && col("doc_id") % 7 === 0)
+      val bannerKept = banner.filter(col("keep")).count()
+      val bannerAll = banner.count()
+      val real = lk.filter(col("pos") > 0 || col("doc_id") % 7 =!= 0)
+      val fullDropped = real.filter(col("full") && !col("keep")).count()
+      val tailDropped = real.filter(!col("full") && !col("keep")).count()
+      (bannerAll, bannerKept, fullDropped, tailDropped)
+    }
+    val (bannerAll, bannerKept, fullDropped, tailDropped) = lineStats
+    val d12Ok = bannerKept == 3 && bannerAll >= n / 7 && fullDropped == 0
+    println(s"""{"probe":"d12","docs":$n,"banner_lines":$bannerAll,""" +
+      s""""banner_kept":$bannerKept,"full_lines_dropped":$fullDropped,""" +
+      s""""tail_lines_deduped":$tailDropped,"sec":$tLines,"d12_ok":$d12Ok}""")
     spark.stop()
   }
 }
