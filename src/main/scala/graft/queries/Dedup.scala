@@ -779,6 +779,83 @@ object Dedup {
            |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
     ),
+    // URL-keyed dedup — the FIRST dedup pass of a web-crawl pipeline
+    // (CommonCrawl/C4 drop refetches of the same page before looking at
+    // content at all): canonicalize the URL, keep one doc per canonical
+    // URL. The synthetic corpus has no URLs, so the spec PLANTS one per
+    // doc (t07 pattern) in four messy variants — uppercase host + www,
+    // default :443 port + utm tracking params, fragment, clean — that all
+    // canonicalize to the same https://site{a}.example/page{b}, a ~100-URL
+    // space the 4 variants alias onto. Canonicalization is 6 chained
+    // lower/regexp steps in the Java∩RE2 dialect; dedup is one
+    // 8-byte-keyable groupBy (here grouped by the canonical string since
+    // the URL is the output). Scale shape: per-row map + one hash shuffle
+    // with O(1) per-key state — the d01 shape with a normalizer in front.
+    QuerySpec(
+      "d13_url_dedup",
+      (s, d) => {
+        val a = (col("doc_id") % 50).cast("string")
+        val b = (col("doc_id") % 20).cast("string")
+        val v = col("doc_id") % 4
+        val url = when(v === 0,
+            concat(lit("https://site"), a, lit(".example/page"), b))
+          .when(v === 1,
+            concat(lit("HTTPS://WWW.SITE"), a, lit(".EXAMPLE/page"), b, lit("/")))
+          .when(v === 2,
+            concat(lit("https://site"), a, lit(".example:443/page"), b,
+              lit("?utm_source=feed&utm_campaign=x")))
+          .otherwise(
+            concat(lit("http://site"), a, lit(".example/page"), b, lit("#top")))
+        val canon =
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(lower(url), "#.*$", ""),
+                  "\\?.*$", ""),
+                ":443/", "/"),
+              "^(https?)://www\\.", "$1://"),
+            "^http://", "https://")
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_replace(canon, "/$", "").as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_fetches"))
+          .orderBy("canonical_url")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 0 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+             |        || '.example/page' || CAST(doc_id % 20 AS VARCHAR)
+             |      WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST(doc_id % 50 AS VARCHAR)
+             |        || '.EXAMPLE/page' || CAST(doc_id % 20 AS VARCHAR) || '/'
+             |      WHEN 2 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+             |        || '.example:443/page' || CAST(doc_id % 20 AS VARCHAR)
+             |        || '?utm_source=feed&utm_campaign=x'
+             |      ELSE 'http://site' || CAST(doc_id % 50 AS VARCHAR)
+             |        || '.example/page' || CAST(doc_id % 20 AS VARCHAR) || '#top'
+             |    END AS url
+             |  FROM documents),
+             |canon AS (
+             |  SELECT doc_id,
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(
+             |              regexp_replace(lower(url), '#.*$', ''),
+             |              '\?.*$', ''),
+             |            ':443/', '/'),
+             |          '^(https?)://www\.', '\1://'),
+             |        '^http://', 'https://'),
+             |      '/$', '') AS canonical_url
+             |  FROM planted)
+             |SELECT canonical_url, MIN(doc_id) AS keeper,
+             |       COUNT(*) AS n_fetches
+             |FROM canon GROUP BY canonical_url
+             |ORDER BY canonical_url""".stripMargin),
+    ),
   )
 }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -221,6 +222,62 @@ object Stats {
       Some("""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
              |  COUNT(*) AS n
              |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin),
+    ),
+    // Z-order (Morton) data layout — the 100 TB table-layout primitive:
+    // writing files sorted by the bit-interleave of two quantized columns
+    // gives every file a NARROW min/max rectangle in BOTH dimensions, so
+    // parquet zone maps prune 2-D predicates (a 1-D sort leaves the second
+    // dimension spanning its full range in every file). The query computes
+    // the 16-bit Morton code of (quantity, price-bucket) via the classic
+    // shift-or-mask bit spread (pure integer ops — bit-exact everywhere),
+    // groups rows into the 64 leading-bit z-ranges a writer would use as
+    // file splits, and emits each range's per-dimension min/max + span:
+    // the spans ARE the data-skipping evidence (≤31 of 256 in each dim,
+    // asserted by StatsSpec). Shape: per-row map + one partial+final agg
+    // with 64 groups.
+    QuerySpec(
+      "q84_zorder_layout",
+      (s, d) => {
+        def spread(c: Column): Column = {
+          val v0 = c.bitwiseAND(lit(255L))
+          val v1 = v0.bitwiseOR(shiftleft(v0, 4)).bitwiseAND(lit(0x0F0FL))
+          val v2 = v1.bitwiseOR(shiftleft(v1, 2)).bitwiseAND(lit(0x3333L))
+          v2.bitwiseOR(shiftleft(v2, 1)).bitwiseAND(lit(0x5555L))
+        }
+        val qx = col("l_quantity").cast(LongType) - 1
+        val py = least(floor(col("l_extendedprice") / lit(409.0)), lit(255L))
+        val z = spread(qx).bitwiseOR(shiftleft(spread(py), 1))
+        Tables(s, d, "lineitem")
+          .select(qx.as("qx"), py.as("py"),
+            shiftrightunsigned(z, 10).as("zbucket"))
+          .groupBy("zbucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("qx")).as("min_qx"), max(col("qx")).as("max_qx"),
+            min(col("py")).as("min_py"), max(col("py")).as("max_py"))
+          .withColumn("qx_span", col("max_qx") - col("min_qx"))
+          .withColumn("py_span", col("max_py") - col("min_py"))
+          .orderBy("zbucket")
+      },
+      Some {
+        def spread(e: String): String = {
+          val v0 = s"(($e) & 255)"
+          val v1 = s"((($v0 << 4) | $v0) & 3855)"
+          val v2 = s"((($v1 << 2) | $v1) & 13107)"
+          s"((($v2 << 1) | $v2) & 21845)"
+        }
+        val qx = "(CAST(l_quantity AS BIGINT) - 1)"
+        val py = "least(CAST(floor(l_extendedprice / 409.0) AS BIGINT), 255)"
+        val z = s"(${spread(qx)} | (${spread(py)} << 1))"
+        s"""WITH m AS (
+           |  SELECT $qx AS qx, $py AS py, ($z >> 10) AS zbucket
+           |  FROM lineitem)
+           |SELECT zbucket, COUNT(*) AS n,
+           |  MIN(qx) AS min_qx, MAX(qx) AS max_qx,
+           |  MIN(py) AS min_py, MAX(py) AS max_py,
+           |  MAX(qx) - MIN(qx) AS qx_span,
+           |  MAX(py) - MIN(py) AS py_span
+           |FROM m GROUP BY zbucket ORDER BY zbucket""".stripMargin
+      },
     ),
   )
 }

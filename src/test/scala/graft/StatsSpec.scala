@@ -43,4 +43,19 @@ class StatsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(piv == n)
   }
+
+  test("q84 z-order ranges are narrow in BOTH dimensions (data-skipping claim)") {
+    val rows = Registry.byName("q84_zorder_layout").run(spark, sf).collect()
+    // each leading-bit z-range fixes the top 3 bits of each dimension, so
+    // a file written from it covers ≤ 32 of 256 values per dim — the
+    // property that lets parquet min/max stats prune 2-D predicates
+    rows.foreach { r =>
+      val (qxs, pys) = (r.getLong(r.fieldIndex("qx_span")), r.getLong(r.fieldIndex("py_span")))
+      assert(qxs <= 31, s"zbucket ${r.getLong(0)} qx_span $qxs")
+      assert(pys <= 31, s"zbucket ${r.getLong(0)} py_span $pys")
+    }
+    // the z-ranges partition the table
+    val total = rows.map(r => r.getLong(r.fieldIndex("n"))).sum
+    assert(total == Tables(spark, sf, "lineitem").count())
+  }
 }
