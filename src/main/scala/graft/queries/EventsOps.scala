@@ -388,5 +388,50 @@ object EventsOps {
              |  (SELECT COUNT(*) FROM events) / 5.0
              |ORDER BY event_type""".stripMargin),
     ),
+    // Per-key anomaly detection — the ingest-quality monitor: flag events
+    // whose value is > 3σ from their event_type's mean (population σ: the
+    // reference distribution IS the full population here). Moments are
+    // decimal-exact (q35 technique) and combined in identical
+    // fully-parenthesized double order on both sides; sqrt and the final
+    // (x−μ)/σ are IEEE-correctly-rounded everywhere, so the z-scores are
+    // bit-exact. Scale shape: one tiny per-type aggregate (k rows)
+    // broadcast back onto the stream — the events table itself never
+    // shuffles (c13/s05 pattern); at 100 TB the model is a dashboard-sized
+    // broadcast and scoring is map-side at scan speed.
+    QuerySpec(
+      "e13_anomaly_zscore",
+      (s, d) => {
+        import org.apache.spark.sql.types.DoubleType
+        val x = col("value")
+        val n = count(x).cast(DoubleType)
+        val sx = Exact.dsum(x)
+        val sx2 = Exact.dsum(x * x)
+        val stats = Tables(s, d, "events")
+          .groupBy("event_type")
+          .agg(((sx / n)).as("mean"),
+            sqrt((sx2 - ((sx * sx) / n)) / n).as("sd"))
+        Tables(s, d, "events")
+          .join(broadcast(stats), "event_type")
+          .withColumn("z", (col("value") - col("mean")) / col("sd"))
+          .filter(abs(col("z")) > 3.0)
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT event_type,
+              |    CAST(COUNT(value) AS DOUBLE) AS n,
+              |    ${Exact.sqlSum("value")} AS sx,
+              |    ${Exact.sqlSum("value * value")} AS sx2
+              |  FROM events GROUP BY event_type),
+              |st AS (
+              |  SELECT event_type, (sx / n) AS mean,
+              |    sqrt((sx2 - ((sx * sx) / n)) / n) AS sd
+              |  FROM m)
+              |SELECT event_id, e.event_type, value,
+              |  ((value - mean) / sd) AS z
+              |FROM events e JOIN st USING (event_type)
+              |WHERE abs((value - mean) / sd) > 3.0
+              |ORDER BY event_id""".stripMargin),
+    ),
   )
 }
