@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.QuerySpec
 import graft.engine.{Exact, Tables}
@@ -469,6 +469,46 @@ object Corpus {
            |FROM documents
            |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
       },
+    ),
+    // Sequence packing — the training-batch assembly op: pack documents
+    // (in deterministic doc_id order) into fixed-token-budget bins of
+    // 2048, greedily by running token count; a doc starts in the bin its
+    // cumulative prefix lands in. Packing is PER SOURCE — exactly how a
+    // sharded pipeline does it, and what makes the window function scale:
+    // the prefix sum partitions by source instead of forcing a single
+    // global ordering. Emits per-bin doc/token counts and fill ratio
+    // (integer token math is exact; fill is one exact division).
+    QuerySpec(
+      "c16_sequence_pack",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("nt"))
+          .withColumn("before", coalesce(sum(col("nt")).over(w), lit(0L)))
+          .withColumn("bin", (col("before") / 2048).cast(LongType))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+            (sum(col("nt")).cast(DoubleType) / 2048.0).as("fill_ratio"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+             |  FROM documents),
+             |p AS (
+             |  SELECT source, doc_id, nt,
+             |    COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS before
+             |  FROM t)
+             |SELECT source, before // 2048 AS bin,
+             |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(nt) AS DOUBLE) / 2048.0 AS fill_ratio
+             |FROM p GROUP BY source, before // 2048
+             |ORDER BY source, bin""".stripMargin),
     ),
   )
 }

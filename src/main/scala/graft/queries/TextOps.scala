@@ -419,5 +419,45 @@ object TextOps {
            |FROM s ORDER BY doc_id""".stripMargin
       },
     ),
+    // Context-window chunking — how documents become model inputs: split
+    // each doc into 64-token windows with stride 48 (16-token overlap so
+    // no boundary context is lost), emitting one row per chunk with its
+    // token count and md5-pinned text. chunk count = max(⌈(n−16)/48⌉, 1);
+    // the explode is map-side (posexplode of a per-row array) and at
+    // 100 TB runs at scan speed — chunking never shuffles; downstream
+    // packing/tokenization consumes the chunk rows directly.
+    QuerySpec(
+      "t10_chunking",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val nChunks = greatest(
+          ceil((size(t) - lit(16)).cast(DoubleType) / 48.0).cast("int"), lit(1))
+        val chunks = transform(sequence(lit(0), nChunks - 1),
+          i => slice(t, i * 48 + 1, lit(64)))
+        docs(s, d)
+          .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "c")))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("c")).cast(LongType).as("n_tokens"),
+            md5(concat_ws(" ", col("c"))).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    list_transform(
+             |      range(0, greatest(
+             |        CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 48.0) AS BIGINT),
+             |        1)),
+             |      i -> {'chunk_id': i,
+             |            'c': toks[CAST(i*48+1 AS INT) : CAST(i*48+64 AS INT)]})
+             |      AS cs
+             |  FROM t),
+             |u AS (SELECT doc_id, unnest(cs, recursive := true) FROM c)
+             |SELECT doc_id, chunk_id,
+             |  CAST(len(c) AS BIGINT) AS n_tokens,
+             |  md5(array_to_string(c, ' ')) AS chunk_md5
+             |FROM u ORDER BY doc_id, chunk_id""".stripMargin),
+    ),
   )
 }

@@ -161,6 +161,31 @@ object Streams {
       .select(col("digest"), col("doc_id"))
   }
 
+  /** Streaming anomaly scoring — the streaming half of batch e13: each
+    * incoming event is z-scored against a STATIC per-type model (mean/σ
+    * from the decimal-exact q35 moments over the reference corpus) via a
+    * broadcast stream-static join, and only |z| > 3 anomalies are emitted.
+    * This is the production monitor shape: the model is a dashboard-sized
+    * broadcast refreshed out-of-band; scoring is stateless and map-side,
+    * so the stream never shuffles and any number of executors scale it
+    * linearly. StreamingSpec pins streaming == batch e13 exactly.
+    */
+  def anomalyScores(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType => D}
+    val x = col("value")
+    val n = count(x).cast(D)
+    val sx = graft.engine.Exact.dsum(x)
+    val sx2 = graft.engine.Exact.dsum(x * x)
+    val model = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg((sx / n).as("mean"), sqrt((sx2 - ((sx * sx) / n)) / n).as("sd"))
+    readEvents(spark, dir)
+      .join(broadcast(model), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+  }
+
   /** Streaming NEAR-dup ingest daemon — the streaming half of batch d10:
     * every micro-batch of incoming docs is verified against the
     * corpus-so-far with the ingest-proportional incremental LSH pipeline

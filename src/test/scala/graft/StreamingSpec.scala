@@ -224,6 +224,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly scoring equals the batch e13 result") {
+    val q = Streams.anomalyScores(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_anomaly")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_anomaly").collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toMap
+      val batch = Registry.byName("e13_anomaly_zscore").run(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+      // identical anomaly SET and bit-identical z-scores
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup ingest equals batch d10 semantics across micro-batches") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
