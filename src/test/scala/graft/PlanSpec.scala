@@ -163,6 +163,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e13 anomaly scoring: model broadcasts, events scored map-side") {
+    val p = plan("e13_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t10 chunking never shuffles before the presentation sort") {
+    val p = plan("t10_chunking")
+    // map-side generate straight into the ordered output: the only
+    // exchange is the final rangepartitioning for ORDER BY
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("q79 (Q13 shape) keeps the ON-residual on the left join's build side") {
     val p = plan("q79_tpch_q13")
     // the priority filter must prune orders BEFORE the outer join (ON
