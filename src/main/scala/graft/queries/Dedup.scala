@@ -856,6 +856,60 @@ object Dedup {
              |FROM canon GROUP BY canonical_url
              |ORDER BY canonical_url""".stripMargin),
     ),
+    // Corpus snapshot diff — the dataset-versioning op: given two corpus
+    // versions, classify every doc as added / removed / changed /
+    // unchanged by digest. Versions are carved deterministically from the
+    // one shipped table (v1 = doc_id < 400, v2 = doc_id ≥ 100 with every
+    // 11th doc's text edited), so both engines reconstruct identical
+    // snapshots. Scale shape: ONE doc_id-keyed full outer join moving only
+    // (id, 16-byte digest) — content never shuffles — then a 4-group
+    // partial+final count; the per-status id list is md5-pinned so the
+    // gate verifies membership, not just counts.
+    QuerySpec(
+      "d14_snapshot_diff",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val v1 = docs.filter(col("doc_id") < 400)
+          .select(col("doc_id"), md5(col("text")).as("d1"))
+        val v2 = docs.filter(col("doc_id") >= 100)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" edited")))
+              .otherwise(col("text"))).as("d2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when(col("d1").isNull, "added")
+              .when(col("d2").isNull, "removed")
+              .when(col("d1") === col("d2"), "unchanged")
+              .otherwise("changed"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_docs"),
+            md5(concat_ws(",",
+              transform(array_sort(collect_list(col("doc_id"))),
+                _.cast("string")))).as("ids_md5"))
+          .orderBy("status")
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, md5(text) AS d1 FROM documents WHERE doc_id < 400),
+             |v2 AS (
+             |  SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' edited'
+             |             ELSE text END) AS d2
+             |  FROM documents WHERE doc_id >= 100),
+             |j AS (
+             |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, d1, d2
+             |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id),
+             |st AS (
+             |  SELECT doc_id,
+             |    CASE WHEN d1 IS NULL THEN 'added'
+             |         WHEN d2 IS NULL THEN 'removed'
+             |         WHEN d1 = d2 THEN 'unchanged'
+             |         ELSE 'changed' END AS status
+             |  FROM j)
+             |SELECT status, COUNT(*) AS n_docs,
+             |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             |    AS ids_md5
+             |FROM st GROUP BY status ORDER BY status""".stripMargin),
+    ),
   )
 }
 
