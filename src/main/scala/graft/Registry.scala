@@ -21,7 +21,8 @@ object Registry {
       queries.Dedup.specs ++
       queries.EventsOps.specs ++
       queries.Similarity.specs ++
-      queries.MultimodalOps.specs
+      queries.MultimodalOps.specs ++
+      queries.Pipeline.specs
 
   def byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
 

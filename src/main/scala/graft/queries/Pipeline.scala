@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.QuerySpec
+import graft.engine.Tables
+
+/** End-to-end pipeline composition — the "publish" run a curation team
+  * ships: boilerplate line dedup (d12) → quality filter on the CLEANED
+  * text (t09 rules) → exact dedup of survivors (d01) → per-doc manifest.
+  * The value of gating the composition (and not just each stage) is that
+  * stage coupling is where pipelines rot: the filter must see post-clean
+  * text, the dedup must run after the filter, and the manifest digest must
+  * be of the text a trainer would actually read. One query, one oracle,
+  * the whole chain hash-pinned.
+  *
+  * Scale shape is the union of its stages' shapes — line-count shuffle +
+  * per-doc regroup (d12), map-side rules (t09), one digest-keyed
+  * aggregation (d01) — nothing new is added by composing, which is itself
+  * the point: the stages were built to chain.
+  */
+object Pipeline {
+
+  val specs: Vector[QuerySpec] = Vector(
+    QuerySpec(
+      "p01_publish_manifest",
+      (s, d) => {
+        // stage 0: plant the d12 banners so the line-dedup stage has work
+        val bps = array(LineDedup.boilerplate.map(lit): _*)
+        val planted = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 7 === 0,
+              concat(element_at(bps, (col("doc_id") % 3).cast("int") + 1),
+                lit(" "), col("text")))
+              .otherwise(col("text")).as("text"))
+        // stage 1: corpus-level line dedup, reassembled cleaned text
+        val cleaned = Dedup.lineKeep(planted.select("doc_id", "text"))
+          .groupBy("doc_id")
+          .agg(array_join(
+            transform(
+              filter(array_sort(collect_list(struct(col("pos"), col("keep"), col("line")))),
+                x => x.getField("keep")),
+              x => x.getField("line")),
+            " ").as("text"))
+          .join(planted.select("doc_id", "source"), "doc_id")
+        // stage 2: t09 quality rules on the CLEANED text
+        val toks = split(col("text"), " ")
+        val stopList = Seq("the", "and", "of", "to", "is", "in", "that",
+          "it", "with", "for", "a")
+        val grams = transform(
+          sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(3))))
+        val scored = cleaned
+          .withColumn("n_words", size(toks).cast(LongType))
+          .withColumn("mwl",
+            length(translate(col("text"), " ", "")).cast(DoubleType) /
+              size(toks).cast(DoubleType))
+          .withColumn("n_stop",
+            size(filter(toks, x => array_contains(array(stopList.map(lit): _*), x)))
+              .cast(LongType))
+          .withColumn("rep",
+            (size(grams) - size(array_distinct(grams))).cast(DoubleType) /
+              size(grams).cast(DoubleType))
+          .filter(col("n_words").between(20, 10000) &&
+            col("mwl").between(2.5, 8.0) && col("n_stop") >= 2 &&
+            col("rep") < 0.2)
+        // stage 3: exact dedup of the cleaned survivors, keep min doc_id
+        val keeper = scored
+          .groupBy(md5(col("text")).as("digest"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        // manifest: what a trainer would read
+        scored.join(keeper, Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("n_words"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val list = LineDedup.boilerplate.map(b => s"'$b'").mkString(", ")
+        val stops = Seq("the", "and", "of", "to", "is", "in", "that",
+          "it", "with", "for", "a").map(w => s"'$w'").mkString(", ")
+        s"""WITH planted AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN doc_id % 7 = 0
+           |         THEN ([$list])[CAST(doc_id % 3 AS INT) + 1] || ' ' || text
+           |         ELSE text END AS text
+           |  FROM documents),
+           |l0 AS (
+           |  SELECT doc_id,
+           |    list_transform(
+           |      range(0, (len(string_split(text, ' ')) + 11) // 12),
+           |      i -> {'pos': i,
+           |            'line': array_to_string(
+           |              (string_split(text, ' '))[i*12+1 : i*12+12], ' ')}) AS ls
+           |  FROM planted),
+           |l AS (SELECT doc_id, unnest(ls, recursive := true) FROM l0),
+           |cnt AS (SELECT line, COUNT(*) AS cnt,
+           |          MIN(doc_id * 1024 + pos) AS surv
+           |        FROM l GROUP BY line),
+           |k AS (SELECT doc_id, pos, l.line,
+           |        (cnt = 1 OR doc_id * 1024 + pos = surv) AS keep
+           |      FROM l JOIN cnt USING (line)),
+           |cleaned AS (
+           |  SELECT k.doc_id,
+           |    COALESCE(string_agg(CASE WHEN keep THEN line END, ' '
+           |      ORDER BY pos), '') AS text
+           |  FROM k GROUP BY k.doc_id),
+           |withsrc AS (
+           |  SELECT c.doc_id, p.source, c.text FROM cleaned c
+           |  JOIN planted p ON c.doc_id = p.doc_id),
+           |g AS (
+           |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+           |    list_transform(
+           |      range(1, CASE WHEN len(string_split(text, ' ')) - 2 > 1
+           |                    THEN len(string_split(text, ' ')) - 2
+           |                    ELSE 1 END + 1),
+           |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+           |      AS grams
+           |  FROM withsrc),
+           |scored AS (
+           |  SELECT doc_id, source, text,
+           |    CAST(len(toks) AS BIGINT) AS n_words
+           |  FROM g
+           |  WHERE len(toks) BETWEEN 20 AND 10000
+           |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE) BETWEEN 2.5 AND 8.0
+           |    AND len(list_filter(toks, x -> list_contains([$stops], x))) >= 2
+           |    AND CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+           |      / CAST(len(grams) AS DOUBLE) < 0.2),
+           |keeper AS (
+           |  SELECT md5(text) AS digest, MIN(doc_id) AS doc_id
+           |  FROM scored GROUP BY md5(text))
+           |SELECT s.doc_id, s.source, s.n_words, md5(s.text) AS text_md5
+           |FROM scored s JOIN keeper USING (doc_id)
+           |ORDER BY s.doc_id""".stripMargin
+      },
+    ),
+  )
+}
