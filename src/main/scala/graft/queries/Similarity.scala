@@ -53,7 +53,7 @@ object Similarity {
     * Tie-break: struct max on (cos, -cell) = cos DESC, cell ASC — matches
     * the oracle's ROW_NUMBER ordering.
     */
-  private def nearestCell(cents: Column, vec: Column): Column =
+  private[graft] def nearestCell(cents: Column, vec: Column): Column =
     array_max(transform(cents, c =>
       struct(
         cosine(vec, c.getField("cvec")).as("cos"),

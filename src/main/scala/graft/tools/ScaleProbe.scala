@@ -256,6 +256,50 @@ object ScaleProbe {
     println(s"""{"probe":"d12","docs":$n,"banner_lines":$bannerAll,""" +
       s""""banner_kept":$bannerKept,"full_lines_dropped":$fullDropped,""" +
       s""""tail_lines_deduped":$tailDropped,"sec":$tLines,"d12_ok":$d12Ok}""")
+
+    // ---- s04 probe: IVF build + search at the same 1M-vector scale ----
+    // Build the 3-Lloyd-iteration IVF index over the emb corpus (64 cells
+    // → avg cell ≈ 16k vectors), then answer 100 planted queries with
+    // nprobe=4: each query's perturbed near-copy (cos ≈ 0.9999) must rank
+    // in its top-3. This is the index-build-and-serve path the s04
+    // contract query can only exercise at oracle scale.
+    import graft.queries.Similarity
+    val (ivfStats, tIvf) = time {
+      val centArr = Similarity.ivfCentroids(
+        embCorpus.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("embedding")),
+        k = 64, iters = 3)
+      val dCorpus = embCorpus.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      val index = dCorpus.crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("embedding"),
+          Similarity.nearestCell(col("cents"), col("embedding")).as("cell"))
+        .localCheckpoint(true)
+      val q = dCorpus.filter(col("vec_id") % 10000 === 0 && col("vec_id") < 1000000000L)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probes = q.crossJoin(broadcast(centArr))
+        .select(col("q_id"), col("q_emb"),
+          explode(slice(array_sort(transform(col("cents"), c =>
+            struct(
+              (-Similarity.cosine(col("q_emb"), c.getField("cvec"))).as("neg_cos"),
+              c.getField("cell").as("cell")))), 1, 4)).as("pc"))
+        .select(col("q_id"), col("q_emb"), col("pc.cell").as("cell"))
+      val top = probes.join(index, "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= 3)
+      val nQ = q.count()
+      val hits = top.filter(col("vec_id") === col("q_id") + 1000000000L).count()
+      (nQ, hits)
+    }
+    val (nQ, ivfHits) = ivfStats
+    val ivfOk = ivfHits >= (nQ * 90) / 100
+    println(s"""{"probe":"s04","vectors":${nEmb + plantedEmb + 5000},""" +
+      s""""cells":64,"lloyd_iters":3,"queries":$nQ,"near_in_top3":$ivfHits,""" +
+      s""""sec":$tIvf,"s04_ok":$ivfOk}""")
     spark.stop()
   }
 }
