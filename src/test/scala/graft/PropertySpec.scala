@@ -65,4 +65,19 @@ class PropertySpec extends AnyFunSuite {
     val b = d03.run(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("lineKeep segmentation partitions the text exactly (any width)") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    Seq(5, 12, 64).foreach { w =>
+      val rebuilt = graft.queries.Dedup.lineKeep(docs, w)
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), " ").as("re"))
+        .join(docs, "doc_id")
+        .filter(col("re") =!= col("text"))
+        .count()
+      assert(rebuilt == 0, s"width $w: $rebuilt docs fail round-trip")
+    }
+  }
 }
