@@ -115,7 +115,7 @@ object Bench {
       val extNames = Vector("d08_dup_clusters", "d09_contamination",
         "c09_inverted_index", "c10_inverted_index_sharded", "s02_ann_lsh",
         "e11_heavy_hitters", "q81_tpch_q9", "m04_media_neardup",
-        "c13_unigram_lm_score", "d12_line_dedup")
+        "c13_unigram_lm_score", "d12_line_dedup", "p01_publish_manifest")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = (r1 ++ rExt).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
