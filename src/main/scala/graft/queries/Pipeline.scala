@@ -65,6 +65,10 @@ object Pipeline {
           .filter(col("n_words").between(20, 10000) &&
             col("mwl").between(2.5, 8.0) && col("n_stop") >= 2 &&
             col("rep") < 0.2)
+        // scored feeds both the keeper derivation and the final manifest
+        // join; measured at sf1, Spark's exchange reuse already covers the
+        // shared prefix (a localCheckpoint here changed nothing), so the
+        // plan stays fully visible to AQE instead.
         // stage 3: exact dedup of the cleaned survivors, keep min doc_id
         val keeper = scored
           .groupBy(md5(col("text")).as("digest"))
