@@ -191,6 +191,20 @@ class DedupSpec extends AnyFunSuite {
     assert(ex.forall(exact.contains), "exact-dup pairs missing from jaccard join")
   }
 
+  test("d13 canonicalization collapses all four planted URL variants") {
+    val rows = Registry.byName("d13_url_dedup").run(spark, sf).collect()
+    // canonical space is lcm(50,20)=100 URLs; every canonical URL is the
+    // clean form (no scheme/case/port/query/fragment/slash residue)
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val url = r.getString(0)
+      assert(url.matches("https://site\\d+\\.example/page\\d+"), url)
+    }
+    // fetch counts partition the corpus
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.engine.Tables(spark, sf, "documents").count())
+  }
+
   test("d12 line dedup strips the planted banner everywhere but its first occurrence") {
     val rows = Registry.byName("d12_line_dedup").run(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

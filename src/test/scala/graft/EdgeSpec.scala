@@ -58,4 +58,20 @@ class EdgeSpec extends AnyFunSuite {
       .filter(col("rank") <= 100)
     assert(res.count() == 2)
   }
+
+  test("chunking a doc shorter than one window yields exactly one full-copy chunk") {
+    import org.apache.spark.sql.functions.{split => fsplit}
+    val one = Seq((1L, "just five words right here")).toDF("doc_id", "text")
+    // reuse the t10 expression shape via the registry is sf-bound; build
+    // the same window math inline on a 5-word doc
+    val t = fsplit(col("text"), " ")
+    val nChunks = greatest(
+      ceil((size(t) - lit(16)).cast("double") / 48.0).cast("int"), lit(1))
+    val chunks = one.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => slice(t, i * 48 + 1, lit(64)))).as(Seq("chunk_id", "c")))
+    val rows = chunks.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getSeq[String](2) == Seq("just", "five", "words", "right", "here"))
+  }
 }
