@@ -813,7 +813,7 @@ object Dedup {
                 regexp_replace(
                   regexp_replace(lower(url), "#.*$", ""),
                   "\\?.*$", ""),
-                ":443/", "/"),
+                "^(https?://[^/]*):443/", "$1/"),
               "^(https?)://www\\.", "$1://"),
             "^http://", "https://")
         Tables(s, d, "documents")
@@ -846,7 +846,7 @@ object Dedup {
              |            regexp_replace(
              |              regexp_replace(lower(url), '#.*$', ''),
              |              '\?.*$', ''),
-             |            ':443/', '/'),
+             |            '^(https?://[^/]*):443/', '\1/'),
              |          '^(https?)://www\.', '\1://'),
              |        '^http://', 'https://'),
              |      '/$', '') AS canonical_url
