@@ -410,5 +410,9 @@ object ghash {
       "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("phash64", es => PHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hash",
+      es => ShingleHash(es.head, es(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
 }

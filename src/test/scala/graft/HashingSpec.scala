@@ -25,6 +25,17 @@ class HashingSpec extends AnyFunSuite {
     assert(got(2).isEmpty)
   }
 
+  test("shingle_hash is registered for SQL and matches the column API") {
+    ghash.register(spark)
+    val sql = spark.sql(
+      "SELECT shingle_hash(array('a','b','c','d'), 3) h").head().getSeq[Long](0)
+    import spark.implicits._
+    val col = Seq(Seq("a", "b", "c", "d")).toDF("t")
+      .select(ghash.shingleHash(org.apache.spark.sql.functions.col("t"), 3))
+      .head().getSeq[Long](0)
+    assert(sql == col)
+  }
+
   test("fnv1a64 is registered for SQL") {
     ghash.register(spark)
     val r = spark.sql("SELECT fnv1a64('foobar') h").head().getLong(0)
