@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Vector math kernels for the similarity family.
+  *
+  * The composed form — three `aggregate(zip_with(...))` folds per pair —
+  * is semantically right and whole-stage-codegen'd, but Catalyst
+  * evaluates each higher-order lambda through per-element closure
+  * dispatch and allocates the zipped intermediate array; on the ANN hot
+  * paths (candidate verify, IVF assignment) the pair count × 64 dims
+  * makes that the dominant cost. [[CosineSim]] is the fused kernel: one
+  * pass, three scalar accumulators, zero allocation.
+  *
+  * Bit-compatibility contract (what keeps every oracle hash-exact): each
+  * accumulator adds left-to-right in index order — exactly the fold order
+  * of `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _ + _)` — floats
+  * widen to double before multiplying, and the final combination is
+  * dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) with IEEE-rounded ops in
+  * that exact shape. Identical bits to the composed form, verified by
+  * VectorOpsSpec over the real embeddings and by every s-family oracle.
+  */
+object VectorAlgos {
+
+  /** cos(a, b) with the composed form's exact fold order. Arrays must be
+    * same length and null-free (the embedding contract).
+    */
+  def cosineFF(a: Array[Float], b: Array[Float]): Double = {
+    var sab = 0.0; var saa = 0.0; var sbb = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      sab += x * y
+      saa += x * x
+      sbb += y * y
+      i += 1
+    }
+    sab / (math.sqrt(saa) * math.sqrt(sbb))
+  }
+
+  def cosineDD(a: Array[Double], b: Array[Double]): Double = {
+    var sab = 0.0; var saa = 0.0; var sbb = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val x = a(i)
+      val y = b(i)
+      sab += x * y
+      saa += x * x
+      sbb += y * y
+      i += 1
+    }
+    sab / (math.sqrt(saa) * math.sqrt(sbb))
+  }
+
+  def cosineFD(a: Array[Float], b: Array[Double]): Double = {
+    var sab = 0.0; var saa = 0.0; var sbb = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i)
+      sab += x * y
+      saa += x * x
+      sbb += y * y
+      i += 1
+    }
+    sab / (math.sqrt(saa) * math.sqrt(sbb))
+  }
+}
+
+/** cosine_sim(array<float|double>, array<float|double>) → double. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> inputs")
+    }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  private lazy val lf = left.dataType == ArrayType(FloatType, false) ||
+    left.dataType == ArrayType(FloatType, true)
+  private lazy val rf = right.dataType == ArrayType(FloatType, false) ||
+    right.dataType == ArrayType(FloatType, true)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    (lf, rf) match {
+      case (true, true) => VectorAlgos.cosineFF(ad.toFloatArray(), bd.toFloatArray())
+      case (false, false) => VectorAlgos.cosineDD(ad.toDoubleArray(), bd.toDoubleArray())
+      case (true, false) => VectorAlgos.cosineFD(ad.toFloatArray(), bd.toDoubleArray())
+      case (false, true) =>
+        // swap is safe: all three accumulators are symmetric under (a,b)
+        // exchange except sab, whose per-element product x*y is commutative
+        VectorAlgos.cosineFD(bd.toFloatArray(), ad.toDoubleArray())
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = (lf, rf) match {
+      case (true, true) => "cosineFF"
+      case (false, false) => "cosineDD"
+      case (true, false) => "cosineFD"
+      case (false, true) => "cosineFD" // swapped below
+    }
+    val swap = !lf && rf
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (x, y) = if (swap) (b, a) else (a, b)
+      val xa = if (lf || swap) s"$x.toFloatArray()" else s"$x.toDoubleArray()"
+      val ya = if (f == "cosineFF") s"$y.toFloatArray()" else s"$y.toDoubleArray()"
+      s"${ev.value} = graft.functions.VectorAlgos.$f($xa, $ya);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object gvec {
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

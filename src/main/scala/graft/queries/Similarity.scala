@@ -33,8 +33,13 @@ object Similarity {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Fused native kernel ([[graft.functions.CosineSim]]): one pass, three
+    * accumulators, zero allocation — bit-identical to the composed
+    * `ddot/sqrt` form (same index-order folds, same final expression
+    * shape), which remains above as the readable specification.
+    */
   def cosine(a: Column, b: Column): Column =
-    ddot(a, b) / (sqrt(ddot(a, a)) * sqrt(ddot(b, b)))
+    graft.functions.gvec.cosineSim(a, b)
 
   /** DuckDB equivalent of [[cosine]] with identical evaluation order. */
   private def duckCos(a: String, b: String): String = {
