@@ -75,6 +75,18 @@ object VectorAlgos {
     }
     sab / (math.sqrt(saa) * math.sqrt(sbb))
   }
+
+  /** |a ∩ b| for sorted-ascending distinct long arrays: two-pointer merge. */
+  def intersectCountSorted(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
 }
 
 /** cosine_sim(array<float|double>, array<float|double>) → double. */
@@ -135,8 +147,48 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** intersect_count_sorted(array<long>, array<long>) → int: |a ∩ b| for
+  * SORTED-ascending distinct arrays (the [[ShingleHash]] output contract)
+  * via a two-pointer merge — no hash-set build, no result-array
+  * allocation, unlike `size(array_intersect(a, b))`, whose count it
+  * equals exactly (integers; nothing fp to match). The Jaccard verify
+  * runs this once per candidate pair, which is the dedup pipelines' inner
+  * loop at scale.
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> inputs")
+    }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "intersect_count_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorAlgos.intersectCountSorted(
+      a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorAlgos.intersectCountSorted(" +
+        s"$a.toLongArray(), $b.toLongArray());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 object gvec {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def intersectCountSorted(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      IntersectCountSorted(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -151,8 +151,20 @@ object Dedup {
     */
   def shingleHashes(text: Column): Column = ghash.shingleHash(toks(text), 3)
 
+  /** Exact Jaccard, generic arrays (d05's unsorted string shingles). */
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter)
+  }
+
+  /** Exact Jaccard over SORTED distinct hash arrays (the ShingleHash
+    * contract): the intersection count is the fused two-pointer kernel
+    * ([[graft.functions.IntersectCountSorted]]) — same integer count as
+    * `size(array_intersect(a, b))` without the per-pair hash-set build,
+    * and this runs once per candidate pair, the verify stage's inner loop.
+    */
+  private def jaccardHashed(a: Column, b: Column): Column = {
+    val inter = graft.functions.gvec.intersectCountSorted(a, b).cast(DoubleType)
     inter / (size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter)
   }
 
@@ -241,7 +253,7 @@ object Dedup {
     candidates
       .join(shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
+      .withColumn("jac", jaccardHashed(col("a_sh"), col("b_sh")))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
       .orderBy("a_id", "b_id")
@@ -285,7 +297,7 @@ object Dedup {
     candidates
       .join(shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
+      .withColumn("jac", jaccardHashed(col("a_sh"), col("b_sh")))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
       .orderBy("a_id", "b_id")

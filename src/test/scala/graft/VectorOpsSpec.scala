@@ -49,6 +49,26 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("IntersectCountSorted equals size(array_intersect) on real shingle sets") {
+    import graft.functions.gvec
+    val sh = Tables(spark, sf, "documents")
+      .select(col("doc_id"), graft.queries.Dedup.shingleHashes(col("text")).as("sh"))
+    val pairs = sh.select(col("sh").as("a"))
+      .crossJoin(broadcast(sh.limit(9).select(col("sh").as("b"))))
+    val diff = pairs.select(
+      gvec.intersectCountSorted(col("a"), col("b")).as("fused"),
+      size(array_intersect(col("a"), col("b"))).as("spec"))
+      .filter(col("fused") =!= col("spec")).count()
+    assert(diff == 0)
+    // edges: empty vs non-empty, identical arrays
+    import spark.implicits._
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq(1L, 2L), Seq(1L, 2L)))
+      .toDF("a", "b")
+      .select(gvec.intersectCountSorted(col("a"), col("b")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(e == Seq(0, 2))
+  }
+
   test("Similarity.cosine (now the fused kernel) keeps s01 bit-stable") {
     val a = Registry.byName("s01_ann_brute").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
