@@ -35,6 +35,58 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == expected)
   }
 
+  test("z-order layout prunes files for a 2-D box predicate") {
+    // the q84 layout put to work: write lineitem partitioned by its
+    // leading-bit z-range, then answer a 2-D box query reading ONLY the
+    // z-ranges that intersect the box — the file-skipping a 1-D sort
+    // cannot give for the second dimension. The box here is aligned to
+    // the top-3-bit grid, so it maps to exactly one z-range.
+    def spread(c: org.apache.spark.sql.Column) = {
+      val v0 = c.bitwiseAND(lit(255L))
+      val v1 = v0.bitwiseOR(shiftleft(v0, 4)).bitwiseAND(lit(0x0F0FL))
+      val v2 = v1.bitwiseOR(shiftleft(v1, 2)).bitwiseAND(lit(0x3333L))
+      v2.bitwiseOR(shiftleft(v2, 1)).bitwiseAND(lit(0x5555L))
+    }
+    val qx = col("l_quantity").cast("long") - 1
+    val py = least(floor(col("l_extendedprice") / lit(409.0)), lit(255L))
+    val z = spread(qx).bitwiseOR(shiftleft(spread(py), 1))
+    val out = tmp("graft-zorder")
+    Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), qx.as("qx"), py.as("py"),
+        shiftrightunsigned(z, 10).as("zbucket"))
+      .write.mode("overwrite").partitionBy("zbucket").parquet(out)
+    // box: qx in [0,31] x py in [64,95] — aligned to the top-3-bit grid, so
+    // every cell in it lands in ONE z-range; derive it with the same spread
+    // math from the box corner rather than by hand
+    def spreadL(v: Long): Long = {
+      var x = v & 255L
+      x = (x | (x << 4)) & 0x0F0FL
+      x = (x | (x << 2)) & 0x3333L
+      (x | (x << 1)) & 0x5555L
+    }
+    val zb = (((spreadL(0) | (spreadL(64) << 1)) >> 10)).toInt
+    val pruned = spark.read.parquet(out)
+      .filter(col("zbucket") === zb &&
+        col("qx").between(0, 31) && col("py").between(64, 95))
+    val full = spark.read.parquet(out)
+      .filter(col("qx").between(0, 31) && col("py").between(64, 95))
+    // correctness: the box is fully contained in that z-range
+    assert(pruned.count() == full.count() && full.count() > 0)
+    // the equality on the partition column reaches PartitionFilters…
+    val plan = pruned.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PartitionFilters: [isnotnull(zbucket"), plan)
+    // …and that z-range holds a fraction of the data files on disk
+    def filesUnder(p: java.io.File): Int =
+      Option(p.listFiles()).getOrElse(Array.empty).map { f =>
+        if (f.isDirectory) filesUnder(f)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    val prunedFiles = filesUnder(new java.io.File(s"$out/zbucket=$zb"))
+    val allFiles = filesUnder(new java.io.File(out))
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"pruned=$prunedFiles all=$allFiles — no file skipping")
+  }
+
   test("bucketed tables join without any exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
