@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -199,6 +198,38 @@ object HashAlgos {
     }
     out
   }
+
+  // ---- ArrayData-level entry points for generated code ----
+  // The sketch expressions were CodegenFallback (the O(k·n) inner loop
+  // dominates), but fallback does more than skip inlining: generated code
+  // calls `expr.eval(row)`, which re-evaluates the WHOLE child subtree
+  // interpreted — the upstream split()/transform() drops out of
+  // whole-stage codegen too. These helpers keep the kernels in one place
+  // and give doGenCode a single static call, so only the kernel itself
+  // stays out-of-line.
+
+  private def utf8Elems(arr: ArrayData, nullAsEmpty: Boolean): Array[Array[Byte]] = {
+    val elems = new Array[Array[Byte]](arr.numElements())
+    var i = 0
+    while (i < elems.length) {
+      val s = arr.getUTF8String(i)
+      elems(i) =
+        if (s == null) { if (nullAsEmpty) Array.emptyByteArray else null }
+        else s.getBytes
+      i += 1
+    }
+    elems
+  }
+
+  def shingleHashData(arr: ArrayData, n: Int): ArrayData =
+    new GenericArrayData(shingleHashes(utf8Elems(arr, nullAsEmpty = false), n))
+
+  def minHashSigData(arr: ArrayData, k: Int, longInput: Boolean): ArrayData =
+    if (longInput) new GenericArrayData(minHashSigLong(arr.toLongArray(), k))
+    else new GenericArrayData(minHashSig(utf8Elems(arr, nullAsEmpty = true), k))
+
+  def simHash64Data(arr: ArrayData): Long =
+    simHash64(utf8Elems(arr, nullAsEmpty = true))
 }
 
 /** fnv1a64(string) → long. Native Catalyst expression with full codegen —
@@ -281,11 +312,13 @@ case class PHash64(child: Expression) extends UnaryExpression {
 /** minhash_sig(array<string> | array<long>, k) → array<long>. String
   * elements are FNV-hashed first; long elements are taken as the base hash
   * directly (the pre-hashed-shingle path — see [[ShingleHash]]). Empty
-  * input → all Long.MaxValue (no elements seen). CodegenFallback: the
-  * O(k·n) inner loop dominates; codegen would only inline the dispatch.
+  * input → all Long.MaxValue (no elements seen). Full codegen via a
+  * static kernel call: CodegenFallback would not just skip inlining the
+  * O(k·n) loop — it re-evaluates the whole child subtree interpreted,
+  * dragging the upstream tokenize/shingle out of whole-stage codegen.
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0 && k <= 1024, "minhash k out of range")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -302,22 +335,12 @@ case class MinHashSig(child: Expression, k: Int)
     case _ => false
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    if (longInput) {
-      new GenericArrayData(HashAlgos.minHashSigLong(arr.toLongArray(), k))
-    } else {
-      val elems = new Array[Array[Byte]](arr.numElements())
-      var i = 0
-      while (i < elems.length) {
-        // null elements hash as empty string
-        val s = arr.getUTF8String(i)
-        elems(i) = if (s == null) Array.emptyByteArray else s.getBytes
-        i += 1
-      }
-      new GenericArrayData(HashAlgos.minHashSig(elems, k))
-    }
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.minHashSigData(input.asInstanceOf[ArrayData], k, longInput)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashAlgos.minHashSigData($c, $k, $longInput);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -333,7 +356,7 @@ case class MinHashSig(child: Expression, k: Int)
   * `list_distinct(list_transform(<shingles>, s -> fnv(s)))`.
   */
 case class ShingleHash(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n > 0 && n <= 64, "shingle width out of range")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -343,17 +366,12 @@ case class ShingleHash(child: Expression, n: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "shingle_hash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val toks = new Array[Array[Byte]](arr.numElements())
-    var i = 0
-    while (i < toks.length) {
-      val s = arr.getUTF8String(i)
-      toks(i) = if (s == null) null else s.getBytes
-      i += 1
-    }
-    new GenericArrayData(HashAlgos.shingleHashes(toks, n))
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.shingleHashData(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashAlgos.shingleHashData($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash =
     copy(child = newChild)
@@ -361,7 +379,7 @@ case class ShingleHash(child: Expression, n: Int)
 
 /** simhash64(array<string>) → long. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -370,17 +388,12 @@ case class SimHash64(child: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val elems = new Array[Array[Byte]](arr.numElements())
-    var i = 0
-    while (i < elems.length) {
-      val s = arr.getUTF8String(i)
-      elems(i) = if (s == null) Array.emptyByteArray else s.getBytes
-      i += 1
-    }
-    java.lang.Long.valueOf(HashAlgos.simHash64(elems))
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashAlgos.simHash64Data(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashAlgos.simHash64Data($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
