@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Fnv1a64, MinHashSig, SimHash64}
+import graft.functions.{CosineSim, Fnv1a64, IntersectCountSorted, MinHashSig, PHash64, ShingleHash, SimHash64}
 import graft.plans.TopKStrategy
 
 /** Config-time injection point for everything graft adds to Spark:
@@ -36,6 +36,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(arr) - 64-bit SimHash sketch"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash"),
+      info("shingle_hash", "shingle_hash(arr, n) - sorted distinct FNV hashes of n-word shingles"),
+      (es: Seq[Expression]) =>
+        ShingleHash(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("phash64"),
+      info("phash64", "phash64(bin) - block-mean perceptual fingerprint"),
+      (es: Seq[Expression]) => PHash64(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float/double vectors"),
+      (es: Seq[Expression]) => CosineSim(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_count_sorted"),
+      info("intersect_count_sorted", "intersect_count_sorted(a, b) - |a \u2229 b| of sorted bigint arrays"),
+      (es: Seq[Expression]) => IntersectCountSorted(es.head, es(1))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

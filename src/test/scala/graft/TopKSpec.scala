@@ -184,6 +184,15 @@ class TopKSpec extends AnyFunSuite {
     // published FNV-1a 64 test vector for "abc"
     assert(h.getLong(0) == 0xe71fa2190541574bL)
     assert(h.getSeq[Long](2).size == 4)
+    // the r7 additions resolve too
+    val h2 = s2.sql(
+      "SELECT shingle_hash(array('a','b','c'), 2) AS sh," +
+        " phash64(cast('abcd' AS BINARY)) AS p," +
+        " cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c," +
+        " intersect_count_sorted(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS n").head()
+    assert(h2.getSeq[Long](0).size == 2)
+    assert(h2.getDouble(2) == 1.0)
+    assert(h2.getInt(3) == 2)
     // the planner strategy came along too: drive the custom node through it
     import s2.implicits._
     val data = s2.range(100).selectExpr("id % 5 AS k", "id")
