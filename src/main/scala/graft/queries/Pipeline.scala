@@ -139,5 +139,56 @@ object Pipeline {
            |ORDER BY s.doc_id""".stripMargin
       },
     ),
+    // Per-source corpus card — the dataset-card stats block a curation
+    // team publishes per shard: volume (docs/tokens), language spread,
+    // and exact-duplicate exposure (share of docs whose content digest
+    // repeats ANYWHERE in the corpus — cross-source dups count, which is
+    // why the digest aggregation is corpus-global before the per-source
+    // rollup). Shapes: one narrow digest-keyed count (16-byte keys),
+    // joined back by digest, then a 20-group rollup; token stats are
+    // decimal-exact (partitioning-invariant mean).
+    QuerySpec(
+      "p02_corpus_card",
+      (s, d) => {
+        import graft.engine.Exact
+        val docs = Tables(s, d, "documents")
+          .select(col("source"), col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("nt"),
+            md5(col("text")).as("digest"))
+        val digests = docs.groupBy("digest").agg(count(lit(1)).as("cnt"))
+        docs.join(digests, "digest")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("total_tokens"),
+            Exact.davg(col("nt").cast(DoubleType)).as("mean_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_docs"),
+            (sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType)).as("dup_rate"))
+          .orderBy("source")
+      },
+      Some {
+        import graft.engine.Exact
+        s"""WITH docs AS (
+           |  SELECT source, lang, doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+           |    md5(text) AS digest
+           |  FROM documents),
+           |dg AS (SELECT digest, COUNT(*) AS cnt FROM docs GROUP BY digest)
+           |SELECT source,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           |  ${Exact.sqlSum("CAST(nt AS DOUBLE)")}
+           |    / CAST(COUNT(nt) AS DOUBLE) AS mean_tokens,
+           |  COUNT(DISTINCT lang) AS n_langs,
+           |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS dup_docs,
+           |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+           |FROM docs JOIN dg USING (digest)
+           |GROUP BY source ORDER BY source""".stripMargin
+      },
+    ),
   )
 }
