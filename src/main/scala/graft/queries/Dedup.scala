@@ -529,7 +529,11 @@ object Dedup {
       (s, d) => {
         val sk = plantedCorpus(s, d)
           .select(col("doc_id"), ghash.simhash64(toks(col("text"))).as("sk"))
-          .persist() // reused by banding and by both sides of the pair lookup
+          // eager localCheckpoint, not persist: reused by banding and by
+          // both sides of the pair lookup, and the ContextCleaner reclaims
+          // it when the frame goes out of scope (a bare persist would live
+          // until session shutdown — the s04 r6-verdict nit)
+          .localCheckpoint(true)
         val banded = sk.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(3)),
             b => call_function("shiftrightunsigned", col("sk"), b * 16)
@@ -581,7 +585,9 @@ object Dedup {
         // shingle once per doc before the pair join (see d03 note)
         val c = plantedCorpus(s, d).select(col("lang"), col("doc_id"),
           length(col("text")).as("n_ch"), shingles(col("text")).as("sh"))
-          .persist() // reused by both sides of the blocked self-join
+          // eager localCheckpoint (house pattern, see d04 note): reused by
+          // both sides of the blocked self-join
+          .localCheckpoint(true)
         val a = c.select(col("lang"), col("doc_id").as("a_id"),
           col("sh").as("a_sh"), col("n_ch").as("a_n"))
         val b = c.select(col("lang"), col("doc_id").as("b_id"),
