@@ -31,7 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(arr, k) - k-permutation MinHash signature"),
       (es: Seq[Expression]) =>
-        MinHashSig(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+        MinHashSig(es.head, graft.functions.ghash.litInt(es, 1, "minhash_sig"))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(arr) - 64-bit SimHash sketch"),
@@ -40,7 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hash"),
       info("shingle_hash", "shingle_hash(arr, n) - sorted distinct FNV hashes of n-word shingles"),
       (es: Seq[Expression]) =>
-        ShingleHash(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+        ShingleHash(es.head, graft.functions.ghash.litInt(es, 1, "shingle_hash"))))
     ext.injectFunction((
       FunctionIdentifier("phash64"),
       info("phash64", "phash64(bin) - block-mean perceptual fingerprint"),

@@ -412,6 +412,21 @@ object ghash {
   def shingleHash(c: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHash(ExpressionUtils.expression(c), n))
 
+  /** A literal-int function argument (minhash_sig's k, shingle_hash's n)
+    * with a clean error instead of an obscure eval-time crash on a
+    * non-literal, non-numeric, or missing argument.
+    */
+  private[graft] def litInt(es: Seq[Expression], idx: Int, fn: String): Int = {
+    require(es.length > idx, s"$fn: missing literal integer argument ${idx + 1}")
+    val e = es(idx)
+    require(e.foldable, s"$fn: argument ${idx + 1} must be a literal integer, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${idx + 1} must be a literal integer, got $other")
+    }
+  }
+
   /** Register fnv1a64 / minhash_sig / simhash64 for spark.sql use. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -419,13 +434,13 @@ object ghash {
     reg.createOrReplaceTempFunction("mix64", es => Mix64(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sig",
-      es => MinHashSig(es.head, es(1).eval().asInstanceOf[Number].intValue()),
+      es => MinHashSig(es.head, litInt(es, 1, "minhash_sig")),
       "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("phash64", es => PHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_hash",
-      es => ShingleHash(es.head, es(1).eval().asInstanceOf[Number].intValue()),
+      es => ShingleHash(es.head, litInt(es, 1, "shingle_hash")),
       "built-in")
   }
 }

@@ -89,7 +89,16 @@ object VectorAlgos {
   }
 }
 
-/** cosine_sim(array<float|double>, array<float|double>) → double. */
+/** cosine_sim(array<float|double>, array<float|double>) → double.
+  *
+  * Null-element contract: elements are read through the primitive array
+  * copy, so a null slot is read as 0.0 — unlike the composed
+  * aggregate/zip_with form, which null-propagates the whole result. The
+  * embedding pipeline never produces null elements (parquet arrays are
+  * declared nullable but carry none, which is why this cannot be rejected
+  * statically); feeding genuinely null-holed vectors is outside the
+  * contract, as with [[IntersectCountSorted]].
+  */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

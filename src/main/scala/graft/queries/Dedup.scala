@@ -374,7 +374,11 @@ object Dedup {
     * map-side partial absorbs repeats, O(1) state per key: count + min
     * survivor), and marks each (doc, pos) with whether its line survives:
     * unique lines always, duplicated lines only at their first occurrence
-    * (min doc_id*1024+pos — C4 keeps one copy, not zero).
+    * (min doc_id·2^20+pos — C4 keeps one copy, not zero; the 2^20 line
+    * budget supports ~12M-word docs at width 12 and overflows long only
+    * past doc_id 2^43 — both asserted at runtime below, because a silent
+    * pack collision would let a duplicated line keep two survivors and
+    * the oracle, sharing the formula, could not catch it).
     * Returns (doc_id, pos, line, cnt, keep); callers aggregate per doc.
     */
   def lineKeep(docs: DataFrame, width: Int = 12): DataFrame = {
@@ -386,7 +390,12 @@ object Dedup {
       .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line")))
       .select(col("doc_id"), col("pos"), col("line"),
         ghash.fnv1a64(col("line")).as("h"),
-        (col("doc_id") * 1024 + col("pos")).as("packed"))
+        (col("doc_id") * 1048576L + col("pos")).as("packed"))
+      .withColumn("packed",
+        when(col("pos") >= 1048576 || col("doc_id") >= (1L << 43),
+          raise_error(concat(lit("lineKeep pack overflow: doc_id="),
+            col("doc_id"), lit(" pos="), col("pos"))))
+          .otherwise(col("packed")))
     val counts = lines.groupBy("h")
       .agg(count(lit(1)).as("cnt"), min(col("packed")).as("surv"))
     lines.join(counts, Seq("h"))
@@ -745,49 +754,23 @@ object Dedup {
     QuerySpec(
       "d12_line_dedup",
       (s, d) => {
-        val bps = array(LineDedup.boilerplate.map(lit): _*)
         val planted = Tables(s, d, "documents")
           .select(col("doc_id"),
-            when(col("doc_id") % 7 === 0,
-              concat(element_at(bps, (col("doc_id") % 3).cast("int") + 1),
-                lit(" "), col("text")))
-              .otherwise(col("text")).as("text"))
+            LineDedup.plantText(col("doc_id"), col("text")).as("text"))
         lineKeep(planted)
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_lines"),
             sum(col("keep").cast(LongType)).as("n_kept"),
-            md5(array_join(
-              transform(
-                filter(array_sort(collect_list(struct(col("pos"), col("keep"), col("line")))),
-                  x => x.getField("keep")),
-                x => x.getField("line")),
-              " ")).as("cleaned_md5"))
+            md5(LineDedup.keptTextAgg).as("cleaned_md5"))
           .orderBy("doc_id")
       },
       Some {
-        val list = LineDedup.boilerplate.map(b => s"'$b'").mkString(", ")
         s"""WITH planted AS (
            |  SELECT doc_id,
-           |    CASE WHEN doc_id % 7 = 0
-           |         THEN ([$list])[CAST(doc_id % 3 AS INT) + 1] || ' ' || text
-           |         ELSE text END AS text
+           |    ${LineDedup.plantSqlExpr} AS text
            |  FROM documents),
-           |l0 AS (
-           |  SELECT doc_id,
-           |    list_transform(
-           |      range(0, (len(string_split(text, ' ')) + 11) // 12),
-           |      i -> {'pos': i,
-           |            'line': array_to_string(
-           |              (string_split(text, ' '))[i*12+1 : i*12+12], ' ')}) AS ls
-           |  FROM planted),
-           |l AS (SELECT doc_id, unnest(ls, recursive := true) FROM l0),
-           |c AS (SELECT line, COUNT(*) AS cnt,
-           |        MIN(doc_id * 1024 + pos) AS surv
-           |      FROM l GROUP BY line),
-           |k AS (SELECT doc_id, pos, l.line,
-           |        (cnt = 1 OR doc_id * 1024 + pos = surv) AS keep
-           |      FROM l JOIN c USING (line))
+           |${LineDedup.lineKeepSqlCtes}
            |SELECT doc_id,
            |  CAST(COUNT(*) AS BIGINT) AS n_lines,
            |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -937,9 +920,65 @@ object Dedup {
   * planted on (while every line of real text stays corpus-unique).
   */
 private[graft] object LineDedup {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
   val boilerplate: Seq[String] = Seq(
     "subscribe to our free newsletter today for the latest updates every week",
     "all rights reserved please read the full terms of service before continuing",
     "click here to accept cookies and continue reading this page without interruption",
   )
+
+  /** Banner-planting expression — THE definition shared by the d12 spec,
+    * the p01 publish pipeline, and the 1M-doc ScaleProbe (their
+    * cross-checks are only meaningful while all three plant identically):
+    * every 7th doc gets banner (doc_id % 3) prepended.
+    */
+  def plantText(docId: Column, text: Column): Column = {
+    val bps = array(boilerplate.map(lit): _*)
+    when(docId % 7 === 0,
+      concat(element_at(bps, (docId % 3).cast("int") + 1), lit(" "), text))
+      .otherwise(text)
+  }
+
+  /** DuckDB text of [[plantText]] over bare `doc_id`/`text` columns. */
+  val plantSqlExpr: String = {
+    val list = boilerplate.map(b => s"'$b'").mkString(", ")
+    s"""CASE WHEN doc_id % 7 = 0
+       |         THEN ([$list])[CAST(doc_id % 3 AS INT) + 1] || ' ' || text
+       |         ELSE text END""".stripMargin
+  }
+
+  /** Aggregation expression rebuilding a doc's kept text from
+    * [[Dedup.lineKeep]] rows (pos order) — shared by d12 (md5-pins it)
+    * and p01 (feeds it to the quality rules).
+    */
+  def keptTextAgg: Column =
+    array_join(
+      transform(
+        filter(array_sort(collect_list(struct(col("pos"), col("keep"), col("line")))),
+          x => x.getField("keep")),
+        x => x.getField("line")),
+      " ")
+
+  /** DuckDB CTE block mirroring [[Dedup.lineKeep]] over a `planted`
+    * (doc_id, text, …) CTE: produces `k`(doc_id, pos, line, keep).
+    * Shared by the d12 and p01 oracles.
+    */
+  val lineKeepSqlCtes: String =
+    """l0 AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      range(0, (len(string_split(text, ' ')) + 11) // 12),
+      |      i -> {'pos': i,
+      |            'line': array_to_string(
+      |              (string_split(text, ' '))[i*12+1 : i*12+12], ' ')}) AS ls
+      |  FROM planted),
+      |l AS (SELECT doc_id, unnest(ls, recursive := true) FROM l0),
+      |lc AS (SELECT line, COUNT(*) AS cnt,
+      |         MIN(doc_id * 1048576 + pos) AS surv
+      |       FROM l GROUP BY line),
+      |k AS (SELECT doc_id, pos, l.line,
+      |        (cnt = 1 OR doc_id * 1048576 + pos = surv) AS keep
+      |      FROM l JOIN lc USING (line))""".stripMargin
 }

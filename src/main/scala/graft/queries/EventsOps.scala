@@ -401,21 +401,8 @@ object EventsOps {
     QuerySpec(
       "e13_anomaly_zscore",
       (s, d) => {
-        import org.apache.spark.sql.types.DoubleType
-        val x = col("value")
-        val n = count(x).cast(DoubleType)
-        val sx = Exact.dsum(x)
-        val sx2 = Exact.dsum(x * x)
-        val stats = Tables(s, d, "events")
-          .groupBy("event_type")
-          .agg(((sx / n)).as("mean"),
-            sqrt((sx2 - ((sx * sx) / n)) / n).as("sd"))
-        Tables(s, d, "events")
-          .join(broadcast(stats), "event_type")
-          .withColumn("z", (col("value") - col("mean")) / col("sd"))
-          .filter(abs(col("z")) > 3.0)
-          .select(col("event_id"), col("event_type"), col("value"), col("z"))
-          .orderBy("event_id")
+        val ev = Tables(s, d, "events")
+        scoreAnomalies(ev, anomalyModel(ev)).orderBy("event_id")
       },
       Some(s"""WITH m AS (
               |  SELECT event_type,
@@ -430,8 +417,37 @@ object EventsOps {
               |SELECT event_id, e.event_type, value,
               |  ((value - mean) / sd) AS z
               |FROM events e JOIN st USING (event_type)
-              |WHERE abs((value - mean) / sd) > 3.0
+              |WHERE sd > 0 AND abs((value - mean) / sd) > 3.0
               |ORDER BY event_id""".stripMargin),
     ),
   )
+
+  /** Per-type anomaly model: decimal-exact (q35-technique) mean and
+    * population σ — a dashboard-sized frame meant to be broadcast.
+    * Shared by batch e13 and the streaming monitor
+    * ([[graft.streaming.Streams.anomalyScores]]); StreamingSpec pins the
+    * two bit-equal, which only stays meaningful while they share this one
+    * implementation.
+    */
+  def anomalyModel(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val x = col("value")
+    val n = count(x).cast(DoubleType)
+    val sx = Exact.dsum(x)
+    val sx2 = Exact.dsum(x * x)
+    events.groupBy("event_type")
+      .agg((sx / n).as("mean"), sqrt((sx2 - ((sx * sx) / n)) / n).as("sd"))
+  }
+
+  /** z-score events against a broadcast [[anomalyModel]], keeping |z| > 3.
+    * The `sd > 0` guard matters: a zero-variance type (constant metric —
+    * the common degenerate monitor case) yields z = 0/0 = NaN, and both
+    * engines order NaN ABOVE all numbers, so without the guard every one
+    * of its events would flag as anomalous instead of none.
+    */
+  def scoreAnomalies(events: DataFrame, model: DataFrame): DataFrame =
+    events.join(broadcast(model), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      .filter(col("sd") > 0 && abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
 }

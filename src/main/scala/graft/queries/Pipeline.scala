@@ -27,44 +27,26 @@ object Pipeline {
       "p01_publish_manifest",
       (s, d) => {
         // stage 0: plant the d12 banners so the line-dedup stage has work
-        val bps = array(LineDedup.boilerplate.map(lit): _*)
+        // (LineDedup.plantText: the ONE planting definition d12 and the
+        // scale probe also use)
         val planted = Tables(s, d, "documents")
           .select(col("doc_id"), col("source"),
-            when(col("doc_id") % 7 === 0,
-              concat(element_at(bps, (col("doc_id") % 3).cast("int") + 1),
-                lit(" "), col("text")))
-              .otherwise(col("text")).as("text"))
+            LineDedup.plantText(col("doc_id"), col("text")).as("text"))
         // stage 1: corpus-level line dedup, reassembled cleaned text
         val cleaned = Dedup.lineKeep(planted.select("doc_id", "text"))
           .groupBy("doc_id")
-          .agg(array_join(
-            transform(
-              filter(array_sort(collect_list(struct(col("pos"), col("keep"), col("line")))),
-                x => x.getField("keep")),
-              x => x.getField("line")),
-            " ").as("text"))
+          .agg(LineDedup.keptTextAgg.as("text"))
           .join(planted.select("doc_id", "source"), "doc_id")
-        // stage 2: t09 quality rules on the CLEANED text
-        val toks = split(col("text"), " ")
-        val stopList = Seq("the", "and", "of", "to", "is", "in", "that",
-          "it", "with", "for", "a")
-        val grams = transform(
-          sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-          i => concat_ws(" ", slice(toks, i, lit(3))))
+        // stage 2: the t09 rule battery on the CLEANED text — the SAME
+        // TextOps.Gopher signals/thresholds the t09 gate verifies
+        val Seq(nw, mwl, nst, rep) = TextOps.Gopher.signals(col("text"))
         val scored = cleaned
-          .withColumn("n_words", size(toks).cast(LongType))
-          .withColumn("mwl",
-            length(translate(col("text"), " ", "")).cast(DoubleType) /
-              size(toks).cast(DoubleType))
-          .withColumn("n_stop",
-            size(filter(toks, x => array_contains(array(stopList.map(lit): _*), x)))
-              .cast(LongType))
-          .withColumn("rep",
-            (size(grams) - size(array_distinct(grams))).cast(DoubleType) /
-              size(grams).cast(DoubleType))
-          .filter(col("n_words").between(20, 10000) &&
-            col("mwl").between(2.5, 8.0) && col("n_stop") >= 2 &&
-            col("rep") < 0.2)
+          .withColumn("n_words", nw)
+          .withColumn("mwl", mwl)
+          .withColumn("n_stop", nst)
+          .withColumn("rep", rep)
+          .filter(TextOps.Gopher.keep(
+            col("n_words"), col("mwl"), col("n_stop"), col("rep")))
         // scored feeds both the keeper derivation and the final manifest
         // join; measured at sf1, Spark's exchange reuse already covers the
         // shared prefix (a localCheckpoint here changed nothing), so the
@@ -80,30 +62,12 @@ object Pipeline {
           .orderBy("doc_id")
       },
       Some {
-        val list = LineDedup.boilerplate.map(b => s"'$b'").mkString(", ")
-        val stops = Seq("the", "and", "of", "to", "is", "in", "that",
-          "it", "with", "for", "a").map(w => s"'$w'").mkString(", ")
+        import TextOps.Gopher
         s"""WITH planted AS (
            |  SELECT doc_id, source,
-           |    CASE WHEN doc_id % 7 = 0
-           |         THEN ([$list])[CAST(doc_id % 3 AS INT) + 1] || ' ' || text
-           |         ELSE text END AS text
+           |    ${LineDedup.plantSqlExpr} AS text
            |  FROM documents),
-           |l0 AS (
-           |  SELECT doc_id,
-           |    list_transform(
-           |      range(0, (len(string_split(text, ' ')) + 11) // 12),
-           |      i -> {'pos': i,
-           |            'line': array_to_string(
-           |              (string_split(text, ' '))[i*12+1 : i*12+12], ' ')}) AS ls
-           |  FROM planted),
-           |l AS (SELECT doc_id, unnest(ls, recursive := true) FROM l0),
-           |cnt AS (SELECT line, COUNT(*) AS cnt,
-           |          MIN(doc_id * 1024 + pos) AS surv
-           |        FROM l GROUP BY line),
-           |k AS (SELECT doc_id, pos, l.line,
-           |        (cnt = 1 OR doc_id * 1024 + pos = surv) AS keep
-           |      FROM l JOIN cnt USING (line)),
+           |${LineDedup.lineKeepSqlCtes},
            |cleaned AS (
            |  SELECT k.doc_id,
            |    COALESCE(string_agg(CASE WHEN keep THEN line END, ' '
@@ -125,12 +89,14 @@ object Pipeline {
            |  SELECT doc_id, source, text,
            |    CAST(len(toks) AS BIGINT) AS n_words
            |  FROM g
-           |  WHERE len(toks) BETWEEN 20 AND 10000
+           |  WHERE len(toks) BETWEEN ${Gopher.MinWords} AND ${Gopher.MaxWords}
            |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
-           |      / CAST(len(toks) AS DOUBLE) BETWEEN 2.5 AND 8.0
-           |    AND len(list_filter(toks, x -> list_contains([$stops], x))) >= 2
+           |      / CAST(len(toks) AS DOUBLE)
+           |      BETWEEN ${Gopher.MwlLo} AND ${Gopher.MwlHi}
+           |    AND len(list_filter(toks, x -> list_contains([${Gopher.stopsSql}], x)))
+           |      >= ${Gopher.MinStops}
            |    AND CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
-           |      / CAST(len(grams) AS DOUBLE) < 0.2),
+           |      / CAST(len(grams) AS DOUBLE) < ${Gopher.RepMax}),
            |keeper AS (
            |  SELECT md5(text) AS digest, MIN(doc_id) AS doc_id
            |  FROM scored GROUP BY md5(text))

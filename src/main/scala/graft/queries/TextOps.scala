@@ -54,6 +54,46 @@ object TextOps {
 
   private val enStop = markers.head._2
 
+  /** Gopher rule battery — ONE definition shared by the t09 gate and the
+    * p01 publish pipeline. The stage-coupling rot p01 exists to catch
+    * would otherwise start right here: duplicated thresholds/stop lists
+    * drifting until the pipeline publishes under different rules than the
+    * gate verifies.
+    */
+  private[queries] object Gopher {
+    val stops: Seq[String] = enStop :+ "a"
+    val stopsSql: String = stops.map(w => s"'$w'").mkString(", ")
+    val MinWords = 20
+    val MaxWords = 10000
+    val MwlLo = 2.5
+    val MwlHi = 8.0
+    val MinStops = 2
+    val RepMax = 0.2
+
+    /** The four signals over a raw text column, in contract order:
+      * n_words (long), mean_word_len (double), n_stopwords (long),
+      * rep_ratio (double). Pure per-row column math.
+      */
+    def signals(text: Column): Seq[Column] = {
+      val t = split(text, " ")
+      val grams = transform(
+        sequence(lit(1), greatest(size(t) - 2, lit(1))),
+        i => concat_ws(" ", slice(t, i, lit(3))))
+      Seq(
+        size(t).cast(LongType),
+        length(translate(text, " ", "")).cast(DoubleType) /
+          size(t).cast(DoubleType),
+        size(filter(t, x => array_contains(array(stops.map(lit): _*), x)))
+          .cast(LongType),
+        (size(grams) - size(array_distinct(grams))).cast(DoubleType) /
+          size(grams).cast(DoubleType))
+    }
+
+    def keep(nWords: Column, mwl: Column, nStop: Column, rep: Column): Column =
+      nWords.between(MinWords, MaxWords) &&
+        mwl.between(MwlLo, MwlHi) && nStop >= MinStops && rep < RepMax
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     // Token counting: whitespace tokens + distinct tokens + char length.
     QuerySpec(
@@ -361,34 +401,22 @@ object TextOps {
     QuerySpec(
       "t09_gopher_filter",
       (s, d) => {
-        val t = tokens(col("text"))
-        val stopList = enStop :+ "a"
-        val grams = transform(
-          sequence(lit(1), greatest(size(t) - 2, lit(1))),
-          i => concat_ws(" ", slice(t, i, lit(3))))
+        val Seq(nw, mwl, nst, rep) = Gopher.signals(col("text"))
         docs(s, d)
-          .select(col("doc_id"), col("text"), t.as("toks"), grams.as("grams"))
-          .select(
-            col("doc_id"),
-            size(col("toks")).cast(LongType).as("n_words"),
-            (length(translate(col("text"), " ", "")).cast(DoubleType) /
-              size(col("toks")).cast(DoubleType)).as("mean_word_len"),
-            size(filter(col("toks"),
-              x => array_contains(array(stopList.map(lit): _*), x)))
-              .cast(LongType).as("n_stopwords"),
-            ((size(col("grams")) - size(array_distinct(col("grams"))))
-              .cast(DoubleType) / size(col("grams")).cast(DoubleType))
-              .as("rep_ratio"))
-          .withColumn("ok_len", col("n_words").between(20, 10000))
-          .withColumn("ok_mwl", col("mean_word_len").between(2.5, 8.0))
-          .withColumn("ok_stop", col("n_stopwords") >= 2)
-          .withColumn("ok_rep", col("rep_ratio") < 0.2)
+          .select(col("doc_id"), nw.as("n_words"), mwl.as("mean_word_len"),
+            nst.as("n_stopwords"), rep.as("rep_ratio"))
+          .withColumn("ok_len",
+            col("n_words").between(Gopher.MinWords, Gopher.MaxWords))
+          .withColumn("ok_mwl",
+            col("mean_word_len").between(Gopher.MwlLo, Gopher.MwlHi))
+          .withColumn("ok_stop", col("n_stopwords") >= Gopher.MinStops)
+          .withColumn("ok_rep", col("rep_ratio") < Gopher.RepMax)
           .withColumn("keep",
             col("ok_len") && col("ok_mwl") && col("ok_stop") && col("ok_rep"))
           .orderBy("doc_id")
       },
       Some {
-        val list = (enStop :+ "a").map(w => s"'$w'").mkString(", ")
+        import Gopher._
         s"""WITH t AS (
            |  SELECT doc_id, text, string_split(text, ' ') AS toks
            |  FROM documents),
@@ -404,18 +432,19 @@ object TextOps {
            |    CAST(len(toks) AS BIGINT) AS n_words,
            |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
            |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
-           |    CAST(len(list_filter(toks, x -> list_contains([$list], x)))
+           |    CAST(len(list_filter(toks, x -> list_contains([$stopsSql], x)))
            |      AS BIGINT) AS n_stopwords,
            |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
            |      / CAST(len(grams) AS DOUBLE) AS rep_ratio
            |  FROM g)
            |SELECT doc_id, n_words, mean_word_len, n_stopwords, rep_ratio,
-           |  n_words BETWEEN 20 AND 10000 AS ok_len,
-           |  mean_word_len BETWEEN 2.5 AND 8.0 AS ok_mwl,
-           |  n_stopwords >= 2 AS ok_stop,
-           |  rep_ratio < 0.2 AS ok_rep,
-           |  (n_words BETWEEN 20 AND 10000) AND (mean_word_len BETWEEN 2.5 AND 8.0)
-           |    AND n_stopwords >= 2 AND rep_ratio < 0.2 AS keep
+           |  n_words BETWEEN $MinWords AND $MaxWords AS ok_len,
+           |  mean_word_len BETWEEN $MwlLo AND $MwlHi AS ok_mwl,
+           |  n_stopwords >= $MinStops AS ok_stop,
+           |  rep_ratio < $RepMax AS ok_rep,
+           |  (n_words BETWEEN $MinWords AND $MaxWords)
+           |    AND (mean_word_len BETWEEN $MwlLo AND $MwlHi)
+           |    AND n_stopwords >= $MinStops AND rep_ratio < $RepMax AS keep
            |FROM s ORDER BY doc_id""".stripMargin
       },
     ),

@@ -171,19 +171,11 @@ object Streams {
     * linearly. StreamingSpec pins streaming == batch e13 exactly.
     */
   def anomalyScores(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType => D}
-    val x = col("value")
-    val n = count(x).cast(D)
-    val sx = graft.engine.Exact.dsum(x)
-    val sx2 = graft.engine.Exact.dsum(x * x)
-    val model = spark.read.parquet(s"$dir/events.parquet")
-      .groupBy("event_type")
-      .agg((sx / n).as("mean"), sqrt((sx2 - ((sx * sx) / n)) / n).as("sd"))
-    readEvents(spark, dir)
-      .join(broadcast(model), "event_type")
-      .withColumn("z", (col("value") - col("mean")) / col("sd"))
-      .filter(abs(col("z")) > 3.0)
-      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+    // model + scoring are EventsOps's — one implementation for batch e13
+    // and this stream, or the streaming==batch parity spec proves nothing
+    val model = graft.queries.EventsOps.anomalyModel(
+      spark.read.parquet(s"$dir/events.parquet"))
+    graft.queries.EventsOps.scoreAnomalies(readEvents(spark, dir), model)
   }
 
   /** Streaming NEAR-dup ingest daemon — the streaming half of batch d10:

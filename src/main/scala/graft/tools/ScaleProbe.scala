@@ -234,15 +234,15 @@ object ScaleProbe {
     // width TAIL line of each doc draws from a tiny combination space and
     // legitimately collides corpus-wide, so tails are measured, not
     // asserted zero: that dedup is correct behavior, not a bug).
-    val bps = array(graft.queries.LineDedup.boilerplate.map(lit): _*)
     val bannered = base.select(col("doc_id"),
-      when(col("doc_id") % 7 === 0,
-        concat(element_at(bps, (col("doc_id") % 3).cast("int") + 1),
-          lit(" "), col("text")))
-        .otherwise(col("text")).as("text"))
+      graft.queries.LineDedup.plantText(col("doc_id"), col("text")).as("text"))
     val (lineStats, tLines) = time {
+      // four independent counts follow — materialize once (house pattern;
+      // an uncached frame would recompute the full line-dedup pipeline,
+      // itself a double scan, for every count)
       val lk = Dedup.lineKeep(bannered)
         .withColumn("full", size(split(col("line"), " ")) === 12)
+        .localCheckpoint(true)
       val banner = lk.filter(col("pos") === 0 && col("doc_id") % 7 === 0)
       val bannerKept = banner.filter(col("keep")).count()
       val bannerAll = banner.count()

@@ -209,7 +209,7 @@ class DedupSpec extends AnyFunSuite {
     val rows = Registry.byName("d12_line_dedup").run(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // banner variant is doc_id % 3 on docs with doc_id % 7 == 0, so the
-    // first occurrence (min doc_id*1024+pos ⇒ min doc_id; the banner is
+    // first occurrence (min doc_id*2^20+pos ⇒ min doc_id; the banner is
     // always pos 0) of the three banners is docs 0, 7, 14.
     val survivors = Set(0L, 7L, 14L)
     val planted = rows.keySet.filter(id => id % 7 == 0)

@@ -59,6 +59,16 @@ class EdgeSpec extends AnyFunSuite {
     assert(res.count() == 2)
   }
 
+  test("anomaly scoring emits NOTHING for a zero-variance event type (no NaN flood)") {
+    val ev = Seq((1L, "const", 5.0), (2L, "const", 5.0), (3L, "const", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val got = graft.queries.EventsOps.scoreAnomalies(
+      ev, graft.queries.EventsOps.anomalyModel(ev))
+    // sd = 0 -> z would be 0/0 = NaN, which both engines order above all
+    // numbers; the guard must yield zero anomalies, not all three
+    assert(got.count() == 0)
+  }
+
   test("chunking a doc shorter than one window yields exactly one full-copy chunk") {
     import org.apache.spark.sql.functions.{split => fsplit}
     val one = Seq((1L, "just five words right here")).toDF("doc_id", "text")
