@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -15,6 +15,83 @@ import graft.engine.{Exact, Tables}
   * src/binder/expression/agg_func.rs:10-15).
   */
 object Corpus {
+
+  /** Unigram-LM quality scoring (the c13 engine): train an add-one-smoothed
+    * unigram model on the corpus (one token-keyed count shuffle), then score
+    * every doc by its mean negative log-likelihood per token — the classic
+    * LM-perplexity filter for pretraining data (high avg_nll = rare-token
+    * soup, low = stereotyped boilerplate).
+    *
+    * Model-distribution join strategy is SIZE-GATED, not hardcoded: the
+    * token counts are materialized once (localCheckpoint — also what makes
+    * the vocab-size probe free), and the model table is broadcast only when
+    * the vocabulary fits (`broadcastVocabMax` types). Past the threshold —
+    * an open web-scale vocabulary is billions of types, far beyond any
+    * broadcast — scoring falls back to a plain shuffle hash join on `tok`,
+    * which both sides already partition-hash cheaply (8-byte-ish keys).
+    * The two paths are value-IDENTICAL (same logp per type, decimal-exact
+    * per-doc sum — CorpusSpec pins it), so the gate is purely physical.
+    */
+  def unigramLmScore(docs: DataFrame,
+      broadcastVocabMax: Long = 4L << 20): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nTypes = counts.count()
+    val stats = broadcast(counts.agg(
+      sum(col("c")).as("n_total"), count(lit(1)).as("v")))
+    val lm = counts.crossJoin(stats)
+      .select(col("tok"),
+        log((col("c") + 1).cast(DoubleType) /
+          (col("n_total") + col("v")).cast(DoubleType)).as("logp"))
+    val joined =
+      if (nTypes <= broadcastVocabMax) toks.join(broadcast(lm), "tok")
+      else toks.join(lm, "tok")
+    joined
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        ((lit(0.0) - Exact.dsum(col("logp"))) /
+          count(lit(1)).cast(DoubleType)).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Frequency-truncated unigram LM — the bounded-model scale path (and the
+    * standard LM-filter practice): keep the top-`topN` types by
+    * (count desc, tok asc — deterministic), fold every truncated type into
+    * ONE OOV bucket carrying their total mass. The model is add-one
+    * smoothing over `n_types + 1` types (in-vocab + OOV):
+    * in-vocab p(t) = (c_t + 1) / (n_total + n_types + 1); any OOV
+    * occurrence scores p = (c_oov_total + 1) / (n_total + n_types + 1).
+    * The broadcast is bounded by construction (≤ topN + 1 rows) no matter
+    * how open the real vocabulary is; head ranks track the full model
+    * (ScaleProbe c13 asserts it at a 1M+-type vocab).
+    */
+  def unigramLmScoreTruncated(docs: DataFrame, topN: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // partial per-partition top-k → driver merge: TakeOrderedAndProject,
+    // never a global sort — the same shape as c02's top-K
+    val top = counts.orderBy(col("c").desc, col("tok")).limit(topN)
+      .localCheckpoint(true)
+    val consts = broadcast(
+      counts.agg(sum(col("c")).as("n_total")).crossJoin(
+        top.agg(sum(col("c")).as("n_top"), count(lit(1)).as("n_types"))))
+    val denom = (col("n_total") + col("n_types") + 1).cast(DoubleType)
+    val lm = broadcast(top.crossJoin(consts)
+      .select(col("tok"),
+        log((col("c") + 1).cast(DoubleType) / denom).as("logp")))
+    toks.join(lm, Seq("tok"), "left")
+      .crossJoin(consts)
+      .withColumn("lp", coalesce(col("logp"),
+        log((col("n_total") - col("n_top") + 1).cast(DoubleType) / denom)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        ((lit(0.0) - Exact.dsum(col("lp"))) /
+          count(lit(1)).cast(DoubleType)).as("avg_nll"))
+      .orderBy("doc_id")
+  }
 
   val specs: Vector[QuerySpec] = Vector(
     // Deterministic content-hash sampling — THE way to sample 100 TB
@@ -388,34 +465,18 @@ object Corpus {
              |    (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS mix_weight
              |FROM by_src, tot ORDER BY source""".stripMargin),
     ),
-    // Unigram-LM quality scoring: train an add-one-smoothed unigram model
-    // on the corpus (one token-keyed count shuffle), then score every doc
-    // by its mean negative log-likelihood per token — the classic
-    // LM-perplexity filter for pretraining data (high avg_nll = rare-token
-    // soup, low = stereotyped boilerplate). The model is a broadcast
-    // (vocab-sized) table, so scoring is a map-side join: the corpus never
-    // shuffles; the per-doc sum of logs goes through the decimal-exact
-    // accumulator (fp sum of logs is order-dependent, ln itself is
-    // bit-identical across engines — the c11 precedent).
+    // Unigram-LM quality scoring — [[unigramLmScore]]: add-one-smoothed
+    // unigram model (one token-keyed count shuffle), each doc scored by
+    // mean negative log-likelihood per token. The model join is
+    // size-gated: broadcast while the vocab fits, shuffle hash join past
+    // the threshold (an open 100 TB vocabulary is billions of types —
+    // past any broadcast), with value-identical results either way
+    // (CorpusSpec pins the parity). The per-doc sum of logs goes through
+    // the decimal-exact accumulator (fp sum of logs is order-dependent,
+    // ln itself is bit-identical across engines — the c11 precedent).
     QuerySpec(
       "c13_unigram_lm_score",
-      (s, d) => {
-        val toks = Tables(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-        val stats = broadcast(counts.agg(
-          sum(col("c")).as("n_total"), count(lit(1)).as("v")))
-        val lm = broadcast(counts.crossJoin(stats)
-          .select(col("tok"),
-            log((col("c") + 1).cast(DoubleType) /
-              (col("n_total") + col("v")).cast(DoubleType)).as("logp")))
-        toks.join(lm, "tok")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            ((lit(0.0) - Exact.dsum(col("logp"))) /
-              count(lit(1)).cast(DoubleType)).as("avg_nll"))
-          .orderBy("doc_id")
-      },
+      (s, d) => unigramLmScore(Tables(s, d, "documents")),
       Some {
         s"""WITH toks AS (
            |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -473,42 +534,50 @@ object Corpus {
     // Sequence packing — the training-batch assembly op: pack documents
     // (in deterministic doc_id order) into fixed-token-budget bins of
     // 2048, greedily by running token count; a doc starts in the bin its
-    // cumulative prefix lands in. Packing is PER SOURCE — exactly how a
-    // sharded pipeline does it, and what makes the window function scale:
-    // the prefix sum partitions by source instead of forcing a single
-    // global ordering. Emits per-bin doc/token counts and fill ratio
-    // (integer token math is exact; fill is one exact division).
+    // cumulative prefix lands in. Packing is PER (source, shard), where a
+    // shard is a fixed doc_id range — exactly how a sharded pipeline
+    // assembles batches (each input shard is packed independently; bins
+    // never span shards) and what makes the prefix-sum window SCALE: the
+    // per-task state is bounded by the shard width (256 docs), not by a
+    // source's total volume. The previous per-source-only partitioning
+    // was a scale trap — with a handful of sources at 100 TB, one task
+    // would sort+scan an entire source (the c10 lesson, applied here).
+    // Emits per-bin doc/token counts and fill ratio. All token math is
+    // integer (bin via exact integer division — no double rounding even
+    // past 2^53 cumulative tokens); fill is one exact division.
     QuerySpec(
       "c16_sequence_pack",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("source").orderBy("doc_id")
+        val w = Window.partitionBy("source", "shard").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         Tables(s, d, "documents")
           .select(col("source"), col("doc_id"),
+            expr("doc_id div 256").as("shard"),
             size(split(col("text"), " ")).cast(LongType).as("nt"))
           .withColumn("before", coalesce(sum(col("nt")).over(w), lit(0L)))
-          .withColumn("bin", (col("before") / 2048).cast(LongType))
-          .groupBy("source", "bin")
+          .withColumn("bin", expr("before div 2048"))
+          .groupBy("source", "shard", "bin")
           .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
             (sum(col("nt")).cast(DoubleType) / 2048.0).as("fill_ratio"))
-          .orderBy("source", "bin")
+          .orderBy("source", "shard", "bin")
       },
       Some("""WITH t AS (
-             |  SELECT source, doc_id,
+             |  SELECT source, doc_id, doc_id // 256 AS shard,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
              |  FROM documents),
              |p AS (
-             |  SELECT source, doc_id, nt,
-             |    COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+             |  SELECT source, shard, doc_id, nt,
+             |    COALESCE(SUM(nt) OVER (PARTITION BY source, shard
+             |      ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              |      AS before
              |  FROM t)
-             |SELECT source, before // 2048 AS bin,
+             |SELECT source, shard, before // 2048 AS bin,
              |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
              |  CAST(SUM(nt) AS DOUBLE) / 2048.0 AS fill_ratio
-             |FROM p GROUP BY source, before // 2048
-             |ORDER BY source, bin""".stripMargin),
+             |FROM p GROUP BY source, shard, before // 2048
+             |ORDER BY source, shard, bin""".stripMargin),
     ),
   )
 }
