@@ -82,14 +82,29 @@ object Bench {
     if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists() &&
         sf1Dir.startsWith("/root/repo/") &&
         new java.io.File(s"$sfDir/../sf0.1/lineitem.parquet").getCanonicalFile.exists()) {
+      // A failure PAST the lineitem write would leave a half-tiling that
+      // passes the existence check below and kills the sf1 series mid-run
+      // — so track success explicitly and delete the partial dir on any
+      // failure, leaving the check a clean miss (series marked skipped).
+      var genOk = false
       val t = time {
-        try graft.tools.GenSf1.generate(spark,
-          new java.io.File(s"$sfDir/../sf0.1").getCanonicalPath, sf1Dir)
-        catch { case e: Throwable =>
+        try {
+          graft.tools.GenSf1.generate(spark,
+            new java.io.File(s"$sfDir/../sf0.1").getCanonicalPath, sf1Dir)
+          genOk = true
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] sf1 generation failed: ${e.getMessage}")
         }
       }
-      System.err.println(f"[bench] generated sf1 tiling at $sf1Dir in $t%.1f s")
+      if (genOk) System.err.println(
+        f"[bench] generated sf1 tiling at $sf1Dir in $t%.1f s")
+      else {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(sf1Dir))
+        System.err.println(s"[bench] removed partial sf1 tiling at $sf1Dir")
+      }
     }
     val sf1 = if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
       warm(sf1Dir)

@@ -28,10 +28,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 object VectorAlgos {
 
+  /** Out-of-contract inputs must fail LOUDLY: without this, a longer left
+    * array would throw a bare ArrayIndexOutOfBounds and a shorter one
+    * would silently truncate the dot product — corrupted similarity
+    * scores, not an error. One predictable branch per pair; the loops
+    * below stay branch-free.
+    */
+  @inline private def checkLen(la: Int, lb: Int): Unit =
+    if (la != lb) throw new IllegalArgumentException(
+      s"cosine_sim: embedding length mismatch ($la vs $lb); " +
+        "operands must be same-dimension vectors")
+
   /** cos(a, b) with the composed form's exact fold order. Arrays must be
-    * same length and null-free (the embedding contract).
+    * same length (checked) and null-free (the embedding contract).
     */
   def cosineFF(a: Array[Float], b: Array[Float]): Double = {
+    checkLen(a.length, b.length)
     var sab = 0.0; var saa = 0.0; var sbb = 0.0
     var i = 0
     val n = a.length
@@ -47,6 +59,7 @@ object VectorAlgos {
   }
 
   def cosineDD(a: Array[Double], b: Array[Double]): Double = {
+    checkLen(a.length, b.length)
     var sab = 0.0; var saa = 0.0; var sbb = 0.0
     var i = 0
     val n = a.length
@@ -62,6 +75,7 @@ object VectorAlgos {
   }
 
   def cosineFD(a: Array[Float], b: Array[Double]): Double = {
+    checkLen(a.length, b.length)
     var sab = 0.0; var saa = 0.0; var sbb = 0.0
     var i = 0
     val n = a.length

@@ -379,6 +379,18 @@ object Dedup {
     * past doc_id 2^43 — both asserted at runtime below, because a silent
     * pack collision would let a duplicated line keep two survivors and
     * the oracle, sharing the formula, could not catch it).
+    *
+    * Hash-collision guard: the DuckDB oracle groups by the line STRING,
+    * so a 64-bit fnv collision between two distinct lines would silently
+    * merge their counts and drop one line's survivors — invisible locally
+    * (birthday bound ~2^-24 at 1B lines) but a real trade at production
+    * scale. Rather than shuffling line text (defeating the 8-byte-key
+    * design), every line also carries an INDEPENDENT 8-byte hash
+    * (xxhash64); if any fnv group disagrees on it, two distinct lines
+    * collided (double-collision odds ~2^-128) and the job raise_errors
+    * instead of returning silently-wrong survivors — the pack-overflow
+    * guard's pattern. Cost: +8 bytes per shuffled row, +16 bytes agg
+    * state.
     * Returns (doc_id, pos, line, cnt, keep); callers aggregate per doc.
     */
   def lineKeep(docs: DataFrame, width: Int = 12): DataFrame = {
@@ -390,6 +402,7 @@ object Dedup {
       .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line")))
       .select(col("doc_id"), col("pos"), col("line"),
         ghash.fnv1a64(col("line")).as("h"),
+        xxhash64(col("line")).as("h2"),
         (col("doc_id") * 1048576L + col("pos")).as("packed"))
       .withColumn("packed",
         when(col("pos") >= 1048576 || col("doc_id") >= (1L << 43),
@@ -397,10 +410,16 @@ object Dedup {
             col("doc_id"), lit(" pos="), col("pos"))))
           .otherwise(col("packed")))
     val counts = lines.groupBy("h")
-      .agg(count(lit(1)).as("cnt"), min(col("packed")).as("surv"))
+      .agg(count(lit(1)).as("cnt"), min(col("packed")).as("surv"),
+        min(col("h2")).as("h2lo"), max(col("h2")).as("h2hi"))
     lines.join(counts, Seq("h"))
-      .withColumn("keep", col("cnt") === 1 || col("packed") === col("surv"))
-      .drop("h", "surv")
+      .withColumn("keep",
+        (col("cnt") === 1 || col("packed") === col("surv")) &&
+          when(col("h2lo") =!= col("h2hi"),
+            raise_error(lit("lineKeep 64-bit line-hash collision: " +
+              "distinct lines share one fnv1a64 key; survivors would be " +
+              "silently wrong"))).otherwise(lit(true)))
+      .drop("h", "h2", "surv", "h2lo", "h2hi")
   }
 
   val specs: Vector[QuerySpec] = Vector(

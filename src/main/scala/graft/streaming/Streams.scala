@@ -196,7 +196,19 @@ object Streams {
     * dedupes; exactly-once is the sink's job, as usual with foreachBatch.
     */
   def lshDedupIngest(incoming: DataFrame, corpusDir: String,
-      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    // Fail at CONSTRUCTION, not in batch 0: an unseeded corpus dir would
+    // otherwise surface as an opaque "unable to infer schema" parquet
+    // error from inside foreachBatch on first deployment. The contract is
+    // a daemon precondition, so it gets a named check and a message that
+    // says how to satisfy it.
+    val seeded = Option(new java.io.File(corpusDir).list())
+      .exists(_.exists(f => f.endsWith(".parquet") || f == "_SUCCESS"))
+    if (!seeded) throw new IllegalStateException(
+      s"lshDedupIngest: corpus dir '$corpusDir' has no parquet data — the " +
+        "ingest daemon dedupes against the corpus-so-far, so the dir must " +
+        "be seeded with at least one (doc_id, text) parquet write before " +
+        "the stream starts (an empty DataFrame write suffices)")
     incoming.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -208,6 +220,7 @@ object Streams {
         onBatch(batchId, pairs)
         b.write.mode("append").parquet(corpusDir)
     }
+  }
 
   /** Typed event that keeps the watermarked `event_time` column — required
     * so the watermark survives into the stateful operator below.

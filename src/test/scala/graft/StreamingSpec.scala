@@ -241,6 +241,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lshDedupIngest refuses an unseeded corpus dir at construction") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tmp = Files.createTempDirectory("graft-unseeded")
+    Files.createDirectories(Paths.get(s"$tmp/incoming"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val incoming = spark.readStream.schema(schema).parquet(s"$tmp/incoming")
+    val e = intercept[IllegalStateException] {
+      Streams.lshDedupIngest(incoming, s"$tmp/corpus", (_, _) => ())
+    }
+    // the message must name the precondition, not leak a parquet error
+    assert(e.getMessage.contains("seeded"), e.getMessage)
+  }
+
   test("streaming LSH near-dup ingest equals batch d10 semantics across micro-batches") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}

@@ -49,6 +49,20 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("CosineSim fails loudly on length-mismatched vectors") {
+    // out-of-contract input: without the kernel guard this would either
+    // silently truncate the dot product or throw a bare AIOOBE
+    val df = spark.range(1).select(
+      array(lit(1.0f), lit(2.0f)).as("a"),
+      array(lit(1.0f), lit(2.0f), lit(3.0f)).as("b"))
+    val thrown = intercept[Throwable] {
+      df.select(gvec.cosineSim(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(thrown).exists(_.contains("length mismatch")), thrown)
+  }
+
   test("IntersectCountSorted equals size(array_intersect) on real shingle sets") {
     import graft.functions.gvec
     val sh = Tables(spark, sf, "documents")
