@@ -156,5 +156,48 @@ object Pipeline {
            |GROUP BY source ORDER BY source""".stripMargin
       },
     ),
+    // Curated-table sink round-trip — the CTAS / INSERT INTO contract the
+    // reference has no sink for at all (results are collected and
+    // pretty-printed; storage is read-only —
+    // /root/reference/src/storage/mod.rs:20-43). Stage 1 curates (cheap
+    // deterministic quality gate) and WRITES a source-partitioned parquet
+    // table (the publish layout: one dir per source, partition pruning
+    // for free on every later per-source read — SourcesSpec gates the
+    // pruning plan); stage 2 APPENDS a second batch (the daily-increment
+    // INSERT INTO shape — at 100 TB you never rewrite the corpus, you
+    // append partitions); stage 3 reads the table back and aggregates.
+    // The oracle computes the same rollup straight from `documents`, so a
+    // green row proves the sink+scan round-trip preserved every row,
+    // schema field, and partition value across BOTH write modes.
+    QuerySpec(
+      "p03_curated_sink_roundtrip",
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-p03").toString + "/curated"
+        val docs = Tables(s, d, "documents")
+          .filter(col("n_chars") >= 200)
+          .select(col("doc_id"), col("source"), col("lang"),
+            size(split(col("text"), " ")).cast(LongType).as("nt"))
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").partitionBy("source").parquet(out)
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("append").partitionBy("source").parquet(out)
+        s.read.parquet(out)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("n_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             |    AS n_tokens,
+             |  COUNT(DISTINCT lang) AS n_langs,
+             |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             |FROM documents WHERE n_chars >= 200
+             |GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }
