@@ -127,10 +127,14 @@ object Bench {
       // media pHash near-dup (payload byte fan-out), unigram LM scoring
       // (token-model join). sf1_total stays the headline-only sum so the
       // round-over-round series is comparable; the extension is separate.
+      // r8 adds the newest ops so their scale numbers are driver-committed,
+      // not just probe-logged: t10 (chunk explode fan-out), c14 (weighted
+      // top-k sampling), d13 (URL-keyed dedup)
       val extNames = Vector("d08_dup_clusters", "d09_contamination",
         "c09_inverted_index", "c10_inverted_index_sharded", "s02_ann_lsh",
         "e11_heavy_hitters", "q81_tpch_q9", "m04_media_neardup",
-        "c13_unigram_lm_score", "d12_line_dedup", "p01_publish_manifest")
+        "c13_unigram_lm_score", "d12_line_dedup", "p01_publish_manifest",
+        "t10_chunking", "c14_weighted_sample", "d13_url_dedup")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = (r1 ++ rExt).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

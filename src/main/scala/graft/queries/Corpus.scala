@@ -58,39 +58,79 @@ object Corpus {
 
   /** Frequency-truncated unigram LM — the bounded-model scale path (and the
     * standard LM-filter practice): keep the top-`topN` types by
-    * (count desc, tok asc — deterministic), fold every truncated type into
-    * ONE OOV bucket carrying their total mass. The model is add-one
-    * smoothing over `n_types + 1` types (in-vocab + OOV):
-    * in-vocab p(t) = (c_t + 1) / (n_total + n_types + 1); any OOV
-    * occurrence scores p = (c_oov_total + 1) / (n_total + n_types + 1).
-    * The broadcast is bounded by construction (≤ topN + 1 rows) no matter
-    * how open the real vocabulary is; head ranks track the full model
-    * (ScaleProbe c13 asserts it at a 1M+-type vocab).
+    * (count desc, tok asc — deterministic); every truncated type scores
+    * through one OOV entry. The model is add-one smoothing over
+    * `n_types + 1` types (in-vocab + OOV):
+    * in-vocab p(t) = (c_t + 1) / (n_total + n_types + 1); an OOV
+    * occurrence scores with the AVERAGE truncated type's mass,
+    * p = (c_oov_total/|oov types| + 1) / (n_total + n_types + 1).
+    * Per-TYPE OOV mass is the load-bearing choice: folding the whole
+    * bucket's aggregate frequency into each occurrence (kenlm-style
+    * <unk>) would make rare-token soup score like common-token text and
+    * INVERT the quality ranking the filter exists to produce (measured:
+    * corr −0.37 vs the full model); the per-type form keeps an OOV
+    * occurrence scoring like a typical rare token, so ranks track the
+    * full model (ScaleProbe c13 asserts corr ≥ 0.95 at a 1.5M-type
+    * vocab). The broadcast is bounded by construction (≤ topN rows) no
+    * matter how open the real vocabulary is.
     */
   def unigramLmScoreTruncated(docs: DataFrame, topN: Int): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // partial per-partition top-k → driver merge: TakeOrderedAndProject,
     // never a global sort — the same shape as c02's top-K
     val top = counts.orderBy(col("c").desc, col("tok")).limit(topN)
       .localCheckpoint(true)
     val consts = broadcast(
-      counts.agg(sum(col("c")).as("n_total")).crossJoin(
-        top.agg(sum(col("c")).as("n_top"), count(lit(1)).as("n_types"))))
+      counts.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v_full"))
+        .crossJoin(
+          top.agg(sum(col("c")).as("n_top"), count(lit(1)).as("n_types"))))
     val denom = (col("n_total") + col("n_types") + 1).cast(DoubleType)
     val lm = broadcast(top.crossJoin(consts)
       .select(col("tok"),
         log((col("c") + 1).cast(DoubleType) / denom).as("logp")))
+    val oovTypes = greatest(col("v_full") - col("n_types"), lit(1L))
     toks.join(lm, Seq("tok"), "left")
       .crossJoin(consts)
       .withColumn("lp", coalesce(col("logp"),
-        log((col("n_total") - col("n_top") + 1).cast(DoubleType) / denom)))
+        log(((col("n_total") - col("n_top")).cast(DoubleType) /
+          oovTypes.cast(DoubleType) + 1.0) / denom)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         ((lit(0.0) - Exact.dsum(col("lp"))) /
           count(lit(1)).cast(DoubleType)).as("avg_nll"))
       .orderBy("doc_id")
+  }
+
+  /** Sequence packing (the c16 engine): pack documents, in deterministic
+    * doc_id order, into fixed-2048-token bins, greedily by running token
+    * count — a doc starts in the bin its cumulative prefix lands in.
+    * Packing is per (source, shard) where a shard is a `shardDocs`-wide
+    * doc_id range, so the prefix-sum window's per-task state is bounded
+    * by the shard width, never by a source's total volume. The width is
+    * sized so a shard's token mass dwarfs the bin size (8192 docs ≫ one
+    * 2048-token bin): each (source, shard) wastes at most one partial
+    * final bin, so sharding costs <1% fill ratio while per-source packing
+    * would put an ENTIRE source in one task (ScaleProbe c16 measures
+    * both). `shardDocs = Int.MaxValue` degenerates to per-source packing
+    * (the probe's comparison baseline only).
+    */
+  def sequencePack(docs: DataFrame, shardDocs: Int = 8192): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("source"), col("doc_id"),
+        expr(s"doc_id div $shardDocs").as("shard"),
+        size(split(col("text"), " ")).cast(LongType).as("nt"))
+      .withColumn("before", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .withColumn("bin", expr("before div 2048"))
+      .groupBy("source", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        (sum(col("nt")).cast(DoubleType) / 2048.0).as("fill_ratio"))
+      .orderBy("source", "shard", "bin")
   }
 
   val specs: Vector[QuerySpec] = Vector(
@@ -535,35 +575,22 @@ object Corpus {
     // (in deterministic doc_id order) into fixed-token-budget bins of
     // 2048, greedily by running token count; a doc starts in the bin its
     // cumulative prefix lands in. Packing is PER (source, shard), where a
-    // shard is a fixed doc_id range — exactly how a sharded pipeline
-    // assembles batches (each input shard is packed independently; bins
-    // never span shards) and what makes the prefix-sum window SCALE: the
-    // per-task state is bounded by the shard width (256 docs), not by a
-    // source's total volume. The previous per-source-only partitioning
-    // was a scale trap — with a handful of sources at 100 TB, one task
-    // would sort+scan an entire source (the c10 lesson, applied here).
+    // shard is a fixed 8192-doc doc_id range — exactly how a sharded
+    // pipeline assembles batches (each input shard is packed
+    // independently; bins never span shards) and what makes the
+    // prefix-sum window SCALE: per-task state is bounded by the shard
+    // width, not by a source's total volume. The previous per-source-only
+    // partitioning was a scale trap — with a handful of sources at
+    // 100 TB, one task would sort+scan an entire source (the c10 lesson,
+    // applied here; [[sequencePack]] documents the width choice).
     // Emits per-bin doc/token counts and fill ratio. All token math is
     // integer (bin via exact integer division — no double rounding even
     // past 2^53 cumulative tokens); fill is one exact division.
     QuerySpec(
       "c16_sequence_pack",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("source", "shard").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables(s, d, "documents")
-          .select(col("source"), col("doc_id"),
-            expr("doc_id div 256").as("shard"),
-            size(split(col("text"), " ")).cast(LongType).as("nt"))
-          .withColumn("before", coalesce(sum(col("nt")).over(w), lit(0L)))
-          .withColumn("bin", expr("before div 2048"))
-          .groupBy("source", "shard", "bin")
-          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
-            (sum(col("nt")).cast(DoubleType) / 2048.0).as("fill_ratio"))
-          .orderBy("source", "shard", "bin")
-      },
+      (s, d) => sequencePack(Tables(s, d, "documents")),
       Some("""WITH t AS (
-             |  SELECT source, doc_id, doc_id // 256 AS shard,
+             |  SELECT source, doc_id, doc_id // 8192 AS shard,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
              |  FROM documents),
              |p AS (

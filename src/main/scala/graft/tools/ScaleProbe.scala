@@ -300,6 +300,86 @@ object ScaleProbe {
     println(s"""{"probe":"s04","vectors":${nEmb + plantedEmb + 5000},""" +
       s""""cells":64,"lloyd_iters":3,"queries":$nQ,"near_in_top3":$ivfHits,""" +
       s""""sec":$tIvf,"s04_ok":$ivfOk}""")
+
+    // ---- c16 probe: sharded sequence packing at n docs x 4 sources ----
+    // The scale claim: partitioning the prefix-sum window by (source,
+    // doc_id-range shard) bounds per-task state at the shard width (8192
+    // docs) with NO packing-quality cost to speak of — vs the per-source
+    // window, whose single task per source is the 100 TB trap. Asserted:
+    // (a) token totals identical (sharding moves bin boundaries, never
+    // drops tokens); (b) aggregate fill ratio — total tokens over bin
+    // capacity — within 5% of per-source packing (each (source, shard)
+    // wastes at most one partial final bin, and a shard's token mass
+    // dwarfs one bin); (c) the sharded run actually fans out: window
+    // partitions ≥ n/8192, not 4.
+    import graft.queries.Corpus
+    val packDocs = base.select(col("doc_id"),
+      concat(lit("src"), pmod(col("doc_id"), lit(4))).as("source"),
+      col("text"))
+    val (c16Stats, tPack) = time {
+      val sharded = Corpus.sequencePack(packDocs).persist()
+      val perSource = Corpus.sequencePack(packDocs, shardDocs = Int.MaxValue)
+        .persist()
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .agg(sum(col("n_tokens")), count(lit(1)), sum(col("n_docs")))
+        .collect().head match {
+          case r => (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+      val (tokS, binsS, docsS) = agg(sharded)
+      val (tokP, binsP, docsP) = agg(perSource)
+      val shards = sharded.select(col("source"), col("shard")).distinct().count()
+      sharded.unpersist(); perSource.unpersist()
+      (tokS, binsS, docsS, tokP, binsP, docsP, shards)
+    }
+    val (tokS, binsS, docsS, tokP, binsP, docsP, nShards) = c16Stats
+    val fillS = tokS.toDouble / (binsS * 2048L)
+    val fillP = tokP.toDouble / (binsP * 2048L)
+    val c16Ok = tokS == tokP && docsS == docsP &&
+      math.abs(fillS - fillP) / fillP < 0.05 && nShards >= n / 8192
+    println(s"""{"probe":"c16","docs":$docsS,"sources":4,"shards":$nShards,""" +
+      s""""bins_sharded":$binsS,"bins_per_source":$binsP,""" +
+      s""""fill_sharded":$fillS,"fill_per_source":$fillP,""" +
+      s""""sec":$tPack,"c16_ok":$c16Ok}""")
+
+    // ---- c13 probe: truncated LM vs full model over a 1.5M-type vocab ----
+    // Synthetic Zipf-ish corpus: 60 tokens/doc, 80% of positions draw from
+    // a 1000-type head, 20% from a 1.5M-type tail — at 1M docs that is a
+    // >1M-type open vocabulary, past the broadcast gate. Scored two ways:
+    // the FULL model (forced onto the shuffle-join path — the unbounded-
+    // vocab physical plan) and the TRUNCATED top-50k+OOV model (bounded
+    // broadcast — the production filter shape). The claim behind the
+    // truncation: per-doc quality ranking is preserved — asserted as
+    // Pearson corr of the two avg_nll vectors ≥ 0.95 plus ≥ 70% overlap
+    // of the top-1000 "rare-token soup" head (the docs an LM filter would
+    // actually act on).
+    val lmDocs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(59)), i => {
+        val h = xxhash64(col("id"), i)
+        val pick = pmod(xxhash64(col("id"), i, lit(7)), lit(10))
+        concat(lit("w"), when(pick < 2, pmod(h, lit(1500000)) + 1000)
+          .otherwise(pmod(h, lit(1000))))
+      })).as("text"))
+    val (c13Stats, tLm) = time {
+      val full = Corpus.unigramLmScore(lmDocs, broadcastVocabMax = 1000000L)
+        .withColumnRenamed("avg_nll", "nll_full").persist()
+      val trunc = Corpus.unigramLmScoreTruncated(lmDocs, topN = 50000)
+        .withColumnRenamed("avg_nll", "nll_trunc").persist()
+      val joined = full.select("doc_id", "nll_full")
+        .join(trunc.select("doc_id", "nll_trunc"), "doc_id")
+      val c = joined.agg(corr(col("nll_full"), col("nll_trunc"))).collect()
+        .head.getDouble(0)
+      def head1k(df: org.apache.spark.sql.DataFrame, c: String) = df
+        .orderBy(col(c).desc, col("doc_id")).limit(1000).select("doc_id")
+      val overlap = head1k(full, "nll_full")
+        .join(head1k(trunc, "nll_trunc"), "doc_id").count()
+      full.unpersist(); trunc.unpersist()
+      (c, overlap)
+    }
+    val (lmCorr, lmOverlap) = c13Stats
+    val c13Ok = lmCorr >= 0.95 && lmOverlap >= 700
+    println(s"""{"probe":"c13","docs":$n,"head_types":1000,""" +
+      s""""tail_types":1500000,"top_n":50000,"corr":$lmCorr,""" +
+      s""""head1k_overlap":$lmOverlap,"sec":$tLm,"c13_ok":$c13Ok}""")
     spark.stop()
   }
 }
