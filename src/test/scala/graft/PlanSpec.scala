@@ -163,6 +163,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c16 packing window partitions by (source, shard), never one task per source") {
+    val p = plan("c16_sequence_pack")
+    // the prefix-sum window must hash-partition on BOTH keys — per-task
+    // state bounded by the shard width, not a source's total volume
+    assert(p.contains("hashpartitioning(source"), p)
+    val winArg = p.linesIterator.find(_.contains("windowspecdefinition"))
+    assert(winArg.exists(l => l.contains("shard")), p)
+  }
+
   test("e13 anomaly scoring: model broadcasts, events scored map-side") {
     val p = plan("e13_anomaly_zscore")
     assert(p.contains("BroadcastHashJoin"), p)
