@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -930,7 +931,150 @@ object Dedup {
              |    AS ids_md5
              |FROM st GROUP BY status ORDER BY status""".stripMargin),
     ),
+    // Exact substring-span dedup — the ExactSubstr pass of "Deduplicating
+    // Training Data Makes Language Models Better" (Lee et al. 2021,
+    // arXiv:2107.06499 §4.1): any W-token span that appears verbatim in
+    // more than one DOCUMENT is duplicated text; overlapping/adjacent
+    // duplicated W-grams merge into maximal regions, and the per-doc
+    // report is (n merged spans, duplicated-token count, md5-pinned span
+    // list). The paper uses a suffix array on the concatenated corpus —
+    // inherently single-machine; the distributed form below slides a
+    // stride-1 W-gram window instead (same duplicated-region semantics
+    // for regions ≥ W tokens, and every region found IS ≥ W by
+    // construction).
+    //
+    // The query PLANTS a fixed 20-word syndication notice prepended to
+    // every 5th doc (the d12 banner pattern): grams at pos 0..4 sit fully
+    // inside the notice and collide corpus-wide, guaranteeing every
+    // planted doc reports a span COVERING [0, 20). The synthetic corpus
+    // also collides naturally (tiny word vocab ⇒ straddle grams match
+    // between planted docs sharing a leading word; a few whole docs are
+    // verbatim repeats), so spans may extend past the notice and
+    // non-planted docs may appear — both engines see identical text, so
+    // the oracle stays exact either way.
+    //
+    // Scale shape: gram TEXT never leaves the map stage — each gram
+    // shuffles as (doc_id, pos, fnv1a64, xxhash64) = 28 bytes; the
+    // cross-doc test is min(doc_id) != max(doc_id) per hash (exact for
+    // "appears in ≥ 2 distinct docs" with O(1) agg state — no
+    // count-distinct); dup keys are then a tiny inner-join side back
+    // onto the gram stream. Span merging is a per-doc window (lag +
+    // running sum — bounded by doc length, never corpus-wide).
+    //
+    // Collision guard (lineKeep's pattern): the oracle groups by the
+    // gram STRING, so distinct grams sharing one fnv key would diverge.
+    // Each gram carries an independent xxhash64; a dup group whose
+    // xxhash64 disagrees raise_errors. Guarding only DUP groups is
+    // sound: a collision escapes the guard only when min==max doc_id,
+    // i.e. every colliding gram lives in the same single doc — then none
+    // of them is a cross-doc duplicate and the verdict is unchanged.
+    QuerySpec(
+      "d15_substr_span_dedup",
+      (s, d) => {
+        val W = SubstrDedup.W
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            SubstrDedup.plantText(col("doc_id"), col("text")).as("text"))
+        val tk = split(col("text"), " ")
+        val grams = docs
+          .filter(size(tk) >= W)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), size(tk) - W),
+              i => concat_ws(" ", slice(tk, i + lit(1), lit(W))))).as(Seq("pos", "g")))
+          .select(col("doc_id"), col("pos"),
+            ghash.fnv1a64(col("g")).as("h"), xxhash64(col("g")).as("h2"))
+        val dupKeys = grams.groupBy("h")
+          .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"),
+            min(col("h2")).as("h2lo"), max(col("h2")).as("h2hi"))
+          .filter(col("dmin") =!= col("dmax"))
+          .select(col("h"),
+            when(col("h2lo") =!= col("h2hi"),
+              raise_error(lit("d15 64-bit gram-hash collision: distinct " +
+                "W-grams share one fnv1a64 key; span verdicts would be " +
+                "silently wrong"))).otherwise(lit(true)).as("ok"))
+        val hits = grams.select("doc_id", "pos", "h")
+          .join(dupKeys, Seq("h")).filter(col("ok"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        // equal-width intervals sorted by start have sorted ends, so the
+        // gaps-and-islands test reduces to pos > lag(pos) + W (strictly
+        // past the previous gram's end; == W is adjacent → same region)
+        val spans = hits
+          .withColumn("newisl",
+            when(lag(col("pos"), 1).over(w).isNull ||
+              col("pos") > lag(col("pos"), 1).over(w) + W, 1L).otherwise(0L))
+          .withColumn("island", sum(col("newisl")).over(w))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("s0"), (max(col("pos")) + W).as("e0"))
+        spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum((col("e0") - col("s0")).cast(LongType)).as("dup_tokens"),
+            md5(concat_ws(",",
+              transform(array_sort(collect_list(struct(col("s0"), col("e0")))),
+                x => concat(x.getField("s0").cast("string"), lit("-"),
+                  x.getField("e0").cast("string"))))).as("spans_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val W = SubstrDedup.W
+        s"""WITH planted AS (
+           |  SELECT doc_id, ${SubstrDedup.plantSqlExpr} AS text
+           |  FROM documents),
+           |g0 AS (
+           |  SELECT doc_id,
+           |    list_transform(
+           |      range(0, len(string_split(text, ' ')) - ${W - 1}),
+           |      i -> {'pos': i,
+           |            'g': array_to_string(
+           |              (string_split(text, ' '))[i+1 : i+$W], ' ')}) AS gs
+           |  FROM planted
+           |  WHERE len(string_split(text, ' ')) >= $W),
+           |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+           |dup AS (SELECT g FROM g GROUP BY g
+           |        HAVING MIN(doc_id) <> MAX(doc_id)),
+           |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+           |isl AS (SELECT doc_id, pos,
+           |    CASE WHEN lag(pos) OVER w IS NULL
+           |              OR pos > lag(pos) OVER w + $W
+           |         THEN 1 ELSE 0 END AS newisl
+           |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+           |isl2 AS (SELECT doc_id, pos,
+           |    SUM(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |  FROM isl),
+           |spans AS (SELECT doc_id, island, MIN(pos) AS s0, MAX(pos) + $W AS e0
+           |  FROM isl2 GROUP BY doc_id, island)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           |  CAST(SUM(e0 - s0) AS BIGINT) AS dup_tokens,
+           |  md5(string_agg(s0 || '-' || e0, ',' ORDER BY s0)) AS spans_md5
+           |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+    ),
   )
+}
+
+/** The d15 planted syndication notice — exactly 20 words (> W = 16), so
+  * prepending it to every 5th doc creates W-grams at pos 0..4 that collide
+  * corpus-wide: every planted doc's merged span must cover [0, 20).
+  * (Straddle grams may extend it further when two planted docs share a
+  * leading word — common under the synthetic corpus's tiny vocabulary.)
+  */
+private[graft] object SubstrDedup {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Gram width in words — Lee et al. use 50 BPE tokens; 16 words keeps
+    * the planted 20-word notice wider than one gram at test scale.
+    */
+  val W = 16
+
+  val notice: String =
+    "this article was originally published on our partner network and is " +
+      "redistributed here with full permission from the original author"
+
+  def plantText(docId: Column, text: Column): Column =
+    when(docId % 5 === 0, concat(lit(notice), lit(" "), text)).otherwise(text)
+
+  val plantSqlExpr: String =
+    s"CASE WHEN doc_id % 5 = 0 THEN '$notice' || ' ' || text ELSE text END"
 }
 
 /** Fixed 12-word boilerplate banners for [[Dedup]] d12 — exactly 12 words

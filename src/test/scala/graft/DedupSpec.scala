@@ -230,4 +230,32 @@ class DedupSpec extends AnyFunSuite {
     })
     assert(exact1.toDouble / (planted.size - survivors.size) >= 0.9)
   }
+
+  test("d15 substring spans: every planted doc's span covers the 20-word notice") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byName("d15_substr_span_dedup").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc_id % 5 == 0 doc carries the notice, whose pos 0..4 grams
+    // collide corpus-wide → ALL of them must report, with dup_tokens
+    // covering at least the 20-word notice (natural straddle collisions
+    // can only extend the span, never shrink it)
+    val plantedAll = graft.engine.Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(plantedAll.subsetOf(rows.keySet),
+      s"planted docs missing: ${(plantedAll -- rows.keySet).take(5)}")
+    plantedAll.foreach { id =>
+      val (n, toks) = rows(id)
+      assert(n >= 1L && toks >= 20L,
+        s"doc $id: notice not fully covered ($n spans / $toks tokens)")
+    }
+    // % 10 == 0 bases additionally have a verbatim +2M copy: every gram is
+    // cross-doc, so the span covers the whole doc (notice + text > 20) for
+    // the overwhelming majority (short-text docs are the exception)
+    val fam = rows.keySet.filter(id => id < 1000000L && id % 10 == 0)
+    assert(fam.nonEmpty)
+    val whole = fam.count(id => rows(id)._2 > 20L)
+    assert(whole.toDouble / fam.size >= 0.9,
+      s"only $whole/${fam.size} copied docs report whole-doc duplication")
+  }
 }
