@@ -1048,7 +1048,79 @@ object Dedup {
            |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
     ),
+    // Bloom-guarded incremental dedup — d06's ingest shape with the
+    // historical side compressed to a Bloom filter (Spark's own
+    // runtime-filter machinery: BloomFilterAggregate builds it
+    // distributed, BloomFilterMightContain probes it codegen'd). A batch
+    // row whose digest MISSES the bloom is definitely unseen (no false
+    // negatives) and skips the join entirely; only bloom POSITIVES — true
+    // dups plus the configured false-positive sliver — reach the exact
+    // anti join, whose build side is the full historical digest set, so
+    // false positives are eliminated and the OUTPUT is bit-identical to
+    // the plain anti join (the oracle is exactly that SQL; bloom
+    // parameters cannot change the result, only the pruning rate).
+    //
+    // 100 TB shape: the historical digest set is ~10^9 rows × 40 B; the
+    // bloom at 10 bits/key is ~1.2 GB — driver-materialized once per
+    // batch (the same materialization Spark performs for injected
+    // runtime filters) and shipped to executors as a literal in the
+    // closure, vs re-shuffling the full digest table under every daily
+    // batch. The residual anti join still sees only batch-proportional
+    // probe rows. DedupSpec pins no-false-negatives and the bloom path ==
+    // plain-anti-join equality; numBits is sized ~10 bits/key at the
+    // gate scales.
+    QuerySpec(
+      "d16_dedup_bloom_incremental",
+      (s, d) => {
+        val corpus = plantedCorpus(s, d)
+        val historical = corpus.filter(col("doc_id") < 400)
+          .select(md5(col("text")).as("digest")).distinct()
+        val newBatch = corpus.filter(col("doc_id") >= 400)
+          .withColumn("digest", md5(col("text")))
+        bloomGuardedNewRows(newBatch, historical, "digest")
+          .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$corpusCte,
+              |hist AS (
+              |  SELECT DISTINCT md5(text) AS digest FROM corpus WHERE doc_id < 400),
+              |batch AS (
+              |  SELECT md5(text) AS digest, doc_id FROM corpus WHERE doc_id >= 400)
+              |SELECT MIN(doc_id) AS doc_id FROM batch
+              |WHERE digest NOT IN (SELECT digest FROM hist)
+              |GROUP BY digest ORDER BY doc_id""".stripMargin),
+    ),
   )
+
+  /** Rows of `newBatch` whose `key` does not appear in `historical(key)`,
+    * computed as bloom-prefilter + exact confirm (see d16's doc-comment).
+    * Exact regardless of bloom parameters: misses are provably-unseen,
+    * positives are re-checked with a real anti join.
+    */
+  def bloomGuardedNewRows(newBatch: DataFrame, historical: DataFrame,
+      key: String, expectedItems: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => B}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    def xx(c: Column) = new XxHash64(Seq(B.catalystExpression(c)))
+    val numBits = 10L * expectedItems // ~0.8% FP at design capacity
+    val bfAgg = B.column(new BloomFilterAggregate(xx(historical(key)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    // one scalar per batch — the driver-side materialization Spark itself
+    // performs for injected runtime filters (null iff historical is empty,
+    // in which case every batch row is new)
+    val bf = historical.select(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bf == null) newBatch
+    else {
+      val might = B.column(BloomFilterMightContain(
+        Literal(bf, BinaryType), xx(newBatch(key))))
+      newBatch.filter(!might).unionByName(
+        newBatch.filter(might).join(historical, Seq(key), "left_anti"))
+    }
+  }
 }
 
 /** The d15 planted syndication notice — exactly 20 words (> W = 16), so

