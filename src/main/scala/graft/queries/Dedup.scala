@@ -971,48 +971,10 @@ object Dedup {
     QuerySpec(
       "d15_substr_span_dedup",
       (s, d) => {
-        val W = SubstrDedup.W
         val docs = Tables(s, d, "documents")
           .select(col("doc_id"),
             SubstrDedup.plantText(col("doc_id"), col("text")).as("text"))
-        val tk = split(col("text"), " ")
-        val grams = docs
-          .filter(size(tk) >= W)
-          .select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), size(tk) - W),
-              i => concat_ws(" ", slice(tk, i + lit(1), lit(W))))).as(Seq("pos", "g")))
-          .select(col("doc_id"), col("pos"),
-            ghash.fnv1a64(col("g")).as("h"), xxhash64(col("g")).as("h2"))
-        val dupKeys = grams.groupBy("h")
-          .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"),
-            min(col("h2")).as("h2lo"), max(col("h2")).as("h2hi"))
-          .filter(col("dmin") =!= col("dmax"))
-          .select(col("h"),
-            when(col("h2lo") =!= col("h2hi"),
-              raise_error(lit("d15 64-bit gram-hash collision: distinct " +
-                "W-grams share one fnv1a64 key; span verdicts would be " +
-                "silently wrong"))).otherwise(lit(true)).as("ok"))
-        val hits = grams.select("doc_id", "pos", "h")
-          .join(dupKeys, Seq("h")).filter(col("ok"))
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        // equal-width intervals sorted by start have sorted ends, so the
-        // gaps-and-islands test reduces to pos > lag(pos) + W (strictly
-        // past the previous gram's end; == W is adjacent → same region)
-        val spans = hits
-          .withColumn("newisl",
-            when(lag(col("pos"), 1).over(w).isNull ||
-              col("pos") > lag(col("pos"), 1).over(w) + W, 1L).otherwise(0L))
-          .withColumn("island", sum(col("newisl")).over(w))
-          .groupBy(col("doc_id"), col("island"))
-          .agg(min(col("pos")).as("s0"), (max(col("pos")) + W).as("e0"))
-        spans.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_spans"),
-            sum((col("e0") - col("s0")).cast(LongType)).as("dup_tokens"),
-            md5(concat_ws(",",
-              transform(array_sort(collect_list(struct(col("s0"), col("e0")))),
-                x => concat(x.getField("s0").cast("string"), lit("-"),
-                  x.getField("e0").cast("string"))))).as("spans_md5"))
-          .orderBy("doc_id")
+        substrSpans(docs, SubstrDedup.W).orderBy("doc_id")
       },
       Some {
         val W = SubstrDedup.W
@@ -1093,13 +1055,58 @@ object Dedup {
     ),
   )
 
-  /** Rows of `newBatch` whose `key` does not appear in `historical(key)`,
-    * computed as bloom-prefilter + exact confirm (see d16's doc-comment).
-    * Exact regardless of bloom parameters: misses are provably-unseen,
-    * positives are re-checked with a real anti join.
+  /** Per-doc merged duplicated-substring spans over `docs(doc_id, text)` —
+    * the d15 kernel (see that QuerySpec's doc-comment for the full scale
+    * rationale). Output: (doc_id, n_spans, dup_tokens, spans_md5), one row
+    * per doc owning at least one cross-doc duplicated `w`-gram.
     */
-  def bloomGuardedNewRows(newBatch: DataFrame, historical: DataFrame,
-      key: String, expectedItems: Long = 1L << 16): DataFrame = {
+  def substrSpans(docs: DataFrame, w: Int): DataFrame = {
+    val tk = split(col("text"), " ")
+    val grams = docs
+      .filter(size(tk) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(tk) - w),
+          i => concat_ws(" ", slice(tk, i + lit(1), lit(w))))).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        ghash.fnv1a64(col("g")).as("h"), xxhash64(col("g")).as("h2"))
+    val dupKeys = grams.groupBy("h")
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"),
+        min(col("h2")).as("h2lo"), max(col("h2")).as("h2hi"))
+      .filter(col("dmin") =!= col("dmax"))
+      .select(col("h"),
+        when(col("h2lo") =!= col("h2hi"),
+          raise_error(lit("d15 64-bit gram-hash collision: distinct " +
+            "W-grams share one fnv1a64 key; span verdicts would be " +
+            "silently wrong"))).otherwise(lit(true)).as("ok"))
+    val hits = grams.select("doc_id", "pos", "h")
+      .join(dupKeys, Seq("h")).filter(col("ok"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    // equal-width intervals sorted by start have sorted ends, so the
+    // gaps-and-islands test reduces to pos > lag(pos) + W (strictly
+    // past the previous gram's end; == W is adjacent → same region)
+    val spans = hits
+      .withColumn("newisl",
+        when(lag(col("pos"), 1).over(win).isNull ||
+          col("pos") > lag(col("pos"), 1).over(win) + w, 1L).otherwise(0L))
+      .withColumn("island", sum(col("newisl")).over(win))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s0"), (max(col("pos")) + w).as("e0"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("e0") - col("s0")).cast(LongType)).as("dup_tokens"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("s0"), col("e0")))),
+            x => concat(x.getField("s0").cast("string"), lit("-"),
+              x.getField("e0").cast("string"))))).as("spans_md5"))
+  }
+
+  /** Bloom-membership predicate over `historical(key)`: None iff historical
+    * is empty, else a codegen'd might-contain Column usable on any frame's
+    * `key` column. The bloom binary is driver-materialized once — the same
+    * materialization Spark performs for injected runtime filters.
+    */
+  def bloomMembership(historical: DataFrame, key: String,
+      expectedItems: Long = 1L << 16): Option[Column => Column] = {
     import org.apache.spark.sql.{GraftColumnBridge => B}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -1109,18 +1116,26 @@ object Dedup {
     val numBits = 10L * expectedItems // ~0.8% FP at design capacity
     val bfAgg = B.column(new BloomFilterAggregate(xx(historical(key)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    // one scalar per batch — the driver-side materialization Spark itself
-    // performs for injected runtime filters (null iff historical is empty,
-    // in which case every batch row is new)
-    val bf = historical.select(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
-    if (bf == null) newBatch
-    else {
-      val might = B.column(BloomFilterMightContain(
-        Literal(bf, BinaryType), xx(newBatch(key))))
-      newBatch.filter(!might).unionByName(
-        newBatch.filter(might).join(historical, Seq(key), "left_anti"))
-    }
+    Option(historical.select(bfAgg.as("bf")).head().getAs[Array[Byte]](0))
+      .map { bf => c =>
+        B.column(BloomFilterMightContain(Literal(bf, BinaryType), xx(c)))
+      }
   }
+
+  /** Rows of `newBatch` whose `key` does not appear in `historical(key)`,
+    * computed as bloom-prefilter + exact confirm (see d16's doc-comment).
+    * Exact regardless of bloom parameters: misses are provably-unseen,
+    * positives are re-checked with a real anti join.
+    */
+  def bloomGuardedNewRows(newBatch: DataFrame, historical: DataFrame,
+      key: String, expectedItems: Long = 1L << 16): DataFrame =
+    bloomMembership(historical, key, expectedItems) match {
+      case None => newBatch // empty historical: every batch row is new
+      case Some(might) =>
+        newBatch.filter(!might(newBatch(key))).unionByName(
+          newBatch.filter(might(newBatch(key)))
+            .join(historical, Seq(key), "left_anti"))
+    }
 }
 
 /** The d15 planted syndication notice — exactly 20 words (> W = 16), so

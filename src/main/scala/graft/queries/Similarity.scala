@@ -623,6 +623,100 @@ object Similarity {
            |FROM ids ANTI JOIN losers ON vec_id = id""".stripMargin
       },
     ),
+    // MMR diverse top-k — retrieval that penalizes redundancy (Carbonell &
+    // Goldstein 1998): greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈S}
+    // sim(d, s) until K results. The two-stage shape is the one that
+    // scales: stage 1 is the DISTRIBUTED top-C relevance scan (s01's
+    // broadcast-query, shuffle-free plan, C=100); stage 2 is the greedy
+    // argmax over the C-row shortlist — O(K·C) driver math on ~25 KB,
+    // the same bounded driver materialization as d16's bloom or any
+    // top-k presentation. At 100 TB only stage 1 grows.
+    //
+    // Cross-engine exactness: rel and pairwise sims go through the SAME
+    // float→double fold (VectorAlgos.cosineFF == the CosineSim kernel ==
+    // duckCos's CAST-to-DOUBLE list_sum — s01/s03 prove the pair), the
+    // score weights are written as the double literals 0.7/0.3 on both
+    // sides (NOT 1−λ, which is 0.30000000000000004; and ::DOUBLE in SQL
+    // because DuckDB parses bare 0.7 as DECIMAL), and ties break on
+    // vec_id — so the greedy selections coincide decision-for-decision.
+    // The oracle unrolls the K greedy steps as chained CTEs — each
+    // MATERIALIZED, because sel_i references sel_{i-1} three times and
+    // inlining would re-expand the chain 3^K-fold.
+    QuerySpec(
+      "s07_mmr_diverse_topk",
+      (s, d) => {
+        val C = 100; val K = 20
+        val q = emb(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        val cands = emb(s, d).crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"),
+            cosine(col("q_emb"), col("embedding")).as("rel"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(C)
+          .collect() // bounded shortlist: C rows × 64 floats
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).toArray, r.getDouble(2)))
+        import graft.functions.VectorAlgos
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        val selEmb = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        var remaining = cands.toVector
+        while (selected.size < K && remaining.nonEmpty) {
+          val pick =
+            if (selected.isEmpty) remaining.head // already (rel desc, id asc)
+            else remaining.map { c =>
+              var maxSim = Double.NegativeInfinity
+              selEmb.foreach { sv =>
+                val sim = VectorAlgos.cosineFF(c._2, sv)
+                if (sim > maxSim) maxSim = sim
+              }
+              (c, 0.7 * c._3 - 0.3 * maxSim)
+            }.reduceLeft { (a, b) => // max score, tie → smaller vec_id
+              if (b._2 > a._2 || (b._2 == a._2 && b._1._1 < a._1._1)) b else a
+            }._1
+          selected += ((pick._1, pick._3))
+          selEmb += pick._2
+          remaining = remaining.filterNot(_._1 == pick._1)
+        }
+        import s.implicits._
+        selected.toVector.zipWithIndex
+          .map { case ((id, rel), i) => ((i + 1).toLong, id, rel) }
+          .toDF("rnk", "vec_id", "rel")
+      },
+      Some {
+        val C = 100; val K = 20
+        val steps = (2 to K).map { i =>
+          s"""sel$i AS MATERIALIZED (
+             |  SELECT * FROM sel${i - 1}
+             |  UNION ALL
+             |  (SELECT c.vec_id, c.rel, CAST($i AS BIGINT) AS rnk
+             |   FROM cands c
+             |   WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+             |   ORDER BY 0.7::DOUBLE * c.rel - 0.3::DOUBLE * (
+             |       SELECT MAX(s) FROM ps
+             |       JOIN sel${i - 1} sl ON ps.b_id = sl.vec_id
+             |       WHERE ps.a_id = c.vec_id) DESC,
+             |     c.vec_id
+             |   LIMIT 1))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (
+           |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+           |cands AS MATERIALIZED (
+           |  SELECT e.vec_id, e.embedding,
+           |    ${duckCos("q.q_emb", "e.embedding")} AS rel
+           |  FROM embeddings e CROSS JOIN q
+           |  WHERE e.vec_id != 0
+           |  ORDER BY rel DESC, e.vec_id LIMIT $C),
+           |ps AS MATERIALIZED (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    ${duckCos("a.embedding", "b.embedding")} AS s
+           |  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+           |sel1 AS MATERIALIZED (
+           |  SELECT vec_id, rel, CAST(1 AS BIGINT) AS rnk FROM cands
+           |  ORDER BY rel DESC, vec_id LIMIT 1),
+           |$steps
+           |SELECT rnk, vec_id, rel FROM sel$K ORDER BY rnk""".stripMargin
+      },
+    ),
   )
 
   /** s03's full SQL oracle, shared with s06 (which nests it as the pairs

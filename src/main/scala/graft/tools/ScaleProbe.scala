@@ -380,6 +380,62 @@ object ScaleProbe {
     println(s"""{"probe":"c13","docs":$n,"head_types":1000,""" +
       s""""tail_types":1500000,"top_n":50000,"corr":$lmCorr,""" +
       s""""head1k_overlap":$lmOverlap,"sec":$tLm,"c13_ok":$c13Ok}""")
+
+    // ---- d15 probe: substring-span dedup at n docs ----
+    // Notice planted on every 100th doc (1% dup exposure — production-ish);
+    // every planted doc must report a span covering the 20-word notice
+    // (natural collisions can only extend spans). The stride-1 gram
+    // explosion is the op's cost center: n × ~(len−15) tuples of 28 bytes
+    // shuffle once — the probe pins that it completes at 1M docs and that
+    // recall is exact, not sampled.
+    import graft.queries.SubstrDedup
+    val d15Docs = base.select(col("doc_id"),
+      when(col("doc_id") % 100 === 0,
+        concat(lit(SubstrDedup.notice), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val (d15Stats, tD15) = time {
+      val spans = Dedup.substrSpans(d15Docs, SubstrDedup.W)
+        .filter(col("doc_id") % 100 === 0).persist()
+      val covered = spans.filter(col("dup_tokens") >= 20).count()
+      val reported = spans.count()
+      spans.unpersist()
+      (reported, covered)
+    }
+    val (d15Reported, d15Covered) = d15Stats
+    val d15Ok = d15Covered == n / 100
+    println(s"""{"probe":"d15","docs":$n,"planted":${n / 100},""" +
+      s""""reported":$d15Reported,"notice_covered":$d15Covered,""" +
+      s""""sec":$tD15,"d15_ok":$d15Ok}""")
+
+    // ---- d16 probe: bloom-guarded ingest at n historical docs ----
+    // Batch = 1% known dups (historical text verbatim) + 1% fresh docs.
+    // Asserted: (a) bloom path row set == plain anti join (exactness is
+    // parameter-independent); (b) the guard PRUNES — bloom positives are
+    // ≈ dups + FP·fresh, so the anti join's probe side shrinks to ~the
+    // dup mass instead of the whole batch (the 100 TB claim).
+    val histD16 = base.select(md5(col("text")).as("digest")).distinct()
+    val batchD16 = base.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 3000000000L).as("doc_id"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 100 === 50)
+        .select((col("doc_id") + 4000000000L).as("doc_id"),
+          concat(col("text"), lit(" entirely fresh suffix")).as("text")))
+      .withColumn("digest", md5(col("text")))
+    val (d16Stats, tD16) = time {
+      val newRows = Dedup.bloomGuardedNewRows(batchD16, histD16, "digest",
+        expectedItems = math.max(1L << 16, n)).count()
+      val plainRows = batchD16.join(histD16, Seq("digest"), "left_anti").count()
+      val positives = Dedup.bloomMembership(histD16, "digest",
+        expectedItems = math.max(1L << 16, n))
+        .map(m => batchD16.filter(m(col("digest"))).count()).getOrElse(0L)
+      (newRows, plainRows, positives)
+    }
+    val (d16New, d16Plain, d16Pos) = d16Stats
+    val d16Batch = batchD16.count()
+    // positives must cover every true dup and prune most of the fresh half
+    val d16Ok = d16New == d16Plain && d16Pos < d16Batch / 2 + d16Batch / 20
+    println(s"""{"probe":"d16","historical":$n,"batch":$d16Batch,""" +
+      s""""new_rows":$d16New,"plain_anti_rows":$d16Plain,""" +
+      s""""bloom_positives":$d16Pos,"sec":$tD16,"d16_ok":$d16Ok}""")
     spark.stop()
   }
 }

@@ -265,4 +265,34 @@ class PlanSpec extends AnyFunSuite {
     val after = sc.statusTracker.getJobIdsForGroup(null).length
     assert(after == before, "c05 construction triggered a Spark job")
   }
+
+  test("d15 gram text never shuffles: dup-key agg is partial+final on the 8-byte hash") {
+    val p = plan("d15_substr_span_dedup")
+    // cross-doc test is min/max with map-side combine, keyed on the hash
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("hashpartitioning(h#"), p)
+    // gram STRING column (g) must not appear in any exchange's output —
+    // only its two 8-byte hashes move between stages
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.matches(".*\\bg#\\d+.*")),
+      s"gram text leaks into a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("d16 bloom guard probes map-side; only positives reach the anti join") {
+    val p = plan("d16_dedup_bloom_incremental")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("p04 diff joins digests, not text: no text column in the outer-join shuffle") {
+    val p = plan("p04_incremental_publish")
+    assert(p.contains("FullOuter"), p)
+    // every exchange moves doc_id + 32-char digests (+ shard); the text
+    // column is consumed by md5() inside the scan-side project
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")),
+      s"text leaks into a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }

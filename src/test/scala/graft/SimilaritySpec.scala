@@ -215,4 +215,33 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = planted.count(got.contains).toDouble / planted.size
     assert(recall >= 0.9, s"planted embedding near-dup recall: $recall")
   }
+
+  test("s07 MMR: keeps the top hit, ranks by rel within budget, and diversifies vs plain top-k") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorAlgos
+    val out = Registry.byName("s07_mmr_diverse_topk").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 20)
+    assert(out.map(_._1).toSeq == (1L to 20L), "ranks must be 1..20 dense")
+    // selection is a subset of the top-100 relevance shortlist, and the
+    // FIRST pick is exactly the most relevant candidate
+    val e = graft.engine.Tables(spark, sf, "embeddings")
+    val byId = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = byId(0L)
+    val rel = byId.keys.filter(_ != 0L).map(id =>
+      id -> VectorAlgos.cosineFF(q, byId(id))).toMap
+    val top100 = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(100)
+    assert(out.head._2 == top100.head._1, "rank 1 must be the argmax-rel doc")
+    assert(out.map(_._2).toSet.subsetOf(top100.map(_._1).toSet))
+    // diversity: max pairwise similarity INSIDE the MMR selection must not
+    // exceed that of the plain top-20 (MMR can only deselect redundancy)
+    def maxPair(ids: Seq[Long]): Double = (for {
+      a <- ids; b <- ids if a < b
+    } yield VectorAlgos.cosineFF(byId(a), byId(b))).max
+    val mmrMax = maxPair(out.map(_._2).toSeq)
+    val plainMax = maxPair(top100.take(20).map(_._1))
+    assert(mmrMax <= plainMax + 1e-12,
+      s"MMR selection is LESS diverse than plain top-20 ($mmrMax > $plainMax)")
+  }
 }
