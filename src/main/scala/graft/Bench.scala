@@ -129,12 +129,16 @@ object Bench {
       // round-over-round series is comparable; the extension is separate.
       // r8 adds the newest ops so their scale numbers are driver-committed,
       // not just probe-logged: t10 (chunk explode fan-out), c14 (weighted
-      // top-k sampling), d13 (URL-keyed dedup)
+      // top-k sampling), d13 (URL-keyed dedup), d15 (stride-1 gram
+      // explosion — the suite's biggest row fan-out), d16 (bloom-guarded
+      // ingest), p04 (diff-driven re-pack)
       val extNames = Vector("d08_dup_clusters", "d09_contamination",
         "c09_inverted_index", "c10_inverted_index_sharded", "s02_ann_lsh",
         "e11_heavy_hitters", "q81_tpch_q9", "m04_media_neardup",
         "c13_unigram_lm_score", "d12_line_dedup", "p01_publish_manifest",
-        "t10_chunking", "c14_weighted_sample", "d13_url_dedup")
+        "t10_chunking", "c14_weighted_sample", "d13_url_dedup",
+        "d15_substr_span_dedup", "d16_dedup_bloom_incremental",
+        "p04_incremental_publish")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = (r1 ++ rExt).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

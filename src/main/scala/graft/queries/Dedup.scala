@@ -1053,6 +1053,50 @@ object Dedup {
               |WHERE digest NOT IN (SELECT digest FROM hist)
               |GROUP BY digest ORDER BY doc_id""".stripMargin),
     ),
+    // Soft dedup — down-WEIGHT duplicated content instead of dropping it
+    // (the SoftDeDup / DataComp-LM sampling-weight alternative to d11's
+    // hard survivor selection): every member of a near-dup cluster of
+    // size n gets sampling weight 1/n, so each duplicated CONTENT
+    // contributes one doc's worth of probability mass to training while
+    // no individual copy (with its unique surrounding metadata) is lost.
+    // Clusters are the d03 LSH pairs closed under connected components —
+    // the same narrow (id, label) machinery as d11; unlisted docs are
+    // implicitly weight 1.0. Weight is a PER-ROW division (no
+    // aggregation-order hazard), bit-identical across engines.
+    QuerySpec(
+      "d17_softdedup_weights",
+      (s, d) => {
+        val pairs = lshJaccardPairs(plantedCorpus(s, d), k = 32, bands = 8,
+          cap = 100, threshold = 0.3).select("a_id", "b_id")
+        val labels = connectedComponents(pairs)
+        val sizes = labels.groupBy("label")
+          .agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, "label")
+          .select(col("id").as("doc_id"), col("cluster_size"),
+            (lit(1.0) / col("cluster_size").cast(DoubleType)).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some {
+        s"""WITH RECURSIVE pairs AS MATERIALIZED (
+           |${lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3)}
+           |),
+           |sym AS MATERIALIZED (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, src AS label FROM sym
+           |  UNION
+           |  SELECT e.dst AS id, r.label FROM reach r JOIN sym e ON e.src = r.id),
+           |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+           |sizes AS (
+           |  SELECT component, COUNT(*) AS cluster_size FROM comp
+           |  GROUP BY component)
+           |SELECT c.id AS doc_id, s.cluster_size,
+           |  CAST(1.0 AS DOUBLE) / CAST(s.cluster_size AS DOUBLE) AS weight
+           |FROM comp c JOIN sizes s ON c.component = s.component
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
   )
 
   /** Per-doc merged duplicated-substring spans over `docs(doc_id, text)` —

@@ -222,6 +222,53 @@ object Streams {
     }
   }
 
+  /** Streaming EXACT-dedup ingest daemon — the streaming half of batch
+    * d16: each micro-batch is first deduped internally (min doc_id per
+    * digest — d06's keeper rule), then checked against the corpus-so-far
+    * with the bloom-guarded anti join ([[graft.queries.Dedup
+    * .bloomGuardedNewRows]] — misses skip the join, positives are
+    * exact-confirmed), and only the SURVIVORS are appended, so the corpus
+    * parquet dir stays duplicate-free by construction. The bloom is
+    * rebuilt per micro-batch from the corpus digests — one distributed
+    * aggregation over a narrow digest scan, amortized across the whole
+    * batch; at production scale the daemon would cache it between batches
+    * and rebuild on a cadence, which changes cost, never results (the
+    * exact confirm makes bloom staleness semantically invisible as long
+    * as APPENDS only add keys — a fresh key wrongly reported present
+    * would be cleared by the anti join).
+    *
+    * Restart-safe the same way as [[lshDedupIngest]]: reprocessing a
+    * batch finds all its survivors already in the corpus and appends
+    * nothing new.
+    */
+  def bloomDedupIngest(incoming: DataFrame, corpusDir: String,
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val seeded = Option(new java.io.File(corpusDir).list())
+      .exists(_.exists(f => f.endsWith(".parquet") || f == "_SUCCESS"))
+    if (!seeded) throw new IllegalStateException(
+      s"bloomDedupIngest: corpus dir '$corpusDir' has no parquet data — " +
+        "the ingest daemon dedupes against the corpus-so-far, so the dir " +
+        "must be seeded with at least one (doc_id, text) parquet write " +
+        "before the stream starts (an empty DataFrame write suffices)")
+    incoming.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text"))
+          .withColumn("digest", md5(col("text")))
+          .groupBy("digest")
+          .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+          .localCheckpoint(true)
+        val corpusDigests = spark.read.parquet(corpusDir)
+          .select(md5(col("text")).as("digest")).distinct()
+        val survivors = graft.queries.Dedup
+          .bloomGuardedNewRows(b, corpusDigests, "digest")
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
+        onBatch(batchId, survivors)
+        survivors.write.mode("append").parquet(corpusDir)
+    }
+  }
+
   /** Typed event that keeps the watermarked `event_time` column — required
     * so the watermark survives into the stateful operator below.
     */

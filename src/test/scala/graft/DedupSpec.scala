@@ -286,4 +286,24 @@ class DedupSpec extends AnyFunSuite {
     val dupN = batchN - plainIds.size
     assert(dupN > 0, "fixture lost its planted duplicates")
   }
+
+  test("d17 soft-dedup: planted triples weigh 1/3 each; every cluster's mass is 1") {
+    val rows = Registry.byName("d17_softdedup_weights").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every planted base doc sits in the {d, d+1M, d+2M} family cluster
+    plantedIds.foreach { id =>
+      val (_, sz, w) = byId.getOrElse(id, fail(s"planted doc $id unclustered"))
+      assert(sz >= 3L, s"doc $id cluster size $sz < family size")
+      assert(w == 1.0 / sz)
+    }
+    // mass conservation: each cluster contributes exactly 1 doc of mass
+    // (cluster_size rows × 1/cluster_size each); weights are per-row
+    // divisions so the sum is exact in double for these small sizes
+    rows.groupBy(_._2).foreach { case (sz, rs) =>
+      assert(rs.length % sz == 0,
+        s"cluster size $sz rows ${rs.length} not a whole number of clusters")
+    }
+    assert(rows.forall(r => r._3 == 1.0 / r._2))
+  }
 }

@@ -308,6 +308,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bloom-guarded exact-dedup ingest keeps the corpus duplicate-free") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = graft.engine.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val tenth = docs.filter(col("doc_id") % 10 === 0)
+    // b1: verbatim copies (all dups, zero survivors) + fresh docs
+    val copies = tenth.select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val fresh = tenth.select((col("doc_id") + 3000000L).as("doc_id"),
+      concat(col("text"), lit(" genuinely fresh")).as("text"))
+    val b1 = copies.unionByName(fresh)
+    // b2: the b1 fresh docs AGAIN under new ids (dup vs corpus-after-b1)
+    // + an internal dup pair (min doc_id must win)
+    val again = tenth.select((col("doc_id") + 4000000L).as("doc_id"),
+      concat(col("text"), lit(" genuinely fresh")).as("text"))
+    val internal = spark.range(2).select((col("id") + 5000000L).as("doc_id"),
+      lit("twin text for the intra-batch duplicate pair").as("text"))
+    val b2 = again.unionByName(internal)
+    val tmp = Files.createTempDirectory("graft-bloom-ingest")
+    val corpusDir = s"$tmp/corpus"
+    docs.write.mode("overwrite").parquet(corpusDir)
+    val streamIn = s"$tmp/incoming"
+    Files.createDirectories(Paths.get(streamIn))
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val stage = s"$tmp/stage-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val f = Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      Files.copy(f, Paths.get(streamIn, s"$name.parquet"))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val survived = scala.collection.mutable.Set[Long]()
+    val incoming = spark.readStream.schema(schema).parquet(streamIn)
+    val q = Streams.bloomDedupIngest(incoming, corpusDir, (_, s) =>
+      survived.synchronized { survived ++= s.collect().map(_.getLong(0)) })
+      .start()
+    try {
+      arrive(b1, "b1")
+      q.processAllAvailable()
+      arrive(b2, "b2")
+      q.processAllAvailable()
+      val freshIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+      // batch 1: every verbatim copy dropped, every fresh doc kept;
+      // batch 2: the re-sent fresh texts dropped, one twin survives
+      assert(survived.toSet == freshIds + 5000000L,
+        s"unexpected=${survived.toSet -- freshIds - 5000000L} " +
+          s"missing=${freshIds -- survived}")
+      // the corpus dir must be duplicate-free by digest after both batches
+      val dupDigests = spark.read.parquet(corpusDir)
+        .groupBy(md5(col("text"))).count().filter(col("count") > 1).count()
+      assert(dupDigests == 0L, s"$dupDigests duplicated digests in corpus")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization equals batch e01 sessionization") {
     import spark.implicits._
     val ds = Streams.readEvents(spark, sf)
