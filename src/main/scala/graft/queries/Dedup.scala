@@ -977,37 +977,71 @@ object Dedup {
         substrSpans(docs, SubstrDedup.W).orderBy("doc_id")
       },
       Some {
-        val W = SubstrDedup.W
-        s"""WITH planted AS (
-           |  SELECT doc_id, ${SubstrDedup.plantSqlExpr} AS text
-           |  FROM documents),
-           |g0 AS (
-           |  SELECT doc_id,
-           |    list_transform(
-           |      range(0, len(string_split(text, ' ')) - ${W - 1}),
-           |      i -> {'pos': i,
-           |            'g': array_to_string(
-           |              (string_split(text, ' '))[i+1 : i+$W], ' ')}) AS gs
-           |  FROM planted
-           |  WHERE len(string_split(text, ' ')) >= $W),
-           |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
-           |dup AS (SELECT g FROM g GROUP BY g
-           |        HAVING MIN(doc_id) <> MAX(doc_id)),
-           |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
-           |isl AS (SELECT doc_id, pos,
-           |    CASE WHEN lag(pos) OVER w IS NULL
-           |              OR pos > lag(pos) OVER w + $W
-           |         THEN 1 ELSE 0 END AS newisl
-           |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-           |isl2 AS (SELECT doc_id, pos,
-           |    SUM(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-           |  FROM isl),
-           |spans AS (SELECT doc_id, island, MIN(pos) AS s0, MAX(pos) + $W AS e0
-           |  FROM isl2 GROUP BY doc_id, island)
+        s"""WITH ${SubstrDedup.spanSqlCtes}
            |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
            |  CAST(SUM(e0 - s0) AS BIGINT) AS dup_tokens,
            |  md5(string_agg(s0 || '-' || e0, ',' ORDER BY s0)) AS spans_md5
            |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+    ),
+    // ExactSubstr APPLY step — the cleaning pass d15 is the find for: cut
+    // every duplicated region out of every doc and reassemble. This is
+    // the aggressive variant of Lee et al.'s cleanup (they keep one
+    // occurrence; a keep-first rule for REGIONS is ill-defined because
+    // regions don't align 1:1 across docs — the well-defined and widely
+    // used form drops duplicated text everywhere, as C4 does for lines).
+    // Shape: the span list (narrow (doc_id, s0, e0) rows) left-joins back
+    // onto the docs, and the cut is ONE map-side array expression —
+    // positions outside every span, no token explode, no extra shuffle
+    // beyond d15's own. Docs with no spans pass through verbatim.
+    QuerySpec(
+      "d18_substr_strip",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            SubstrDedup.plantText(col("doc_id"), col("text")).as("text"))
+        val spanArr = substrSpanList(docs, SubstrDedup.W)
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("s0"), col("e0"))))
+            .as("spans"))
+        val tk = split(col("text"), " ")
+        docs.join(spanArr, Seq("doc_id"), "left")
+          .withColumn("spans", coalesce(col("spans"),
+            array().cast("array<struct<s0:bigint,e0:bigint>>")))
+          .withColumn("kept",
+            filter(sequence(lit(0L), size(tk).cast(LongType) - 1L),
+              p => !exists(col("spans"),
+                sp => p >= sp.getField("s0") && p < sp.getField("e0"))))
+          .select(col("doc_id"),
+            size(tk).cast(LongType).as("n_before"),
+            size(col("kept")).cast(LongType).as("n_after"),
+            md5(concat_ws(" ",
+              transform(col("kept"), p => element_at(tk, (p + 1L).cast("int")))))
+              .as("cleaned_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        s"""WITH ${SubstrDedup.spanSqlCtes},
+           |sp AS (
+           |  SELECT doc_id, list_sort(list({'s0': s0, 'e0': e0})) AS spans
+           |  FROM spans GROUP BY doc_id),
+           |docs AS (
+           |  SELECT p.doc_id, string_split(p.text, ' ') AS toks,
+           |    COALESCE(s.spans, []) AS spans
+           |  FROM planted p LEFT JOIN sp s ON p.doc_id = s.doc_id),
+           |cut AS (
+           |  SELECT doc_id, len(toks) AS n_before,
+           |    list_filter(range(0, len(toks)),
+           |      p -> len(list_filter(spans,
+           |             sp -> p >= sp['s0'] AND p < sp['e0'])) = 0) AS kept,
+           |    toks
+           |  FROM docs)
+           |SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+           |  CAST(len(kept) AS BIGINT) AS n_after,
+           |  md5(COALESCE(array_to_string(
+           |    list_transform(kept, p -> toks[p + 1]), ' '), ''))
+           |    AS cleaned_md5
+           |FROM cut ORDER BY doc_id""".stripMargin
       },
     ),
     // Bloom-guarded incremental dedup — d06's ingest shape with the
@@ -1099,12 +1133,11 @@ object Dedup {
     ),
   )
 
-  /** Per-doc merged duplicated-substring spans over `docs(doc_id, text)` —
-    * the d15 kernel (see that QuerySpec's doc-comment for the full scale
-    * rationale). Output: (doc_id, n_spans, dup_tokens, spans_md5), one row
-    * per doc owning at least one cross-doc duplicated `w`-gram.
+  /** The span-level frame under [[substrSpans]]: one (doc_id, s0, e0) row
+    * per maximal duplicated region — exposed so the d18 apply step can
+    * attach spans back onto documents.
     */
-  def substrSpans(docs: DataFrame, w: Int): DataFrame = {
+  def substrSpanList(docs: DataFrame, w: Int): DataFrame = {
     val tk = split(col("text"), " ")
     val grams = docs
       .filter(size(tk) >= w)
@@ -1128,21 +1161,28 @@ object Dedup {
     // equal-width intervals sorted by start have sorted ends, so the
     // gaps-and-islands test reduces to pos > lag(pos) + W (strictly
     // past the previous gram's end; == W is adjacent → same region)
-    val spans = hits
+    hits
       .withColumn("newisl",
         when(lag(col("pos"), 1).over(win).isNull ||
           col("pos") > lag(col("pos"), 1).over(win) + w, 1L).otherwise(0L))
       .withColumn("island", sum(col("newisl")).over(win))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s0"), (max(col("pos")) + w).as("e0"))
-    spans.groupBy("doc_id")
+  }
+
+  /** Per-doc merged duplicated-substring spans over `docs(doc_id, text)` —
+    * the d15 kernel (see that QuerySpec's doc-comment for the full scale
+    * rationale). Output: (doc_id, n_spans, dup_tokens, spans_md5), one row
+    * per doc owning at least one cross-doc duplicated `w`-gram.
+    */
+  def substrSpans(docs: DataFrame, w: Int): DataFrame =
+    substrSpanList(docs, w).groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum((col("e0") - col("s0")).cast(LongType)).as("dup_tokens"),
         md5(concat_ws(",",
           transform(array_sort(collect_list(struct(col("s0"), col("e0")))),
             x => concat(x.getField("s0").cast("string"), lit("-"),
               x.getField("e0").cast("string"))))).as("spans_md5"))
-  }
 
   /** Bloom-membership predicate over `historical(key)`: None iff historical
     * is empty, else a codegen'd might-contain Column usable on any frame's
@@ -1206,6 +1246,39 @@ private[graft] object SubstrDedup {
 
   val plantSqlExpr: String =
     s"CASE WHEN doc_id % 5 = 0 THEN '$notice' || ' ' || text ELSE text END"
+
+  /** The planted→grams→dup→islands→spans CTE chain shared by the d15
+    * (report) and d18 (strip) oracles — ends at `spans(doc_id, island,
+    * s0, e0)` with `planted(doc_id, text)` also in scope. Mirrors
+    * [[Dedup.substrSpanList]] exactly.
+    */
+  val spanSqlCtes: String =
+    s"""planted AS (
+       |  SELECT doc_id, $plantSqlExpr AS text
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      range(0, len(string_split(text, ' ')) - ${W - 1}),
+       |      i -> {'pos': i,
+       |            'g': array_to_string(
+       |              (string_split(text, ' '))[i+1 : i+$W], ' ')}) AS gs
+       |  FROM planted
+       |  WHERE len(string_split(text, ' ')) >= $W),
+       |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+       |dup AS (SELECT g FROM g GROUP BY g
+       |        HAVING MIN(doc_id) <> MAX(doc_id)),
+       |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL
+       |              OR pos > lag(pos) OVER w + $W
+       |         THEN 1 ELSE 0 END AS newisl
+       |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl2 AS (SELECT doc_id, pos,
+       |    SUM(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl),
+       |spans AS (SELECT doc_id, island, MIN(pos) AS s0, MAX(pos) + $W AS e0
+       |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
 }
 
 /** Fixed 12-word boilerplate banners for [[Dedup]] d12 — exactly 12 words

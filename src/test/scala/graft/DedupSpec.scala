@@ -249,14 +249,14 @@ class DedupSpec extends AnyFunSuite {
       assert(n >= 1L && toks >= 20L,
         s"doc $id: notice not fully covered ($n spans / $toks tokens)")
     }
-    // % 10 == 0 bases additionally have a verbatim +2M copy: every gram is
-    // cross-doc, so the span covers the whole doc (notice + text > 20) for
-    // the overwhelming majority (short-text docs are the exception)
-    val fam = rows.keySet.filter(id => id < 1000000L && id % 10 == 0)
-    assert(fam.nonEmpty)
-    val whole = fam.count(id => rows(id)._2 > 20L)
-    assert(whole.toDouble / fam.size >= 0.9,
-      s"only $whole/${fam.size} copied docs report whole-doc duplication")
+    // under the tiny synthetic vocabulary, straddle grams (notice suffix +
+    // leading doc words) collide between planted docs sharing a first
+    // word, so most planted spans extend PAST the notice — a fixture
+    // property the d15 doc-comment relies on; pin it so a corpus
+    // regeneration that breaks it is caught here, not in the oracle
+    val extended = plantedAll.count(id => rows(id)._2 > 20L)
+    assert(extended.toDouble / plantedAll.size >= 0.5,
+      s"only $extended/${plantedAll.size} planted spans extend past the notice")
   }
 
   test("d16 bloom-guarded incremental equals the plain anti join, with no false negatives") {
@@ -305,5 +305,38 @@ class DedupSpec extends AnyFunSuite {
         s"cluster size $sz rows ${rs.length} not a whole number of clusters")
     }
     assert(rows.forall(r => r._3 == 1.0 / r._2))
+  }
+
+  test("d18 strip: notice always cut, stripped mass equals d15's span report, pass-through verbatim") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byName("d18_substr_strip").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val docs = graft.engine.Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == docs.size, "every doc must appear in the strip report")
+    // planted docs always lose at least their 20-word notice
+    docs.keys.filter(_ % 5 == 0).foreach { id =>
+      val (before, after, _) = rows(id)
+      assert(after <= before - 20, s"doc $id kept its notice ($before -> $after)")
+    }
+    // find/apply cross-gate: the strip removes EXACTLY the duplicated-token
+    // mass d15 reports per doc (docs absent from d15 have zero spans)
+    val reported = Registry.byName("d15_substr_span_dedup").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { case (id, (before, after, _)) =>
+      val expect = reported.getOrElse(id, 0L)
+      assert(before - after == expect,
+        s"doc $id stripped ${before - after} tokens but d15 reports $expect")
+    }
+    // docs with no duplicated span pass through verbatim — md5 matches the
+    // original text (true for the majority of non-planted docs)
+    val untouched = docs.collect {
+      case (id, m) if id % 5 != 0 && rows(id)._1 == rows(id)._2 =>
+        rows(id)._3 == m
+    }
+    assert(untouched.nonEmpty && untouched.forall(identity),
+      "a verbatim pass-through doc re-hashed differently")
+    assert(untouched.size > docs.size / 2, "fixture: most docs should be untouched")
   }
 }
