@@ -80,4 +80,42 @@ class PropertySpec extends AnyFunSuite {
       assert(rebuilt == 0, s"width $w: $rebuilt docs fail round-trip")
     }
   }
+
+  test("substrSpans output is invariant under repartitioning") {
+    import graft.queries.{Dedup, SubstrDedup}
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        SubstrDedup.plantText(col("doc_id"), col("text")).as("text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.substrSpans(df, SubstrDedup.W).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    val base = run(docs)
+    val r = rng
+    (1 to 3).foreach { _ =>
+      val n = 1 + r.nextInt(17)
+      assert(run(docs.repartition(n)) == base, s"partitions=$n")
+    }
+  }
+
+  test("bloom-guarded new rows are invariant under bloom sizing and partitioning") {
+    import graft.queries.Dedup
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val hist = docs.filter(col("doc_id") < 300)
+      .select(md5(col("text")).as("digest")).distinct()
+    val batch = docs.filter(col("doc_id") >= 300)
+      .withColumn("digest", md5(col("text")))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(Dedup.bloomGuardedNewRows(batch, hist, "digest"))
+    // a bloom 100× undersized (worst-case FP pressure) and a 4× oversized
+    // one must produce the identical row set — FPs only shift work, never
+    // results — and so must any partitioning of either side
+    Seq(1L << 9, 1L << 18).foreach { items =>
+      assert(ids(Dedup.bloomGuardedNewRows(batch, hist, "digest", items)) == base,
+        s"expectedItems=$items")
+    }
+    assert(ids(Dedup.bloomGuardedNewRows(
+      batch.repartition(7), hist.repartition(3), "digest")) == base)
+  }
 }
