@@ -606,5 +606,89 @@ object Corpus {
              |FROM p GROUP BY source, shard, before // 2048
              |ORDER BY source, shard, bin""".stripMargin),
     ),
+    // BPE tokenizer training — the missing flagship of an LLM data
+    // pipeline: learn the merge table from the corpus. This is Sennrich
+    // et al. 2016's learn_bpe in its SCALABLE form: the state is the
+    // word-TYPE table (word → corpus count — |types| ≪ corpus; pair
+    // statistics are identical because merges never cross word
+    // boundaries), each round shuffles only (left, right, weighted
+    // count) partial aggregates, the argmax is ONE collected row, and
+    // the merge applies map-side as an array fold over each type's
+    // symbols. K rounds = K narrow jobs with O(1)-deep plans
+    // (localCheckpoint per round — the d08 loop discipline).
+    //
+    // No SQL oracle: the merge chosen at step i rewrites the
+    // tokenization that step i+1 counts, so an oracle would need K
+    // chained re-tokenizations of the corpus — state SQL can't carry.
+    // The driver records the rows-only check; CorpusSpec pins the FULL
+    // merge sequence against an independent single-node reference BPE
+    // (exact (step, left, right, count) equality) plus determinism
+    // across partitionings.
+    QuerySpec(
+      "c17_bpe_merges",
+      (s, d) => bpeMerges(Tables(s, d, "documents"), 20),
+      None,
+    ),
   )
+
+  /** Learn `k` BPE merges from `docs(text)` (word-level symbol merging,
+    * no end-of-word marker — documented divergence from Sennrich's
+    * `</w>`). Returns (step, left, right, pair_count) ordered by step;
+    * stops early if no adjacent pair remains (every type fused to one
+    * symbol). Ties break (count DESC, left ASC, right ASC).
+    */
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the type table: word → count, words split into single-char symbols
+    var types = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => substring(col("w"), i, lit(1)).cast("string")).as("syms"))
+      .localCheckpoint(true)
+    val merges = Vector.newBuilder[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      // weighted adjacent-pair counts: narrow (left, right, cnt) shuffle
+      val top = types
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        val pc = top(0).getLong(2)
+        merges += ((step.toLong, l, r, pc))
+        // apply (l, r) → l+r left-to-right greedily: an array fold —
+        // a freshly merged symbol can't re-merge with the next token
+        // because its TEXT is l+r, which only matches a future (l, r)
+        // pair via the new fused symbol, exactly BPE's semantics
+        val fused = l + r
+        // CaseWhen branches evaluate lazily, so element_at only runs on a
+        // non-empty accumulator (ANSI-safe)
+        types = types.select(col("cnt"),
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, s) => when(size(acc) === 0, array(s))
+              .when(element_at(acc, -1) === lit(l) && s === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.result().toDF("step", "left", "right", "pair_count")
+      .orderBy("step")
+  }
 }

@@ -53,4 +53,67 @@ class CorpusSpec extends AnyFunSuite {
     // OOV mass dominates at topN=50, so scores must still separate docs
     assert(out.map(_.getDouble(2)).distinct.length > 1)
   }
+
+  /** Independent single-node reference BPE (Sennrich learn_bpe over the
+    * type dictionary, no end-of-word marker) — deliberately written with
+    * plain Scala collections so it shares no code with the distributed
+    * implementation it checks.
+    */
+  private def referenceBpe(wordCounts: Map[String, Long], k: Int): Vector[(Long, String, String, Long)] = {
+    var types: Map[Vector[String], Long] =
+      wordCounts.groupMapReduce { case (w, _) => w.map(_.toString).toVector } {
+        case (_, c) => c
+      }(_ + _)
+    val out = Vector.newBuilder[(Long, String, String, Long)]
+    var step = 1L
+    var done = false
+    while (step <= k && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      types.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+          case _            =>
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), pc) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((step, l, r, pc))
+        types = types.groupMapReduce { case (syms, _) =>
+          val acc = Vector.newBuilder[String]
+          var last: String = null
+          syms.foreach { s =>
+            if (last == l && s == r) { // greedy left-to-right fuse
+              val v = acc.result(); acc.clear()
+              v.dropRight(1).foreach(acc += _); acc += (l + r); last = l + r
+            } else { acc += s; last = s }
+          }
+          acc.result()
+        } { case (_, c) => c }(_ + _)
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  test("c17 BPE merges equal an independent reference implementation, any partitioning") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables(spark, sf, "documents")
+    val wordCounts = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = referenceBpe(wordCounts, 20)
+    val got = Corpus.bpeMerges(docs, 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toVector
+    assert(got == expect,
+      s"first divergence: ${got.zip(expect).find(x => x._1 != x._2)}")
+    // determinism across partitioning (ties broken by (count, l, r))
+    val got2 = Corpus.bpeMerges(docs.repartition(13), 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toVector
+    assert(got2 == got)
+  }
 }
