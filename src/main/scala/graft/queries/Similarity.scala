@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.DoubleType
 import graft.QuerySpec
 import graft.engine.Tables
 import graft.functions.ghash
+import graft.plans.TopK
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -47,6 +48,132 @@ object Similarity {
       s"""list_sum(list_transform(list_zip($x, $y),
          |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  // ---- Product quantization (s08) ----
+
+  /** Σ (aᵢ−bᵢ)² in double precision, sequential fold — the PQ training
+    * metric. Same fold shape as [[ddot]] so the oracle's `list_sum` text
+    * reproduces it bit-for-bit.
+    */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Subvector `si` (0-based) of width `subDim`, cast elementwise to
+    * double. Oracle: `list_transform(embedding[si*subDim+1:(si+1)*subDim],
+    * x -> CAST(x AS DOUBLE))`.
+    */
+  private def subVec(e: Column, si: Column, subDim: Int): Column =
+    transform(slice(e, si * subDim + 1, lit(subDim)), x => x.cast(DoubleType))
+
+  /** PQ codebooks: `m` subspaces × `ksub` codes, each subspace trained by
+    * `iters` Lloyd rounds (L2 metric, decimal-exact means — the s04
+    * exactness contract) over the corpus subvectors; seeds are the `ksub`
+    * lowest vec_ids' subvectors. Returns one row per subspace:
+    * `(sub, codes: array<struct<code, cvec>>)`, codes sorted by code id.
+    *
+    * Scale shape: the training frame is corpus×m NARROW rows (subDim
+    * doubles each, checkpointed once); each round is one broadcast join +
+    * per-row argmin (zero corpus shuffle) and one (sub, code, dim)-keyed
+    * mean with m·ksub·subDim groups of state. Loop discipline is the d08
+    * pattern (eager localCheckpoint per round, O(1)-deep plans). An empty
+    * cell simply drops out of the codebook (all lookups key by `code`, not
+    * by array position, so a sparse codebook stays correct).
+    */
+  def pqCodebooks(e: DataFrame, m: Int, subDim: Int, ksub: Int, iters: Int): DataFrame = {
+    import graft.engine.Exact
+    val subs = e
+      .select(col("vec_id"), explode(transform(sequence(lit(0), lit(m - 1)),
+        si => struct(si.as("sub"),
+          subVec(col("embedding"), si, subDim).as("svec")))).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.svec").as("svec"))
+      .localCheckpoint(true)
+    var cb = subs.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("svec").as("cvec"))
+      .groupBy("sub")
+      .agg(array_sort(collect_list(struct(col("code"), col("cvec")))).as("codes"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(cb), "sub")
+        .select(col("sub"), col("svec"),
+          array_min(transform(col("codes"), c =>
+            struct(l2(col("svec"), c.getField("cvec")).as("d"),
+              c.getField("code").as("code")))).getField("code").as("code"))
+      cb = assigned
+        .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("dim", "v")))
+        .groupBy("sub", "code", "dim")
+        .agg((Exact.dsum(col("v")) / count(lit(1)).cast(DoubleType)).as("mv"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("dm"))
+        .select(col("sub"), col("code"),
+          transform(col("dm"), x => x.getField("mv")).as("cvec"))
+        .groupBy("sub")
+        .agg(array_sort(collect_list(struct(col("code"), col("cvec")))).as("codes"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** PQ-ADC approximate nearest neighbors: train codebooks
+    * ([[pqCodebooks]]), encode every corpus vector as `m` small code ids
+    * (the 100 TB memory story: m bytes leave the scan instead of the
+    * full float vector — 64× compression at m=4, dim=64), precompute each
+    * query's asymmetric-distance lookup table (m×ksub subvector dot
+    * products), score the whole corpus with O(m) LUT lookups per row,
+    * shortlist per query through the bounded [[TopK.perKey]] partial
+    * top-k (≤`shortlist` rows per query per map task reach the exchange
+    * — never the corpus×queries scored frame), then exact-cosine rerank
+    * the shortlist to `topK`.
+    *
+    * Everything downstream of the codebooks is shuffle-free over the
+    * corpus: encode and ADC scoring are per-row expressions against the
+    * broadcast codebook/LUT rows; the only corpus-wide exchange is the
+    * TopK partial aggregation's ≤(queries·shortlist) rows per task.
+    */
+  def pqAdcAnn(e: DataFrame, m: Int, subDim: Int, ksub: Int, iters: Int,
+      nQ: Int, shortlist: Int, topK: Int): DataFrame = {
+    val cb = pqCodebooks(e, m, subDim, ksub, iters)
+    // one nested row: cb[sub] = codes, sorted by sub for positional access
+    val cbRow = cb.agg(array_sort(collect_list(struct(col("sub"),
+      col("codes")))).as("cb"))
+    val enc = e.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)), si =>
+          array_min(transform(
+            element_at(col("cb"), si + 1).getField("codes"), c =>
+              struct(l2(subVec(col("embedding"), si, subDim),
+                c.getField("cvec")).as("d"),
+                c.getField("code").as("code")))).getField("code")).as("codes"))
+    val qlut = e.filter(col("vec_id") < nQ).crossJoin(broadcast(cbRow))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        transform(col("cb"), sc =>
+          transform(sc.getField("codes"), c =>
+            struct(c.getField("code").as("code"),
+              ddot(subVec(col("embedding"), sc.getField("sub"), subDim),
+                c.getField("cvec")).as("lv")))).as("lut"))
+    val scored = enc.crossJoin(broadcast(qlut))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, si) =>
+          acc + element_at(
+            filter(element_at(col("lut"), si + 1),
+              p => p.getField("code") === element_at(col("codes"), si + 1)),
+            1).getField("lv")).as("adc"))
+    val short = TopK.perKey(scored,
+      keys = Seq(col("q_id")),
+      order = Seq(col("adc").desc, col("vec_id")),
+      k = shortlist)
+    e.select(col("vec_id"), col("embedding").as("n_emb"))
+      .join(broadcast(short), "vec_id")
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc"),
+        cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("adc"), col("cos"))
+      .orderBy("q_id", "rank")
   }
 
   // ---- IVF coarse quantizer (s04) ----
@@ -715,6 +842,101 @@ object Similarity {
            |  ORDER BY rel DESC, vec_id LIMIT 1),
            |$steps
            |SELECT rnk, vec_id, rel FROM sel$K ORDER BY rnk""".stripMargin
+      },
+    ),
+    // PQ-ADC ANN — the compressed-index serve path that complements s04's
+    // IVF: 4 subspaces × 8 codes quantize each 64-dim vector to 4 code
+    // ids, queries score the corpus through per-query lookup tables
+    // (asymmetric distance), and only the per-query shortlist gets the
+    // exact-cosine rerank. Codebook training is per-subspace Lloyd with
+    // the s04 exactness contract (fixed 2 iterations, decimal-exact
+    // means, (dist, code) tie-break), so every code assignment, LUT
+    // value, ADC sum (fixed subspace fold order) and rerank is
+    // bit-reproducible by the oracle, which unrolls all 4 subspaces × 2
+    // iterations as generated CTEs. The shortlist is the custom
+    // TopK.perKey partial top-k — the corpus×queries scored frame never
+    // reaches an exchange.
+    QuerySpec(
+      "s08_pq_adc",
+      (s, d) => pqAdcAnn(emb(s, d).select(col("vec_id"), col("embedding")),
+        m = 4, subDim = 16, ksub = 8, iters = 2,
+        nQ = 5, shortlist = 32, topK = 5),
+      Some {
+        import graft.engine.Exact
+        val m = 4; val subDim = 16; val ksub = 8; val iters = 2
+        val nQ = 5; val shortlist = 32; val topK = 5
+        def sl(s: Int) =
+          s"list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}], x -> CAST(x AS DOUBLE))"
+        def dL2(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b),
+             |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+        def dDot(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b),
+             |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
+        val subCtes = (0 until m).flatMap { s =>
+          val v = s"s${s}v"
+          Seq(
+            s"$v AS MATERIALIZED (SELECT vec_id, ${sl(s)} AS svec FROM embeddings)",
+            s"s${s}c0 AS (SELECT vec_id AS code, svec AS cvec FROM $v WHERE vec_id < $ksub)") ++
+            (1 to iters).flatMap { n =>
+              Seq(
+                s"""s${s}a$n AS (
+                   |  SELECT vec_id, svec, code FROM (
+                   |    SELECT v.vec_id, v.svec, c.code,
+                   |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   |        ORDER BY ${dL2("v.svec", "c.cvec")}, c.code) AS rn
+                   |    FROM $v v CROSS JOIN s${s}c${n - 1} c) t WHERE rn = 1)""".stripMargin,
+                s"""s${s}m$n AS (
+                   |  SELECT code, dim,
+                   |    ${Exact.sqlSum("svec[dim+1]")} / CAST(COUNT(*) AS DOUBLE) AS mv
+                   |  FROM s${s}a$n, UNNEST(range(0, $subDim)) AS t(dim)
+                   |  GROUP BY code, dim)""".stripMargin,
+                s"""s${s}c$n AS MATERIALIZED (
+                   |  SELECT code, list(mv ORDER BY dim) AS cvec
+                   |  FROM s${s}m$n GROUP BY code)""".stripMargin)
+            } ++ Seq(
+            s"""s${s}e AS MATERIALIZED (
+               |  SELECT vec_id, code FROM (
+               |    SELECT v.vec_id, c.code,
+               |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               |        ORDER BY ${dL2("v.svec", "c.cvec")}, c.code) AS rn
+               |    FROM $v v CROSS JOIN s${s}c$iters c) t WHERE rn = 1)""".stripMargin,
+            s"""s${s}l AS MATERIALIZED (
+               |  SELECT qv.vec_id AS q_id, c.code, ${dDot("qv.svec", "c.cvec")} AS lv
+               |  FROM $v qv CROSS JOIN s${s}c$iters c
+               |  WHERE qv.vec_id < $nQ)""".stripMargin)
+        }
+        s"""WITH ${subCtes.mkString(",\n")},
+           |scored AS (
+           |  SELECT l0.q_id, e0.vec_id,
+           |    l0.lv + l1.lv + l2.lv + l3.lv AS adc
+           |  FROM s0e e0
+           |  JOIN s1e e1 USING (vec_id)
+           |  JOIN s2e e2 USING (vec_id)
+           |  JOIN s3e e3 USING (vec_id)
+           |  JOIN s0l l0 ON l0.code = e0.code
+           |  JOIN s1l l1 ON l1.code = e1.code AND l1.q_id = l0.q_id
+           |  JOIN s2l l2 ON l2.code = e2.code AND l2.q_id = l0.q_id
+           |  JOIN s3l l3 ON l3.code = e3.code AND l3.q_id = l0.q_id
+           |  WHERE e0.vec_id != l0.q_id),
+           |short AS MATERIALIZED (
+           |  SELECT q_id, vec_id, adc FROM (
+           |    SELECT q_id, vec_id, adc,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id
+           |        ORDER BY adc DESC, vec_id) AS srank
+           |    FROM scored) t WHERE srank <= $shortlist),
+           |rer AS (
+           |  SELECT s.q_id, s.vec_id AS neighbor_id, s.adc,
+           |    ${duckCos("q.embedding", "n.embedding")} AS cos
+           |  FROM short s
+           |  JOIN embeddings q ON q.vec_id = s.q_id
+           |  JOIN embeddings n ON n.vec_id = s.vec_id)
+           |SELECT q_id, rank, neighbor_id, adc, cos FROM (
+           |  SELECT q_id, neighbor_id, adc, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM rer) t WHERE rank <= $topK
+           |ORDER BY q_id, rank""".stripMargin
       },
     ),
   )

@@ -244,4 +244,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mmrMax <= plainMax + 1e-12,
       s"MMR selection is LESS diverse than plain top-20 ($mmrMax > $plainMax)")
   }
+
+  test("s08 PQ-ADC: usable recall lift over its scan fraction, dense ranks") {
+    import org.apache.spark.sql.functions._
+    val exact = Registry.byName("s01_ann_brute").run(spark, sf).collect()
+      .filter(_.getLong(0) < 5).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Registry.byName("s08_pq_adc").run(spark, sf).collect()
+    val pq = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // full top-5 per query, dense ranks
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.size == 5 && perQ.values.forall(_.map(_.getInt(1)).sorted.toSeq == (1 to 5)),
+      perQ.view.mapValues(_.length).toMap.toString)
+    // honest ANN metric (the s02 lesson): recall LIFT over the fraction of
+    // the corpus the exact rerank touches. shortlist=32 of the corpus;
+    // measured recall 0.60 at sf0.001 (scan fraction ~0.21 → lift ~2.9)
+    // and higher lift as the corpus grows past the fixed shortlist.
+    val n = graft.engine.Tables(spark, sf, "embeddings").count().toDouble
+    val scanFrac = 32.0 / n
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= math.min(0.95, 1.5 * scanFrac),
+      s"PQ-ADC recall $recall < 1.5x scan fraction $scanFrac")
+    assert(recall >= 0.4, s"PQ-ADC recall collapsed: $recall")
+  }
+
+  test("s08 PQ-ADC is invariant under input partitioning") {
+    import org.apache.spark.sql.functions._
+    val e = graft.engine.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val a = queries.Similarity.pqAdcAnn(e, 4, 16, 8, 2, 5, 32, 5).collect().toSeq
+    val b = queries.Similarity.pqAdcAnn(e.repartition(13), 4, 16, 8, 2, 5, 32, 5)
+      .collect().toSeq
+    assert(a == b, "decimal-exact codebooks must make PQ partitioning-invariant")
+  }
 }
