@@ -629,6 +629,82 @@ object Corpus {
       (s, d) => bpeMerges(Tables(s, d, "documents"), 20),
       None,
     ),
+    // BPE encode (the c17 tokenizer, applied): per-source token stats
+    // under the learned merges — the serving half of tokenizer training.
+    // See [[bpeEncodeStats]] for the type-table scale shape. Rows-only
+    // driver check (the dictionary is c17's non-SQL output); CorpusSpec
+    // carries exact parity vs the independent reference encoder.
+    QuerySpec(
+      "c18_bpe_encode",
+      (s, d) => bpeEncodeStats(Tables(s, d, "documents"), 20),
+      None,
+    ),
+    // Per-domain curation report — the blocklist-candidate surface every
+    // web-scale pipeline maintains: for each canonical URL host (the
+    // d13 fixture + canonicalizer, shared expression), doc volume, token
+    // volume, language spread with deterministic dominant language
+    // (max count, ties to the lexicographically LARGER lang — the
+    // max-struct/ROW_NUMBER DESC pair), and duplicate exposure (share of
+    // docs whose exact text digest repeats corpus-wide — the d01 key).
+    // Scale shape: one digest-keyed count + join (corpus-keyed like d01,
+    // 16-byte keys), two host-keyed aggs (50-row state here; bounded by
+    // |hosts| generally) — no broadcast of anything unbounded, no window
+    // over an unsharded partition.
+    QuerySpec(
+      "c19_domain_stats",
+      (s, d) => {
+        val base = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            regexp_extract(Dedup.canonicalUrl(Dedup.syntheticUrl),
+              "^https://([^/]+)", 1).as("host"),
+            md5(col("text")).as("digest"),
+            size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+        val digs = base.groupBy("digest").agg(count(lit(1)).as("nd"))
+        val topLang = base.groupBy("host", "lang")
+          .agg(count(lit(1)).as("nl"))
+          .groupBy("host")
+          .agg(max(struct(col("nl"), col("lang"))).getField("lang").as("top_lang"))
+        base.join(digs, "digest")
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            (sum(when(col("nd") > 1, 1L).otherwise(0L)).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType)).as("dup_share"))
+          .join(topLang, "host")
+          .select(col("host"), col("n_docs"), col("n_tokens"),
+            col("n_langs"), col("top_lang"), col("dup_share"))
+          .orderBy("host")
+      },
+      // string concat, not interpolation-inside-stripMargin: the CTE
+      // text contains `||`, which stripMargin would mangle
+      Some(s"WITH ${graft.queries.Dedup.duckUrlCanonCtes},\n" +
+        """base AS (
+             |  SELECT c.doc_id,
+             |    regexp_extract(canonical_url, '^https://([^/]+)', 1) AS host,
+             |    d.lang, md5(d.text) AS digest,
+             |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+             |  FROM canon c JOIN documents d USING (doc_id)),
+             |digs AS (SELECT digest, COUNT(*) AS nd FROM base GROUP BY digest),
+             |langs AS (
+             |  SELECT host, lang, COUNT(*) AS nl FROM base GROUP BY host, lang),
+             |toplang AS (
+             |  SELECT host, lang AS top_lang FROM (
+             |    SELECT host, lang,
+             |      ROW_NUMBER() OVER (PARTITION BY host
+             |        ORDER BY nl DESC, lang DESC) AS rn
+             |    FROM langs) t WHERE rn = 1),
+             |main AS (
+             |  SELECT b.host, COUNT(*) AS n_docs,
+             |    CAST(SUM(b.n_toks) AS BIGINT) AS n_tokens,
+             |    COUNT(DISTINCT b.lang) AS n_langs,
+             |    CAST(SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |      / CAST(COUNT(*) AS DOUBLE) AS dup_share
+             |  FROM base b JOIN digs g USING (digest) GROUP BY b.host)
+             |SELECT m.host, n_docs, n_tokens, n_langs, t.top_lang, dup_share
+             |FROM main m JOIN toplang t USING (host)
+             |ORDER BY host""".stripMargin),
+    ),
   )
 
   /** Learn `k` BPE merges from `docs(text)` (word-level symbol merging,
@@ -637,7 +713,14 @@ object Corpus {
     * stops early if no adjacent pair remains (every type fused to one
     * symbol). Ties break (count DESC, left ASC, right ASC).
     */
-  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = bpeTrain(docs, k)._1
+
+  /** Full BPE training state: the merge table AND the final encoded type
+    * table `(w, cnt, syms)` — the tokenizer's dictionary, which [[c18's
+    * encode|bpeEncodeStats]] reuses so corpus-wide encoding is a join
+    * against |types| rows, never a re-tokenization of every document.
+    */
+  def bpeTrain(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     // the type table: word → count, words split into single-char symbols
@@ -645,7 +728,7 @@ object Corpus {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
+      .select(col("w"), col("cnt"),
         transform(sequence(lit(1), length(col("w"))),
           i => substring(col("w"), i, lit(1)).cast("string")).as("syms"))
       .localCheckpoint(true)
@@ -677,7 +760,7 @@ object Corpus {
         val fused = l + r
         // CaseWhen branches evaluate lazily, so element_at only runs on a
         // non-empty accumulator (ANSI-safe)
-        types = types.select(col("cnt"),
+        types = types.select(col("w"), col("cnt"),
           aggregate(col("syms"),
             array().cast("array<string>"),
             (acc, s) => when(size(acc) === 0, array(s))
@@ -688,7 +771,43 @@ object Corpus {
         step += 1
       }
     }
-    merges.result().toDF("step", "left", "right", "pair_count")
-      .orderBy("step")
+    (merges.result().toDF("step", "left", "right", "pair_count")
+      .orderBy("step"), types)
+  }
+
+  /** Corpus-wide BPE ENCODE with the [[bpeTrain]]'d tokenizer: per-source
+    * token statistics under the learned merges. The scale shape is the
+    * c17 insight carried to serving: tokenization is a function of the
+    * word TYPE, so the corpus pass only counts (source, word) occurrences
+    * — one narrow shuffle — and the per-word token/char widths join in
+    * from the |types|-row dictionary (word-keyed shuffle join, bounded
+    * per-key state; never a per-document re-tokenization, never a
+    * broadcast of an unbounded vocabulary — the c13 lesson).
+    *
+    * Outputs per source: word/token totals, tokens_per_word and
+    * chars_per_token (the compression the tokenizer achieves). Integer
+    * sums + two exact double divisions — deterministic; no SQL oracle
+    * (the dictionary is the trainer's output — same contract as c17),
+    * CorpusSpec pins exact parity against the independent reference BPE.
+    */
+  def bpeEncodeStats(docs: DataFrame, k: Int): DataFrame = {
+    val types = bpeTrain(docs, k)._2
+    val perType = types.select(col("w"),
+      size(col("syms")).cast(LongType).as("n_toks"),
+      length(col("w")).cast(LongType).as("n_chars"))
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+      .join(perType, "w")
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_toks")).as("n_tokens"),
+        sum(col("n") * col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("tokens_per_word"),
+        (col("sum_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("chars_per_token"))
+      .orderBy("source")
   }
 }

@@ -32,6 +32,78 @@ import graft.functions.ghash
   */
 object Dedup {
 
+  /** Deterministic synthetic URL per doc — the d13/c19 fixture: four
+    * variants of scheme / WWW / default-port / tracking-param / fragment
+    * noise over doc_id, 50 hosts × 20 pages. Shared between the d13
+    * URL-dedup and the c19 domain-stats contract queries so the two
+    * oracles stay in lockstep.
+    */
+  private[queries] def syntheticUrl: Column = {
+    val a = (col("doc_id") % 50).cast("string")
+    val b = (col("doc_id") % 20).cast("string")
+    val v = col("doc_id") % 4
+    when(v === 0,
+        concat(lit("https://site"), a, lit(".example/page"), b))
+      .when(v === 1,
+        concat(lit("HTTPS://WWW.SITE"), a, lit(".EXAMPLE/page"), b, lit("/")))
+      .when(v === 2,
+        concat(lit("https://site"), a, lit(".example:443/page"), b,
+          lit("?utm_source=feed&utm_campaign=x")))
+      .otherwise(
+        concat(lit("http://site"), a, lit(".example/page"), b, lit("#top")))
+  }
+
+  /** URL canonicalization (lowercase, strip fragment/query/default
+    * port/WWW/trailing slash, force https) — lower/regexp steps in the
+    * Java∩RE2 dialect so Spark and DuckDB agree byte-for-byte.
+    */
+  private[queries] def canonicalUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(url), "#.*$", ""),
+              "\\?.*$", ""),
+            "^(https?://[^/]*):443/", "$1/"),
+          "^(https?)://www\\.", "$1://"),
+        "^http://", "https://"),
+      "/$", "")
+
+  /** DuckDB CTEs `planted` (doc_id, url) and `canon` (doc_id,
+    * canonical_url) — the oracle text of [[syntheticUrl]] ∘
+    * [[canonicalUrl]] over `documents`.
+    */
+  private[queries] val duckUrlCanonCtes: String =
+    """planted AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+      |        || '.example/page' || CAST(doc_id % 20 AS VARCHAR)
+      |      WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST(doc_id % 50 AS VARCHAR)
+      |        || '.EXAMPLE/page' || CAST(doc_id % 20 AS VARCHAR) || '/'
+      |      WHEN 2 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+      |        || '.example:443/page' || CAST(doc_id % 20 AS VARCHAR)
+      |        || '?utm_source=feed&utm_campaign=x'
+      |      ELSE 'http://site' || CAST(doc_id % 50 AS VARCHAR)
+      |        || '.example/page' || CAST(doc_id % 20 AS VARCHAR) || '#top'
+      |    END AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(lower(url), '#.*$', ''),
+      |              '\?.*$', ''),
+      |            '^(https?://[^/]*):443/', '\1/'),
+      |          '^(https?)://www\.', '\1://'),
+      |        '^http://', 'https://'),
+      |      '/$', '') AS canonical_url
+      |  FROM planted)""".stripMargin
+
   /** documents ∪ exact dups (+2M) ∪ near dups with last 2 tokens dropped (+1M). */
   def plantedCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
@@ -815,67 +887,19 @@ object Dedup {
     QuerySpec(
       "d13_url_dedup",
       (s, d) => {
-        val a = (col("doc_id") % 50).cast("string")
-        val b = (col("doc_id") % 20).cast("string")
-        val v = col("doc_id") % 4
-        val url = when(v === 0,
-            concat(lit("https://site"), a, lit(".example/page"), b))
-          .when(v === 1,
-            concat(lit("HTTPS://WWW.SITE"), a, lit(".EXAMPLE/page"), b, lit("/")))
-          .when(v === 2,
-            concat(lit("https://site"), a, lit(".example:443/page"), b,
-              lit("?utm_source=feed&utm_campaign=x")))
-          .otherwise(
-            concat(lit("http://site"), a, lit(".example/page"), b, lit("#top")))
-        val canon =
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(lower(url), "#.*$", ""),
-                  "\\?.*$", ""),
-                "^(https?://[^/]*):443/", "$1/"),
-              "^(https?)://www\\.", "$1://"),
-            "^http://", "https://")
         Tables(s, d, "documents")
-          .select(col("doc_id"),
-            regexp_replace(canon, "/$", "").as("canonical_url"))
+          .select(col("doc_id"), canonicalUrl(syntheticUrl).as("canonical_url"))
           .groupBy("canonical_url")
           .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_fetches"))
           .orderBy("canonical_url")
       },
-      Some("""WITH planted AS (
-             |  SELECT doc_id,
-             |    CASE CAST(doc_id % 4 AS INT)
-             |      WHEN 0 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
-             |        || '.example/page' || CAST(doc_id % 20 AS VARCHAR)
-             |      WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST(doc_id % 50 AS VARCHAR)
-             |        || '.EXAMPLE/page' || CAST(doc_id % 20 AS VARCHAR) || '/'
-             |      WHEN 2 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
-             |        || '.example:443/page' || CAST(doc_id % 20 AS VARCHAR)
-             |        || '?utm_source=feed&utm_campaign=x'
-             |      ELSE 'http://site' || CAST(doc_id % 50 AS VARCHAR)
-             |        || '.example/page' || CAST(doc_id % 20 AS VARCHAR) || '#top'
-             |    END AS url
-             |  FROM documents),
-             |canon AS (
-             |  SELECT doc_id,
-             |    regexp_replace(
-             |      regexp_replace(
-             |        regexp_replace(
-             |          regexp_replace(
-             |            regexp_replace(
-             |              regexp_replace(lower(url), '#.*$', ''),
-             |              '\?.*$', ''),
-             |            '^(https?://[^/]*):443/', '\1/'),
-             |          '^(https?)://www\.', '\1://'),
-             |        '^http://', 'https://'),
-             |      '/$', '') AS canonical_url
-             |  FROM planted)
-             |SELECT canonical_url, MIN(doc_id) AS keeper,
-             |       COUNT(*) AS n_fetches
-             |FROM canon GROUP BY canonical_url
-             |ORDER BY canonical_url""".stripMargin),
+      // NOTE string concat, not interpolation-inside-stripMargin: the
+      // CTE text contains `||`, which stripMargin would mangle.
+      Some(s"WITH $duckUrlCanonCtes\n" +
+        """SELECT canonical_url, MIN(doc_id) AS keeper,
+          |       COUNT(*) AS n_fetches
+          |FROM canon GROUP BY canonical_url
+          |ORDER BY canonical_url""".stripMargin),
     ),
     // Corpus snapshot diff — the dataset-versioning op: given two corpus
     // versions, classify every doc as added / removed / changed /

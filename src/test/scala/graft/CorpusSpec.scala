@@ -116,4 +116,55 @@ class CorpusSpec extends AnyFunSuite {
       .toVector
     assert(got2 == got)
   }
+
+  /** Apply a merge sequence to one word — the reference ENCODER (greedy
+    * left-to-right fuse per merge, in merge order), independent of the
+    * distributed implementation.
+    */
+  private def referenceEncode(w: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms = w.map(_.toString).toVector
+    merges.foreach { case (l, r) =>
+      val acc = Vector.newBuilder[String]
+      var last: String = null
+      syms.foreach { s =>
+        if (last == l && s == r) {
+          val v = acc.result(); acc.clear()
+          v.dropRight(1).foreach(acc += _); acc += (l + r); last = l + r
+        } else { acc += s; last = s }
+      }
+      syms = acc.result()
+    }
+    syms
+  }
+
+  test("c18 BPE encode stats equal the reference tokenizer applied per word") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables(spark, sf, "documents")
+    val wordCounts = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = referenceBpe(wordCounts, 20).map(m => (m._2, m._3))
+    val tokWidth: Map[String, Long] =
+      wordCounts.keys.map(w => w -> referenceEncode(w, merges).length.toLong).toMap
+    // expected per-source totals, computed with plain Scala collections
+    val perSource = docs.select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty).map(w => (r.getString(0), w)))
+      .groupBy(_._1).map { case (src, ws) =>
+        val words = ws.length.toLong
+        val toks = ws.map(x => tokWidth(x._2)).sum
+        val chars = ws.map(_._2.length.toLong).sum
+        (src, (words, toks,
+          toks.toDouble / words.toDouble,
+          chars.toDouble / toks.toDouble))
+      }
+    val got = Corpus.bpeEncodeStats(docs, 20).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == perSource.keySet)
+    perSource.foreach { case (src, exp) =>
+      assert(got(src) == exp, s"source $src: got ${got(src)} expected $exp")
+    }
+  }
 }
