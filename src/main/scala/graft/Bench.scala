@@ -132,13 +132,18 @@ object Bench {
       // top-k sampling), d13 (URL-keyed dedup), d15 (stride-1 gram
       // explosion — the suite's biggest row fan-out), d16 (bloom-guarded
       // ingest), p04 (diff-driven re-pack)
+      // ... and the round-8 additions: s08 (PQ codebook train + compressed
+      // serve), c18 (BPE train+encode — k type-table rounds), c19
+      // (domain stats — digest join + host aggs), c20 (DSIR two-model
+      // token join + partial top-k)
       val extNames = Vector("d08_dup_clusters", "d09_contamination",
         "c09_inverted_index", "c10_inverted_index_sharded", "s02_ann_lsh",
         "e11_heavy_hitters", "q81_tpch_q9", "m04_media_neardup",
         "c13_unigram_lm_score", "d12_line_dedup", "p01_publish_manifest",
         "t10_chunking", "c14_weighted_sample", "d13_url_dedup",
         "d15_substr_span_dedup", "d16_dedup_bloom_incremental",
-        "p04_incremental_publish")
+        "p04_incremental_publish", "s08_pq_adc", "c18_bpe_encode",
+        "c19_domain_stats", "c20_dsir_select")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = (r1 ++ rExt).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

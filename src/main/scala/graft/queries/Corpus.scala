@@ -705,7 +705,81 @@ object Corpus {
              |FROM main m JOIN toplang t USING (host)
              |ORDER BY host""".stripMargin),
     ),
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling", with unigram features):
+    // score every document by the log importance ratio between a TARGET
+    // domain LM (here: the lang='en' slice) and the RAW corpus LM, both
+    // add-one-smoothed over the shared raw vocabulary, and keep the
+    // top-k. log w(doc) = Σ_tok [ln p_target(tok) − ln p_raw(tok)] —
+    // per-token lns are bit-identical across engines (the c13
+    // precedent), the per-doc sum is decimal-exact, and the top-k is
+    // (log_ratio DESC, doc_id) deterministic. Scale shape = c13's: ONE
+    // token-keyed shuffle builds both models together (raw count +
+    // target count in the same aggregate), the model join is size-gated
+    // (broadcast under the vocab threshold, shuffle join past it), and
+    // the top-k is TakeOrderedAndProject — partial per-partition top-k,
+    // never a global sort.
+    QuerySpec(
+      "c20_dsir_select",
+      (s, d) => dsirSelect(Tables(s, d, "documents"),
+        col("lang") === "en", 100),
+      Some {
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang = 'en' AS is_target,
+           |    unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |counts AS (
+           |  SELECT tok, COUNT(*) AS cr,
+           |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+           |  FROM toks GROUP BY tok),
+           |stats AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS v
+           |  FROM counts),
+           |lm AS (
+           |  SELECT tok,
+           |    ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+           |      - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)) AS lr
+           |  FROM counts, stats)
+           |SELECT doc_id, COUNT(*) AS n_tokens,
+           |  ${Exact.sqlSum("lr")} AS log_ratio
+           |FROM toks JOIN lm USING (tok)
+           |GROUP BY doc_id
+           |ORDER BY log_ratio DESC, doc_id LIMIT 100""".stripMargin
+      },
+    ),
   )
+
+  /** DSIR importance selection — see the c20 QuerySpec doc-comment. The
+    * raw and target unigram models share one token-keyed aggregation
+    * (raw count + filtered target count per type), so adding the second
+    * model costs no extra corpus pass; both smooth over the raw
+    * vocabulary so every raw token has a finite ratio.
+    */
+  def dsirSelect(docs: DataFrame, targetPred: Column, k: Int,
+      broadcastVocabMax: Long = 4L << 20): DataFrame = {
+    val toks = docs.select(col("doc_id"), targetPred.as("is_target"),
+      explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(true)
+    val nTypes = counts.count()
+    val stats = broadcast(counts.agg(
+      sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v")))
+    val lm = counts.crossJoin(stats)
+      .select(col("tok"),
+        (log((col("ct") + 1).cast(DoubleType) /
+            (col("nt") + col("v")).cast(DoubleType)) -
+          log((col("cr") + 1).cast(DoubleType) /
+            (col("nr") + col("v")).cast(DoubleType))).as("lr"))
+    val joined =
+      if (nTypes <= broadcastVocabMax) toks.join(broadcast(lm), "tok")
+      else toks.join(lm, "tok")
+    joined
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), Exact.dsum(col("lr")).as("log_ratio"))
+      .orderBy(col("log_ratio").desc, col("doc_id")).limit(k)
+  }
 
   /** Learn `k` BPE merges from `docs(text)` (word-level symbol merging,
     * no end-of-word marker — documented divergence from Sennrich's

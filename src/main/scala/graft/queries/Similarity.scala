@@ -133,7 +133,9 @@ object Similarity {
     * TopK partial aggregation's ≤(queries·shortlist) rows per task.
     */
   def pqAdcAnn(e: DataFrame, m: Int, subDim: Int, ksub: Int, iters: Int,
-      nQ: Int, shortlist: Int, topK: Int): DataFrame = {
+      nQ: Int, shortlist: Int, topK: Int,
+      queryFilter: Option[Column] = None): DataFrame = {
+    val qSet = queryFilter.getOrElse(col("vec_id") < nQ)
     val cb = pqCodebooks(e, m, subDim, ksub, iters)
     // one nested row: cb[sub] = codes, sorted by sub for positional access
     val cbRow = cb.agg(array_sort(collect_list(struct(col("sub"),
@@ -146,21 +148,28 @@ object Similarity {
               struct(l2(subVec(col("embedding"), si, subDim),
                 c.getField("cvec")).as("d"),
                 c.getField("code").as("code")))).getField("code")).as("codes"))
-    val qlut = e.filter(col("vec_id") < nQ).crossJoin(broadcast(cbRow))
+    // LUT densified BY CODE ID per query (slot j = dot(q_sub, cvec of
+    // code j); a code that dropped out of the codebook leaves a never-
+    // referenced -Inf slot), so the corpus scan below does O(1)
+    // positional lookups per subspace — the ADC hot loop — instead of an
+    // O(ksub) filter per row.
+    val qlut = e.filter(qSet).crossJoin(broadcast(cbRow))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         transform(col("cb"), sc =>
-          transform(sc.getField("codes"), c =>
-            struct(c.getField("code").as("code"),
+          transform(sequence(lit(0), lit(ksub - 1)), codeId => {
+            val hit = filter(sc.getField("codes"),
+              c => c.getField("code") === codeId)
+            when(size(hit) > 0,
               ddot(subVec(col("embedding"), sc.getField("sub"), subDim),
-                c.getField("cvec")).as("lv")))).as("lut"))
+                element_at(hit, 1).getField("cvec")))
+              .otherwise(lit(Double.NegativeInfinity))
+          })).as("lut"))
     val scored = enc.crossJoin(broadcast(qlut))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("q_emb"), col("vec_id"),
         aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, si) =>
-          acc + element_at(
-            filter(element_at(col("lut"), si + 1),
-              p => p.getField("code") === element_at(col("codes"), si + 1)),
-            1).getField("lv")).as("adc"))
+          acc + element_at(element_at(col("lut"), si + 1),
+            element_at(col("codes"), si + 1) + 1)).as("adc"))
     val short = TopK.perKey(scored,
       keys = Seq(col("q_id")),
       order = Seq(col("adc").desc, col("vec_id")),

@@ -436,6 +436,54 @@ object ScaleProbe {
     println(s"""{"probe":"d16","historical":$n,"batch":$d16Batch,""" +
       s""""new_rows":$d16New,"plain_anti_rows":$d16Plain,""" +
       s""""bloom_positives":$d16Pos,"sec":$tD16,"d16_ok":$d16Ok}""")
+
+    // ---- s08 probe: PQ-ADC at the 1M-vector scale ----
+    // Codebooks (4×16, 2 Lloyd rounds) trained on the full corpus, then
+    // 100 planted queries served through the compressed index: the
+    // perturbed near-copy (+1B, cos ≈ 0.9999) quantizes to the SAME
+    // codes as its query, so ADC scores it at the query's own
+    // reconstruction score — it must survive the shortlist and the exact
+    // rerank's top 3. Pins that the compressed serve path (per-row O(m)
+    // lookups, TopKPerKey shortlist) keeps recall at a scale where the
+    // uncompressed index would be 64× the memory.
+    val (s08Stats, tS08) = time {
+      val dcorp = embCorpus.filter(col("vec_id") < 2000000000L)
+      val out = Similarity.pqAdcAnn(
+        dcorp.withColumn("is_q",
+          col("vec_id") % 10000 === 0 && col("vec_id") < 1000000000L),
+        m = 4, subDim = 16, ksub = 16, iters = 2,
+        nQ = 0, shortlist = 64, topK = 3,
+        queryFilter = Some(col("is_q")))
+      val nQs = dcorp.filter(col("vec_id") % 10000 === 0 &&
+        col("vec_id") < 1000000000L).count()
+      val hits = out.filter(col("neighbor_id") === col("q_id") + 1000000000L)
+        .count()
+      (nQs, hits)
+    }
+    val (s08Q, s08Hits) = s08Stats
+    val s08Ok = s08Hits >= (s08Q * 90) / 100
+    println(s"""{"probe":"s08","vectors":${nEmb + plantedEmb},""" +
+      s""""codebooks":"4x16","queries":$s08Q,"near_in_top3":$s08Hits,""" +
+      s""""sec":$tS08,"s08_ok":$s08Ok}""")
+
+    // ---- c18 probe: BPE train+encode at n docs ----
+    // 10 merges over the 1M-doc corpus, then the corpus-wide encode.
+    // Invariants: every source appears; tokens ≥ words (merges never
+    // cross word boundaries) and tokens < chars (at least one merge
+    // actually fused — the encode is really applying the tokenizer);
+    // the whole thing completes in type-table time, not corpus rounds.
+    val c18Docs = base.withColumn("source",
+      concat(lit("src"), (col("doc_id") % 4).cast("string")))
+    val (c18Stats, tC18) = time {
+      val rows = graft.queries.Corpus.bpeEncodeStats(c18Docs, 10).collect()
+      val toks = rows.map(_.getLong(2)).sum
+      val words = rows.map(_.getLong(1)).sum
+      (rows.length.toLong, words, toks)
+    }
+    val (c18Sources, c18Words, c18Toks) = c18Stats
+    val c18Ok = c18Sources == 4 && c18Toks >= c18Words && c18Toks < c18Words * 8
+    println(s"""{"probe":"c18","docs":$n,"merges":10,"sources":$c18Sources,""" +
+      s""""n_words":$c18Words,"n_tokens":$c18Toks,"sec":$tC18,"c18_ok":$c18Ok}""")
     spark.stop()
   }
 }

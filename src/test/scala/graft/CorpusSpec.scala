@@ -167,4 +167,30 @@ class CorpusSpec extends AnyFunSuite {
       assert(got(src) == exp, s"source $src: got ${got(src)} expected $exp")
     }
   }
+
+  test("c20 DSIR: broadcast and shuffle model joins agree; target-like docs outrank") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // 30 target docs with a domain-heavy vocabulary, 30 generic docs, and
+    // 5 mixed docs that borrow the domain words — DSIR must pull the
+    // domain-heavy docs (target OR mixed) above the generic ones
+    val docs = ((0 until 30).map(i =>
+        (i.toLong, "en", s"theorem proof lemma corollary axiom term$i")) ++
+      (30 until 60).map(i =>
+        (i.toLong, "de", s"apple banana cherry damson elder term$i")) ++
+      (60 until 65).map(i =>
+        (i.toLong, "de", s"theorem proof lemma corollary axiom term$i")))
+      .toDF("doc_id", "lang", "text")
+    val top = queries.Corpus.dsirSelect(docs, col("lang") === "en", 35)
+      .collect().map(_.getLong(0))
+    assert(top.length == 35)
+    val domainIds = ((0 until 30) ++ (60 until 65)).map(_.toLong).toSet
+    assert(top.toSet == domainIds,
+      s"DSIR top-35 must be exactly the domain-vocabulary docs, got ${top.sorted.toSeq}")
+    val shuffled = queries.Corpus.dsirSelect(docs.repartition(13),
+      col("lang") === "en", 35, broadcastVocabMax = 0).collect().map(_.getLong(0))
+    assert(shuffled.toSeq == top.toSeq,
+      "shuffle-join model path must equal the broadcast path exactly")
+  }
 }
