@@ -221,6 +221,53 @@ object HashAlgos {
     elems
   }
 
+  /** POSITIONAL n-gram hashes: out(i) = hash of the window starting at
+    * token i, for i in 0..len−n (empty if len < n) — the ExactSubstr
+    * (d15/d18) key kernel. Unlike [[shingleHashes]] the output is NOT
+    * sorted (the span logic needs positions) and no gram string is ever
+    * materialized: each token is hashed once, each window folds n 8-byte
+    * word hashes. `variant` selects an independent family (word hashes
+    * pushed through mix64 with a distinct offset), giving the d15
+    * collision guard a second key whose collisions don't track the
+    * first's (two polynomials over DIFFERENT word images).
+    */
+  def gramHashesPos(toks: Array[Array[Byte]], n: Int, variant: Int): Array[Long] = {
+    val m = toks.length
+    if (m < n) return Array.emptyLongArray
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = fnv1a64(toks(i))
+      if (variant != 0) h = mix64(h ^ (variant * 0x9e3779b97f4a7c15L))
+      wh(i) = h
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i < out.length) {
+      var h = FnvOffset
+      var j = i
+      val end = i + n
+      while (j < end) {
+        val w = wh(j)
+        var b = 0
+        while (b < 8) {
+          h ^= ((w >>> (b * 8)) & 0xffL)
+          h *= FnvPrime
+          b += 1
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  def gramHashesPosData(arr: ArrayData, n: Int, variant: Int): ArrayData =
+    new GenericArrayData(
+      gramHashesPos(utf8Elems(arr, nullAsEmpty = true), n, variant))
+
   def shingleHashData(arr: ArrayData, n: Int): ArrayData =
     new GenericArrayData(shingleHashes(utf8Elems(arr, nullAsEmpty = false), n))
 
@@ -377,6 +424,33 @@ case class ShingleHash(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** gram_hash_pos(array<string>, n, variant) → array<long>: positional
+  * n-gram window hashes (index = start position, no sort, no gram-string
+  * materialization) — the ExactSubstr key kernel; see
+  * [[HashAlgos.gramHashesPos]].
+  */
+case class GramHashPos(child: Expression, n: Int, variant: Int)
+    extends UnaryExpression {
+  require(n > 0 && n <= 256, "gram width out of range")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string> input")
+  }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_hash_pos"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.gramHashesPosData(input.asInstanceOf[ArrayData], n, variant)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashAlgos.gramHashesPosData($c, $n, $variant);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashPos =
+    copy(child = newChild)
+}
+
 /** simhash64(array<string>) → long. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -411,6 +485,8 @@ object ghash {
     ExpressionUtils.column(PHash64(ExpressionUtils.expression(c)))
   def shingleHash(c: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHash(ExpressionUtils.expression(c), n))
+  def gramHashPos(c: Column, n: Int, variant: Int = 0): Column =
+    ExpressionUtils.column(GramHashPos(ExpressionUtils.expression(c), n, variant))
 
   /** A literal-int function argument (minhash_sig's k, shingle_hash's n)
     * with a clean error instead of an obscure eval-time crash on a

@@ -1163,13 +1163,19 @@ object Dedup {
     */
   def substrSpanList(docs: DataFrame, w: Int): DataFrame = {
     val tk = split(col("text"), " ")
+    // fused positional gram hashes (GramHashPos): each token hashed once,
+    // each window folds w 8-byte word hashes — no w-word gram STRING is
+    // ever materialized (the r7 form allocated ~100 B × (len−w+1) per doc
+    // and hashed each twice; this was the sf1 suite's slowest query).
+    // Variant 1 hashes an independently-mixed word image, so the
+    // collision guard below still catches first-key collisions.
     val grams = docs
       .filter(size(tk) >= w)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(tk) - w),
-          i => concat_ws(" ", slice(tk, i + lit(1), lit(w))))).as(Seq("pos", "g")))
+        posexplode(arrays_zip(ghash.gramHashPos(tk, w),
+          ghash.gramHashPos(tk, w, variant = 1))).as(Seq("pos", "z")))
       .select(col("doc_id"), col("pos"),
-        ghash.fnv1a64(col("g")).as("h"), xxhash64(col("g")).as("h2"))
+        col("z.0").as("h"), col("z.1").as("h2"))
     val dupKeys = grams.groupBy("h")
       .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"),
         min(col("h2")).as("h2lo"), max(col("h2")).as("h2hi"))
