@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, Fnv1a64, IntersectCountSorted, MinHashSig, PHash64, ShingleHash, SimHash64}
+import graft.functions.{CosineSim, Fnv1a64, GramHashPos, IntersectCountSorted, MinHashSig, PHash64, ShingleHash, SimHash64}
 import graft.plans.TopKStrategy
 
 /** Config-time injection point for everything graft adds to Spark:
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hash", "shingle_hash(arr, n) - sorted distinct FNV hashes of n-word shingles"),
       (es: Seq[Expression]) =>
         ShingleHash(es.head, graft.functions.ghash.litInt(es, 1, "shingle_hash"))))
+    ext.injectFunction((
+      FunctionIdentifier("gram_hash_pos"),
+      info("gram_hash_pos",
+        "gram_hash_pos(arr, n[, variant]) - positional n-gram window hashes"),
+      (es: Seq[Expression]) => GramHashPos(es.head,
+        graft.functions.ghash.litInt(es, 1, "gram_hash_pos"),
+        if (es.length > 2) graft.functions.ghash.litInt(es, 2, "gram_hash_pos") else 0)))
     ext.injectFunction((
       FunctionIdentifier("phash64"),
       info("phash64", "phash64(bin) - block-mean perceptual fingerprint"),

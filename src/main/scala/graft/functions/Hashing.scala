@@ -518,5 +518,10 @@ object ghash {
       "shingle_hash",
       es => ShingleHash(es.head, litInt(es, 1, "shingle_hash")),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "gram_hash_pos",
+      es => GramHashPos(es.head, litInt(es, 1, "gram_hash_pos"),
+        if (es.length > 2) litInt(es, 2, "gram_hash_pos") else 0),
+      "built-in")
   }
 }

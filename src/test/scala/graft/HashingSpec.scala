@@ -110,4 +110,31 @@ class HashingSpec extends AnyFunSuite {
       HashAlgos.pHash64(base) ^ HashAlgos.pHash64(tweaked))
     assert(d <= 6, s"local tweak flipped $d fingerprint bits")
   }
+
+  test("gram_hash_pos: positional windows, equal grams collide, variants decorrelate") {
+    def toks(s: String) = s.split(" ").map(_.getBytes("UTF-8"))
+    val a = HashAlgos.gramHashesPos(toks("a b c d e"), 3, 0)
+    assert(a.length == 3, "len - n + 1 windows")
+    // window i of one doc equals window j of another iff the token
+    // sequences match
+    val b = HashAlgos.gramHashesPos(toks("x b c d y"), 3, 0)
+    assert(a(1) == b(1), "shared gram 'b c d' must collide")
+    assert(a(0) != b(0) && a(2) != b(2))
+    // short input → empty (mirrors the size(tk) >= w filter)
+    assert(HashAlgos.gramHashesPos(toks("a b"), 3, 0).isEmpty)
+    // variant family is a different function of the same gram (guard key)
+    val a1 = HashAlgos.gramHashesPos(toks("a b c d e"), 3, 1)
+    assert(a1.length == 3 && a.indices.forall(i => a(i) != a1(i)))
+    val b1 = HashAlgos.gramHashesPos(toks("x b c d y"), 3, 1)
+    assert(a1(1) == b1(1), "equal grams collide in every variant")
+    // SQL registration parity with the column API
+    val spark2 = SharedSpark.spark
+    import spark2.implicits._
+    val df = Seq("a b c d e").toDF("t")
+      .selectExpr("gram_hash_pos(split(t, ' '), 3) AS g",
+        "gram_hash_pos(split(t, ' '), 3, 1) AS g1")
+    val r = df.head()
+    assert(r.getSeq[Long](0).toArray.sameElements(a))
+    assert(r.getSeq[Long](1).toArray.sameElements(a1))
+  }
 }
