@@ -1155,6 +1155,103 @@ object Dedup {
            |ORDER BY doc_id""".stripMargin
       },
     ),
+    // Domain-conditional boilerplate detection (the CCNet/C4 cleanup
+    // stage that EXACT line dedup d12 can't express): a line is
+    // boilerplate iff it appears in ≥30% of its HOST's documents (and in
+    // ≥2 docs) — per-domain repeated banners/footers, not corpus-wide
+    // duplicated content. Fixture: alternating 50-doc blocks are prefixed
+    // with a 12-token host-specific legal banner (width-aligned, so the
+    // remaining segments are unshifted) — every host sees the banner on
+    // exactly half its pages (doc_id %% 2 would pin banner parity to the
+    // host id and leave odd hosts untouched). Scale shape: line TEXT never
+    // shuffles — the per-(host, line) stats key on the 8-byte line FNV
+    // with the d12 collision guard (min/max of an independent second
+    // hash raises on a real collision); host doc counts are a 50-row
+    // frame; everything downstream is bounded per-key state.
+    QuerySpec(
+      "d19_boilerplate_lines",
+      (s, d) => {
+        val host = regexp_extract(canonicalUrl(syntheticUrl),
+          "^https://([^/]+)", 1)
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), host.as("host"), col("text"))
+          .withColumn("text",
+            when(expr("doc_id div 50") % 2 === 0,
+              concat(lit("legal notice for "), col("host"),
+                lit(" all rights reserved contact admin at "),
+                col("host"), lit(" today "), col("text")))
+              .otherwise(col("text")))
+        val toks = split(col("text"), " ")
+        val nseg = ((size(toks) + lit(11)) / lit(12)).cast("int")
+        val lineArr = transform(sequence(lit(0), nseg - 1),
+          i => concat_ws(" ", slice(toks, i * 12 + 1, lit(12))))
+        val lines = docs
+          .select(col("doc_id"), col("host"), explode(lineArr).as("line"))
+          .select(col("doc_id"), col("host"),
+            ghash.fnv1a64(col("line")).as("h"), xxhash64(col("line")).as("h2"))
+        val hostDocs = docs.groupBy("host").agg(count(lit(1)).as("n_docs"))
+        val lineStats = lines.groupBy("host", "h")
+          .agg(countDistinct(col("doc_id")).as("docs_with"),
+            count(lit(1)).as("occ"),
+            min(col("h2")).as("h2lo"), max(col("h2")).as("h2hi"))
+          .withColumn("ok",
+            when(col("h2lo") =!= col("h2hi"),
+              raise_error(lit("d19 64-bit line-hash collision: distinct " +
+                "lines share one fnv1a64 key; boilerplate verdicts would " +
+                "be silently wrong"))).otherwise(lit(true)))
+        lineStats.join(broadcast(hostDocs), "host")
+          .withColumn("isb", col("ok") &&
+            col("docs_with") * 10 >= col("n_docs") * 3 &&
+            col("docs_with") >= 2)
+          .groupBy("host", "n_docs")
+          .agg(sum(col("occ")).as("n_lines"),
+            sum(when(col("isb"), 1L).otherwise(0L)).as("boiler_types"),
+            sum(when(col("isb"), col("occ")).otherwise(0L)).as("n_boiler"))
+          .select(col("host"), col("n_docs"), col("n_lines"),
+            col("boiler_types"), col("n_boiler"),
+            (col("n_boiler").cast(DoubleType) / col("n_lines").cast(DoubleType))
+              .as("boiler_share"))
+          .orderBy("host")
+      },
+      Some(s"WITH $duckUrlCanonCtes,\n" +
+        """hosted AS (
+          |  SELECT c.doc_id,
+          |    regexp_extract(canonical_url, '^https://([^/]+)', 1) AS host,
+          |    d.text
+          |  FROM canon c JOIN documents d USING (doc_id)),
+          |banner AS (
+          |  SELECT doc_id, host,
+          |    CASE WHEN (doc_id // 50) % 2 = 0
+          |      THEN 'legal notice for ' || host
+          |        || ' all rights reserved contact admin at ' || host
+          |        || ' today ' || text
+          |      ELSE text END AS text
+          |  FROM hosted),
+          |l0 AS (
+          |  SELECT doc_id, host,
+          |    list_transform(
+          |      range(0, (len(string_split(text, ' ')) + 11) // 12),
+          |      i -> {'pos': i,
+          |            'line': array_to_string(
+          |              (string_split(text, ' '))[i*12+1 : i*12+12], ' ')}) AS ls
+          |  FROM banner),
+          |l AS (SELECT doc_id, host, unnest(ls, recursive := true) FROM l0),
+          |hd AS (SELECT host, COUNT(*) AS n_docs FROM banner GROUP BY host),
+          |lstats AS (
+          |  SELECT host, line, COUNT(DISTINCT doc_id) AS docs_with,
+          |    COUNT(*) AS occ
+          |  FROM l GROUP BY host, line),
+          |fl AS (
+          |  SELECT lstats.host, occ, n_docs,
+          |    (docs_with * 10 >= n_docs * 3 AND docs_with >= 2) AS isb
+          |  FROM lstats JOIN hd USING (host))
+          |SELECT host, n_docs, CAST(SUM(occ) AS BIGINT) AS n_lines,
+          |  CAST(SUM(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS boiler_types,
+          |  CAST(SUM(CASE WHEN isb THEN occ ELSE 0 END) AS BIGINT) AS n_boiler,
+          |  CAST(SUM(CASE WHEN isb THEN occ ELSE 0 END) AS DOUBLE)
+          |    / CAST(SUM(occ) AS DOUBLE) AS boiler_share
+          |FROM fl GROUP BY host, n_docs ORDER BY host""".stripMargin),
+    ),
   )
 
   /** The span-level frame under [[substrSpans]]: one (doc_id, s0, e0) row
