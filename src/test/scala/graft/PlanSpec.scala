@@ -295,4 +295,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")),
       s"text leaks into a shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("s08 PQ: codebooks/LUT broadcast; the encoded corpus scan never hash-shuffles") {
+    val p = plan("s08_pq_adc")
+    // encode + ADC scoring ride broadcast joins (codebook row, then the
+    // query LUT row); the TopK partial aggregation bounds what reaches
+    // its exchange; the only hashpartitioning exchanges ship shortlist-
+    // sized frames (q_id keys), never the corpus embedding column
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TopKPerKey"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(!exchanges.exists(_.matches(".*\\bembedding#\\d+.*")),
+      s"corpus embeddings leak into a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("c20 DSIR: one token shuffle for the model; top-k is TakeOrdered, not a sort") {
+    val p = plan("c20_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // both model counts come from the same (tok)-keyed aggregate —
+    // partial+final, so the exchange moves per-partition partials
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c19/d19 host-keyed reports broadcast the host dims; no text in shuffles") {
+    val p19 = plan("d19_boilerplate_lines")
+    assert(p19.contains("BroadcastExchange"), p19)
+    val exchanges = p19.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(exchanges.nonEmpty, p19)
+    assert(!exchanges.exists(_.matches(".*\\b(text|line)#\\d+.*")),
+      s"line text leaks into a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
