@@ -1252,6 +1252,72 @@ object Dedup {
           |    / CAST(SUM(occ) AS DOUBLE) AS boiler_share
           |FROM fl GROUP BY host, n_docs ORDER BY host""".stripMargin),
     ),
+    // Leakage-free train/val/test split — the assignment rule every
+    // training pipeline needs: hash-split by DUPLICATE CLUSTER, not by
+    // document, so a near-copy can never land in train while its twin
+    // sits in test (the leakage exact-dedup alone can't prevent). Doc →
+    // component via the d03 LSH pairs + d08 connected components
+    // (singletons are their own component), split = FNV of the component
+    // id, 8/1/1. The hash is shifted right 8 bits before mod 10 so both
+    // engines bucket the same UNSIGNED value (Spark's long is signed,
+    // DuckDB's HUGEINT form isn't — the c14 lesson). Output: per-split
+    // doc count + md5-pinned member list, so the gate verifies the exact
+    // assignment, not just the sizes.
+    QuerySpec(
+      "c21_leakage_free_splits",
+      (s, d) => {
+        val corpus = plantedCorpus(s, d)
+        val pairs = lshJaccardPairs(corpus, k = 32, bands = 8, cap = 100,
+          threshold = 0.3).select("a_id", "b_id")
+        val labels = connectedComponents(pairs)
+        val comp = corpus.select(col("doc_id"))
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("component"))
+        val bucket = pmod(shiftrightunsigned(
+          ghash.fnv1a64(concat(lit("split|"),
+            col("component").cast("string"))), 8), lit(10))
+        comp
+          .select(col("doc_id"),
+            when(bucket < 8, lit("train")).when(bucket === 8, lit("val"))
+              .otherwise(lit("test")).as("split"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+              .as("members_md5"))
+          .orderBy("split")
+      },
+      Some {
+        val corpusBody = corpusCte.stripPrefix("WITH ")
+        val fnv = graft.engine.DuckHash.fnv(
+          "'split|' || CAST(component AS VARCHAR)")
+        // head is margin-stripped; the fnv fragment contains '|' (both
+        // the literal and HUGEINT ops), so it concatenates AFTER
+        s"""WITH RECURSIVE pairs AS MATERIALIZED (
+           |${lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3)}
+           |),
+           |$corpusBody,
+           |sym AS MATERIALIZED (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, src AS label FROM sym
+           |  UNION
+           |  SELECT e.dst AS id, r.label FROM reach r JOIN sym e ON e.src = r.id),
+           |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+           |assigned AS (
+           |  SELECT c.doc_id, COALESCE(p.component, c.doc_id) AS component
+           |  FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id),""".stripMargin +
+          s"\nbucketed AS (\n" +
+          s"  SELECT doc_id, CASE WHEN b < 8 THEN 'train' WHEN b = 8 " +
+          s"THEN 'val' ELSE 'test' END AS split\n" +
+          s"  FROM (SELECT doc_id, CAST((($fnv) // 256) % 10 AS BIGINT) AS b" +
+          s" FROM assigned) t)\n" +
+          "SELECT split, COUNT(*) AS n_docs,\n" +
+          "  md5(array_to_string(list_sort(list(doc_id)), ',')) AS members_md5\n" +
+          "FROM bucketed GROUP BY split ORDER BY split"
+      },
+    ),
   )
 
   /** The span-level frame under [[substrSpans]]: one (doc_id, s0, e0) row

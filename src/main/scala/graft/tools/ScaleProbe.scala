@@ -484,6 +484,44 @@ object ScaleProbe {
     val c18Ok = c18Sources == 4 && c18Toks >= c18Words && c18Toks < c18Words * 8
     println(s"""{"probe":"c18","docs":$n,"merges":10,"sources":$c18Sources,""" +
       s""""n_words":$c18Words,"n_tokens":$c18Toks,"sec":$tC18,"c18_ok":$c18Ok}""")
+
+    // ---- d19 probe: per-host boilerplate at n docs, 10k hosts ----
+    // Each doc gets one of 10k synthetic hosts; alternating host-blocks
+    // carry a host-specific 12-token banner on half their docs. Asserted:
+    // every bannered host (and ONLY bannered hosts) reports boilerplate,
+    // and line text stays out of the shuffles (PlanSpec pins the plan;
+    // this pins recall + runtime at 1M docs × 10k-host cardinality).
+    val (d19Stats, tD19) = time {
+      val host = concat(lit("h"), (col("doc_id") % 10000).cast("string"))
+      val docs19 = base.select(col("doc_id"), host.as("host"), col("text"))
+        .withColumn("text",
+          when((col("doc_id") % 20000) < 10000,
+            concat(lit("legal notice for "), col("host"),
+              lit(" all rights reserved contact admin at "),
+              col("host"), lit(" today "), col("text")))
+            .otherwise(col("text")))
+      val toks19 = split(col("text"), " ")
+      val nseg = ((size(toks19) + lit(11)) / lit(12)).cast("int")
+      val lineArr = transform(sequence(lit(0), nseg - 1),
+        i => concat_ws(" ", slice(toks19, i * 12 + 1, lit(12))))
+      val lines = docs19
+        .select(col("doc_id"), col("host"), explode(lineArr).as("line"))
+        .select(col("doc_id"), col("host"), ghash.fnv1a64(col("line")).as("h"))
+      val hostDocs = docs19.groupBy("host").agg(count(lit(1)).as("n_docs"))
+      val boilerHosts = lines.groupBy("host", "h")
+        .agg(countDistinct(col("doc_id")).as("docs_with"))
+        .join(hostDocs, "host")
+        .filter(col("docs_with") * 10 >= col("n_docs") * 3 &&
+          col("docs_with") >= 2)
+        .select("host").distinct()
+      boilerHosts.count()
+    }
+    // hosts h0..h9999; banner iff (doc_id % 20000) < 10000 — host k gets
+    // banners on the doc_id ≡ k (mod 20000) half of its docs → every
+    // host has exactly half its docs bannered → all 10k hosts report
+    val d19Ok = d19Stats == 10000
+    println(s"""{"probe":"d19","docs":$n,"hosts":10000,""" +
+      s""""boiler_hosts":$d19Stats,"sec":$tD19,"d19_ok":$d19Ok}""")
     spark.stop()
   }
 }

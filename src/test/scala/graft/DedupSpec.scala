@@ -339,4 +339,35 @@ class DedupSpec extends AnyFunSuite {
       "a verbatim pass-through doc re-hashed differently")
     assert(untouched.size > docs.size / 2, "fixture: most docs should be untouched")
   }
+
+  test("c21 splits: no near-dup pair ever straddles a split; sizes near 8/1/1") {
+    import org.apache.spark.sql.functions._
+    val corpus = queries.Dedup.plantedCorpus(spark, sf)
+    val pairs = queries.Dedup.lshJaccardPairs(corpus, k = 32, bands = 8,
+      cap = 100, threshold = 0.3).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    // reconstruct the per-doc assignment the c21 contract aggregates
+    val labels = queries.Dedup.connectedComponents(
+        queries.Dedup.lshJaccardPairs(corpus, 32, 8, 100, 0.3)
+          .select("a_id", "b_id"))
+      .withColumnRenamed("id", "doc_id")
+    val assigned = corpus.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("component"))
+      .withColumn("b", pmod(shiftrightunsigned(
+        graft.functions.ghash.fnv1a64(concat(lit("split|"),
+          col("component").cast("string"))), 8), lit(10)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(assigned(a) == assigned(b),
+        s"near-dup pair ($a,$b) split across buckets " +
+          s"${assigned(a)}/${assigned(b)} — leakage")
+    }
+    val n = assigned.size.toDouble
+    val train = assigned.values.count(_ < 8) / n
+    assert(train > 0.6 && train < 0.95,
+      s"train share $train implausibly far from 0.8")
+  }
 }
