@@ -28,10 +28,6 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores ns-precision timestamps; Spark's TimestampType
-      // is micros. Reading nanos as LongType keeps the raw value lossless and
-      // we convert explicitly where needed.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,8 +39,6 @@ object GraftSession {
     */
   def tune(spark: SparkSession): SparkSession = {
     try spark.conf.set("spark.sql.adaptive.enabled", "true")
-    catch { case _: Throwable => () }
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     spark
   }

@@ -13,10 +13,10 @@ import graft.engine.{Exact, Tables}
   * these are the batch halves of the streaming surface (StreamingSpec runs
   * the Structured Streaming halves and asserts they agree).
   *
-  * `events.ts` is nanosecond-precision parquet; Spark reads it as LongType
-  * (ns since epoch) under spark.sql.legacy.parquet.nanosAsLong, which keeps
-  * the raw value lossless. DuckDB truncates the same column to µs, so every
-  * derived value is computed in µs on both sides (ts div 1000 == epoch_us).
+  * `events.ts` is µs-precision no-timezone parquet; Spark reads it as
+  * TIMESTAMP_NTZ and DuckDB as TIMESTAMP. Every derived value is computed
+  * in epoch-µs on both sides: Spark `unix_micros(cast(ts as timestamp))`
+  * under the pinned UTC session == DuckDB `epoch_us(ts)` ([[TsUsSql]]).
   *
   * Scale notes: sessionization and as-of are window functions partitioned by
   * user_id — one shuffle on a high-cardinality key, linear state per user,
@@ -26,17 +26,27 @@ import graft.engine.{Exact, Tables}
 object EventsOps {
 
   private def ev(s: SparkSession, d: String): DataFrame = {
-    // events needs nanosAsLong; set it even when the caller's session was
-    // built without GraftSession (tune() is idempotent, and Tables reads
-    // lazily so the conf lands before the scan is planned)
+    // tune() is idempotent and Tables reads lazily, so AQE etc. land even
+    // when the caller's session was built without GraftSession
     graft.engine.GraftSession.tune(s)
     Tables(s, d, "events")
   }
 
-  // events.ts is ns in parquet, but DuckDB truncates to µs on read, so all
-  // derived values are computed in µs on both sides (ts div 1000 == epoch_us).
   private val GapUs = 1800000000L // 30 min
   private val HourUs = 3600000000L
+
+  /** Spark-SQL fragment for `ts` as epoch-µs. The NTZ→LTZ cast interprets
+    * the wall-clock value in the session zone; GraftSession/Verify pin UTC,
+    * making this bit-equal to DuckDB's `epoch_us(ts)`. Shared with
+    * [[graft.streaming.Streams]] so batch and streaming halves can't drift.
+    */
+  val TsUsSql = "unix_micros(cast(ts as timestamp))"
+
+  /** `ts` as an event-time TimestampType column (what windows/watermarks
+    * need). Same NTZ→LTZ cast as [[TsUsSql]]; identical instant under the
+    * pinned-UTC sessions.
+    */
+  val EventTimeSql = "cast(ts as timestamp)"
 
   /** Gap-based sessionization (shared by e01 and e10). */
   private def sessionized(s: SparkSession, d: String): DataFrame = {
@@ -44,7 +54,7 @@ object EventsOps {
     val cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev(s, d)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", expr(TsUsSql))
       .withColumn("new_sess",
         when(col("ts_us") - lag(col("ts_us"), 1).over(w) > GapUs, 1)
           .when(lag(col("ts_us"), 1).over(w).isNull, 1)
@@ -91,7 +101,7 @@ object EventsOps {
       "e02_tumbling_window",
       (s, d) =>
         ev(s, d)
-          .withColumn("hour_bucket", expr(s"ts div 1000 div $HourUs"))
+          .withColumn("hour_bucket", expr(s"$TsUsSql div $HourUs"))
           .groupBy("hour_bucket", "event_type")
           .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
           .orderBy("hour_bucket", "event_type"),
@@ -110,7 +120,7 @@ object EventsOps {
       "e12_sliding_window",
       (s, d) =>
         ev(s, d)
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withColumn("event_time", expr(EventTimeSql))
           .groupBy(window(col("event_time"), "1 hour", "15 minutes"),
             col("event_type"))
           .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
@@ -152,7 +162,7 @@ object EventsOps {
         val w = Window.partitionBy("user_id").orderBy("ts_us")
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         ev(s, d)
-          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_us", expr(TsUsSql))
           .withColumn("last_signup_us",
             max(when(col("event_type") === "signup", col("ts_us"))).over(w))
           .filter(col("event_type") === "purchase")
@@ -183,7 +193,7 @@ object EventsOps {
         val w = Window.partitionBy("user_id").orderBy("ts_us")
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         ev(s, d)
-          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_us", expr(TsUsSql))
           .withColumn("last_signup_us",
             max(when(col("event_type") === "signup", col("ts_us"))).over(w))
           .filter(col("event_type") === "purchase" &&
@@ -213,7 +223,7 @@ object EventsOps {
       "e06_retention",
       (s, d) => {
         val days = ev(s, d)
-          .select(col("user_id"), expr("ts div 1000 div 86400000000").as("day"))
+          .select(col("user_id"), expr(s"$TsUsSql div 86400000000L").as("day"))
           .distinct()
         val next = days.select(col("user_id").as("u2"), (col("day") - 1).as("day0"))
         days.join(next, col("user_id") === col("u2") && col("day") === col("day0"), "left_outer")
@@ -263,7 +273,7 @@ object EventsOps {
       "e08_gap_fill",
       (s, d) => {
         val hourly = ev(s, d)
-          .groupBy(expr(s"ts div 1000 div $HourUs").as("hour"))
+          .groupBy(expr(s"$TsUsSql div $HourUs").as("hour"))
           .agg(count(lit(1)).as("n"))
         val bounds = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
         val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("hour"))
@@ -294,7 +304,7 @@ object EventsOps {
       "e09_session_window",
       (s, d) =>
         ev(s, d)
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withColumn("event_time", expr(EventTimeSql))
           .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
           .agg(count(lit(1)).as("n_events"))
           .select(col("user_id"),

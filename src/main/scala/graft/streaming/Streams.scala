@@ -19,10 +19,10 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet schema as Spark reads it with nanosAsLong. */
+  /** events.parquet schema (`ts` is µs-precision no-timezone → NTZ). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // ns since epoch
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -35,7 +35,7 @@ object Streams {
     * directory new event files land in.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    graft.engine.GraftSession.tune(spark) // ns-as-long for the ts column
+    graft.engine.GraftSession.tune(spark)
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(dir, "events.parquet")
     val stage = Paths.get(sys.props("java.io.tmpdir"),
@@ -45,8 +45,8 @@ object Streams {
     spark.readStream
       .schema(eventSchema)
       .parquet(stage.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_us", expr(graft.queries.EventsOps.TsUsSql))
+      .withColumn("event_time", expr(graft.queries.EventsOps.EventTimeSql))
   }
 
   /** Tumbling 1-hour windows per event type — identical logic to

@@ -26,10 +26,6 @@ object GenSf1 {
       .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores ns-precision timestamps (see GraftSession):
-      // read them as raw nanos longs; the tiled copy round-trips losslessly
-      // because every query path already consumes ts via the same config.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,9 +35,8 @@ object GenSf1 {
 
   /** Deterministic tiling, callable from Bench when the sf1 dir is absent
     * (the r6 bench artifact carried a DuckDB sf1 total with no Spark sf1
-    * series because this data didn't exist at driver bench time). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session (GraftSession
-    * sets it; Bench routes through GraftSession.tune).
+    * series because this data didn't exist at driver bench time).
+    * `events.ts` (µs-precision NTZ) round-trips losslessly through the copy.
     */
   def generate(spark: SparkSession, src: String, dst: String, tiles: Int = 10): Unit = {
     val O = 1000000L // orderkey stride   (max 149,999)

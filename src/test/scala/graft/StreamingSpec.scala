@@ -105,7 +105,7 @@ class StreamingSpec extends AnyFunSuite {
       Files.copy(f, Paths.get(streamIn, name))
     }
     val events = spark.readStream.schema(Streams.eventSchema).parquet(streamIn)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", expr(graft.queries.EventsOps.EventTimeSql))
     val q = Streams.tumblingCounts(events)
       .writeStream.outputMode("complete")
       .format("memory").queryName("stream_2batch")
@@ -139,7 +139,7 @@ class StreamingSpec extends AnyFunSuite {
         .select("p_id", "s_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val ev = spark.read.schema(Streams.eventSchema).parquet(s"$sf/events.parquet")
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withColumn("event_time", expr(graft.queries.EventsOps.EventTimeSql))
       val batch = Streams.purchaseSignupJoin(ev)
         .select("p_id", "s_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -152,7 +152,7 @@ class StreamingSpec extends AnyFunSuite {
     import java.nio.file.{Files, Paths}
     import spark.implicits._
     val batchDf = spark.read.schema(Streams.eventSchema).parquet(s"$sf/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", expr(graft.queries.EventsOps.TsUsSql))
     // split by TIME (not id) so batch 2 carries no late data and the
     // watermark advance between batches exercises the event-time timeout
     val midUs = batchDf.agg(
@@ -170,8 +170,8 @@ class StreamingSpec extends AnyFunSuite {
     batchDf.filter(col("ts_us") > midUs).drop("ts_us").coalesce(1)
       .write.mode("overwrite").parquet(s"$stage/half2")
     val events = spark.readStream.schema(Streams.eventSchema).parquet(streamIn)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_us", expr(graft.queries.EventsOps.TsUsSql))
+      .withColumn("event_time", expr(graft.queries.EventsOps.EventTimeSql))
     val q = Streams.sessionizeAppend(events)
       .writeStream.outputMode("append")
       .format("memory").queryName("stream_sessions_append")
