@@ -746,7 +746,103 @@ object Corpus {
            |ORDER BY log_ratio DESC, doc_id LIMIT 100""".stripMargin
       },
     ),
+    // Interpolated bigram-LM quality scoring (the CCNet-style LM filter
+    // one order up from c13): p(w2|w1) = λ·p_ML(w2|w1) + (1−λ)·p_uni(w2)
+    // with add-one-smoothed unigrams, each doc scored by mean NLL per
+    // bigram position. Jelinek–Mercer interpolation is the load-bearing
+    // choice: a pure ML bigram model scores every seen bigram of a
+    // boilerplate page as near-certain (NLL → 0) and can't rank, while
+    // the unigram floor keeps rare-continuation mass comparable across
+    // docs — and it needs no discounting transcendentals beyond ln
+    // (Kneser–Ney's absolute discount would be equally exact, but its
+    // continuation counts need a second model-side aggregate for no
+    // extra discrimination at this feature order). Bigram extraction is
+    // MAP-SIDE (zip of the token array with its own tail — no window,
+    // no self-join); model building is one bigram-keyed count shuffle
+    // (the w1-context totals reuse the same counts); the scoring join is
+    // size-gated like c13's (broadcast under the threshold, shuffle hash
+    // join past it — an open 100 TB bigram vocabulary is far past any
+    // broadcast). ln is bit-identical across engines, interpolation is
+    // two IEEE mult-adds, and the per-doc sum is decimal-exact.
+    QuerySpec(
+      "c22_bigram_lm_score",
+      (s, d) => bigramLmScore(Tables(s, d, "documents")),
+      Some {
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |toks AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+           |bgl AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+           |    i -> {'w1': ts[i], 'w2': ts[i+1]})) AS bg
+           |  FROM t),
+           |bg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bgl),
+           |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+           |cw AS (SELECT w1, SUM(cb) AS cw1 FROM bc GROUP BY w1),
+           |uc AS (SELECT tok, COUNT(*) AS cu FROM toks GROUP BY tok),
+           |st AS (SELECT SUM(cu) AS n_total, COUNT(*) AS v FROM uc),
+           |lm AS (
+           |  SELECT bc.w1, bc.w2,
+           |    ln(0.7 * (CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE))
+           |       + 0.3 * (CAST(cu + 1 AS DOUBLE)
+           |                / CAST(n_total + v AS DOUBLE))) AS logp
+           |  FROM bc JOIN cw USING (w1) JOIN uc ON bc.w2 = uc.tok, st)
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |  (0.0 - ${Exact.sqlSum("logp")}) / CAST(COUNT(*) AS DOUBLE)
+           |    AS avg_nll
+           |FROM bg JOIN lm USING (w1, w2)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+    ),
   )
+
+  /** Interpolated bigram LM — see the c22 QuerySpec doc-comment. Docs
+    * with fewer than two tokens have no bigram positions and drop out
+    * (inner join semantics — same contract both engines). The model is
+    * trained on the corpus being scored, so every scored bigram is in
+    * the model; the interpolation (not an OOV path) is what spreads the
+    * scores.
+    */
+  def bigramLmScore(docs: DataFrame, lambda: Double = 0.7,
+      lambdaBar: Double = 0.3, // NOT computed as 1.0-lambda: that double
+      // is 0.30000000000000004, one ulp off the literal 0.3 the oracle
+      // parses — the weights are independent literals on both sides
+      broadcastVocabMax: Long = 4L << 20): DataFrame = {
+    val ts = split(col("text"), " ")
+    // map-side bigram stream: the token array zipped with its own tail —
+    // slice(_, 1, n-1) vs slice(_, 2, n-1); a 1-token doc yields empty
+    // slices and explode drops it, no filter needed
+    val bg = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+          slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val toks = docs.select(explode(ts).as("tok"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true)
+    val nBigramTypes = bc.count()
+    val cw = bc.groupBy("w1").agg(sum(col("cb")).as("cw1"))
+    val uc = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val st = broadcast(uc.agg(sum(col("cu")).as("n_total"),
+      count(lit(1)).as("v")))
+    val lm = bc.join(cw, "w1")
+      .join(uc.withColumnRenamed("tok", "w2"), "w2")
+      .crossJoin(st)
+      .select(col("w1"), col("w2"),
+        log(lit(lambda) * (col("cb").cast(DoubleType) /
+            col("cw1").cast(DoubleType)) +
+          lit(lambdaBar) * ((col("cu") + 1).cast(DoubleType) /
+            (col("n_total") + col("v")).cast(DoubleType))).as("logp"))
+    val joined =
+      if (nBigramTypes <= broadcastVocabMax) bg.join(broadcast(lm), Seq("w1", "w2"))
+      else bg.join(lm, Seq("w1", "w2"))
+    joined
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((lit(0.0) - Exact.dsum(col("logp"))) /
+          count(lit(1)).cast(DoubleType)).as("avg_nll"))
+      .orderBy("doc_id")
+  }
 
   /** DSIR importance selection — see the c20 QuerySpec doc-comment. The
     * raw and target unigram models share one token-keyed aggregation

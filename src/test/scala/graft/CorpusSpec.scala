@@ -28,6 +28,37 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("c22: broadcast and shuffle-join paths are value-identical") {
+    val viaBroadcast = Corpus.bigramLmScore(docs).collect()
+    val viaShuffle = Corpus.bigramLmScore(docs, broadcastVocabMax = 0).collect()
+    assert(viaBroadcast.length == viaShuffle.length)
+    viaBroadcast.zip(viaShuffle).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getLong(1) == b.getLong(1))
+      assert(a.getDouble(2) == b.getDouble(2), s"doc ${a.getLong(0)}")
+    }
+  }
+
+  test("c22: predictable word order outscores shuffled word order") {
+    // Same unigram distribution, different bigram structure: the
+    // interpolated bigram model must separate them (the discrimination a
+    // unigram LM like c13 is blind to — both docs have IDENTICAL c13
+    // scores by construction).
+    import spark.implicits._
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val scrambled = "dog the fox quick lazy brown the jumps over"
+    val corpus = ((1L to 50L).map(i => (i, phrase)) :+ (99L, scrambled))
+      .toDF("doc_id", "text")
+    val out = Corpus.bigramLmScore(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(99L) > out(1L),
+      s"scrambled ${out(99L)} should score higher NLL than fluent ${out(1L)}")
+    // and a 1-token doc contributes no bigram rows (drops out, no error)
+    val tiny = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    val ids = Corpus.bigramLmScore(tiny).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+  }
+
   test("c13 truncated: no-truncation ranks match the full model exactly") {
     // With topN ≥ vocab nothing folds into OOV and every token's logp
     // shifts by the SAME constant ln((N+v)/(N+v+1)) (the denom gains the

@@ -318,6 +318,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c22 bigram-LM: model broadcasts; bigram extraction is map-side, no window") {
+    val p = plan("c22_bigram_lm_score")
+    // the (w1,w2)→logp model attaches via broadcast hash join; bigram
+    // extraction is an array zip in the scan stage — a lag()-based
+    // extraction would show a Window + a doc_id exchange here
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("(Window"), p)
+  }
+
   test("c19/d19 host-keyed reports broadcast the host dims; no text in shuffles") {
     val p19 = plan("d19_boilerplate_lines")
     assert(p19.contains("BroadcastExchange"), p19)
