@@ -610,6 +610,69 @@ object Dedup {
            |GROUP BY lang ORDER BY lang""".stripMargin
       },
     ),
+    // QUALITY-aware survivor selection — d11 with the keeper rule real
+    // pipelines use: within each near-dup cluster keep the LONGEST
+    // member (tie → smallest doc_id), not the smallest id. Truncated
+    // crawls, stripped re-posts and partial scrapes cluster with their
+    // fuller original; min-id keeps whichever was fetched first, this
+    // keeps the most content. Scale shape adds ONE narrow aggregation to
+    // d11: per-cluster argmax over (len, -doc_id) pairs — 16 bytes per
+    // doc — then a doc_id-keyed semi join; text still never moves except
+    // through d03's bounded pipeline (length is computed in the scan).
+    QuerySpec(
+      "d21_quality_survivors",
+      (s, d) => {
+        val corpus = plantedCorpus(s, d)
+        val pairs = lshJaccardPairs(corpus, k = 32, bands = 8, cap = 100,
+          threshold = 0.3).select("a_id", "b_id")
+        val labels = connectedComponents(pairs)
+        val lab = corpus
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast(LongType).as("len"))
+          .join(labels, col("doc_id") === col("id"), "left_outer")
+          .select(col("doc_id"), col("lang"), col("len"),
+            coalesce(col("label"), col("doc_id")).as("comp"))
+        // per-cluster argmax via struct max: lexicographic (len, -id) —
+        // longest wins, ties to the smallest doc_id; an agg, not a window
+        val keep = lab.groupBy("comp")
+          .agg(max(struct(col("len"), (-col("doc_id")).as("nid"))).as("m"))
+          .select((-col("m.nid")).as("keep_id"))
+        lab.join(keep, col("doc_id") === col("keep_id"), "left_semi")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+              .as("kept_digest"))
+          .orderBy("lang")
+      },
+      Some {
+        val corpusBody = corpusCte.stripPrefix("WITH ")
+        s"""WITH RECURSIVE pairs AS MATERIALIZED (
+           |${lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3)}
+           |),
+           |$corpusBody,
+           |sym AS MATERIALIZED (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach AS (
+           |  SELECT src AS id, src AS label FROM sym
+           |  UNION
+           |  SELECT e.dst AS id, r.label FROM reach r JOIN sym e ON e.src = r.id),
+           |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+           |lab AS (
+           |  SELECT s.doc_id, s.lang, CAST(length(s.text) AS BIGINT) AS len,
+           |    COALESCE(c.component, s.doc_id) AS comp
+           |  FROM corpus s LEFT JOIN comp c ON s.doc_id = c.id),
+           |keep AS (
+           |  SELECT doc_id AS keep_id FROM (
+           |    SELECT doc_id, row_number() OVER (
+           |      PARTITION BY comp ORDER BY len DESC, doc_id) AS rn
+           |    FROM lab) WHERE rn = 1)
+           |SELECT lang, COUNT(*) AS n_kept,
+           |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS kept_digest
+           |FROM lab SEMI JOIN keep ON lab.doc_id = keep.keep_id
+           |GROUP BY lang ORDER BY lang""".stripMargin
+      },
+    ),
     // Production-scale exact-Jaccard near-dup join: the SAME verification as
     // d05 (exact word-3-gram Jaccard ≥ 0.3) but candidates come from LSH
     // banding instead of (lang, Δlen) blocks — no per-lang cartesian

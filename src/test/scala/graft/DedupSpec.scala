@@ -179,6 +179,35 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.size + losers.count() == corpus.count())
   }
 
+  test("d21 quality survivors: longest member wins, planted copies never do") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.queries.Dedup.plantedCorpus(spark, sf)
+    val pairs = graft.queries.Dedup.lshJaccardPairs(corpus, k = 32, bands = 8,
+      cap = 100, threshold = 0.3).select("a_id", "b_id")
+    val labels = graft.queries.Dedup.connectedComponents(pairs)
+    val lab = corpus
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .join(labels, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"), col("len"),
+        coalesce(col("label"), col("doc_id")).as("comp"))
+    val kept = lab.groupBy("comp")
+      .agg(max(struct(col("len"), (-col("doc_id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("keep_id"))
+      .collect().map(_.getLong(0)).toSet
+    // A planted +1M near copy is 2 tokens SHORTER than its base and a
+    // planted +2M exact copy ties its base's length with a larger id —
+    // under (len DESC, id ASC) neither can ever be its cluster's keeper,
+    // whatever organic members the cluster absorbed (every organic id is
+    // also < 1M). Stronger than d11's min-label argument: it holds even
+    // for the base docs that lose min-label organically.
+    assert(kept.forall(_ < 1000000L), s"planted id kept: ${kept.filter(_ >= 1000000L).take(5)}")
+    // one keeper per cluster + every singleton: same cardinality as d11's
+    // survivor set (keeper RULE changes membership, never the count)
+    val minLabelKept = corpus.count() -
+      labels.filter(col("id") =!= col("label")).count()
+    assert(kept.size == minLabelKept)
+  }
+
   test("d05 exact jaccard join recovers planted pairs (same-lang blocks)") {
     val exact = Registry.byName("d05_ngram_jaccard").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
