@@ -488,5 +488,74 @@ object TextOps {
              |  md5(array_to_string(c, ' ')) AS chunk_md5
              |FROM u ORDER BY doc_id, chunk_id""".stripMargin),
     ),
+    // Encoding-anomaly detection — the ftfy-shaped pass of a crawl
+    // pipeline: count U+FFFD replacement chars (a decoder already gave
+    // up), C1 control chars U+0080–U+009F (never legitimate in text;
+    // the classic cp1252-read-as-latin1 tell), and UTF-8-read-as-latin1
+    // mojibake pairs ('Ã' followed by a continuation-range char — what
+    // 'é' becomes when its two UTF-8 bytes are decoded separately).
+    // The corpus is synthetic-clean, so anomalies are PLANTED (every 8th
+    // doc, variant by doc_id % 3 - 8 and 3 are coprime, so all three
+    // variants occur) the d12-banner way: identical
+    // deterministic expressions on both engines, which keeps the
+    // discrimination real — ~89% of docs must come back clean, the rest
+    // flagged by exactly the planted signal. All three counters are
+    // length-diff-after-replace forms (the pair counter halves the
+    // diff); entirely map-side, one scan, no shuffle before the
+    // presentation sort — at 100 TB this runs at scan speed.
+    QuerySpec(
+      "t11_encoding_anomalies",
+      (s, d) => {
+        // the anomaly code points, constructed so the source stays ASCII
+        // (mirroring the oracle's chr() calls): 0xC3+0xA9 is 'e-acute'
+        // whose UTF-8 bytes were decoded as latin-1; 0xFFFD replacement;
+        // 0x85 NEL
+        val cA = 0xC3.toChar.toString
+        val moji = " caf" + cA + 0xA9.toChar + "t"
+        val repl = " x" + 0xFFFD.toChar.toString * 2
+        val nel = " y" + 0x85.toChar + "z"
+        val planted = when(col("doc_id") % 8 === 0,
+          concat(col("text"), element_at(array(
+            lit(moji), lit(repl), lit(nel)),
+            (col("doc_id") % 3).cast("int") + 1)))
+          .otherwise(col("text"))
+        val nRepl = length(col("t")) -
+          length(regexp_replace(col("t"), 0xFFFD.toChar.toString, ""))
+        val nC1 = length(col("t")) -
+          length(regexp_replace(col("t"),
+            "[" + 0x80.toChar + "-" + 0x9F.toChar + "]", ""))
+        val nMoji = (length(col("t")) -
+          length(regexp_replace(col("t"),
+            cA + "[" + 0x80.toChar + "-" + 0xBF.toChar + "]", ""))) / 2
+        docs(s, d)
+          .select(col("doc_id"), planted.as("t"))
+          .select(col("doc_id"),
+            nRepl.cast(LongType).as("n_repl"),
+            nC1.cast(LongType).as("n_c1"),
+            nMoji.cast(LongType).as("n_moji"))
+          .withColumn("clean",
+            col("n_repl") === 0 && col("n_c1") === 0 && col("n_moji") === 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 8 = 0 THEN text ||
+             |      ([' caf' || chr(195) || chr(169) || 't',
+             |        ' x' || chr(65533) || chr(65533),
+             |        ' y' || chr(133) || 'z'])[CAST(doc_id % 3 AS INT) + 1]
+             |    ELSE text END AS t
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    length(t) - length(replace(t, chr(65533), '')) AS n_repl,
+             |    length(t) - length(regexp_replace(t,
+             |      '[\x{0080}-\x{009F}]', '', 'g')) AS n_c1,
+             |    (length(t) - length(regexp_replace(t,
+             |      chr(195) || '[\x{0080}-\x{00BF}]', '', 'g'))) // 2 AS n_moji
+             |  FROM planted)
+             |SELECT doc_id, n_repl, n_c1, n_moji,
+             |  n_repl = 0 AND n_c1 = 0 AND n_moji = 0 AS clean
+             |FROM m ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

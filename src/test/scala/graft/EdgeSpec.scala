@@ -84,4 +84,30 @@ class EdgeSpec extends AnyFunSuite {
     assert(rows.length == 1)
     assert(rows.head.getSeq[String](2) == Seq("just", "five", "words", "right", "here"))
   }
+
+  test("t11: planted docs carry exactly the planted anomaly; the rest are clean") {
+    val out = Registry.byName("t11_encoding_anomalies").run(spark, sf).collect()
+    val n = out.length
+    out.foreach { r =>
+      val (id, repl, c1, moji) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val clean = r.getBoolean(4)
+      if (id % 8 != 0) {
+        assert(clean && repl == 0 && c1 == 0 && moji == 0, s"doc $id")
+      } else {
+        assert(!clean, s"planted doc $id came back clean")
+        // one planted signal, and only that signal: variant by id % 3
+        // (0xA9 'copyright' sits in the continuation range, so the
+        // mojibake plant is one pair and nothing else; the NEL plant is
+        // one C1 char and nothing else)
+        val expect = (id % 3) match {
+          case 0 => (0L, 0L, 1L)
+          case 1 => (2L, 0L, 0L)
+          case _ => (0L, 1L, 0L)
+        }
+        assert((repl, c1, moji) == expect, s"doc $id: ($repl,$c1,$moji)")
+      }
+    }
+    assert(out.count(_.getBoolean(4)) >= n * 8 / 10, "discrimination lost")
+  }
 }
