@@ -793,7 +793,95 @@ object Corpus {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
     ),
+    // Token-budget allocation with repeat caps — the epoching knob c12's
+    // mixing weights feed: given a token budget B (here 1.2x the corpus)
+    // and a uniform per-source target, a source can only supply
+    // maxEpochs (1.4) passes over its own tokens, so undersized sources
+    // cap and their unmet demand WATER-FILLS to the sources that still
+    // have headroom. Two redistribution rounds, unrolled and identical
+    // on both engines (the s08 fixed-iteration discipline) — a fixpoint
+    // loop would converge in data-dependent rounds and break bit parity;
+    // whatever demand survives two rounds is reported in `unfilled`
+    // rather than silently forced in. Scale shape: ONE corpus-wide
+    // per-source aggregate (the only big pass), then scalar broadcasts
+    // over the source table — thousands of sources at 100 TB, trivially
+    // small; the decimal-exact sums make the leftover arithmetic
+    // partitioning-invariant.
+    QuerySpec(
+      "c23_token_budget_fill",
+      (s, d) => tokenBudgetFill(Tables(s, d, "documents")),
+      Some {
+        s"""WITH by_src AS (
+           |  SELECT source,
+           |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source),
+           |tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS s FROM by_src),
+           |r1 AS (
+           |  SELECT source, n_tokens,
+           |    1.4 * CAST(n_tokens AS DOUBLE) AS cap,
+           |    least((1.2 * CAST(t AS DOUBLE)) / CAST(s AS DOUBLE),
+           |      1.4 * CAST(n_tokens AS DOUBLE)) AS alloc1,
+           |    (1.2 * CAST(t AS DOUBLE)) / CAST(s AS DOUBLE) AS want
+           |  FROM by_src, tot),
+           |l1 AS (
+           |  SELECT 1.2 * CAST((SELECT t FROM tot) AS DOUBLE)
+           |      - ${Exact.sqlSum("alloc1")} AS left1,
+           |    SUM(CASE WHEN alloc1 < cap THEN 1 ELSE 0 END) AS n_open
+           |  FROM r1),
+           |r2 AS (
+           |  SELECT source, n_tokens, cap,
+           |    CASE WHEN alloc1 < cap
+           |         THEN least(alloc1 + left1 / CAST(n_open AS DOUBLE), cap)
+           |         ELSE alloc1 END AS alloc
+           |  FROM r1, l1),
+           |u AS (
+           |  SELECT 1.2 * CAST((SELECT t FROM tot) AS DOUBLE)
+           |      - ${Exact.sqlSum("alloc")} AS unfilled
+           |  FROM r2)
+           |SELECT source, n_tokens, cap, alloc,
+           |  alloc / CAST(n_tokens AS DOUBLE) AS epochs, unfilled
+           |FROM r2, u ORDER BY source""".stripMargin
+      },
+    ),
   )
+
+  /** Water-filling token-budget allocation — see the c23 QuerySpec
+    * doc-comment. `budgetMult`/`maxEpochs` are independent literals in
+    * the oracle; keep them in lockstep.
+    */
+  def tokenBudgetFill(docs: DataFrame, budgetMult: Double = 1.2,
+      maxEpochs: Double = 1.4): DataFrame = {
+    val bySrc = docs
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy("source").agg(sum(col("nt")).cast(LongType).as("n_tokens"))
+      .localCheckpoint(true)
+    val tot = broadcast(bySrc.agg(sum(col("n_tokens")).as("t"),
+      count(lit(1)).as("s")))
+    val budget = lit(budgetMult) * col("t").cast(DoubleType)
+    val r1 = bySrc.crossJoin(tot)
+      .select(col("source"), col("n_tokens"), col("t"),
+        (lit(maxEpochs) * col("n_tokens").cast(DoubleType)).as("cap"),
+        least(budget / col("s").cast(DoubleType),
+          lit(maxEpochs) * col("n_tokens").cast(DoubleType)).as("alloc1"))
+    val l1 = broadcast(r1.groupBy("t")
+      .agg((lit(budgetMult) * col("t").cast(DoubleType) -
+          Exact.dsum(col("alloc1"))).as("left1"),
+        sum(when(col("alloc1") < col("cap"), 1L).otherwise(0L)).as("n_open")))
+    val r2 = r1.join(l1, "t")
+      .select(col("source"), col("n_tokens"), col("cap"),
+        when(col("alloc1") < col("cap"),
+          least(col("alloc1") + col("left1") / col("n_open").cast(DoubleType),
+            col("cap")))
+          .otherwise(col("alloc1")).as("alloc"),
+        (lit(budgetMult) * col("t").cast(DoubleType)).as("b"))
+    val unfilled = broadcast(r2.groupBy("b")
+      .agg((col("b") - Exact.dsum(col("alloc"))).as("unfilled")))
+    r2.join(unfilled, "b")
+      .select(col("source"), col("n_tokens"), col("cap"), col("alloc"),
+        (col("alloc") / col("n_tokens").cast(DoubleType)).as("epochs"),
+        col("unfilled"))
+      .orderBy("source")
+  }
 
   /** Interpolated bigram LM — see the c22 QuerySpec doc-comment. Docs
     * with fewer than two tokens have no bigram positions and drop out

@@ -59,6 +59,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(ids == Set(1L))
   }
 
+  test("c23: water-filling — undersized sources cap, headroom absorbs, budget conserves") {
+    import spark.implicits._
+    // controlled skew so every branch is exercised with HAND-COMPUTED
+    // values: tokens a=10, b=10, c=100 → T=120, budget=144, want=48.
+    // a and b cap at 14; c absorbs their unmet demand:
+    // left1 = 144−(14+14+48) = 68 → c = min(48+68, 140) = 116; unfilled 0.
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val toy = Seq(("a", words(10)), ("b", words(10)), ("c", words(100)))
+      .toDF("source", "text")
+    val got = Corpus.tokenBudgetFill(toy).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("a") == ((14.0, 14.0, 1.4, 0.0)))
+    assert(got("b") == ((14.0, 14.0, 1.4, 0.0)))
+    assert(got("c") == ((140.0, 116.0, 1.16, 0.0)))
+    // and on the real table the structural invariants hold at any SF
+    val rows = Corpus.tokenBudgetFill(docs).collect()
+    val budget = 1.2 * rows.map(_.getLong(1)).sum.toDouble
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) + 1e-9, s"${r.getString(0)} over cap")
+      assert(r.getDouble(4) <= 1.4 + 1e-12)
+    }
+    val allocated = rows.map(_.getDouble(3)).sum
+    assert(math.abs(allocated + rows.head.getDouble(5) - budget) < 1e-6 * budget)
+  }
+
   test("c13 truncated: no-truncation ranks match the full model exactly") {
     // With topN ≥ vocab nothing folds into OOV and every token's logp
     // shifts by the SAME constant ln((N+v)/(N+v+1)) (the denom gains the
