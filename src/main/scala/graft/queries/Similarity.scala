@@ -948,6 +948,48 @@ object Similarity {
            |ORDER BY q_id, rank""".stripMargin
       },
     ),
+    // Range (radius) search — the similarity-ball primitive top-k can't
+    // express: EVERYTHING with cos >= tau per query, however many that
+    // is (what a semantic-dedup threshold sweep or a recall audit asks
+    // for). tau=0.25 sits just under this corpus's p99 pair similarity,
+    // so each query returns a real but selective neighbor set. Scale
+    // shape: query side broadcasts, the corpus scan scores+filters
+    // map-side through the fused CosineSim kernel, and only (q_id,
+    // vec_id, cos) survivors reach the per-query aggregation — no
+    // window, no corpus shuffle, no top-k bias. The neighbor SET is
+    // md5-pinned (the d11 digest contract) and the cos mass is
+    // decimal-summed so the row stays narrow at any match count.
+    QuerySpec(
+      "s09_range_search",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+          .filter(col("cos") >= 0.25)
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_in_range"),
+            md5(concat_ws(",", sort_array(collect_list(col("vec_id")))))
+              .as("ids_digest"),
+            graft.engine.Exact.dsum(col("cos")).as("sum_cos"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+              |  WHERE vec_id < 5),
+              |s AS (
+              |  SELECT q.q_id, e.vec_id,
+              |    ${duckCos("q.q_emb", "e.embedding")} AS cos
+              |  FROM embeddings e CROSS JOIN q
+              |  WHERE e.vec_id != q.q_id)
+              |SELECT q_id, COUNT(*) AS n_in_range,
+              |  md5(array_to_string(list_sort(list(vec_id)), ',')) AS ids_digest,
+              |  ${graft.engine.Exact.sqlSum("cos")} AS sum_cos
+              |FROM s WHERE cos >= 0.25
+              |GROUP BY q_id ORDER BY q_id""".stripMargin),
+    ),
   )
 
   /** s03's full SQL oracle, shared with s06 (which nests it as the pairs

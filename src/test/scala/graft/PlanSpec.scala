@@ -328,6 +328,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("(Window"), p)
   }
 
+  test("s09 range search: queries broadcast, corpus scored map-side, no window") {
+    val p = plan("s09_range_search")
+    // the query side rides a broadcast NLJ into the corpus scan; range
+    // filtering happens before any exchange, and there is no per-query
+    // window (top-k machinery has no business in a radius query)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("(Window"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(!exchanges.exists(_.matches(".*\\bembedding#\\d+.*")),
+      s"corpus embeddings leak into a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("c19/d19 host-keyed reports broadcast the host dims; no text in shuffles") {
     val p19 = plan("d19_boilerplate_lines")
     assert(p19.contains("BroadcastExchange"), p19)
