@@ -143,7 +143,12 @@ object Bench {
         "t10_chunking", "c14_weighted_sample", "d13_url_dedup",
         "d15_substr_span_dedup", "d16_dedup_bloom_incremental",
         "p04_incremental_publish", "s08_pq_adc", "c18_bpe_encode",
-        "c19_domain_stats", "c20_dsir_select")
+        "c19_domain_stats", "c20_dsir_select",
+        // ... and this round's batch: c22 (bigram model build + size-gated
+        // scoring join), d21 (CC + per-cluster argmax), s09 (broadcast
+        // range scan), t11 (map-side anomaly counters)
+        "c22_bigram_lm_score", "d21_quality_survivors", "s09_range_search",
+        "t11_encoding_anomalies")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = (r1 ++ rExt).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

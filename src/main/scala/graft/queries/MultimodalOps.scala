@@ -174,5 +174,89 @@ object MultimodalOps {
            |ORDER BY a_id, b_id""".stripMargin
       },
     ),
+    // Content-defined chunking (the LBFS/rsync boundary scheme) — the
+    // byte-level media dedup fixed-size chunking cannot do: a boundary
+    // falls wherever the FNV of the trailing 8-byte window divides 64
+    // (avg chunk ~64 bytes), so boundaries depend only on LOCAL content
+    // and re-synchronize after insertions. The planted +4M payloads have
+    // a 14-byte header PREPENDED — fixed-offset chunking would share
+    // nothing with the original; CDC shares every chunk after the first
+    // boundary (MultimodalSpec pins ≥ 60% shared occurrences). The
+    // stateless window rule is the load-bearing choice vs a gear/reset
+    // scheme: no running state, so chunking is a pure per-row expression
+    // (scan-stage, trivially parallel) AND SQL-expressible for the
+    // oracle. Per doc: chunk count, occurrences whose hash recurs in
+    // ANOTHER doc (one narrow 16-byte-key shuffle — the d01 shape at
+    // chunk granularity), and the in-order chunk-hash digest.
+    QuerySpec(
+      "m05_cdc_chunks",
+      (s, d) => {
+        import graft.functions.ghash
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val corpus = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat(lit("PREPENDED HDR "), col("text")).as("text")))
+        val t = col("text")
+        val n = length(t)
+        val bnd = filter(
+          when(n >= 8, sequence(lit(8), n))
+            .otherwise(array().cast("array<int>")),
+          p => ghash.fnv1a64(t.substr(p - 7, lit(8))) % 64 === 0)
+        val bounds = concat(array(lit(0)), bnd, array(n))
+        val chunks = zip_with(
+          slice(bounds, lit(1), size(bounds) - 1),
+          slice(bounds, lit(2), size(bounds) - 1),
+          (a, b) => md5(t.substr(a + 1, b - a)))
+        val withC = corpus.select(col("doc_id"), chunks.as("chs"))
+          .localCheckpoint(true)
+        val per = withC.select(col("doc_id"), explode(col("chs")).as("ch"))
+        val shared = per.groupBy("ch")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val nShared = per.join(shared, "ch")
+          .groupBy("doc_id")
+          .agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+        withC
+          .select(col("doc_id"), size(col("chs")).cast("long").as("n_chunks"),
+            md5(concat_ws(",", col("chs"))).as("chunks_digest"))
+          .join(nShared, "doc_id")
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.engine.DuckHash
+        // NOTE: the position lambda binds `p`, NOT `i` — DuckHash.fnv's
+        // internal fold binds `i`, and an outer `i` inside its argument
+        // would be captured by the inner lambda
+        s"""WITH m AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 4000000, 'PREPENDED HDR ' || text
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |b AS (
+           |  SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n,
+           |    list_filter(range(8, length(text)+1),
+           |      p -> (${DuckHash.fnv("substr(text, p-7, 8)")}) % 64 = 0) AS bnd
+           |  FROM m),
+           |c AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    list_transform(range(1, len(bounds)),
+           |      j -> md5(substr(t, CAST(bounds[j] AS BIGINT) + 1,
+           |                      bounds[j+1] - bounds[j]))) AS chs
+           |  FROM (SELECT doc_id, t,
+           |          list_prepend(CAST(0 AS BIGINT), list_append(bnd, n))
+           |            AS bounds
+           |        FROM b)),
+           |per AS (SELECT doc_id, unnest(chs) AS ch FROM c),
+           |shared AS (
+           |  SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM per GROUP BY ch),
+           |ns AS (
+           |  SELECT doc_id,
+           |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared
+           |  FROM per JOIN shared USING (ch) GROUP BY doc_id)
+           |SELECT c.doc_id, CAST(len(chs) AS BIGINT) AS n_chunks,
+           |  md5(array_to_string(chs, ',')) AS chunks_digest, n_shared
+           |FROM c JOIN ns ON c.doc_id = ns.doc_id
+           |ORDER BY c.doc_id""".stripMargin
+      },
+    ),
   )
 }

@@ -522,6 +522,44 @@ object ScaleProbe {
     val d19Ok = d19Stats == 10000
     println(s"""{"probe":"d19","docs":$n,"hosts":10000,""" +
       s""""boiler_hosts":$d19Stats,"sec":$tD19,"d19_ok":$d19Ok}""")
+
+    // ---- c22 probe: bigram LM at n docs, open bigram vocabulary ----
+    // 60 tokens/doc: 80% of positions walk a sequential 1000-type head
+    // chain (predictable bigrams), 20% draw from a 1.5M-type tail — the
+    // bigram vocabulary opens to ~10M types at 1M docs, far past the
+    // broadcast gate, so the probe FORCES the shuffle-join path (the
+    // 100 TB physical plan) and pins that it completes. Every 100th doc
+    // permutes its head-chain order (i -> 37i mod 60, a full cycle):
+    // same unigram distribution, broken bigram structure — the
+    // interpolated model must score the permuted docs strictly worse on
+    // average (the discrimination c13 cannot see at ANY scale).
+    val ts22 = split(col("text"), " ")
+    val c22Docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(59)), i => {
+        val idx = when(col("id") % 100 === 0, (i * 37) % 60).otherwise(i)
+        val pick = pmod(xxhash64(col("id"), i, lit(7)), lit(10))
+        when(pick < 2,
+          concat(lit("t"), pmod(xxhash64(col("id"), i), lit(1500000))))
+          .otherwise(concat(lit("w"),
+            pmod(pmod(xxhash64(col("id")), lit(1000)) + idx, lit(1000))))
+      })).as("text"))
+    val (c22Stats, tC22) = time {
+      val nBgTypes = c22Docs.select(explode(zip_with(
+          slice(ts22, lit(1), greatest(size(ts22) - 1, lit(0))),
+          slice(ts22, lit(2), greatest(size(ts22) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+        .agg(approx_count_distinct(col("bg"), 0.02)).collect().head.getLong(0)
+      val scored = Corpus.bigramLmScore(c22Docs, broadcastVocabMax = 0)
+      val cls = scored.withColumn("scr", col("doc_id") % 100 === 0)
+        .groupBy("scr").agg(avg(col("avg_nll")).as("m")).collect()
+        .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      (nBgTypes, cls(false), cls(true))
+    }
+    val (c22BgTypes, c22Clean, c22Scr) = c22Stats
+    val c22Ok = c22BgTypes > (4L << 20) && c22Scr > c22Clean + 0.2
+    println(s"""{"probe":"c22","docs":$n,"bigram_types":$c22BgTypes,""" +
+      s""""mean_nll_clean":$c22Clean,"mean_nll_permuted":$c22Scr,""" +
+      s""""sec":$tC22,"c22_ok":$c22Ok}""")
     spark.stop()
   }
 }

@@ -55,4 +55,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nonPlanted.size <= got.size / 2,
       s"${nonPlanted.size} non-planted pairs vs ${got.size} total")
   }
+
+  test("m05 CDC: prepended copies re-sync and share chunks; fixed-size cannot") {
+    val out = Registry.byName("m05_cdc_chunks").run(spark, sf).collect()
+    val planted = out.filter(_.getLong(0) >= 4000000L)
+    assert(planted.nonEmpty)
+    // columns: doc_id, n_chunks, chunks_digest, n_shared
+    val share = planted.map(_.getLong(3)).sum.toDouble /
+      planted.map(_.getLong(1)).sum.toDouble
+    assert(share >= 0.6, s"CDC chunk share after a 14-byte prepend: $share")
+    // the contrast that justifies content-defined boundaries: fixed-offset
+    // 64-byte chunking of the same before/after pair shares (almost)
+    // nothing, because every interior offset shifted by 14
+    val txt = graft.engine.Tables(spark, sf, "documents")
+      .select("text").head().getString(0)
+    def fixed(s: String) = s.grouped(64).toSet
+    val fixedShared = fixed(txt).intersect(fixed("PREPENDED HDR " + txt))
+    assert(fixedShared.size <= fixed(txt).size / 10,
+      s"fixed-size chunking unexpectedly shared ${fixedShared.size}")
+  }
 }
