@@ -328,6 +328,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("(Window"), p)
   }
 
+  test("m05 CDC: chunking is scan-side; only chunk hashes shuffle, never text") {
+    val p = plan("m05_cdc_chunks")
+    // boundary detection + chunk md5s are per-row expressions in the scan
+    // stage; the cross-doc sharing aggregation shuffles (doc_id, 32-char
+    // md5) rows only — payload text must never reach an exchange
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")),
+      s"payload text leaks into a shuffle:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s09 range search: queries broadcast, corpus scored map-side, no window") {
     val p = plan("s09_range_search")
     // the query side rides a broadcast NLJ into the corpus scan; range
