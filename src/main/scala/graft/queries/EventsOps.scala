@@ -430,6 +430,79 @@ object EventsOps {
               |WHERE sd > 0 AND abs((value - mean) / sd) > 3.0
               |ORDER BY event_id""".stripMargin),
     ),
+    // Rate-drift detection — the monitoring pass e13 can't express: e13
+    // flags single anomalous VALUES against a global model; drift is a
+    // RATE change over time (an ingest stall, a bot burst, a schema
+    // break upstream). Detector: per (event_type, hour) counts, then a
+    // trailing 3-hour average compared against the preceding 24-hour
+    // baseline via RANGE window frames (range, not rows — robust to
+    // missing hours). Spikes are PLANTED post-aggregation (×20 on hours
+    // ≡ 0 mod 97, identically on both engines — the t11 philosophy: the
+    // detector must recall every planted incident, and EdgeSpec asserts
+    // it does). Flag fires only on a FULL 24-hour baseline so
+    // series edges can't alias as drift. Scale shape: the raw events
+    // reduce to (types × hours) rows in one partial+final agg before any
+    // window runs — the window sort is over a dashboard-sized series per
+    // type, never over events.
+    QuerySpec(
+      "e14_rate_drift",
+      (s, d) => {
+        import org.apache.spark.sql.types.DoubleType
+        val hourly = ev(s, d)
+          .groupBy(col("event_type"),
+            expr(s"$TsUsSql div $HourUs").as("hour"))
+          .agg(count(lit(1)).as("n0"))
+          .withColumn("n",
+            when(col("hour") % 97 === 0, col("n0") * 20).otherwise(col("n0")))
+        val wTrail = Window.partitionBy("event_type").orderBy("hour")
+          .rangeBetween(-2, 0)
+        val wBase = Window.partitionBy("event_type").orderBy("hour")
+          .rangeBetween(-26, -3)
+        val trailAvg = sum(col("n")).over(wTrail).cast(DoubleType) /
+          count(col("n")).over(wTrail).cast(DoubleType)
+        val baseAvg = sum(col("n")).over(wBase).cast(DoubleType) /
+          count(col("n")).over(wBase).cast(DoubleType)
+        hourly
+          .withColumn("trail_avg", trailAvg)
+          .withColumn("base_avg", baseAvg)
+          .withColumn("n_base", count(col("n")).over(wBase))
+          .withColumn("ratio", col("trail_avg") / col("base_avg"))
+          .withColumn("drift",
+            when(col("n_base") >= 6 &&
+              (col("ratio") >= 3.0 || col("ratio") <= 0.25), true)
+              .otherwise(false))
+          .select(col("event_type"), col("hour"), col("n"), col("trail_avg"),
+            col("base_avg"), col("n_base"), col("ratio"), col("drift"))
+          .orderBy("event_type", "hour")
+      },
+      Some(s"""WITH hourly AS (
+              |  SELECT event_type, epoch_us(ts) // $HourUs AS hour,
+              |    COUNT(*) AS n0
+              |  FROM events GROUP BY event_type, hour),
+              |pl AS (
+              |  SELECT event_type, hour,
+              |    CASE WHEN hour % 97 = 0 THEN n0 * 20 ELSE n0 END AS n
+              |  FROM hourly),
+              |w AS (
+              |  SELECT event_type, hour, n,
+              |    CAST(SUM(n) OVER tr AS DOUBLE)
+              |      / CAST(COUNT(n) OVER tr AS DOUBLE) AS trail_avg,
+              |    CAST(SUM(n) OVER ba AS DOUBLE)
+              |      / CAST(COUNT(n) OVER ba AS DOUBLE) AS base_avg,
+              |    COUNT(n) OVER ba AS n_base
+              |  FROM pl
+              |  WINDOW tr AS (PARTITION BY event_type ORDER BY hour
+              |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),
+              |  ba AS (PARTITION BY event_type ORDER BY hour
+              |    RANGE BETWEEN 26 PRECEDING AND 3 PRECEDING))
+              |SELECT event_type, hour, n, trail_avg, base_avg, n_base,
+              |  trail_avg / base_avg AS ratio,
+              |  CASE WHEN n_base >= 6
+              |        AND (trail_avg / base_avg >= 3.0
+              |             OR trail_avg / base_avg <= 0.25)
+              |       THEN true ELSE false END AS drift
+              |FROM w ORDER BY event_type, hour""".stripMargin),
+    ),
   )
 
   /** Per-type anomaly model: decimal-exact (q35-technique) mean and

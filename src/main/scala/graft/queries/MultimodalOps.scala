@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.QuerySpec
 import graft.engine.Tables
@@ -257,6 +258,67 @@ object MultimodalOps {
            |FROM c JOIN ns ON c.doc_id = ns.doc_id
            |ORDER BY c.doc_id""".stripMargin
       },
+    ),
+    // Magic-byte format sniffing — the first QA pass of any media ingest:
+    // the container's claimed type (file extension / metadata) routinely
+    // lies, so the pipeline detects the REAL format from the payload's
+    // magic prefix before routing to a decoder. Headers are PLANTED as
+    // true bytes via unhex (PNG \x89PNG\r\n\x1a\n, JPEG \xFF\xD8\xFF,
+    // RIFF....WAVE, or none, by doc_id % 4) so the detection exercises
+    // genuine binary plumbing: binary concat, byte-offset substring,
+    // prefix dispatch. The claimed fmt comes from the m01 metadata
+    // (png/jpg by doc_id % 2); ids ≡ 0,1 (mod 4) agree with their header,
+    // ids ≡ 2,3 (mod 4) carry a WAV header or no header → flagged. The
+    // Spark side hexes only the first bytes of each payload (substring on
+    // BINARY before hex — at 100 TB you never materialize hex of the full
+    // payload); the oracle reaches the same values via substr(hex(...)),
+    // DuckDB lacking blob substring. Map-side; scan speed.
+    QuerySpec(
+      "m06_magic_sniff",
+      (s, d) => {
+        val v = (col("doc_id") % 4).cast("int")
+        val hdr = when(v === 0, unhex(lit("89504E470D0A1A0A")))
+          .when(v === 1, unhex(lit("FFD8FF")))
+          .when(v === 2, unhex(lit("524946460000000057415645")))
+        val payload = when(v === 3, encode(col("text"), "UTF-8"))
+          .otherwise(concat(hdr, encode(col("text"), "UTF-8")))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), payload.as("p"))
+          .select(col("doc_id"),
+            length(col("p")).cast(LongType).as("n_bytes"),
+            when(hex(substring(col("p"), 1, 8)) === "89504E470D0A1A0A", "png")
+              .when(hex(substring(col("p"), 1, 3)) === "FFD8FF", "jpg")
+              .when(hex(substring(col("p"), 1, 4)) === "52494646" &&
+                hex(substring(col("p"), 9, 4)) === "57415645", "wav")
+              .otherwise("raw").as("detected"))
+          .withColumn("claimed",
+            when(col("doc_id") % 2 === 0, "png").otherwise("jpg"))
+          .withColumn("ok", col("detected") === col("claimed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 0 THEN unhex('89504E470D0A1A0A') || encode(text)
+             |      WHEN 1 THEN unhex('FFD8FF') || encode(text)
+             |      WHEN 2 THEN unhex('524946460000000057415645')
+             |                    || encode(text)
+             |      ELSE encode(text)
+             |    END AS p
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, CAST(octet_length(p) AS BIGINT) AS n_bytes,
+             |    CASE WHEN substr(hex(p), 1, 16) = '89504E470D0A1A0A'
+             |           THEN 'png'
+             |         WHEN substr(hex(p), 1, 6) = 'FFD8FF' THEN 'jpg'
+             |         WHEN substr(hex(p), 1, 8) = '52494646'
+             |          AND substr(hex(p), 17, 8) = '57415645' THEN 'wav'
+             |         ELSE 'raw' END AS detected,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS claimed
+             |  FROM p)
+             |SELECT doc_id, n_bytes, detected, claimed,
+             |  detected = claimed AS ok
+             |FROM m ORDER BY doc_id""".stripMargin),
     ),
   )
 }

@@ -557,5 +557,219 @@ object TextOps {
              |  n_repl = 0 AND n_c1 = 0 AND n_moji = 0 AS clean
              |FROM m ORDER BY doc_id""".stripMargin),
     ),
+    // Readability scoring — the Flesch-reading-ease-shaped pass of a
+    // curation pipeline (pretraining mixes are routinely bucketed by
+    // readability; FRE = 206.835 − 1.015·words/sentence − 84.6·
+    // syllables/word). The synthetic corpus has no punctuation, so
+    // sentence boundaries are PLANTED the t11 way: the token stream is
+    // re-joined into sentences of k = 7 + doc_id%6 tokens ('. '
+    // separators, trailing '.') by identical expressions on both
+    // engines; the query then counts the periods back out of the text.
+    // The syllable proxy is the standard vowel-group count, computed as
+    // a marked-minus-stripped length diff (each [aeiouy]+ run collapses
+    // to one marker char) — no '#'-in-text assumption. Entirely per-row
+    // regexp/arithmetic — scan speed, no shuffle before the
+    // presentation sort; the FRE arithmetic is written in the same
+    // left-associated order on both engines so the doubles hash-match.
+    QuerySpec(
+      "t12_readability",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val k = (lit(7) + col("doc_id") % 6).cast("int")
+        val nSent = ceil(size(t).cast(DoubleType) / k.cast(DoubleType)).cast("int")
+        val sents = transform(sequence(lit(0), nSent - 1),
+          i => concat_ws(" ", slice(t, i * k + 1, k)))
+        val planted = concat(concat_ws(". ", sents), lit("."))
+        docs(s, d)
+          .select(col("doc_id"), size(t).cast(LongType).as("n_words"),
+            planted.as("t"))
+          .select(col("doc_id"), col("n_words"),
+            (length(col("t")) - length(regexp_replace(col("t"), "\\.", "")))
+              .cast(LongType).as("n_sents"),
+            (length(regexp_replace(col("t"), "[aeiouy]+", "V")) -
+              length(regexp_replace(col("t"), "[aeiouy]+", "")))
+              .cast(LongType).as("n_syllables"))
+          .withColumn("fre",
+            lit(206.835) -
+              lit(1.015) * (col("n_words").cast(DoubleType) /
+                col("n_sents").cast(DoubleType)) -
+              lit(84.6) * (col("n_syllables").cast(DoubleType) /
+                col("n_words").cast(DoubleType)))
+          .withColumn("grade",
+            when(col("fre") >= 70.0, "easy")
+              .when(col("fre") >= 50.0, "medium")
+              .otherwise("hard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks,
+             |    CAST(7 + doc_id % 6 AS INT) AS k
+             |  FROM documents),
+             |pl AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+             |    array_to_string(list_transform(
+             |      range(0, CAST(ceil(CAST(len(toks) AS DOUBLE)
+             |                         / CAST(k AS DOUBLE)) AS BIGINT)),
+             |      i -> array_to_string(
+             |        toks[CAST(i*k+1 AS INT) : CAST(i*k+k AS INT)], ' ')),
+             |      '. ') || '.' AS t
+             |  FROM tk),
+             |m AS (
+             |  SELECT doc_id, n_words,
+             |    length(t) - length(replace(t, '.', '')) AS n_sents,
+             |    length(regexp_replace(t, '[aeiouy]+', 'V', 'g')) -
+             |      length(regexp_replace(t, '[aeiouy]+', '', 'g'))
+             |      AS n_syllables
+             |  FROM pl)
+             |SELECT doc_id, n_words, n_sents, n_syllables,
+             |  206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+             |                     / CAST(n_sents AS DOUBLE))
+             |          - 84.6 * (CAST(n_syllables AS DOUBLE)
+             |                    / CAST(n_words AS DOUBLE)) AS fre,
+             |  CASE WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+             |                     / CAST(n_sents AS DOUBLE))
+             |          - 84.6 * (CAST(n_syllables AS DOUBLE)
+             |                    / CAST(n_words AS DOUBLE)) >= 70.0
+             |       THEN 'easy'
+             |       WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+             |                     / CAST(n_sents AS DOUBLE))
+             |          - 84.6 * (CAST(n_syllables AS DOUBLE)
+             |                    / CAST(n_words AS DOUBLE)) >= 50.0
+             |       THEN 'medium' ELSE 'hard' END AS grade
+             |FROM m ORDER BY doc_id""".stripMargin),
+    ),
+    // Whitespace/control normalization — the cleanup pass that runs before
+    // ANY hashing/dedup stage (tabs, space runs, trailing whitespace, and
+    // stray control chars all break exact-dedup keys and token counts).
+    // Anomalies are PLANTED (every 6th doc; variant (doc_id div 6) % 4 so
+    // all four variants occur — doc_id % 4 would alias with the % 6 plant):
+    // tab-after-space runs, doubled spaces, trailing spaces, C0 controls.
+    // The chain is tab→space, strip remaining C0/DEL, collapse space runs,
+    // trim — built so every planted corruption normalizes back to the
+    // ORIGINAL text byte-for-byte (md5-pinned by the spec), which is the
+    // idempotence property a real pipeline needs (normalize ∘ corrupt =
+    // identity on the clean corpus). Map-side regexp work only — scan
+    // speed at 100 TB, no shuffle before the presentation sort.
+    QuerySpec(
+      "t14_normalize",
+      (s, d) => {
+        val v = expr("(doc_id div 6) % 4")
+        // control-char plants built the t11 way, so the source stays ASCII
+        val bell = 0x07.toChar.toString
+        val vt = 0x0B.toChar.toString
+        val planted = when(col("doc_id") % 6 =!= 0, col("text"))
+          .when(v === 0, regexp_replace(col("text"), " ", " \t"))
+          .when(v === 1, regexp_replace(col("text"), " ", "  "))
+          .when(v === 2, concat(col("text"), lit("   ")))
+          .otherwise(concat(lit(bell + bell), col("text"), lit(vt)))
+        val cleaned = trim(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), "\\t", " "),
+              "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+            " {2,}", " "))
+        docs(s, d)
+          .select(col("doc_id"), planted.as("t"))
+          .select(col("doc_id"),
+            length(col("t")).cast(LongType).as("n_before"),
+            cleaned.as("c"))
+          .select(col("doc_id"), col("n_before"),
+            length(col("c")).cast(LongType).as("n_after"),
+            (col("n_before") =!= length(col("c"))).as("changed"),
+            md5(col("c")).as("cleaned_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 6 <> 0 THEN text
+             |         WHEN (doc_id // 6) % 4 = 0
+             |           THEN replace(text, ' ', ' ' || chr(9))
+             |         WHEN (doc_id // 6) % 4 = 1 THEN replace(text, ' ', '  ')
+             |         WHEN (doc_id // 6) % 4 = 2 THEN text || '   '
+             |         ELSE chr(7) || chr(7) || text || chr(11)
+             |    END AS t
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, length(t) AS n_before,
+             |    trim(regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(t, '\t', ' ', 'g'),
+             |        '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+             |      ' {2,}', ' ', 'g')) AS c
+             |  FROM planted)
+             |SELECT doc_id, n_before, CAST(length(c) AS BIGINT) AS n_after,
+             |  n_before <> length(c) AS changed, md5(c) AS cleaned_md5
+             |FROM c ORDER BY doc_id""".stripMargin),
+    ),
+    // Model-based quality classification — the fastText-shaped linear
+    // classifier every modern curation pipeline runs (FineWeb-Edu, DCLM:
+    // score docs with a cheap linear model over hashed n-gram features,
+    // keep above threshold). The model here is weight-hashed rather than
+    // trained — w(feat) = mix64(fnv1a64(feat)) / 2^63 ∈ [−1, 1) — which
+    // keeps the contract deterministic while exercising the EXACT serving
+    // shape: per-doc feature extraction (unigrams + bigrams, the c03 zip
+    // trick), per-feature weight lookup folded into the scan (the hash IS
+    // the lookup — a real model would broadcast its weight table, the
+    // c13/c22 pattern), and a decimal-exact mean so the score is
+    // partitioning-invariant and oracle-reproducible. Entirely map-side:
+    // at 100 TB this is a scan-speed filter, the same plan fastText
+    // inference has. Division by 2^63 (exactly representable) and the
+    // final decimal→double→divide are correctly rounded on both engines.
+    QuerySpec(
+      "t13_classifier_score",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        // Accumulator precisions chosen so no decimal op hits the p=38 cap:
+        // Spark's Add((38,10),(38,10)) overflows to (38,9) under the
+        // precision-loss rule and silently drops the 10th decimal digit
+        // (caught by the oracle gate when this fold first used (38,10)).
+        // |w| ≤ 1 fits (11,10); acc (27,10) + w (11,10) → (28,10), exact,
+        // cast back to (27,10) is lossless for any realistic doc length.
+        val accT = DecimalType(27, 10)
+        val wT = DecimalType(11, 10)
+        val t = tokens(col("text"))
+        val bi = zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        val feats = concat(t, bi)
+        val ws = transform(feats,
+          f => ghash.mix64(ghash.fnv1a64(f)).cast(DoubleType) /
+            lit(9.223372036854775808e18))
+        val sumDec = aggregate(ws, lit(0).cast(accT),
+          (acc, w) => (acc + w.cast(wT)).cast(accT))
+        docs(s, d)
+          .select(col("doc_id"),
+            size(feats).cast(LongType).as("n_feats"),
+            (sumDec.cast(DoubleType) /
+              size(feats).cast(DoubleType)).as("score"))
+          .withColumn("keep", col("score") > 0.0)
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.engine.DuckHash
+        s"""WITH tk AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |ft AS (
+           |  SELECT doc_id, list_concat(toks,
+           |    list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1])) AS feats
+           |  FROM tk),
+           |ws AS (
+           |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+           |    list_transform(${DuckHash.mixChain("feats")},
+           |      v -> CAST(CAST(CAST(${DuckHash.signed("v")} AS DOUBLE)
+           |                     / 9.223372036854775808e18 AS VARCHAR)
+           |                AS DECIMAL(38,10))) AS wd
+           |  FROM ft)
+           |SELECT doc_id, n_feats,
+           |  CAST(CAST(list_reduce(list_prepend(0::DECIMAL(38,10), wd),
+           |         (a, b) -> a + b) AS VARCHAR) AS DOUBLE)
+           |    / CAST(n_feats AS DOUBLE) AS score,
+           |  CAST(CAST(list_reduce(list_prepend(0::DECIMAL(38,10), wd),
+           |         (a, b) -> a + b) AS VARCHAR) AS DOUBLE)
+           |    / CAST(n_feats AS DOUBLE) > 0.0 AS keep
+           |FROM ws ORDER BY doc_id""".stripMargin
+      },
+    ),
   )
 }

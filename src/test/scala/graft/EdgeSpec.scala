@@ -110,4 +110,71 @@ class EdgeSpec extends AnyFunSuite {
     }
     assert(out.count(_.getBoolean(4)) >= n * 8 / 10, "discrimination lost")
   }
+
+  test("t12: planted sentence structure counts back out; grades discriminate") {
+    val out = Registry.byName("t12_readability").run(spark, sf).collect()
+    out.foreach { r =>
+      val (id, nw, ns, syl, fre, grade) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5))
+      val k = 7 + id % 6
+      // periods counted from the text equal the arithmetic sentence count
+      assert(ns == (nw + k - 1) / k, s"doc $id: $ns sents for $nw words, k=$k")
+      assert(syl >= nw, s"doc $id: every word has at least one vowel group")
+      assert(!fre.isNaN && !fre.isInfinite, s"doc $id")
+      val expect = if (fre >= 70.0) "easy" else if (fre >= 50.0) "medium" else "hard"
+      assert(grade == expect, s"doc $id: $grade vs $fre")
+    }
+    assert(out.map(_.getString(5)).distinct.length > 1, "single grade bucket")
+  }
+
+  test("t14: normalization restores every planted corruption to the original") {
+    val out = Registry.byName("t14_normalize").run(spark, sf).collect()
+    val orig = Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("m"),
+        length(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    out.foreach { r =>
+      val (id, nBefore, nAfter, changed, m) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getBoolean(3), r.getString(4))
+      // normalize ∘ corrupt = identity: cleaned text is byte-identical to
+      // the original for every doc, planted or not
+      assert(m == orig(id)._1, s"doc $id: cleaned text diverged")
+      assert(nAfter == orig(id)._2.toLong, s"doc $id")
+      assert(changed == (id % 6 == 0), s"doc $id: changed=$changed")
+      if (id % 6 == 0) assert(nBefore > nAfter, s"doc $id: plant was a no-op")
+    }
+  }
+
+  test("e14: every planted rate spike with a full baseline is flagged") {
+    val out = Registry.byName("e14_rate_drift").run(spark, sf).collect()
+    var plantedFull = 0
+    out.foreach { r =>
+      val (hour, nBase, drift) = (r.getLong(1), r.getLong(5), r.getBoolean(7))
+      if (hour % 97 == 0 && nBase >= 6) {
+        plantedFull += 1
+        assert(drift, s"planted spike at hour $hour missed")
+      }
+    }
+    assert(plantedFull >= 3, s"plant density too low: $plantedFull")
+    // natural rate noise may add flags (trailing echoes of a spike, Poisson
+    // dips) but must stay a small minority of the series
+    val flagged = out.count(_.getBoolean(7))
+    assert(flagged < out.length / 5, s"detector fired on $flagged rows")
+  }
+
+  test("t13: classifier score is a bounded mean; keep tracks the sign") {
+    val out = Registry.byName("t13_classifier_score").run(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (id, nf, score, keep) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+      assert(nf == 2L * docs(id) - 1, s"doc $id: unigrams + bigrams")
+      assert(score > -1.0 && score < 1.0, s"doc $id: mean of [-1,1) weights")
+      assert(keep == score > 0.0, s"doc $id")
+    }
+    val kept = out.count(_.getBoolean(3))
+    assert(kept > 0 && kept < out.length, "classifier lost discrimination")
+  }
 }

@@ -56,6 +56,24 @@ class MultimodalSpec extends AnyFunSuite {
       s"${nonPlanted.size} non-planted pairs vs ${got.size} total")
   }
 
+  test("m06 magic sniffing: planted headers detected; claims verified") {
+    val out = Registry.byName("m06_magic_sniff").run(spark, sf).collect()
+    out.foreach { r =>
+      val (id, det, claimed, ok) =
+        (r.getLong(0), r.getString(2), r.getString(3), r.getBoolean(4))
+      val expect = (id % 4) match {
+        case 0 => "png"
+        case 1 => "jpg"
+        case 2 => "wav"
+        case _ => "raw"
+      }
+      assert(det == expect, s"doc $id: detected $det")
+      assert(ok == (det == claimed), s"doc $id")
+    }
+    // ids ≡ 0,1 (mod 4) agree with the claim; 2,3 are flagged
+    assert(out.count(!_.getBoolean(4)) * 2 >= out.length - 2)
+  }
+
   test("m05 CDC: prepended copies re-sync and share chunks; fixed-size cannot") {
     val out = Registry.byName("m05_cdc_chunks").run(spark, sf).collect()
     val planted = out.filter(_.getLong(0) >= 4000000L)

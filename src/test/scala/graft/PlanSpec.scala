@@ -186,6 +186,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
   }
 
+  test("t12/t13/t14/m06 scoring stays scan-side — no shuffle before the sort") {
+    for (q <- Seq("t12_readability", "t13_classifier_score",
+        "t14_normalize", "m06_magic_sniff")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n$p")
+    }
+  }
+
   test("q79 (Q13 shape) keeps the ON-residual on the left join's build side") {
     val p = plan("q79_tpch_q13")
     // the priority filter must prune orders BEFORE the outer join (ON
