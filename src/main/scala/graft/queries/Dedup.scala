@@ -168,9 +168,14 @@ object Dedup {
     * INCOMING docs; candidate pairs are then restricted to those touching
     * at least one — the oracle of [[incrementalLshPairs]] (the d10 spec's
     * incoming set is exactly the id range the predicate names).
+    * `corpusSql`: the WITH-opening corpus CTE (defaults to the planted
+    * corpus); `finalSql`: replaces the trailing SELECT when the consumer
+    * wants a different projection over `cand`/`shingled` (d20).
     */
   private def lshOracleSql(k: Int, bands: Int, cap: Int, threshold: Double,
-      newPred: Option[String] = None): String = {
+      newPred: Option[String] = None,
+      corpusSql: String = corpusCte,
+      finalSql: Option[String] = None): String = {
     import graft.engine.DuckHash
     val rows = k / bands
     val bucketStr =
@@ -179,7 +184,7 @@ object Dedup {
     val incrFilter = newPred.map(p =>
       s"\n    AND ((${p.replace("doc_id", "a.doc_id")}) OR (${p.replace("doc_id", "b.doc_id")}))")
       .getOrElse("")
-    s"""$corpusCte,
+    s"""$corpusSql,
        |shingled AS MATERIALIZED (
        |  SELECT doc_id, $hashedShingleSql AS sh FROM corpus),
        |sigs AS MATERIALIZED (
@@ -197,12 +202,13 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM pruned a JOIN pruned b USING (band, bucket)
        |  WHERE a.doc_id < b.doc_id$incrFilter)
-       |SELECT a_id, b_id, $jacSql AS jac
-       |FROM cand
-       |JOIN shingled sa ON sa.doc_id = a_id
-       |JOIN shingled sb ON sb.doc_id = b_id
-       |WHERE $jacSql >= $threshold
-       |ORDER BY a_id, b_id""".stripMargin
+       |${finalSql.getOrElse(
+      s"""SELECT a_id, b_id, $jacSql AS jac
+         |FROM cand
+         |JOIN shingled sa ON sa.doc_id = a_id
+         |JOIN shingled sb ON sb.doc_id = b_id
+         |WHERE $jacSql >= $threshold
+         |ORDER BY a_id, b_id""".stripMargin)}""".stripMargin
   }
 
   /** Word 3-gram shingles, distinct — the readable string form (d05, the
@@ -608,6 +614,59 @@ object Dedup {
            |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS kept_digest
            |FROM corpus ANTI JOIN losers ON doc_id = id
            |GROUP BY lang ORDER BY lang""".stripMargin
+      },
+    ),
+    // Cross-corpus NEAR-dup decontamination — the fuzzy half of the
+    // contamination story: d09 catches verbatim 8-gram overlap with a
+    // benchmark, but leaked eval data is routinely PARAPHRASED or
+    // truncated, which exact n-grams miss and MinHash catches. The
+    // benchmark set is planted (every 23rd doc, last two tokens dropped —
+    // a near-paraphrase of a training doc — offset +5M), and the query
+    // finds every TRAIN doc near-dup (Jaccard ≥ 0.3 on word 3-gram
+    // shingles) to ANY benchmark doc. Scale shape is d10's incremental
+    // pipeline verbatim with the benchmark as the "incoming" side: bucket
+    // candidates are restricted row-locally to bench-touching pairs, so
+    // the cost scales with the BENCHMARK (thousands of docs), never
+    // train×train (the 100 TB side pairs only through shared buckets).
+    // Cross-only output falls out of the id order: bench ids sort above
+    // all train ids, so a_id < 5M keeps exactly the train×bench pairs.
+    QuerySpec(
+      "d20_crosscorpus_neardup",
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val bench = docs.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), lit(1),
+              size(split(col("text"), " ")) - 2)).as("text"))
+        incrementalLshPairs(docs, bench, k = 32, bands = 8, cap = 100,
+          threshold = 0.3)
+          .filter(col("a_id") < 5000000L)
+          .select(col("a_id").as("train_id"),
+            (col("b_id") - 5000000L).as("bench_src"), col("jac"))
+          .orderBy("train_id", "bench_src")
+      },
+      Some {
+        val benchCorpus =
+          """WITH corpus AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 5000000,
+            |         array_to_string(l[1:len(l)-2], ' ')
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+            |        FROM documents)
+            |  WHERE doc_id % 23 = 0
+            |)""".stripMargin
+        lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3,
+          newPred = Some("doc_id >= 5000000"),
+          corpusSql = benchCorpus,
+          finalSql = Some(
+            s"""SELECT a_id AS train_id, b_id - 5000000 AS bench_src,
+               |  $jacSql AS jac
+               |FROM cand
+               |JOIN shingled sa ON sa.doc_id = a_id
+               |JOIN shingled sb ON sb.doc_id = b_id
+               |WHERE $jacSql >= 0.3 AND a_id < 5000000
+               |ORDER BY train_id, bench_src""".stripMargin))
       },
     ),
     // QUALITY-aware survivor selection — d11 with the keeper rule real

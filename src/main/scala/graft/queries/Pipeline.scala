@@ -310,5 +310,117 @@ object Pipeline {
              |FROM m JOIN dsh d ON m.shard = d.shard
              |ORDER BY m.shard""".stripMargin),
     ),
+    // Stage funnel / lineage audit — the retention report every curation
+    // team publishes next to the corpus: per source, how many docs and
+    // tokens survive EACH stage of the p01 publish chain (raw → line-dedup
+    // → quality rules → exact dedup), with retention relative to raw.
+    // This is the observability half of p01: the manifest says WHAT
+    // shipped, the funnel says WHERE the mass went — a sudden per-source
+    // retention cliff is how upstream breakage is actually caught. It
+    // reuses the SAME shared stage definitions as p01/d12/t09 (plant,
+    // lineKeep, Gopher, min-doc_id keeper), so the funnel can never
+    // disagree with the pipeline it audits. Scale: each stage row set
+    // reduces to a ≤(sources × stages) aggregate; the only additions over
+    // p01's own plan are four narrow per-source rollups.
+    QuerySpec(
+      "p05_stage_funnel",
+      (s, d) => {
+        import org.apache.spark.sql.types.DoubleType
+        val nTok = size(split(col("text"), " ")).cast(LongType)
+        def rollup(df: DataFrame, stage: String): DataFrame =
+          df.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
+            .withColumn("stage", lit(stage))
+        val planted = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            LineDedup.plantText(col("doc_id"), col("text")).as("text"))
+        val cleaned = Dedup.lineKeep(planted.select("doc_id", "text"))
+          .groupBy("doc_id")
+          .agg(LineDedup.keptTextAgg.as("text"))
+          .join(planted.select("doc_id", "source"), "doc_id")
+        val Seq(nw, mwl, nst, rep) = TextOps.Gopher.signals(col("text"))
+        val scored = cleaned.filter(TextOps.Gopher.keep(nw, mwl, nst, rep))
+        val keeper = scored
+          .groupBy(md5(col("text")).as("digest"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val survivors = scored.join(keeper.select("doc_id"), "doc_id")
+        val funnel = rollup(planted, "0_raw")
+          .unionByName(rollup(cleaned, "1_line_dedup"))
+          .unionByName(rollup(scored, "2_quality"))
+          .unionByName(rollup(survivors, "3_exact_dedup"))
+        val raw = rollup(planted, "0_raw")
+          .select(col("source"), col("n_docs").as("raw_docs"))
+        funnel.join(raw, "source")
+          .select(col("source"), col("stage"), col("n_docs"), col("n_tokens"),
+            (col("n_docs").cast(DoubleType) /
+              col("raw_docs").cast(DoubleType)).as("retention"))
+          .orderBy("source", "stage")
+      },
+      Some {
+        import TextOps.Gopher
+        s"""WITH planted AS (
+           |  SELECT doc_id, source,
+           |    ${LineDedup.plantSqlExpr} AS text
+           |  FROM documents),
+           |${LineDedup.lineKeepSqlCtes},
+           |cleaned AS (
+           |  SELECT k.doc_id,
+           |    COALESCE(string_agg(CASE WHEN keep THEN line END, ' '
+           |      ORDER BY pos), '') AS text
+           |  FROM k GROUP BY k.doc_id),
+           |withsrc AS (
+           |  SELECT c.doc_id, p.source, c.text FROM cleaned c
+           |  JOIN planted p ON c.doc_id = p.doc_id),
+           |g AS (
+           |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+           |    list_transform(
+           |      range(1, CASE WHEN len(string_split(text, ' ')) - 2 > 1
+           |                    THEN len(string_split(text, ' ')) - 2
+           |                    ELSE 1 END + 1),
+           |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+           |      AS grams
+           |  FROM withsrc),
+           |scored AS (
+           |  SELECT doc_id, source, text
+           |  FROM g
+           |  WHERE len(toks) BETWEEN ${Gopher.MinWords} AND ${Gopher.MaxWords}
+           |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE)
+           |      BETWEEN ${Gopher.MwlLo} AND ${Gopher.MwlHi}
+           |    AND len(list_filter(toks, x -> list_contains([${Gopher.stopsSql}], x)))
+           |      >= ${Gopher.MinStops}
+           |    AND CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+           |      / CAST(len(grams) AS DOUBLE) < ${Gopher.RepMax}),
+           |keeper AS (
+           |  SELECT md5(text) AS digest, MIN(doc_id) AS doc_id
+           |  FROM scored GROUP BY md5(text)),
+           |survivors AS (
+           |  SELECT s.doc_id, s.source, s.text
+           |  FROM scored s JOIN keeper USING (doc_id)),
+           |funnel AS (
+           |  SELECT source, '0_raw' AS stage, COUNT(*) AS n_docs,
+           |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |  FROM planted GROUP BY source
+           |  UNION ALL
+           |  SELECT source, '1_line_dedup', COUNT(*),
+           |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           |  FROM withsrc GROUP BY source
+           |  UNION ALL
+           |  SELECT source, '2_quality', COUNT(*),
+           |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           |  FROM scored GROUP BY source
+           |  UNION ALL
+           |  SELECT source, '3_exact_dedup', COUNT(*),
+           |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           |  FROM survivors GROUP BY source),
+           |raw AS (
+           |  SELECT source, COUNT(*) AS raw_docs FROM planted GROUP BY source)
+           |SELECT f.source, f.stage, f.n_docs, f.n_tokens,
+           |  CAST(f.n_docs AS DOUBLE) / CAST(r.raw_docs AS DOUBLE)
+           |    AS retention
+           |FROM funnel f JOIN raw r ON f.source = r.source
+           |ORDER BY f.source, f.stage""".stripMargin
+      },
+    ),
   )
 }

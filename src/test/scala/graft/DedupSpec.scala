@@ -153,6 +153,26 @@ class DedupSpec extends AnyFunSuite {
     assert(d10.nonEmpty)
   }
 
+  test("d20 decontamination recalls every planted benchmark paraphrase") {
+    val out = Registry.byName("d20_crosscorpus_neardup").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every benchmark doc is a near-paraphrase of its own source doc, so
+    // (X, X) must be reported for every X ≡ 0 (mod 23) with enough tokens
+    // for the 2-token drop to stay above threshold (any doc here)
+    import org.apache.spark.sql.functions.col
+    val benchIds = graft.engine.Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 23 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val selfPairs = out.filter(p => p._1 == p._2).map(_._1).toSet
+    assert(benchIds.subsetOf(selfPairs),
+      s"missed sources: ${benchIds -- selfPairs}")
+    // every reported pair is cross-corpus by construction and high-overlap
+    out.foreach { case (train, bench, jac) =>
+      assert(benchIds.contains(bench), s"bench_src $bench not planted")
+      assert(jac >= 0.3, s"($train,$bench) below threshold")
+    }
+  }
+
   test("d11 survivors: planted copies dropped, their base docs kept") {
     import org.apache.spark.sql.functions.col
     val corpus = graft.queries.Dedup.plantedCorpus(spark, sf)

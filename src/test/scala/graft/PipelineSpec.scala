@@ -9,6 +9,38 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
   val sf = SharedSpark.sf
 
+  test("p05 funnel is monotone and consistent with the p01 manifest") {
+    val out = Registry.byName("p05_stage_funnel").run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val bySource = out.groupBy(_._1)
+    bySource.foreach { case (src, rows) =>
+      val byStage = rows.map(r => r._2 -> r).toMap
+      assert(byStage.keySet ==
+        Set("0_raw", "1_line_dedup", "2_quality", "3_exact_dedup"), src)
+      // line dedup never drops documents, only lines/tokens
+      assert(byStage("1_line_dedup")._3 == byStage("0_raw")._3, src)
+      assert(byStage("1_line_dedup")._4 < byStage("0_raw")._4,
+        s"$src: planted banners not removed")
+      // each later stage only loses mass
+      assert(byStage("2_quality")._3 <= byStage("1_line_dedup")._3, src)
+      assert(byStage("3_exact_dedup")._3 <= byStage("2_quality")._3, src)
+      // retention is docs relative to raw
+      rows.foreach { r =>
+        assert(r._5 == r._3.toDouble / byStage("0_raw")._3.toDouble, r)
+      }
+    }
+    // the funnel's terminal stage must equal the p01 manifest it audits
+    val manifest = Registry.byName("p01_publish_manifest").run(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      val terminal = rows.find(_._2 == "3_exact_dedup").get._3
+      assert(terminal == manifest.getOrElse(src, 0L),
+        s"$src: funnel says $terminal docs, manifest says ${manifest.get(src)}")
+    }
+  }
+
   test("p04 reuse rows are byte-valid: manifest equals a from-scratch v2 rebuild") {
     // from-scratch v2 manifest (rebuild EVERY shard — the thing p04 avoids)
     val docs = graft.engine.Tables(spark, sf, "documents")
