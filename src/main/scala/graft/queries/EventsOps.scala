@@ -430,6 +430,58 @@ object EventsOps {
               |WHERE sd > 0 AND abs((value - mean) / sd) > 3.0
               |ORDER BY event_id""".stripMargin),
     ),
+    // Interval (range) join — the non-equi join the rest of the surface
+    // never needs: match every event to every incident WINDOW containing
+    // its timestamp, where windows have variable lengths and there is NO
+    // equality key at all (cross-type, cross-user). The naive plan is a
+    // broadcast nested-loop / cartesian with a BETWEEN filter — quadratic
+    // and fatal at scale. The scale decomposition is time CHUNKING: pick
+    // a chunk width near the typical window length (1 h here, windows
+    // ≤ 2 h), explode each window to the chunks it covers (≤ 3 rows),
+    // map each event to its single chunk, hash-join on chunk, refine
+    // with the exact BETWEEN. Every (window, event) pair meets on
+    // exactly one chunk — the event's — so no post-join dedup is needed.
+    // Cost: |windows|·⌈len/chunk⌉ + one equi-shuffle of events — the
+    // standard range-join rewrite (what Databricks' range-join hints do
+    // under the hood). PlanSpec gates that no nested-loop/cartesian
+    // survives in the plan. Windows: every 40th event anchors
+    // [ts, ts + min(value,120)·60 s] (floor'd to integer µs so both
+    // engines agree; value ≥ 0 in this corpus, still clamped).
+    QuerySpec(
+      "e15_range_join",
+      (s, d) => {
+        val chunk = HourUs
+        val durUs = floor(least(greatest(col("value"), lit(0.0)), lit(120.0)) *
+          lit(60000000.0)).cast(LongType)
+        val w = ev(s, d).filter(col("event_id") % 40 === 0)
+          .select(col("event_id").as("window_id"),
+            expr(TsUsSql).as("start_us"),
+            (expr(TsUsSql) + durUs).as("end_us"))
+          .withColumn("chunk",
+            explode(sequence(expr(s"start_us div $chunk"),
+              expr(s"end_us div $chunk"))))
+        val e = ev(s, d)
+          .select(col("event_id"), expr(TsUsSql).as("ts_us"), col("value"))
+          .withColumn("chunk", expr(s"ts_us div $chunk"))
+        w.join(e, "chunk")
+          .filter(col("ts_us").between(col("start_us"), col("end_us")))
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n_matches"),
+            Exact.dsum(col("value")).as("sum_value"))
+          .orderBy("window_id")
+      },
+      Some(s"""WITH w AS (
+              |  SELECT event_id AS window_id, epoch_us(ts) AS start_us,
+              |    epoch_us(ts) + CAST(floor(least(greatest(value, 0.0),
+              |      120.0) * 60000000.0) AS BIGINT) AS end_us
+              |  FROM events WHERE event_id % 40 = 0),
+              |e AS (SELECT event_id, epoch_us(ts) AS ts_us, value
+              |      FROM events)
+              |SELECT window_id, COUNT(*) AS n_matches,
+              |  ${Exact.sqlSum("value")} AS sum_value
+              |FROM w JOIN e ON e.ts_us BETWEEN w.start_us AND w.end_us
+              |GROUP BY window_id ORDER BY window_id""".stripMargin),
+    ),
     // Rate-drift detection — the monitoring pass e13 can't express: e13
     // flags single anomalous VALUES against a global model; drift is a
     // RATE change over time (an ingest stall, a bot burst, a schema

@@ -162,6 +162,16 @@ class EdgeSpec extends AnyFunSuite {
     assert(flagged < out.length / 5, s"detector fired on $flagged rows")
   }
 
+  test("e15: every window matches at least its own anchor event") {
+    val out = Registry.byName("e15_range_join").run(spark, sf).collect()
+    val anchors = Tables(spark, sf, "events")
+      .filter(col("event_id") % 40 === 0).count()
+    // inner join, yet no window can be empty: duration ≥ 0 means the
+    // anchor's own timestamp is always inside its window
+    assert(out.length == anchors, s"${out.length} windows vs $anchors anchors")
+    out.foreach(r => assert(r.getLong(1) >= 1, s"window ${r.getLong(0)}"))
+  }
+
   test("t13: classifier score is a bounded mean; keep tracks the sign") {
     val out = Registry.byName("t13_classifier_score").run(spark, sf).collect()
     val docs = Tables(spark, sf, "documents")

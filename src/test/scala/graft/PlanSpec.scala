@@ -194,6 +194,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("e15 range join decomposes to a hash join on chunks — never a nested loop") {
+    val p = plan("e15_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the BETWEEN refine must survive as a join-side filter
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
   test("q79 (Q13 shape) keeps the ON-residual on the left join's build side") {
     val p = plan("q79_tpch_q13")
     // the priority filter must prune orders BEFORE the outer join (ON
