@@ -471,6 +471,50 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** kNN GRAPH — [[lshAnn]] with every vector as a query (the structure
+    * SemDeDup-style semantic clustering, kNN-graph community detection,
+    * and recall audits all consume). Two deltas from lshAnn's shape, both
+    * load-bearing at graph scale: the query side is the whole corpus, so
+    * (a) nothing is broadcast — both embedding attaches are vec_id-keyed
+    * shuffle joins where each vector moves once per confirmed candidate
+    * (the d03 re-attach pattern), and (b) the candidate volume is bounded
+    * by the SAME capped bucket index (≤ cap ids per (tbl, code)), so the
+    * graph build is O(|corpus| · probes · occupancy), never quadratic.
+    */
+  def knnGraph(corpus: DataFrame, nTables: Int, nBits: Int, k: Int,
+      cap: Int = 1000): DataFrame = {
+    val codes = corpus.select(
+      col("vec_id"),
+      posexplode(array((0 until nTables).map(t =>
+        lshProjs(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "projs")))
+      .select(col("vec_id"), col("tbl"),
+        codeOf(col("projs"), nBits).as("code"),
+        probeCodeOf(col("projs"), nBits, 1).as("probe"),
+        probeCodeOf(col("projs"), nBits, 2).as("probe2"))
+      .localCheckpoint(true)
+    val index = codes.groupBy("tbl", "code")
+      .agg(graft.functions.BoundedCollect.minK(col("vec_id"), cap).as("ids"))
+      .select(col("tbl"), col("code"), explode(col("ids")).as("vec_id"))
+    val qcodes = codes
+      .select(col("tbl"),
+        explode(array(col("code"), col("probe"), col("probe2"))).as("code"),
+        col("vec_id").as("q_id"))
+    val cand = index.join(qcodes, Seq("tbl", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding near-dup pairs over an arbitrary (vec_id, embedding) corpus:
     * sign-LSH codes per table index the corpus; candidate pairs come from
     * the SAME bounded hot-bucket guard as d03/d04
@@ -989,6 +1033,53 @@ object Similarity {
               |  ${graft.engine.Exact.sqlSum("cos")} AS sum_cos
               |FROM s WHERE cos >= 0.25
               |GROUP BY q_id ORDER BY q_id""".stripMargin),
+    ),
+    // kNN graph — every vector's top-5 cosine neighbors through the
+    // capped sign-LSH index ([[knnGraph]]): the adjacency structure
+    // SemDeDup-style clustering and recall audits consume. Unlike s02
+    // (10 queries, query side broadcast) this is all-pairs-shaped, so
+    // nothing broadcasts and candidate volume is bounded by the bucket
+    // cap. The oracle is s02's pipeline with the query restriction
+    // removed; SimilaritySpec checks graph recall against brute force.
+    QuerySpec(
+      "s10_knn_graph",
+      (s, d) => knnGraph(emb(s, d).select(col("vec_id"), col("embedding")),
+        nTables = 4, nBits = 8, k = 5, cap = 1000),
+      Some(s"""WITH proj AS MATERIALIZED (
+              |  SELECT vec_id, embedding, tbl,
+              |    ${duckProjs("embedding", 8)} AS projs
+              |  FROM embeddings, (SELECT unnest(range(0, 4)) AS tbl)),
+              |coded AS MATERIALIZED (
+              |  SELECT vec_id, tbl,
+              |    ${duckCode("projs", 8)} AS code,
+              |    ${duckProbe("projs", 8, 1)} AS probe,
+              |    ${duckProbe("projs", 8, 2)} AS probe2
+              |  FROM proj),
+              |idx AS (
+              |  SELECT tbl, code, vec_id FROM coded
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY tbl, code
+              |    ORDER BY vec_id) <= 1000),
+              |q AS (
+              |  SELECT tbl, code AS qcode, vec_id AS q_id FROM coded
+              |  UNION ALL
+              |  SELECT tbl, probe AS qcode, vec_id AS q_id FROM coded
+              |  UNION ALL
+              |  SELECT tbl, probe2 AS qcode, vec_id AS q_id FROM coded),
+              |cand AS (
+              |  SELECT DISTINCT q.q_id, i.vec_id
+              |  FROM idx i JOIN q ON i.tbl = q.tbl AND i.code = q.qcode
+              |  WHERE i.vec_id != q.q_id),
+              |ranked AS (
+              |  SELECT c.q_id, c.vec_id AS neighbor_id,
+              |    ${duckCos("qe.embedding", "ne.embedding")} AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+              |      ORDER BY ${duckCos("qe.embedding", "ne.embedding")} DESC,
+              |        c.vec_id) AS rank
+              |  FROM cand c
+              |  JOIN embeddings qe ON qe.vec_id = c.q_id
+              |  JOIN embeddings ne ON ne.vec_id = c.vec_id)
+              |SELECT q_id, neighbor_id, rank, cos FROM ranked
+              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     ),
   )
 

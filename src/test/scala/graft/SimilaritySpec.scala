@@ -41,6 +41,26 @@ class SimilaritySpec extends AnyFunSuite {
       s"LSH ANN lift too low: recall=$recall scanFrac=$scanFrac")
   }
 
+  test("s10 kNN graph restricted to s02's queries equals s02 exactly") {
+    // same index, same cap, same probes — restricting the all-queries
+    // graph to vec_id < 10 must reproduce s02 row-for-row (the query
+    // restriction commutes with everything in the pipeline). This is an
+    // exact equivalence, not a recall floor: any drift in the graph
+    // variant's candidate generation or rerank breaks it.
+    val s02 = Registry.byName("s02_ann_lsh").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val g = Registry.byName("s10_knn_graph").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val gRestr = g.filter(_._1 < 10).toSet
+    assert(gRestr == s02,
+      s"only-in-graph=${gRestr -- s02} only-in-s02=${s02 -- gRestr}")
+    // graph shape: ranks are dense 1..deg(q) for every node
+    g.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"node $q has non-dense ranks")
+    }
+  }
+
   test("s02 LSH ANN finds planted genuinely-near neighbors (cos ~0.95)") {
     // LSH earns its keep on vectors that HAVE near neighbors. Plant a
     // noisy copy (deterministic per-dim perturbation, cos ≈ 0.95+) of every
