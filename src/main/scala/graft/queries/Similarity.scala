@@ -663,27 +663,7 @@ object Similarity {
       // (seeds → cent1 → cent2 → cent3), mirroring the fixed iteration
       // count in the Spark contract query.
       Some {
-        import graft.engine.Exact
-        // one Lloyd step: assign to `prev`'s centroids, recompute means
-        def step(n: Int, prev: String): String =
-          s"""a$n AS (
-             |  SELECT vec_id, embedding, cell FROM (
-             |    SELECT e.vec_id, e.embedding, c.cell,
-             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
-             |    FROM e CROSS JOIN $prev c) t WHERE rn = 1),
-             |cd$n AS (
-             |  SELECT cell, dim,
-             |    ${Exact.sqlSum("CAST(embedding[dim+1] AS DOUBLE)")}
-             |      / CAST(COUNT(*) AS DOUBLE) AS m
-             |  FROM a$n, UNNEST(range(0, 64)) AS t(dim) GROUP BY cell, dim),
-             |cent$n AS MATERIALIZED (
-             |  SELECT cell, list(m ORDER BY dim) AS cvec FROM cd$n GROUP BY cell)""".stripMargin
-        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-           |seeds AS (SELECT vec_id AS cell, embedding AS cvec FROM e WHERE vec_id < 16),
-           |${step(1, "seeds")},
-           |${step(2, "cent1")},
-           |${step(3, "cent2")},
+        s"""$lloydOracleCtes,
            |idx AS MATERIALIZED (
            |  SELECT vec_id, embedding, cell FROM (
            |    SELECT e.vec_id, e.embedding, c.cell,
@@ -1081,7 +1061,118 @@ object Similarity {
               |SELECT q_id, neighbor_id, rank, cos FROM ranked
               |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     ),
+    // Cluster-balanced mixing weights — the semantic counterpart of c12's
+    // per-source mixing: cluster the corpus in embedding space (the s04
+    // Lloyd quantizer, same fixed 16-seed/3-iteration contract), then
+    // compute temperature-scaled sampling so over-represented clusters
+    // (boilerplate modes, template families) are down-sampled toward a
+    // sqrt-flattened distribution — the DoReMi/SlimPajama-style data
+    // balancing knob, driven by CONTENT rather than source labels.
+    // τ = 0.5 via sqrt keeps every double IEEE-exact (no pow); the ≤16
+    // cluster sums are decimal-exact; the per-vector keep decision is the
+    // deterministic c01-style hash threshold (mix64(vec_id) mapped to
+    // [0,1) by exact scaling). Lives in Similarity.scala to share the
+    // Lloyd machinery; the c-name keeps it in the corpus-ops family.
+    // Scale shape: 3 Lloyd passes + one broadcast assignment pass + two
+    // dashboard-sized aggregates — the corpus shuffles nothing.
+    QuerySpec(
+      "c24_cluster_mix",
+      (s, d) => {
+        import graft.engine.Exact
+        val e = emb(s, d).select(col("vec_id"), col("embedding"))
+        val centArr = ivfCentroids(e, k = 16, iters = 3)
+        val assigned = e.crossJoin(broadcast(centArr))
+          .select(col("vec_id"),
+            nearestCell(col("cents"), col("embedding")).as("cell"))
+          .localCheckpoint(true)
+        val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        val tot = counts.agg(
+          Exact.dsum(sqrt(col("n_vecs").cast(DoubleType))).as("sum_sqrt"),
+          sum(col("n_vecs")).as("n_total"))
+        val rates = counts.crossJoin(broadcast(tot))
+          .withColumn("target_share",
+            sqrt(col("n_vecs").cast(DoubleType)) / col("sum_sqrt"))
+          .withColumn("p_keep",
+            least(lit(1.0), col("target_share") *
+              col("n_total").cast(DoubleType) /
+              col("n_vecs").cast(DoubleType)))
+        val r = ghash.mix64(col("vec_id")).cast(DoubleType) /
+          lit(9.223372036854775808e18) * lit(0.5) + lit(0.5)
+        val kept = assigned
+          .join(broadcast(rates.select("cell", "p_keep")), "cell")
+          .filter(r < col("p_keep"))
+          .groupBy("cell").agg(count(lit(1)).as("n_kept"))
+        rates.join(kept, Seq("cell"), "left_outer")
+          .select(col("cell"), col("n_vecs"), col("target_share"),
+            col("p_keep"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("cell")
+      },
+      Some {
+        import graft.engine.{DuckHash, Exact}
+        val rScaled =
+          s"CAST(${DuckHash.signed(DuckHash.mix64("CAST(vec_id AS HUGEINT)"))} " +
+            "AS DOUBLE) / 9.223372036854775808e18 * 0.5 + 0.5"
+        s"""$lloydOracleCtes,
+           |asg AS MATERIALIZED (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c) t WHERE rn = 1),
+           |counts AS (SELECT cell, COUNT(*) AS n_vecs FROM asg GROUP BY cell),
+           |tot AS (
+           |  SELECT ${Exact.sqlSum("sqrt(CAST(n_vecs AS DOUBLE))")} AS sum_sqrt,
+           |    CAST(SUM(n_vecs) AS BIGINT) AS n_total
+           |  FROM counts),
+           |rates AS (
+           |  SELECT cell, n_vecs,
+           |    sqrt(CAST(n_vecs AS DOUBLE)) / sum_sqrt AS target_share,
+           |    least(1.0, sqrt(CAST(n_vecs AS DOUBLE)) / sum_sqrt
+           |      * CAST(n_total AS DOUBLE) / CAST(n_vecs AS DOUBLE)) AS p_keep
+           |  FROM counts, tot),
+           |kept AS (
+           |  SELECT a.cell, COUNT(*) AS n_kept
+           |  FROM asg a JOIN rates r USING (cell)
+           |  WHERE $rScaled < r.p_keep
+           |  GROUP BY a.cell)
+           |SELECT r.cell, r.n_vecs, r.target_share, r.p_keep,
+           |  COALESCE(k.n_kept, 0) AS n_kept
+           |FROM rates r LEFT JOIN kept k USING (cell)
+           |ORDER BY r.cell""".stripMargin
+      },
+    ),
   )
+
+  /** One DuckDB Lloyd step: assign to `prev`'s centroids (cosine argmax,
+    * cell tie-break), recompute decimal-exact means — mirrors one
+    * [[ivfCentroids]] iteration. Shared by the s04 and c24 oracles.
+    */
+  private def lloydStepSql(n: Int, prev: String): String = {
+    import graft.engine.Exact
+    s"""a$n AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN $prev c) t WHERE rn = 1),
+       |cd$n AS (
+       |  SELECT cell, dim,
+       |    ${Exact.sqlSum("CAST(embedding[dim+1] AS DOUBLE)")}
+       |      / CAST(COUNT(*) AS DOUBLE) AS m
+       |  FROM a$n, UNNEST(range(0, 64)) AS t(dim) GROUP BY cell, dim),
+       |cent$n AS MATERIALIZED (
+       |  SELECT cell, list(m ORDER BY dim) AS cvec FROM cd$n GROUP BY cell)""".stripMargin
+  }
+
+  /** The fixed 16-seed, 3-iteration Lloyd unrolling (s04's contract) as a
+    * WITH prefix ending at `cent3`.
+    */
+  private def lloydOracleCtes: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS (SELECT vec_id AS cell, embedding AS cvec FROM e WHERE vec_id < 16),
+       |${lloydStepSql(1, "seeds")},
+       |${lloydStepSql(2, "cent1")},
+       |${lloydStepSql(3, "cent2")}""".stripMargin
 
   /** s03's full SQL oracle, shared with s06 (which nests it as the pairs
     * CTE of the survivor computation).

@@ -61,6 +61,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("c24 cluster mixing: sqrt temperature flattens toward the mean") {
+    val out = Registry.byName("c24_cluster_mix").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    val total = out.map(_._2).sum
+    // shares form a distribution; keeps are honest subsets
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-9)
+    out.foreach { case (cell, n, share, p, kept) =>
+      assert(p > 0.0 && p <= 1.0, s"cell $cell")
+      assert(kept <= n, s"cell $cell")
+      // sqrt flattening: a cluster above the mean size is down-sampled
+      // (p < 1), one at or below it is kept whole (p == 1 by the cap,
+      // since share·N/n = sqrt(mean'/n)-shaped and crosses 1 there)
+      if (p < 1.0) assert(n > total / out.length, s"cell $cell: $n, p=$p")
+    }
+    assert(out.exists(_._4 < 1.0), "no cluster was down-sampled")
+  }
+
   test("s02 LSH ANN finds planted genuinely-near neighbors (cos ~0.95)") {
     // LSH earns its keep on vectors that HAVE near neighbors. Plant a
     // noisy copy (deterministic per-dim perturbation, cos ≈ 0.95+) of every
