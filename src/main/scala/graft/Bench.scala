@@ -148,7 +148,13 @@ object Bench {
         // scoring join), d21 (CC + per-cluster argmax), s09 (broadcast
         // range scan), t11 (map-side anomaly counters)
         "c22_bigram_lm_score", "d21_quality_survivors", "s09_range_search",
-        "t11_encoding_anomalies")
+        "t11_encoding_anomalies",
+        // ... and the second r8 wave: t13 (per-feature hash scoring — the
+        // widest map-side expression in the suite), e15 (chunked range
+        // join), d20 (bench-proportional decontamination), s10 (all-
+        // queries kNN graph build), c24 (Lloyd + balanced resampling)
+        "t13_classifier_score", "e15_range_join", "d20_crosscorpus_neardup",
+        "s10_knn_graph", "c24_cluster_mix")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = (r1 ++ rExt).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

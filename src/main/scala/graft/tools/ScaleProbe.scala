@@ -560,6 +560,89 @@ object ScaleProbe {
     println(s"""{"probe":"c22","docs":$n,"bigram_types":$c22BgTypes,""" +
       s""""mean_nll_clean":$c22Clean,"mean_nll_permuted":$c22Scr,""" +
       s""""sec":$tC22,"c22_ok":$c22Ok}""")
+
+    // ---- d20 probe: cross-corpus decontamination at n train docs ----
+    // Benchmark = every 1000th base doc with its first token dropped
+    // (a near-paraphrase), offset +3B. The incremental pipeline must (a)
+    // recall every planted (source, paraphrase) pair and (b) stay
+    // benchmark-proportional: candidate pairs are restricted row-locally
+    // to bench-touching, so the verify stage touches ~|bench|·bucket-
+    // occupancy pairs, not corpus².
+    val benchP = base.filter(col("doc_id") % 1000 === 0)
+      .select((col("doc_id") + 3000000000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 2, 10000)).as("text"))
+    val (d20Pairs, tD20) = time {
+      Dedup.incrementalLshPairs(base, benchP, k = 32, bands = 8, cap = 200,
+        threshold = 0.3)
+        .filter(col("a_id") < 3000000000L).persist()
+    }
+    val (nD20, tD20c) = time(d20Pairs.count())
+    val d20Planted = n / 1000
+    val d20Found = d20Pairs
+      .filter(col("b_id") === col("a_id") + 3000000000L).count()
+    d20Pairs.unpersist()
+    println(s"""{"probe":"d20","train":$n,"bench":$d20Planted,""" +
+      s""""contaminated_pairs":$nD20,"planted":$d20Planted,""" +
+      s""""planted_found":$d20Found,"sec":${tD20 + tD20c},""" +
+      s""""d20_ok":${d20Found == d20Planted}}""")
+
+    // ---- s10 probe: kNN graph over the 1M-vector corpus ----
+    // The all-queries graph build must stay corpus-linear through the
+    // capped bucket index (the spam mega-bucket contributes ≤ cap ids)
+    // and must wire planted near-copies (cos ≈ 0.9999) as top-1
+    // neighbors for nearly all of them — bucket recall, not exactness,
+    // is the contract at nBits=16 with 3 probes/table.
+    val (s10Top1, tS10) = time {
+      val g = graft.queries.Similarity.knnGraph(embCorpus, nTables = 2,
+        nBits = 16, k = 3, cap = 100)
+      g.filter(col("rank") === 1 &&
+          col("q_id") < 1000000000L && col("q_id") % 100 === 0 &&
+          col("neighbor_id") === col("q_id") + 1000000000L)
+        .count()
+    }
+    println(s"""{"probe":"s10","vectors":${nEmb + plantedEmb + 5000},""" +
+      s""""planted":$plantedEmb,"top1_wired":$s10Top1,"sec":$tS10,""" +
+      s""""s10_ok":${s10Top1 >= (plantedEmb * 85) / 100}}""")
+
+    // ---- e15 probe: chunked range join at 10n events ----
+    // 10n events over 30 days; every 1000th anchors a window of up to
+    // 2 h. Correctness pin: a 50-window sample is joined by brute force
+    // (broadcast BETWEEN, no chunking) and the per-window counts must
+    // equal the chunked plan's — the scale path and the naive path agree
+    // exactly, which is the whole claim of the decomposition.
+    val nEv = 10 * n
+    val dayUs = 86400000000L
+    val evScale = spark.range(nEv).select(col("id").as("event_id"),
+      pmod(xxhash64(col("id")), lit(30 * dayUs)).as("ts_us"),
+      pmod(xxhash64(col("id"), lit(1)), lit(120)).as("dur_min"))
+    val winScale = evScale.filter(col("event_id") % 1000 === 0)
+      .select(col("event_id").as("window_id"), col("ts_us").as("start_us"),
+        (col("ts_us") + col("dur_min") * 60000000L).as("end_us"))
+      .localCheckpoint(true)
+    val chunkUs = 3600000000L
+    val ((e15Counts, nWinMatched), tE15) = time {
+      val wx = winScale.withColumn("chunk",
+        explode(sequence(expr(s"start_us div $chunkUs"),
+          expr(s"end_us div $chunkUs"))))
+      val ex = evScale.withColumn("chunk", expr(s"ts_us div $chunkUs"))
+      val counts = wx.join(ex, "chunk")
+        .filter(col("ts_us").between(col("start_us"), col("end_us")))
+        .groupBy("window_id").agg(count(lit(1)).as("n"))
+        .persist()
+      (counts, counts.count())
+    }
+    val sample = winScale.filter(col("window_id") % 20000 === 0)
+    val brute = sample.crossJoin(evScale)
+      .filter(col("ts_us").between(col("start_us"), col("end_us")))
+      .groupBy("window_id").agg(count(lit(1)).as("n_brute"))
+    val mismatches = e15Counts
+      .join(brute, Seq("window_id"), "full_outer")
+      .filter(col("window_id") % 20000 === 0)
+      .filter(!(col("n") <=> col("n_brute"))).count()
+    e15Counts.unpersist()
+    println(s"""{"probe":"e15","events":$nEv,"windows":${nEv / 1000},""" +
+      s""""windows_matched":$nWinMatched,"sample_mismatches":$mismatches,""" +
+      s""""sec":$tE15,"e15_ok":${mismatches == 0}}""")
     spark.stop()
   }
 }
