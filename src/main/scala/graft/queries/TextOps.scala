@@ -701,6 +701,70 @@ object TextOps {
              |  n_before <> length(c) AS changed, md5(c) AS cleaned_md5
              |FROM c ORDER BY doc_id""".stripMargin),
     ),
+    // Corpus-wide n-gram novelty — the duplication DIAGNOSTIC next to the
+    // dedup family: for every doc, what fraction of its distinct word
+    // 8-grams appears in at least one OTHER doc (document frequency ≥ 2)?
+    // High shared-gram mass marks template/boilerplate-heavy docs that
+    // line-level and near-dup passes may individually miss, and the
+    // corpus-wide histogram of this is the standard memorization-risk
+    // report. Boilerplate is PLANTED (a fixed 10-token notice prepended
+    // to every 9th doc — its 3 interior 8-grams repeat corpus-wide while
+    // the banner/doc boundary grams stay unique) — but NOTE the corpus
+    // also carries genuine natural repetition (~1k df=2 grams at
+    // sf0.001), so the 2% flag threshold is a corpus-tuned knob and the
+    // spec gates planted recall + the aggregate shift, not a clean-side
+    // zero the data contradicts. Scale shape: d09's
+    // fused ShingleHash gram machinery — one shuffle keyed by 8-byte
+    // gram hashes for the document-frequency count, one join back, one
+    // per-doc rollup; no gram string is ever allocated (the string-keyed
+    // oracle verifies the hash bijection holds corpus-wide).
+    QuerySpec(
+      "t15_gram_novelty",
+      (s, d) => {
+        val banner = "this content is provided under the standard terms of use"
+        val planted = when(col("doc_id") % 9 === 0,
+          concat(lit(banner + " "), col("text"))).otherwise(col("text"))
+        val base = docs(s, d).select(col("doc_id"), planted.as("t"))
+        val grams = base.select(col("doc_id"),
+          explode(ghash.shingleHash(split(col("t"), " "), 8)).as("gh"))
+        val df = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+        grams.join(df, "gh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .withColumn("dup_frac",
+            col("n_shared").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .withColumn("boilerplate_heavy", col("dup_frac") > 0.02)
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 9 = 0
+             |      THEN 'this content is provided under the standard terms of use '
+             |           || text
+             |      ELSE text END AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, CASE WHEN len(string_split(t,' ')) - 7 > 1
+             |                    THEN len(string_split(t,' ')) - 7
+             |                    ELSE 1 END + 1),
+             |      i -> array_to_string((string_split(t,' '))[i:i+7], ' ')))
+             |      AS grams
+             |  FROM planted),
+             |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+             |c AS (SELECT gram, COUNT(*) AS df FROM e GROUP BY gram)
+             |SELECT doc_id, COUNT(*) AS n_grams,
+             |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_shared,
+             |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac,
+             |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) > 0.02 AS boilerplate_heavy
+             |FROM e JOIN c USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
     // Model-based quality classification — the fastText-shaped linear
     // classifier every modern curation pipeline runs (FineWeb-Edu, DCLM:
     // score docs with a cheap linear model over hashed n-gram features,

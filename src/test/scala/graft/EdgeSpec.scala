@@ -172,6 +172,25 @@ class EdgeSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 1, s"window ${r.getLong(0)}"))
   }
 
+  test("t15: planted boilerplate always flagged; planted mass shifts the mean") {
+    val out = Registry.byName("t15_gram_novelty").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    // this corpus has REAL natural 8-gram repetition (measured: ~1k df=2
+    // grams at sf0.001), so clean docs legitimately carry shared mass —
+    // the spec pins planted recall and the aggregate shift, not a
+    // clean-side zero that the data itself contradicts
+    out.filter(_._1 % 9 == 0).foreach { case (id, _, nShared, frac, heavy) =>
+      assert(nShared >= 3, s"doc $id: banner grams not shared")
+      assert(heavy, s"planted doc $id not flagged (dup_frac=$frac)")
+    }
+    val (p, c) = out.partition(_._1 % 9 == 0)
+    val pMean = p.map(_._4).sum / p.length
+    val cMean = c.map(_._4).sum / c.length
+    assert(pMean > cMean + 0.015,
+      s"banner mass invisible: planted=$pMean clean=$cMean")
+  }
+
   test("t13: classifier score is a bounded mean; keep tracks the sign") {
     val out = Registry.byName("t13_classifier_score").run(spark, sf).collect()
     val docs = Tables(spark, sf, "documents")
