@@ -450,21 +450,8 @@ object EventsOps {
     QuerySpec(
       "e15_range_join",
       (s, d) => {
-        val chunk = HourUs
-        val durUs = floor(least(greatest(col("value"), lit(0.0)), lit(120.0)) *
-          lit(60000000.0)).cast(LongType)
-        val w = ev(s, d).filter(col("event_id") % 40 === 0)
-          .select(col("event_id").as("window_id"),
-            expr(TsUsSql).as("start_us"),
-            (expr(TsUsSql) + durUs).as("end_us"))
-          .withColumn("chunk",
-            explode(sequence(expr(s"start_us div $chunk"),
-              expr(s"end_us div $chunk"))))
-        val e = ev(s, d)
-          .select(col("event_id"), expr(TsUsSql).as("ts_us"), col("value"))
-          .withColumn("chunk", expr(s"ts_us div $chunk"))
-        w.join(e, "chunk")
-          .filter(col("ts_us").between(col("start_us"), col("end_us")))
+        val events = ev(s, d)
+        rangeMatches(events, incidentWindows(events))
           .groupBy("window_id")
           .agg(count(lit(1)).as("n_matches"),
             Exact.dsum(col("value")).as("sum_value"))
@@ -564,6 +551,37 @@ object EventsOps {
     * two bit-equal, which only stays meaningful while they share this one
     * implementation.
     */
+  /** e15's incident-window table: every 40th event anchors
+    * [ts, ts + min(max(value,0),120)·60 s], floor'd to integer µs so
+    * both engines agree. ONE definition shared by the e15 contract query
+    * and [[graft.streaming.Streams.rangeJoinMatches]] — the e13 rule:
+    * batch and streaming halves must not be able to drift apart.
+    */
+  def incidentWindows(events: DataFrame): DataFrame = {
+    val durUs = floor(least(greatest(col("value"), lit(0.0)), lit(120.0)) *
+      lit(60000000.0)).cast(LongType)
+    events.filter(col("event_id") % 40 === 0)
+      .select(col("event_id").as("window_id"),
+        expr(TsUsSql).as("start_us"),
+        (expr(TsUsSql) + durUs).as("end_us"))
+  }
+
+  /** Chunked interval-containment matches (see the e15 doc-comment for
+    * the decomposition argument). Stateless map + equi-join shape, so it
+    * runs unchanged as a stream-static join in Structured Streaming.
+    */
+  def rangeMatches(events: DataFrame, windows: DataFrame): DataFrame = {
+    val chunk = HourUs
+    val wx = windows.withColumn("chunk",
+      explode(sequence(expr(s"start_us div $chunk"),
+        expr(s"end_us div $chunk"))))
+    val ex = events
+      .select(col("event_id"), expr(TsUsSql).as("ts_us"), col("value"))
+      .withColumn("chunk", expr(s"ts_us div $chunk"))
+    wx.join(ex, "chunk")
+      .filter(col("ts_us").between(col("start_us"), col("end_us")))
+  }
+
   def anomalyModel(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val x = col("value")

@@ -310,6 +310,44 @@ object Pipeline {
              |FROM m JOIN dsh d ON m.shard = d.shard
              |ORDER BY m.shard""".stripMargin),
     ),
+    // JSONL sink/scan round-trip — crawl pipelines interchange corpora as
+    // line-delimited JSON (Common Crawl derivatives, most open pretraining
+    // dumps), so the engine's JSON surface gets the p03 treatment: stage 1
+    // curates and WRITES JSONL (overwrite), stage 2 APPENDS a second batch
+    // (the daily-increment shape), stage 3 reads the directory back under
+    // an EXPLICIT schema (never inference in production — a single bad
+    // line silently stringifies an inferred column) and aggregates. The
+    // oracle recomputes the rollup straight from the parquet documents, so
+    // a green row proves every doc, field and character survived the
+    // JSON encode → decode cycle across both write modes.
+    QuerySpec(
+      "p06_jsonl_roundtrip",
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType}
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-p06").toString + "/docs_jsonl"
+        val docs = Tables(s, d, "documents")
+          .filter(col("n_chars") >= 100)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").json(out)
+        docs.filter(col("doc_id") % 2 === 1).write.mode("append").json(out)
+        val schema = StructType(Seq(
+          StructField("doc_id", LT), StructField("source", StringType),
+          StructField("lang", StringType), StructField("text", StringType)))
+        s.read.schema(schema).json(out)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("n_chars_sum"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy("source", "lang")
+      },
+      Some("""SELECT source, lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum,
+             |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             |FROM documents WHERE n_chars >= 100
+             |GROUP BY source, lang ORDER BY source, lang""".stripMargin),
+    ),
     // Stage funnel / lineage audit — the retention report every curation
     // team publishes next to the corpus: per source, how many docs and
     // tokens survive EACH stage of the p01 publish chain (raw → line-dedup

@@ -178,6 +178,22 @@ object Streams {
     graft.queries.EventsOps.scoreAnomalies(readEvents(spark, dir), model)
   }
 
+  /** Streaming half of e15's range join: incoming events matched to the
+    * STATIC incident-window table (built batch-side by the same shared
+    * [[graft.queries.EventsOps.incidentWindows]] rule). The chunked
+    * decomposition is stateless — a per-event chunk key plus a
+    * stream-static equi-join and a BETWEEN refine — so it runs in append
+    * mode with no state store at all; this is how a deployed monitor
+    * tags live events with the maintenance/incident windows they fall
+    * into. StreamingSpec pins the matched pair set equal to batch e15's.
+    */
+  def rangeJoinMatches(spark: SparkSession, dir: String): DataFrame = {
+    val windows = graft.queries.EventsOps.incidentWindows(
+      spark.read.schema(eventSchema).parquet(s"$dir/events.parquet"))
+    graft.queries.EventsOps.rangeMatches(readEvents(spark, dir), windows)
+      .select(col("window_id"), col("event_id"))
+  }
+
   /** Streaming NEAR-dup ingest daemon — the streaming half of batch d10:
     * every micro-batch of incoming docs is verified against the
     * corpus-so-far with the ingest-proportional incremental LSH pipeline

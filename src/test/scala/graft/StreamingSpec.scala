@@ -241,6 +241,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming range-join matches equal the batch e15 pair set") {
+    val q = Streams.rangeJoinMatches(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_range_join")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_range_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = spark.read.schema(Streams.eventSchema).parquet(s"$sf/events.parquet")
+      val batch = graft.queries.EventsOps
+        .rangeMatches(ev, graft.queries.EventsOps.incidentWindows(ev))
+        .select("window_id", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("lshDedupIngest refuses an unseeded corpus dir at construction") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
