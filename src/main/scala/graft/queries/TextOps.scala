@@ -60,7 +60,7 @@ object TextOps {
     * drifting until the pipeline publishes under different rules than the
     * gate verifies.
     */
-  private[queries] object Gopher {
+  private[graft] object Gopher {
     val stops: Seq[String] = enStop :+ "a"
     val stopsSql: String = stops.map(w => s"'$w'").mkString(", ")
     val MinWords = 20
@@ -92,6 +92,41 @@ object TextOps {
     def keep(nWords: Column, mwl: Column, nStop: Column, rep: Column): Column =
       nWords.between(MinWords, MaxWords) &&
         mwl.between(MwlLo, MwlHi) && nStop >= MinStops && rep < RepMax
+  }
+
+  /** t13's hashed-feature set: unigrams ++ adjacent bigrams (c03's zip). */
+  private def classifierFeats(text: Column): Column = {
+    val t = tokens(text)
+    val bi = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    concat(t, bi)
+  }
+
+  private[graft] def classifierNFeats(text: Column): Column =
+    size(classifierFeats(text)).cast(LongType)
+
+  /** t13's linear score — ONE definition shared by the contract query and
+    * the PropertySpec partitioning-invariance gate.
+    *
+    * Accumulator precisions chosen so no decimal op hits the p=38 cap:
+    * Spark's Add((38,10),(38,10)) overflows to (38,9) under the
+    * precision-loss rule and silently drops the 10th decimal digit
+    * (caught by the oracle gate when this fold first used (38,10)).
+    * |w| ≤ 1 fits (11,10); acc (27,10) + w (11,10) → (28,10), exact,
+    * cast back to (27,10) is lossless for any realistic doc length.
+    */
+  private[graft] def classifierScore(text: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val accT = DecimalType(27, 10)
+    val wT = DecimalType(11, 10)
+    val feats = classifierFeats(text)
+    val ws = transform(feats,
+      f => ghash.mix64(ghash.fnv1a64(f)).cast(DoubleType) /
+        lit(9.223372036854775808e18))
+    val sumDec = aggregate(ws, lit(0).cast(accT),
+      (acc, w) => (acc + w.cast(wT)).cast(accT))
+    sumDec.cast(DoubleType) / size(feats).cast(DoubleType)
   }
 
   val specs: Vector[QuerySpec] = Vector(
@@ -781,34 +816,13 @@ object TextOps {
     // final decimal→double→divide are correctly rounded on both engines.
     QuerySpec(
       "t13_classifier_score",
-      (s, d) => {
-        import org.apache.spark.sql.types.DecimalType
-        // Accumulator precisions chosen so no decimal op hits the p=38 cap:
-        // Spark's Add((38,10),(38,10)) overflows to (38,9) under the
-        // precision-loss rule and silently drops the 10th decimal digit
-        // (caught by the oracle gate when this fold first used (38,10)).
-        // |w| ≤ 1 fits (11,10); acc (27,10) + w (11,10) → (28,10), exact,
-        // cast back to (27,10) is lossless for any realistic doc length.
-        val accT = DecimalType(27, 10)
-        val wT = DecimalType(11, 10)
-        val t = tokens(col("text"))
-        val bi = zip_with(
-          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-          (a, b) => concat(a, lit(" "), b))
-        val feats = concat(t, bi)
-        val ws = transform(feats,
-          f => ghash.mix64(ghash.fnv1a64(f)).cast(DoubleType) /
-            lit(9.223372036854775808e18))
-        val sumDec = aggregate(ws, lit(0).cast(accT),
-          (acc, w) => (acc + w.cast(wT)).cast(accT))
+      (s, d) =>
         docs(s, d)
           .select(col("doc_id"),
-            size(feats).cast(LongType).as("n_feats"),
-            (sumDec.cast(DoubleType) /
-              size(feats).cast(DoubleType)).as("score"))
+            classifierNFeats(col("text")).as("n_feats"),
+            classifierScore(col("text")).as("score"))
           .withColumn("keep", col("score") > 0.0)
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some {
         import graft.engine.DuckHash
         s"""WITH tk AS (

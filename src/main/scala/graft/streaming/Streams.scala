@@ -178,6 +178,47 @@ object Streams {
     graft.queries.EventsOps.scoreAnomalies(readEvents(spark, dir), model)
   }
 
+  /** documents.parquet schema, for streaming reads of a docs ingest dir. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+  ))
+
+  /** Streaming read of the documents table (file-source dir staging, the
+    * readEvents pattern — in production this is the crawl ingest dir).
+    */
+  def readDocs(spark: SparkSession, dir: String): DataFrame = {
+    graft.engine.GraftSession.tune(spark)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(dir, "documents.parquet")
+    val stage = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-docstream-${math.abs(dir.hashCode)}")
+    Files.createDirectories(stage)
+    Files.copy(src, stage.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    spark.readStream.schema(docSchema).parquet(stage.toString)
+  }
+
+  /** Streaming quality gate — t09's Gopher rule battery applied to a
+    * document stream. The signals are per-row column math (ONE shared
+    * definition, [[graft.queries.TextOps.Gopher]]), so the filter runs
+    * unchanged and stateless in append mode: this is the shape of a
+    * curation filter deployed on the live crawl ingest, and
+    * StreamingSpec pins its keep decisions equal to batch t09's.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.queries.TextOps.Gopher
+    val Seq(nw, mwl, nst, rep) = g.signals(col("text"))
+    readDocs(spark, dir)
+      .select(col("doc_id"), nw.as("n_words"), mwl.as("mwl"),
+        nst.as("n_stop"), rep.as("rep"))
+      .withColumn("keep",
+        g.keep(col("n_words"), col("mwl"), col("n_stop"), col("rep")))
+  }
+
   /** Streaming half of e15's range join: incoming events matched to the
     * STATIC incident-window table (built batch-side by the same shared
     * [[graft.queries.EventsOps.incidentWindows]] rule). The chunked

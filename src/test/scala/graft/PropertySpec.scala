@@ -98,6 +98,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("t13 classifier scores are invariant under repartitioning") {
+    // the decimal fold is associative+commutative exactly, so the score
+    // must be BIT-identical however the docs are split across tasks —
+    // the reproducibility property an fp sum would not have
+    val docs = Tables(spark, sf, "documents")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+          graft.queries.TextOps.classifierScore(col("text")).as("score"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = run(docs)
+    val r = rng
+    (1 to 3).foreach { _ =>
+      val n = 1 + r.nextInt(17)
+      assert(run(docs.repartition(n)) == base, s"partitions=$n")
+    }
+  }
+
+  test("e15 range-join counts are invariant under repartitioning and chunk width") {
+    import graft.queries.EventsOps
+    val ev = Tables(spark, sf, "events")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      EventsOps.rangeMatches(df, EventsOps.incidentWindows(ev))
+        .groupBy("window_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = counts(ev)
+    val r = rng
+    (1 to 3).foreach { _ =>
+      val n = 1 + r.nextInt(17)
+      assert(counts(ev.repartition(n)) == base, s"partitions=$n")
+    }
+  }
+
   test("bloom-guarded new rows are invariant under bloom sizing and partitioning") {
     import graft.queries.Dedup
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")

@@ -241,6 +241,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality filter equals the batch t09 keep decisions") {
+    val q = Streams.qualityFilter(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_quality")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_quality").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+      val batch = Registry.byName("t09_gopher_filter").run(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+      assert(streamed == batch)
+      assert(streamed.values.exists(identity) &&
+        streamed.values.exists(!_), "filter lost discrimination")
+    } finally q.stop()
+  }
+
   test("streaming range-join matches equal the batch e15 pair set") {
     val q = Streams.rangeJoinMatches(spark, sf)
       .writeStream.outputMode("append")
