@@ -348,6 +348,51 @@ object Pipeline {
              |FROM documents WHERE n_chars >= 100
              |GROUP BY source, lang ORDER BY source, lang""".stripMargin),
     ),
+    // Schema evolution across shard generations — corpora live for years
+    // and COLUMNS ARRIVE LATE (a quality score added in v2, embeddings in
+    // v3...); re-writing 100 TB of v1 shards to add a column is not an
+    // option, so the platform must read mixed-generation directories.
+    // Stage 1 writes v1 shards (doc_id, source, text); stage 2 appends v2
+    // shards carrying a new `quality` column; stage 3 reads the directory
+    // under mergeSchema=true — v1 rows surface the new column as NULL —
+    // and computes a null-aware rollup (count(quality) counts only scored
+    // docs; the decimal-exact sum skips NULLs). The oracle recomputes
+    // from `documents` with the same CASE-derived quality, so a green row
+    // proves the merged read classified every row into the right
+    // generation and lost nothing.
+    QuerySpec(
+      "p07_schema_evolution",
+      (s, d) => {
+        import graft.engine.Exact
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-p07").toString + "/evolving"
+        val docs = Tables(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"), col("text"))
+          .write.mode("overwrite").parquet(out)
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("source"), col("text"),
+            least(lit(1.0), col("n_chars").cast(DoubleType) / lit(500.0))
+              .as("quality"))
+          .write.mode("append").parquet(out)
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("quality")).as("n_scored"),
+            Exact.dsum(col("quality")).as("sum_quality"))
+          .orderBy("source")
+      },
+      Some {
+        import graft.engine.Exact
+        s"""SELECT source, COUNT(*) AS n_docs,
+           |  COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_scored,
+           |  ${Exact.sqlSum(
+            "CASE WHEN doc_id % 2 = 1 THEN " +
+              "least(1.0, CAST(n_chars AS DOUBLE) / 500.0) END")}
+           |    AS sum_quality
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      },
+    ),
     // Stage funnel / lineage audit — the retention report every curation
     // team publishes next to the corpus: per source, how many docs and
     // tokens survive EACH stage of the p01 publish chain (raw → line-dedup

@@ -145,7 +145,7 @@ class EdgeSpec extends AnyFunSuite {
     }
   }
 
-  test("e14: every planted rate spike with a full baseline is flagged") {
+  test("e14: every planted rate spike with enough baseline is flagged") {
     val out = Registry.byName("e14_rate_drift").run(spark, sf).collect()
     var plantedFull = 0
     out.foreach { r =>
