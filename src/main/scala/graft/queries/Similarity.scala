@@ -1025,39 +1025,7 @@ object Similarity {
       "s10_knn_graph",
       (s, d) => knnGraph(emb(s, d).select(col("vec_id"), col("embedding")),
         nTables = 4, nBits = 8, k = 5, cap = 1000),
-      Some(s"""WITH proj AS MATERIALIZED (
-              |  SELECT vec_id, embedding, tbl,
-              |    ${duckProjs("embedding", 8)} AS projs
-              |  FROM embeddings, (SELECT unnest(range(0, 4)) AS tbl)),
-              |coded AS MATERIALIZED (
-              |  SELECT vec_id, tbl,
-              |    ${duckCode("projs", 8)} AS code,
-              |    ${duckProbe("projs", 8, 1)} AS probe,
-              |    ${duckProbe("projs", 8, 2)} AS probe2
-              |  FROM proj),
-              |idx AS (
-              |  SELECT tbl, code, vec_id FROM coded
-              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY tbl, code
-              |    ORDER BY vec_id) <= 1000),
-              |q AS (
-              |  SELECT tbl, code AS qcode, vec_id AS q_id FROM coded
-              |  UNION ALL
-              |  SELECT tbl, probe AS qcode, vec_id AS q_id FROM coded
-              |  UNION ALL
-              |  SELECT tbl, probe2 AS qcode, vec_id AS q_id FROM coded),
-              |cand AS (
-              |  SELECT DISTINCT q.q_id, i.vec_id
-              |  FROM idx i JOIN q ON i.tbl = q.tbl AND i.code = q.qcode
-              |  WHERE i.vec_id != q.q_id),
-              |ranked AS (
-              |  SELECT c.q_id, c.vec_id AS neighbor_id,
-              |    ${duckCos("qe.embedding", "ne.embedding")} AS cos,
-              |    ROW_NUMBER() OVER (PARTITION BY c.q_id
-              |      ORDER BY ${duckCos("qe.embedding", "ne.embedding")} DESC,
-              |        c.vec_id) AS rank
-              |  FROM cand c
-              |  JOIN embeddings qe ON qe.vec_id = c.q_id
-              |  JOIN embeddings ne ON ne.vec_id = c.vec_id)
+      Some(s"""WITH $knnGraphOracleCtes
               |SELECT q_id, neighbor_id, rank, cos FROM ranked
               |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     ),
@@ -1141,6 +1109,55 @@ object Similarity {
            |ORDER BY r.cell""".stripMargin
       },
     ),
+    // Semantic clusters from the kNN graph — the SemDeDup/semantic-
+    // curation extraction step that CONSUMES s10: restrict the directed
+    // top-3 graph to MUTUAL edges (both endpoints rank each other — the
+    // standard symmetrization that kills hub artifacts), then connected
+    // components (d08's machinery: iterative min-label, sum-probe
+    // convergence, throwing round cap). Output is per-cluster size + the
+    // md5-pinned member set, the d08/d11 digest contract. Scale shape:
+    // s10's bounded graph build + CC over a ≤|V|·k edge list of 16-byte
+    // rows — the corpus vectors never enter the loop.
+    QuerySpec(
+      "s11_semantic_clusters",
+      (s, d) => {
+        val g = knnGraph(emb(s, d).select(col("vec_id"), col("embedding")),
+          nTables = 4, nBits = 8, k = 3, cap = 1000)
+        // mutual edge: the unordered pair appears in both directions
+        val mutual = g.select(
+            least(col("q_id"), col("neighbor_id")).as("a_id"),
+            greatest(col("q_id"), col("neighbor_id")).as("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+          .filter(col("c") === 2)
+          .select("a_id", "b_id")
+        Dedup.connectedComponents(mutual)
+          .groupBy(col("label").as("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            md5(concat_ws(",", sort_array(collect_list(col("id")))))
+              .as("members_md5"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE $knnGraphOracleCtes,
+              |mutual AS (
+              |  SELECT LEAST(q_id, neighbor_id) AS a_id,
+              |         GREATEST(q_id, neighbor_id) AS b_id
+              |  FROM ranked WHERE rank <= 3
+              |  GROUP BY 1, 2 HAVING COUNT(*) = 2),
+              |sym AS MATERIALIZED (
+              |  SELECT a_id AS src, b_id AS dst FROM mutual
+              |  UNION ALL SELECT b_id, a_id FROM mutual),
+              |reach AS (
+              |  SELECT src AS id, src AS label FROM sym
+              |  UNION
+              |  SELECT e.dst AS id, r.label
+              |  FROM reach r JOIN sym e ON e.src = r.id),
+              |comp AS (SELECT id, MIN(label) AS component FROM reach
+              |         GROUP BY id)
+              |SELECT component AS cluster, COUNT(*) AS n_members,
+              |  md5(array_to_string(list_sort(list(id)), ','))
+              |    AS members_md5
+              |FROM comp GROUP BY component ORDER BY cluster""".stripMargin),
+    ),
   )
 
   /** One DuckDB Lloyd step: assign to `prev`'s centroids (cosine argmax,
@@ -1173,6 +1190,46 @@ object Similarity {
        |${lloydStepSql(1, "seeds")},
        |${lloydStepSql(2, "cent1")},
        |${lloydStepSql(3, "cent2")}""".stripMargin
+
+  /** The all-queries sign-LSH kNN pipeline (s10's contract: 4 tables,
+    * 8 bits, cap 1000, 3 probes) as a WITH body ending at `ranked`
+    * (q_id, neighbor_id, cos, rank). Shared by the s10 and s11 oracles.
+    */
+  private def knnGraphOracleCtes: String =
+    s"""proj AS MATERIALIZED (
+       |  SELECT vec_id, embedding, tbl,
+       |    ${duckProjs("embedding", 8)} AS projs
+       |  FROM embeddings, (SELECT unnest(range(0, 4)) AS tbl)),
+       |coded AS MATERIALIZED (
+       |  SELECT vec_id, tbl,
+       |    ${duckCode("projs", 8)} AS code,
+       |    ${duckProbe("projs", 8, 1)} AS probe,
+       |    ${duckProbe("projs", 8, 2)} AS probe2
+       |  FROM proj),
+       |idx AS (
+       |  SELECT tbl, code, vec_id FROM coded
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY tbl, code
+       |    ORDER BY vec_id) <= 1000),
+       |q AS (
+       |  SELECT tbl, code AS qcode, vec_id AS q_id FROM coded
+       |  UNION ALL
+       |  SELECT tbl, probe AS qcode, vec_id AS q_id FROM coded
+       |  UNION ALL
+       |  SELECT tbl, probe2 AS qcode, vec_id AS q_id FROM coded),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, i.vec_id
+       |  FROM idx i JOIN q ON i.tbl = q.tbl AND i.code = q.qcode
+       |  WHERE i.vec_id != q.q_id),
+       |ranked AS MATERIALIZED (
+       |  SELECT c.q_id, c.vec_id AS neighbor_id,
+       |    ${duckCos("qe.embedding", "ne.embedding")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+       |      ORDER BY ${duckCos("qe.embedding", "ne.embedding")} DESC,
+       |        c.vec_id) AS rank
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings ne ON ne.vec_id = c.vec_id)"""
+      .stripMargin
 
   /** s03's full SQL oracle, shared with s06 (which nests it as the pairs
     * CTE of the survivor computation).

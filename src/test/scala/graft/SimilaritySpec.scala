@@ -79,6 +79,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.exists(_._4 < 1.0), "no cluster was down-sampled")
   }
 
+  test("s11 semantic clusters partition the mutual-kNN node set") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("s11_semantic_clusters").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every cluster has >= 2 members (it exists because of an edge) and a
+    // distinct membership digest
+    out.foreach { case (c, n, _) => assert(n >= 2, s"cluster $c") }
+    assert(out.map(_._3).distinct.length == out.length)
+    // total membership equals the node set of the mutual-edge graph,
+    // recomputed through the same public API the query uses
+    val e = graft.engine.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val g = queries.Similarity.knnGraph(e, nTables = 4, nBits = 8, k = 3,
+      cap = 1000)
+    val nodes = g.select(
+        least(col("q_id"), col("neighbor_id")).as("a"),
+        greatest(col("q_id"), col("neighbor_id")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c")).filter(col("c") === 2)
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .distinct().count()
+    assert(out.map(_._2).sum == nodes,
+      s"membership ${out.map(_._2).sum} != mutual-node count $nodes")
+  }
+
   test("s02 LSH ANN finds planted genuinely-near neighbors (cos ~0.95)") {
     // LSH earns its keep on vectors that HAVE near neighbors. Plant a
     // noisy copy (deterministic per-dim perturbation, cos ≈ 0.95+) of every
