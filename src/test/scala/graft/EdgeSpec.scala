@@ -191,6 +191,20 @@ class EdgeSpec extends AnyFunSuite {
       s"banner mass invisible: planted=$pMean clean=$cMean")
   }
 
+  test("d20 shape: an empty benchmark yields empty output, not a crash") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+    val emptyBench = docs.filter(col("doc_id") < 0)
+    val out = graft.queries.Dedup.incrementalLshPairs(
+      docs, emptyBench, k = 32, bands = 8, cap = 100, threshold = 0.3)
+    assert(out.count() == 0)
+  }
+
+  test("s11 shape: connected components over an empty edge set is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(graft.queries.Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("t13: classifier score is a bounded mean; keep tracks the sign") {
     val out = Registry.byName("t13_classifier_score").run(spark, sf).collect()
     val docs = Tables(spark, sf, "documents")
