@@ -94,6 +94,25 @@ object TextOps {
         mwl.between(MwlLo, MwlHi) && nStop >= MinStops && rep < RepMax
   }
 
+  /** t12's readability pieces — shared by the contract query (over its
+    * planted sentence structure) and the real-prose ReadabilitySpec gate.
+    * Sentence count is the period count; the syllable proxy is the
+    * vowel-group count via the marked-minus-stripped length diff.
+    */
+  private[graft] def sentCount(t: Column): Column =
+    (length(t) - length(regexp_replace(t, "\\.", ""))).cast(LongType)
+
+  private[graft] def syllCount(t: Column): Column =
+    (length(regexp_replace(t, "[aeiouy]+", "V")) -
+      length(regexp_replace(t, "[aeiouy]+", ""))).cast(LongType)
+
+  /** Flesch Reading Ease, left-associated exactly as the oracle writes it. */
+  private[graft] def freExpr(nWords: Column, nSents: Column,
+      nSylls: Column): Column =
+    lit(206.835) -
+      lit(1.015) * (nWords.cast(DoubleType) / nSents.cast(DoubleType)) -
+      lit(84.6) * (nSylls.cast(DoubleType) / nWords.cast(DoubleType))
+
   /** t13's hashed-feature set: unigrams ++ adjacent bigrams (c03's zip). */
   private def classifierFeats(text: Column): Column = {
     val t = tokens(text)
@@ -619,17 +638,10 @@ object TextOps {
           .select(col("doc_id"), size(t).cast(LongType).as("n_words"),
             planted.as("t"))
           .select(col("doc_id"), col("n_words"),
-            (length(col("t")) - length(regexp_replace(col("t"), "\\.", "")))
-              .cast(LongType).as("n_sents"),
-            (length(regexp_replace(col("t"), "[aeiouy]+", "V")) -
-              length(regexp_replace(col("t"), "[aeiouy]+", "")))
-              .cast(LongType).as("n_syllables"))
+            sentCount(col("t")).as("n_sents"),
+            syllCount(col("t")).as("n_syllables"))
           .withColumn("fre",
-            lit(206.835) -
-              lit(1.015) * (col("n_words").cast(DoubleType) /
-                col("n_sents").cast(DoubleType)) -
-              lit(84.6) * (col("n_syllables").cast(DoubleType) /
-                col("n_words").cast(DoubleType)))
+            freExpr(col("n_words"), col("n_sents"), col("n_syllables")))
           .withColumn("grade",
             when(col("fre") >= 70.0, "easy")
               .when(col("fre") >= 50.0, "medium")

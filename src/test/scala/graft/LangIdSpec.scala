@@ -26,6 +26,28 @@ class LangIdSpec extends AnyFunSuite {
     }
   }
 
+  test("readability orders real prose: simple short-word text above dense jargon") {
+    val samples = Seq(
+      ("simple",
+        "the cat sat on the mat. it is big. we like the cat a lot. " +
+          "the sun is out. we go and play."),
+      ("dense",
+        "international considerations necessitate comprehensive " +
+          "organizational restructuring initiatives. bureaucratic " +
+          "administrative responsibilities demonstrate extraordinary " +
+          "institutional complexity."),
+    ).toDF("kind", "t")
+    val toks = split(col("t"), " ")
+    val got = samples.select(col("kind"),
+        TextOps.freExpr(size(toks).cast("long"),
+          TextOps.sentCount(col("t")), TextOps.syllCount(col("t"))).as("fre"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the standard FRE bands: conversational prose scores high, dense
+    // polysyllabic jargon scores low (routinely negative)
+    assert(got("simple") > 80.0, s"simple prose scored ${got("simple")}")
+    assert(got("dense") < 10.0, s"dense jargon scored ${got("dense")}")
+  }
+
   test("tie-break is deterministic (no markers → priority order → en)") {
     val df = Seq("zzz qqq xxx").toDF("text")
       .withColumn("pred", TextOps.langIdExpr(col("text")))
