@@ -604,6 +604,40 @@ object ScaleProbe {
       s""""planted":$plantedEmb,"top1_wired":$s10Top1,"sec":$tS10,""" +
       s""""s10_ok":${s10Top1 >= (plantedEmb * 85) / 100}}""")
 
+    // ---- s11 probe: semantic clusters over the 1M-vector kNN graph ----
+    // Mutual-kNN symmetrization + connected components on top of the s10
+    // graph. Ground truth: each planted near-copy (cos ≈ 0.9999) and its
+    // source are overwhelmingly each other's rank-1 neighbor, so they
+    // must land in the SAME cluster whenever the graph wired them
+    // mutually; the probe pins that co-clustering rate and that the
+    // mega-bucket spam vectors (identical, capped at the index) never
+    // absorb unrelated vectors into a giant component (max cluster
+    // bounded by cap).
+    val (s11Stats, tS11) = time {
+      val g = graft.queries.Similarity.knnGraph(embCorpus, nTables = 2,
+        nBits = 16, k = 3, cap = 100)
+      val mutual = g.select(
+          least(col("q_id"), col("neighbor_id")).as("a_id"),
+          greatest(col("q_id"), col("neighbor_id")).as("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 2).select("a_id", "b_id")
+        .localCheckpoint(true)
+      val comp = graft.queries.Dedup.connectedComponents(mutual)
+        .localCheckpoint(true)
+      val pairCo = comp.toDF("id", "l1")
+        .join(comp.toDF("id2", "l2"),
+          col("id2") === col("id") + 1000000000L)
+        .filter(col("id") % 100 === 0 && col("id") < 1000000000L)
+      val maxCluster = comp.groupBy("label").count()
+        .agg(max(col("count"))).head().getLong(0)
+      (pairCo.filter(col("l1") === col("l2")).count(), maxCluster)
+    }
+    val (s11Co, s11Max) = s11Stats
+    println(s"""{"probe":"s11","vectors":${nEmb + plantedEmb + 5000},""" +
+      s""""planted":$plantedEmb,"co_clustered":$s11Co,""" +
+      s""""max_cluster":$s11Max,"sec":$tS11,""" +
+      s""""s11_ok":${s11Co >= (plantedEmb * 85) / 100 && s11Max <= 100}}""")
+
     // ---- e15 probe: chunked range join at 10n events ----
     // 10n events over 30 days; every 1000th anchors a window of up to
     // 2 h. Correctness pin: a 50-window sample is joined by brute force
