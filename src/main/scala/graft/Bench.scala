@@ -154,7 +154,12 @@ object Bench {
         // join), d20 (bench-proportional decontamination), s10 (all-
         // queries kNN graph build), c24 (Lloyd + balanced resampling)
         "t13_classifier_score", "e15_range_join", "d20_crosscorpus_neardup",
-        "s10_knn_graph", "c24_cluster_mix")
+        "s10_knn_graph", "c24_cluster_mix",
+        // ... and the third r8 wave: s12 (two-arm retrieval + fusion), m07
+        // (chunk-hash store accounting), c25 (digest survivor accounting),
+        // e16 (cohort rollup)
+        "s12_hybrid_rrf", "m07_chunk_dedup_ratio", "c25_effective_tokens",
+        "e16_cohort_retention")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = (r1 ++ rExt).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

@@ -104,6 +104,73 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The fixed 3-term retrieval query the c11/s12 contract runs — one
+    * definition so the sparse arm of the hybrid fusion can never drift
+    * from the standalone BM25 ranking.
+    */
+  val BmQueryTerms: Seq[String] = Seq("hash", "join", "scan")
+
+  /** BM25 (k1=1.2, b=0.75) per-doc scores for query terms `qt` — the c11
+    * scorer, factored so s12's hybrid fusion consumes the SAME definition.
+    * Shuffle shape: tf is one (doc, term)-keyed partial+final agg over only
+    * the MATCHING tokens (the isin filter prunes before the explode's
+    * output ever shuffles), df and corpus stats are tiny broadcasts, and
+    * the per-doc term sum is decimal-exact (partitioning-invariant,
+    * engine-reproducible). All double arithmetic is written with identical
+    * literals/evaluation order in both engines; idf's ln runs on the same
+    * double in both. Returns (doc_id, score) for docs matching ≥1 term.
+    */
+  def bm25Scores(docs: DataFrame, qt: Seq[String]): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val lens = toks.select(col("doc_id"),
+      size(col("toks")).cast("double").as("len"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      Exact.davg(col("len")).as("avglen"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(qt: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("sc",
+        col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
+      .groupBy("doc_id")
+      .agg(Exact.dsum(col("sc")).as("score"))
+  }
+
+  /** DuckDB CTE chain mirroring [[bm25Scores]] term by term, ending in
+    * `bm25(doc_id, score)`; callers append their final SELECT.
+    */
+  def bm25Sql(qt: Seq[String]): String = {
+    val inList = qt.map(t => s"'$t'").mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |lens AS (
+       |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS len FROM toks),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |    ${Exact.sqlAvg("len")} AS avglen FROM lens),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+       |  WHERE tok IN ($inList) GROUP BY doc_id, tok),
+       |dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+       |      (tf + 1.2 * (0.25 + 0.75 * len / avglen)) AS sc
+       |  FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id)
+       |  CROSS JOIN stats),
+       |bm25 AS (
+       |  SELECT doc_id, ${Exact.sqlSum("sc")} AS score FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
   /** Sequence packing (the c16 engine): pack documents, in deterministic
     * doc_id order, into fixed-2048-token bins, greedily by running token
     * count — a doc starts in the bin its cumulative prefix lands in.
@@ -416,56 +483,12 @@ object Corpus {
     // in both engines; idf's ln runs on the same double in both.
     QuerySpec(
       "c11_bm25",
-      (s, d) => {
-        val qt = Seq("hash", "join", "scan")
-        val toks = Tables(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        val lens = toks.select(col("doc_id"),
-          size(col("toks")).cast("double").as("len"))
-        val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
-          graft.engine.Exact.davg(col("len")).as("avglen"))
-        val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-          .filter(col("tok").isin(qt: _*))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
-        val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
-        tf.join(broadcast(dfreq), "tok")
-          .join(lens, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("idf",
-            log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-              + lit(1.0)))
-          .withColumn("sc",
-            col("idf") * col("tf") * lit(2.2) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
-          .groupBy("doc_id")
-          .agg(graft.engine.Exact.dsum(col("sc")).as("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
-      },
-      Some {
-        import graft.engine.Exact
-        s"""WITH toks AS (
-           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-           |lens AS (
-           |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS len FROM toks),
-           |stats AS (
-           |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-           |    ${Exact.sqlAvg("len")} AS avglen FROM lens),
-           |tf AS (
-           |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
-           |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
-           |  WHERE tok IN ('hash', 'join', 'scan') GROUP BY doc_id, tok),
-           |dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
-           |sc AS (
-           |  SELECT tf.doc_id,
-           |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
-           |      (tf + 1.2 * (0.25 + 0.75 * len / avglen)) AS sc
-           |  FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id)
-           |  CROSS JOIN stats)
-           |SELECT doc_id, ${Exact.sqlSum("sc")} AS score FROM sc
-           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-      },
+      (s, d) => bm25Scores(Tables(s, d, "documents"), BmQueryTerms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20),
+      Some(s"""WITH ${bm25Sql(BmQueryTerms)}
+              |SELECT doc_id, score FROM bm25
+              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
     ),
     // Data-mixing weights: per-source token share vs a uniform target —
     // the knob a pretraining pipeline turns to up/down-sample sources
@@ -842,6 +865,79 @@ object Corpus {
            |  alloc / CAST(n_tokens AS DOUBLE) AS epochs, unfilled
            |FROM r2, u ORDER BY source""".stripMargin
       },
+    ),
+    // Effective-token accounting under exact dedup — the "how many tokens
+    // do we ACTUALLY have" question a pretraining data budget starts from:
+    // duplicated documents contribute extra epochs, not new tokens, so a
+    // mixing plan (c12/c23) built on RAW per-source token counts over-
+    // weights duplicated sources. Corpus = documents ∪ exact copies of
+    // every 10th doc (the d01 planting convention, `source` kept — a copy
+    // stays in its source). Per source: raw docs/tokens, surviving
+    // (first-occurrence, min-doc_id-per-digest — the d01 survivor rule)
+    // docs/tokens, and the duplication factor to divide out. Shuffle
+    // shape: one digest-keyed agg (16-byte keys, O(1) state — the d01
+    // shape), the survivor re-attach is a narrow (digest, doc_id) inner
+    // join, and the source rollups are partial+final aggs over ~|sources|
+    // keys; text never shuffles.
+    QuerySpec(
+      "c25_effective_tokens",
+      (s, d) => {
+        val base = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val corpus = base.unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+            col("text")))
+        val rows = corpus.select(col("doc_id"), col("source"),
+          md5(col("text")).as("dg"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        val surv = rows.groupBy("dg").agg(min(col("doc_id")).as("doc_id"))
+        val kept = rows.join(surv, Seq("dg", "doc_id"))
+        val tot = rows.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+        val uniq = kept.groupBy("source")
+          .agg(count(lit(1)).as("n_unique_docs"),
+            sum(col("n_tok")).as("unique_tokens"))
+        // left join: a source whose every digest survives ELSEWHERE would
+        // have no survivor rows (cannot happen with this planting — the
+        // min-doc_id survivor is always the original — but the accounting
+        // must not silently drop such a source)
+        tot.join(uniq, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_unique_docs"), lit(0L)).as("n_unique_docs"),
+            col("total_tokens"),
+            coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"),
+            (col("total_tokens").cast(DoubleType) /
+              when(coalesce(col("unique_tokens"), lit(0L)) === 0L, lit(null))
+                .otherwise(coalesce(col("unique_tokens"), lit(0L)))
+                .cast(DoubleType)).as("dup_factor"))
+          .orderBy("source")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, source, text FROM documents
+             |  WHERE doc_id % 10 = 0),
+             |rows_ AS (
+             |  SELECT doc_id, source, md5(text) AS dg,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM corpus),
+             |surv AS (SELECT dg, MIN(doc_id) AS doc_id FROM rows_ GROUP BY dg),
+             |kept AS (SELECT rows_.* FROM rows_ JOIN surv USING (dg, doc_id)),
+             |tot AS (
+             |  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+             |  FROM rows_ GROUP BY source),
+             |uniq AS (
+             |  SELECT source, COUNT(*) AS n_unique_docs,
+             |    SUM(n_tok) AS unique_tokens
+             |  FROM kept GROUP BY source)
+             |SELECT t.source, n_docs,
+             |  COALESCE(n_unique_docs, 0) AS n_unique_docs, total_tokens,
+             |  COALESCE(unique_tokens, 0) AS unique_tokens,
+             |  CAST(total_tokens AS DOUBLE) /
+             |    CAST(NULLIF(COALESCE(unique_tokens, 0), 0) AS DOUBLE)
+             |    AS dup_factor
+             |FROM tot t LEFT JOIN uniq u ON t.source = u.source
+             |ORDER BY t.source""".stripMargin),
     ),
   )
 

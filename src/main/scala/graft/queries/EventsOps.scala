@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.QuerySpec
 import graft.engine.{Exact, Tables}
@@ -34,6 +34,7 @@ object EventsOps {
 
   private val GapUs = 1800000000L // 30 min
   private val HourUs = 3600000000L
+  private val DayUs = 86400000000L
 
   /** Spark-SQL fragment for `ts` as epoch-µs. The NTZ→LTZ cast interprets
     * the wall-clock value in the session zone; GraftSession/Verify pin UTC,
@@ -541,6 +542,59 @@ object EventsOps {
               |             OR trail_avg / base_avg <= 0.25)
               |       THEN true ELSE false END AS drift
               |FROM w ORDER BY event_type, hour""".stripMargin),
+    ),
+    // Cohort retention — the product-analytics staple: users grouped by
+    // first-seen week (cohort), activity counted per week offset since
+    // that first appearance, retention = active/cohort_size. All
+    // integer day/week math on epoch-µs (floor division — exact, both
+    // engines), so the only double is the final ratio. Shuffle shape:
+    // one user-keyed min-agg for first-seen (per-user O(1) state), the
+    // first-seen frame re-joins the stream on user_id (a dim-sized side
+    // AQE broadcasts at any realistic user count), a (user, cohort,
+    // offset) distinct, then a tiny (cohort, offset) rollup — events
+    // themselves shuffle once, as narrow (user, day) pairs.
+    QuerySpec(
+      "e16_cohort_retention",
+      (s, d) => {
+        val evd = ev(s, d)
+          .select(col("user_id"), expr(s"($TsUsSql) div $DayUs").as("day"))
+        val first = evd.groupBy("user_id").agg(min(col("day")).as("d0"))
+        val active = evd.join(first, "user_id")
+          .select(expr("d0 div 7").as("cohort_week"),
+            expr("(day - d0) div 7").as("week_offset"),
+            col("user_id"))
+          .distinct()
+        val counts = active.groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("active_users"))
+        val sizes = first
+          .select(expr("d0 div 7").as("cohort_week"), col("user_id"))
+          .groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+        counts.join(sizes, "cohort_week")
+          .select(col("cohort_week"), col("week_offset"),
+            col("active_users"), col("cohort_size"),
+            (col("active_users").cast(DoubleType) /
+              col("cohort_size").cast(DoubleType)).as("retention"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+              |first_ AS (
+              |  SELECT user_id, MIN(day) AS d0 FROM ev GROUP BY user_id),
+              |active AS (
+              |  SELECT DISTINCT d0 // 7 AS cohort_week,
+              |    (day - d0) // 7 AS week_offset, ev.user_id
+              |  FROM ev JOIN first_ USING (user_id)),
+              |counts AS (
+              |  SELECT cohort_week, week_offset, COUNT(*) AS active_users
+              |  FROM active GROUP BY 1, 2),
+              |sizes AS (
+              |  SELECT d0 // 7 AS cohort_week, COUNT(*) AS cohort_size
+              |  FROM first_ GROUP BY 1)
+              |SELECT cohort_week, week_offset, active_users, cohort_size,
+              |  CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+              |    AS retention
+              |FROM counts JOIN sizes USING (cohort_week)
+              |ORDER BY cohort_week, week_offset""".stripMargin),
     ),
   )
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.QuerySpec
 import graft.engine.Tables
@@ -47,6 +47,78 @@ object MultimodalOps {
   def pHash64(media: DataFrame): DataFrame =
     media.select(col("doc_id"),
       graft.functions.ghash.phash64(col("payload")).as("fp"))
+
+  /** CDC corpus = documents ∪ every-10th doc with a 14-byte header
+    * PREPENDED (+4M id) — the insertion planting m05/m07 share:
+    * fixed-offset chunking would share nothing with the shifted copy;
+    * CDC re-synchronizes after the first boundary.
+    */
+  def cdcCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(lit("PREPENDED HDR "), col("text")).as("text")))
+  }
+
+  /** Content-defined chunking of each doc — the LBFS trailing-window
+    * boundary rule (see the m05 spec comment for why the STATELESS window
+    * form is load-bearing): returns (doc_id, chs, lens) — the md5 of each
+    * chunk plus its width, in order. One pure per-row expression: chunking
+    * happens in the scan stage, trivially parallel, nothing shuffles.
+    * Shared by m05 (per-doc chunk stats) and m07 (corpus-wide chunk-store
+    * accounting).
+    */
+  def cdcChunks(corpus: DataFrame): DataFrame = {
+    import graft.functions.ghash
+    val t = col("text")
+    val n = length(t)
+    val bnd = filter(
+      when(n >= 8, sequence(lit(8), n))
+        .otherwise(array().cast("array<int>")),
+      p => ghash.fnv1a64(t.substr(p - 7, lit(8))) % 64 === 0)
+    // boundary detection (an FNV per byte position — the dominant cost)
+    // is aliased in its own projection: the chs/lens zip_withs reference
+    // `bounds` four times, and CollapseProject keeps a multiply-referenced
+    // non-cheap alias separate instead of inlining the filter 4×
+    val withBounds = corpus.select(col("doc_id"), t,
+      concat(array(lit(0)), bnd, array(n)).as("bounds"))
+    val lo = slice(col("bounds"), lit(1), size(col("bounds")) - 1)
+    val hi = slice(col("bounds"), lit(2), size(col("bounds")) - 1)
+    withBounds.select(col("doc_id"),
+      zip_with(lo, hi, (a, b) => md5(t.substr(a + 1, b - a))).as("chs"),
+      zip_with(lo, hi, (a, b) => (b - a).cast(LongType)).as("lens"))
+  }
+
+  /** DuckDB CTEs `m → b → c` mirroring [[cdcCorpus]] + [[cdcChunks]]
+    * (`c` carries both chs and lens) — shared by the m05 and m07 oracles.
+    * NOTE: the position lambda binds `p`, NOT `i` — DuckHash.fnv's
+    * internal fold binds `i`, and an outer `i` inside its argument would
+    * be captured by the inner lambda.
+    */
+  val cdcChunkCtes: String = {
+    import graft.engine.DuckHash
+    s"""m AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 4000000, 'PREPENDED HDR ' || text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |b AS (
+       |  SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n,
+       |    list_filter(range(8, length(text)+1),
+       |      p -> (${DuckHash.fnv("substr(text, p-7, 8)")}) % 64 = 0) AS bnd
+       |  FROM m),
+       |c AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(bounds)),
+       |      j -> md5(substr(t, CAST(bounds[j] AS BIGINT) + 1,
+       |                      bounds[j+1] - bounds[j]))) AS chs,
+       |    list_transform(range(1, len(bounds)),
+       |      j -> bounds[j+1] - bounds[j]) AS lens
+       |  FROM (SELECT doc_id, t,
+       |          list_prepend(CAST(0 AS BIGINT), list_append(bnd, n))
+       |            AS bounds
+       |        FROM b))""".stripMargin
+  }
 
   val specs: Vector[QuerySpec] = Vector(
     QuerySpec(
@@ -192,23 +264,8 @@ object MultimodalOps {
     QuerySpec(
       "m05_cdc_chunks",
       (s, d) => {
-        import graft.functions.ghash
-        val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
-        val corpus = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 4000000L).as("doc_id"),
-            concat(lit("PREPENDED HDR "), col("text")).as("text")))
-        val t = col("text")
-        val n = length(t)
-        val bnd = filter(
-          when(n >= 8, sequence(lit(8), n))
-            .otherwise(array().cast("array<int>")),
-          p => ghash.fnv1a64(t.substr(p - 7, lit(8))) % 64 === 0)
-        val bounds = concat(array(lit(0)), bnd, array(n))
-        val chunks = zip_with(
-          slice(bounds, lit(1), size(bounds) - 1),
-          slice(bounds, lit(2), size(bounds) - 1),
-          (a, b) => md5(t.substr(a + 1, b - a)))
-        val withC = corpus.select(col("doc_id"), chunks.as("chs"))
+        val withC = cdcChunks(cdcCorpus(s, d))
+          .select(col("doc_id"), col("chs"))
           .localCheckpoint(true)
         val per = withC.select(col("doc_id"), explode(col("chs")).as("ch"))
         val shared = per.groupBy("ch")
@@ -223,29 +280,7 @@ object MultimodalOps {
           .orderBy("doc_id")
       },
       Some {
-        import graft.engine.DuckHash
-        // NOTE: the position lambda binds `p`, NOT `i` — DuckHash.fnv's
-        // internal fold binds `i`, and an outer `i` inside its argument
-        // would be captured by the inner lambda
-        s"""WITH m AS (
-           |  SELECT doc_id, text FROM documents
-           |  UNION ALL
-           |  SELECT doc_id + 4000000, 'PREPENDED HDR ' || text
-           |  FROM documents WHERE doc_id % 10 = 0),
-           |b AS (
-           |  SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n,
-           |    list_filter(range(8, length(text)+1),
-           |      p -> (${DuckHash.fnv("substr(text, p-7, 8)")}) % 64 = 0) AS bnd
-           |  FROM m),
-           |c AS MATERIALIZED (
-           |  SELECT doc_id,
-           |    list_transform(range(1, len(bounds)),
-           |      j -> md5(substr(t, CAST(bounds[j] AS BIGINT) + 1,
-           |                      bounds[j+1] - bounds[j]))) AS chs
-           |  FROM (SELECT doc_id, t,
-           |          list_prepend(CAST(0 AS BIGINT), list_append(bnd, n))
-           |            AS bounds
-           |        FROM b)),
+        s"""WITH $cdcChunkCtes,
            |per AS (SELECT doc_id, unnest(chs) AS ch FROM c),
            |shared AS (
            |  SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM per GROUP BY ch),
@@ -319,6 +354,51 @@ object MultimodalOps {
              |SELECT doc_id, n_bytes, detected, claimed,
              |  detected = claimed AS ok
              |FROM m ORDER BY doc_id""".stripMargin),
+    ),
+    // Chunk-store dedup accounting — the content-addressable-store sizing
+    // question: if payloads are stored by CDC chunk hash (the m05
+    // chunking, ONE shared definition), how much do duplicated chunks
+    // save? One summary row: total vs distinct chunk counts/bytes and the
+    // dedup ratio. Distinct-chunk bytes take min(len) per hash — equal
+    // chunks have equal widths, so min is just the deterministic pick.
+    // Scale shape: chunking is scan-stage ([[cdcChunks]]); the only
+    // corpus-scale shuffle is the chunk-hash-keyed agg (16-byte keys,
+    // O(1) state — the d01 shape at chunk granularity); both rollups are
+    // partial+final into a single row.
+    QuerySpec(
+      "m07_chunk_dedup_ratio",
+      (s, d) => {
+        // materialize the (ch, len) stream once — the total and distinct
+        // rollups below both consume it, and an unmaterialized lineage
+        // would re-run the whole chunking pass per rollup (measured: 25 s
+        // → 3 s at sf1)
+        val per = cdcChunks(cdcCorpus(s, d))
+          .select(explode(arrays_zip(col("chs"), col("lens"))).as("z"))
+          .select(col("z.chs").as("ch"), col("z.lens").as("len"))
+          .localCheckpoint(true)
+        val tot = per.agg(count(lit(1)).as("total_chunks"),
+          sum(col("len")).as("total_bytes"))
+        val uni = per.groupBy("ch").agg(min(col("len")).as("len"))
+          .agg(count(lit(1)).as("distinct_chunks"),
+            sum(col("len")).as("unique_bytes"))
+        tot.crossJoin(uni)
+          .select(col("total_chunks"), col("distinct_chunks"),
+            col("total_bytes"), col("unique_bytes"),
+            (col("total_bytes").cast(DoubleType) /
+              col("unique_bytes").cast(DoubleType)).as("dedup_ratio"))
+      },
+      Some(s"""WITH $cdcChunkCtes,
+              |per AS (SELECT unnest(chs) AS ch, unnest(lens) AS len FROM c),
+              |tot AS (
+              |  SELECT COUNT(*) AS total_chunks, SUM(len) AS total_bytes
+              |  FROM per),
+              |uni AS (
+              |  SELECT COUNT(*) AS distinct_chunks, SUM(len) AS unique_bytes
+              |  FROM (SELECT ch, MIN(len) AS len FROM per GROUP BY ch))
+              |SELECT total_chunks, distinct_chunks, total_bytes, unique_bytes,
+              |  CAST(total_bytes AS DOUBLE) / CAST(unique_bytes AS DOUBLE)
+              |    AS dedup_ratio
+              |FROM tot, uni""".stripMargin),
     ),
   )
 }

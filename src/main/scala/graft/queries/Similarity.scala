@@ -1158,6 +1158,77 @@ object Similarity {
               |    AS members_md5
               |FROM comp GROUP BY component ORDER BY cluster""".stripMargin),
     ),
+    // Hybrid retrieval — BM25 sparse ranks fused with dense cosine ranks
+    // by reciprocal-rank fusion (RRF, k=60, Cormack et al.): the
+    // retrieval stack of a RAG / curation pipeline, where neither
+    // lexical match nor embedding similarity alone is trustworthy. The
+    // sparse arm is EXACTLY c11's scorer ([[Corpus.bm25Scores]] — one
+    // shared definition, house rule); the dense arm is the s01
+    // broadcast-query brute-force scan against doc 0's embedding. Both
+    // arms shortlist top-20 through partial per-partition top-k
+    // (TakeOrderedAndProject — never a global sort); ranks are then
+    // assigned by a window over the 20-row shortlist, so the
+    // unpartitioned window is bounded by the constant k, not the corpus.
+    // RRF scores are exact by IEEE division on integer ranks — no
+    // transcendental — and the summation order (sparse + dense) is
+    // pinned on both engines. Fusion itself is a 20∪20-row full outer
+    // join: at 100 TB the fused stage costs nothing beyond the two scans
+    // the arms already do.
+    QuerySpec(
+      "s12_hybrid_rrf",
+      (s, d) => {
+        val sparse = Corpus.bm25Scores(
+            Tables(s, d, "documents"), Corpus.BmQueryTerms)
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .withColumn("sparse_rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("sparse_rank"))
+        val e = emb(s, d)
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb")))
+        val dense = e.crossJoin(qv)
+          .filter(col("vec_id") =!= 0)
+          .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+          .orderBy(col("cos").desc, col("vec_id")).limit(20)
+          .withColumn("dense_rank", row_number().over(
+            Window.orderBy(col("cos").desc, col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("dense_rank"))
+        sparse.join(dense, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("sparse_rank"), col("dense_rank"),
+            (coalesce(lit(1.0) /
+                (lit(60.0) + col("sparse_rank").cast(DoubleType)), lit(0.0)) +
+              coalesce(lit(1.0) /
+                (lit(60.0) + col("dense_rank").cast(DoubleType)), lit(0.0)))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH ${Corpus.bm25Sql(Corpus.BmQueryTerms)},
+              |sparse AS (
+              |  SELECT doc_id,
+              |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+              |      AS sparse_rank
+              |  FROM bm25
+              |  QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= 20),
+              |q AS (SELECT embedding AS q_emb FROM embeddings
+              |      WHERE vec_id = 0),
+              |scored AS (
+              |  SELECT vec_id, ${duckCos("q.q_emb", "e.embedding")} AS cos
+              |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0),
+              |dense AS (
+              |  SELECT vec_id AS doc_id,
+              |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS dense_rank
+              |  FROM scored
+              |  QUALIFY ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) <= 20)
+              |SELECT COALESCE(s.doc_id, de.doc_id) AS doc_id,
+              |  sparse_rank, dense_rank,
+              |  COALESCE(1.0 / (60.0 + CAST(sparse_rank AS DOUBLE)), 0.0) +
+              |    COALESCE(1.0 / (60.0 + CAST(dense_rank AS DOUBLE)), 0.0)
+              |    AS rrf
+              |FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id
+              |ORDER BY rrf DESC, COALESCE(s.doc_id, de.doc_id)
+              |LIMIT 10""".stripMargin),
+    ),
   )
 
   /** One DuckDB Lloyd step: assign to `prev`'s centroids (cosine argmax,

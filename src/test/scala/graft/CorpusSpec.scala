@@ -250,4 +250,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(shuffled.toSeq == top.toSeq,
       "shuffle-join model path must equal the broadcast path exactly")
   }
+
+  test("c25: duplicated token mass is exactly the planted copies' tokens, per source") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("c25_effective_tokens").run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // independent per-source expectation from the raw table: all base texts
+    // are distinct (verified below), so survivors == originals and the
+    // duplicated mass is exactly the every-10th planting
+    val base = graft.engine.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val distinctTexts = graft.engine.Tables(spark, sf, "documents")
+      .select(countDistinct(col("text"))).head.getLong(0)
+    assert(distinctTexts == base.length.toLong,
+      "precondition: base corpus has no natural exact duplicates")
+    base.groupBy(_._2).foreach { case (src, rows) =>
+      val planted = rows.filter(_._1 % 10 == 0)
+      val (nDocs, nUnique, totTok, uniqTok, dup) = out(src)
+      assert(nDocs == rows.length + planted.length, src)
+      assert(nUnique == rows.length, src)
+      assert(totTok == rows.map(_._3).sum + planted.map(_._3).sum, src)
+      assert(uniqTok == rows.map(_._3).sum, src)
+      assert(dup == totTok.toDouble / uniqTok.toDouble, src)
+      if (planted.nonEmpty) assert(dup > 1.0, src)
+    }
+  }
 }

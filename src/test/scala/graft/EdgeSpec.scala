@@ -220,4 +220,27 @@ class EdgeSpec extends AnyFunSuite {
     val kept = out.count(_.getBoolean(3))
     assert(kept > 0 && kept < out.length, "classifier lost discrimination")
   }
+
+  test("e16: week-0 retention is exactly 1; cohorts partition the user base") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("e16_cohort_retention").run(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+    // every user is active in their own first week, so offset 0 exists for
+    // every cohort and retains everyone
+    val cohorts = out.map(_._1._1).distinct
+    cohorts.foreach { cw =>
+      val (active, size, ret) = out.toMap.apply((cw, 0L))
+      assert(active == size && ret == 1.0, s"cohort $cw offset 0")
+    }
+    out.foreach { case ((cw, off), (active, size, ret)) =>
+      assert(off >= 0 && active <= size, s"($cw,$off)")
+      assert(ret == active.toDouble / size.toDouble, s"($cw,$off)")
+    }
+    // cohort sizes partition the distinct-user population
+    val users = graft.engine.Tables(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    val sizeSum = out.filter(_._1._2 == 0L).map(_._2._2).sum
+    assert(sizeSum == users, s"cohort sizes $sizeSum != users $users")
+  }
 }

@@ -92,4 +92,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fixedShared.size <= fixed(txt).size / 10,
       s"fixed-size chunking unexpectedly shared ${fixedShared.size}")
   }
+
+  test("m07 chunk-store accounting conserves m05's chunks and saves real bytes") {
+    val r = Registry.byName("m07_chunk_dedup_ratio").run(spark, sf).head()
+    val (totC, distC, totB, uniqB, ratio) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    // cross-gate vs m05: same corpus, same shared chunking — the summary's
+    // total must equal the per-doc chunk counts summed
+    val m05Total = Registry.byName("m05_cdc_chunks").run(spark, sf)
+      .collect().map(_.getLong(1)).sum
+    assert(totC == m05Total, s"m07 total $totC != m05 sum $m05Total")
+    assert(distC < totC, "planted prepend copies must duplicate chunks")
+    assert(uniqB < totB && ratio > 1.0,
+      s"chunk store must dedup real bytes: $uniqB/$totB ratio $ratio")
+    assert(ratio == totB.toDouble / uniqB.toDouble)
+  }
 }

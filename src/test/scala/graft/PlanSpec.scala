@@ -376,4 +376,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.matches(".*\\b(text|line)#\\d+.*")),
       s"line text leaks into a shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("s12 hybrid RRF: both arms shortlist via partial top-k; query vector broadcasts") {
+    val p = plan("s12_hybrid_rrf")
+    // each arm must reach its top-20 through TakeOrderedAndProject
+    // (per-partition partial top-k + driver merge of 20) — a global sort
+    // for a constant-k shortlist would shuffle the corpus. The ranking
+    // windows that FOLLOW are unpartitioned but bounded: their input is
+    // the 20-row shortlist, never corpus-scale.
+    val topk = p.linesIterator.count(_.contains("TakeOrderedAndProject"))
+    assert(topk >= 2, s"expected both arms to use TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"dense arm's query vector must broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("m07 chunk accounting: chunk-hash agg is partial+final; no text in shuffles") {
+    val p = plan("m07_chunk_dedup_ratio")
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")),
+      s"doc text leaks into a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }

@@ -338,4 +338,47 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().toSeq
     assert(a == b, "decimal-exact codebooks must make PQ partitioning-invariant")
   }
+
+  test("s12 hybrid RRF equals an independently computed fusion of the two arms") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("s12_hybrid_rrf").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.length == 10)
+    // sparse arm: the shared BM25 scorer, ranked here independently
+    val sparseTop = queries.Corpus.bm25Scores(
+        graft.engine.Tables(spark, sf, "documents"),
+        queries.Corpus.BmQueryTerms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, sc) => (-sc, id) }.take(20).map(_._1)
+    // dense arm: cosine against doc 0's embedding, recomputed with the
+    // same index-order double fold the CosineSim kernel uses
+    val vecs = graft.engine.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val q = vecs(0L)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val denseTop = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(20).map(_._1)
+    val sRank = sparseTop.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val dRank = denseTop.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val expected = (sRank.keySet ++ dRank.keySet).toSeq
+      .map { id =>
+        val rrf = sRank.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          dRank.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+        (id, rrf)
+      }
+      .sortBy { case (id, rrf) => (-rrf, id) }.take(10)
+    assert(out.toSeq == expected,
+      s"fused ranking diverged:\n got ${out.toSeq}\n exp $expected")
+  }
 }
