@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -838,29 +838,7 @@ object Corpus {
            |  SELECT source,
            |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
            |  FROM documents GROUP BY source),
-           |tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS s FROM by_src),
-           |r1 AS (
-           |  SELECT source, n_tokens,
-           |    1.4 * CAST(n_tokens AS DOUBLE) AS cap,
-           |    least((1.2 * CAST(t AS DOUBLE)) / CAST(s AS DOUBLE),
-           |      1.4 * CAST(n_tokens AS DOUBLE)) AS alloc1,
-           |    (1.2 * CAST(t AS DOUBLE)) / CAST(s AS DOUBLE) AS want
-           |  FROM by_src, tot),
-           |l1 AS (
-           |  SELECT 1.2 * CAST((SELECT t FROM tot) AS DOUBLE)
-           |      - ${Exact.sqlSum("alloc1")} AS left1,
-           |    SUM(CASE WHEN alloc1 < cap THEN 1 ELSE 0 END) AS n_open
-           |  FROM r1),
-           |r2 AS (
-           |  SELECT source, n_tokens, cap,
-           |    CASE WHEN alloc1 < cap
-           |         THEN least(alloc1 + left1 / CAST(n_open AS DOUBLE), cap)
-           |         ELSE alloc1 END AS alloc
-           |  FROM r1, l1),
-           |u AS (
-           |  SELECT 1.2 * CAST((SELECT t FROM tot) AS DOUBLE)
-           |      - ${Exact.sqlSum("alloc")} AS unfilled
-           |  FROM r2)
+           |$WaterFillCtes
            |SELECT source, n_tokens, cap, alloc,
            |  alloc / CAST(n_tokens AS DOUBLE) AS epochs, unfilled
            |FROM r2, u ORDER BY source""".stripMargin
@@ -881,76 +859,145 @@ object Corpus {
     // keys; text never shuffles.
     QuerySpec(
       "c25_effective_tokens",
-      (s, d) => {
-        val base = Tables(s, d, "documents")
-          .select(col("doc_id"), col("source"), col("text"))
-        val corpus = base.unionByName(base.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
-            col("text")))
-        val rows = corpus.select(col("doc_id"), col("source"),
-          md5(col("text")).as("dg"),
-          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
-        val surv = rows.groupBy("dg").agg(min(col("doc_id")).as("doc_id"))
-        val kept = rows.join(surv, Seq("dg", "doc_id"))
-        val tot = rows.groupBy("source")
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
-        val uniq = kept.groupBy("source")
-          .agg(count(lit(1)).as("n_unique_docs"),
-            sum(col("n_tok")).as("unique_tokens"))
-        // left join: a source whose every digest survives ELSEWHERE would
-        // have no survivor rows (cannot happen with this planting — the
-        // min-doc_id survivor is always the original — but the accounting
-        // must not silently drop such a source)
-        tot.join(uniq, Seq("source"), "left")
-          .select(col("source"), col("n_docs"),
-            coalesce(col("n_unique_docs"), lit(0L)).as("n_unique_docs"),
-            col("total_tokens"),
-            coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"),
-            (col("total_tokens").cast(DoubleType) /
-              when(coalesce(col("unique_tokens"), lit(0L)) === 0L, lit(null))
-                .otherwise(coalesce(col("unique_tokens"), lit(0L)))
-                .cast(DoubleType)).as("dup_factor"))
-          .orderBy("source")
-      },
-      Some("""WITH corpus AS (
-             |  SELECT doc_id, source, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 2000000, source, text FROM documents
-             |  WHERE doc_id % 10 = 0),
-             |rows_ AS (
-             |  SELECT doc_id, source, md5(text) AS dg,
-             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-             |  FROM corpus),
-             |surv AS (SELECT dg, MIN(doc_id) AS doc_id FROM rows_ GROUP BY dg),
-             |kept AS (SELECT rows_.* FROM rows_ JOIN surv USING (dg, doc_id)),
-             |tot AS (
-             |  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
-             |  FROM rows_ GROUP BY source),
-             |uniq AS (
-             |  SELECT source, COUNT(*) AS n_unique_docs,
-             |    SUM(n_tok) AS unique_tokens
-             |  FROM kept GROUP BY source)
-             |SELECT t.source, n_docs,
-             |  COALESCE(n_unique_docs, 0) AS n_unique_docs, total_tokens,
-             |  COALESCE(unique_tokens, 0) AS unique_tokens,
-             |  CAST(total_tokens AS DOUBLE) /
-             |    CAST(NULLIF(COALESCE(unique_tokens, 0), 0) AS DOUBLE)
-             |    AS dup_factor
-             |FROM tot t LEFT JOIN uniq u ON t.source = u.source
-             |ORDER BY t.source""".stripMargin),
+      (s, d) => effectiveTokens(dupPlantedCorpus(s, d)),
+      Some(s"""WITH $DupPlantedCorpusCte,
+              |$EffectiveTokensCtes
+              |SELECT source, n_docs, n_unique_docs, total_tokens,
+              |  unique_tokens, dup_factor
+              |FROM eff ORDER BY source""".stripMargin),
     ),
   )
+
+  /** documents ∪ exact copies of every 10th doc (+2M, `source` kept — a
+    * copy stays in its source): the d01 planting convention with source
+    * attribution, shared by c25 and p08.
+    */
+  def dupPlantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+        col("text")))
+  }
+
+  /** Oracle CTE mirroring [[dupPlantedCorpus]]. */
+  lazy val DupPlantedCorpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, source, text FROM documents
+      |  WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Dedup-aware per-source token accounting — the c25 engine, factored so
+    * p08's mixing manifest consumes the SAME definition. Input: (doc_id,
+    * source, text). Output per source: raw docs/tokens, surviving
+    * (first-occurrence, min-doc_id-per-digest) docs/tokens, duplication
+    * factor. See the c25 QuerySpec comment for the shuffle shape.
+    */
+  def effectiveTokens(corpus: DataFrame): DataFrame = {
+    val rows = corpus.select(col("doc_id"), col("source"),
+      md5(col("text")).as("dg"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    val surv = rows.groupBy("dg").agg(min(col("doc_id")).as("doc_id"))
+    val kept = rows.join(surv, Seq("dg", "doc_id"))
+    val tot = rows.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+    val uniq = kept.groupBy("source")
+      .agg(count(lit(1)).as("n_unique_docs"),
+        sum(col("n_tok")).as("unique_tokens"))
+    // left join: a source whose every digest survives ELSEWHERE would
+    // have no survivor rows (cannot happen with this planting — the
+    // min-doc_id survivor is always the original — but the accounting
+    // must not silently drop such a source)
+    tot.join(uniq, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_unique_docs"), lit(0L)).as("n_unique_docs"),
+        col("total_tokens"),
+        coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"),
+        (col("total_tokens").cast(DoubleType) /
+          when(coalesce(col("unique_tokens"), lit(0L)) === 0L, lit(null))
+            .otherwise(coalesce(col("unique_tokens"), lit(0L)))
+            .cast(DoubleType)).as("dup_factor"))
+      .orderBy("source")
+  }
+
+  /** Oracle CTE chain mirroring [[effectiveTokens]], reading a
+    * `corpus(doc_id, source, text)` CTE and ending in `eff(source,
+    * n_docs, n_unique_docs, total_tokens, unique_tokens, dup_factor)`.
+    */
+  lazy val EffectiveTokensCtes: String =
+    """rows_ AS (
+      |  SELECT doc_id, source, md5(text) AS dg,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM corpus),
+      |surv AS (SELECT dg, MIN(doc_id) AS doc_id FROM rows_ GROUP BY dg),
+      |kept AS (SELECT rows_.* FROM rows_ JOIN surv USING (dg, doc_id)),
+      |etot AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+      |  FROM rows_ GROUP BY source),
+      |uniq AS (
+      |  SELECT source, COUNT(*) AS n_unique_docs,
+      |    SUM(n_tok) AS unique_tokens
+      |  FROM kept GROUP BY source),
+      |eff AS (
+      |  SELECT t.source, n_docs,
+      |    COALESCE(n_unique_docs, 0) AS n_unique_docs, total_tokens,
+      |    COALESCE(unique_tokens, 0) AS unique_tokens,
+      |    CAST(total_tokens AS DOUBLE) /
+      |      CAST(NULLIF(COALESCE(unique_tokens, 0), 0) AS DOUBLE)
+      |      AS dup_factor
+      |  FROM etot t LEFT JOIN uniq u ON t.source = u.source)""".stripMargin
+
+  /** Oracle CTE chain mirroring [[tokenBudgetFillFromCounts]] at the
+    * default budgetMult=1.2 / maxEpochs=1.4: reads a `by_src(source,
+    * n_tokens)` CTE and ends in `r2(source, n_tokens, cap, alloc)` +
+    * `u(unfilled)`. Shared by the c23 and p08 oracles; the literals here
+    * and in the Spark defaults must stay in lockstep.
+    */
+  lazy val WaterFillCtes: String = {
+    s"""tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS s FROM by_src),
+       |r1 AS (
+       |  SELECT source, n_tokens,
+       |    1.4 * CAST(n_tokens AS DOUBLE) AS cap,
+       |    least((1.2 * CAST(t AS DOUBLE)) / CAST(s AS DOUBLE),
+       |      1.4 * CAST(n_tokens AS DOUBLE)) AS alloc1,
+       |    (1.2 * CAST(t AS DOUBLE)) / CAST(s AS DOUBLE) AS want
+       |  FROM by_src, tot),
+       |l1 AS (
+       |  SELECT 1.2 * CAST((SELECT t FROM tot) AS DOUBLE)
+       |      - ${Exact.sqlSum("alloc1")} AS left1,
+       |    SUM(CASE WHEN alloc1 < cap THEN 1 ELSE 0 END) AS n_open
+       |  FROM r1),
+       |r2 AS (
+       |  SELECT source, n_tokens, cap,
+       |    CASE WHEN alloc1 < cap
+       |         THEN least(alloc1 + left1 / CAST(n_open AS DOUBLE), cap)
+       |         ELSE alloc1 END AS alloc
+       |  FROM r1, l1),
+       |u AS (
+       |  SELECT 1.2 * CAST((SELECT t FROM tot) AS DOUBLE)
+       |      - ${Exact.sqlSum("alloc")} AS unfilled
+       |  FROM r2)""".stripMargin
+  }
 
   /** Water-filling token-budget allocation — see the c23 QuerySpec
     * doc-comment. `budgetMult`/`maxEpochs` are independent literals in
     * the oracle; keep them in lockstep.
     */
   def tokenBudgetFill(docs: DataFrame, budgetMult: Double = 1.2,
+      maxEpochs: Double = 1.4): DataFrame =
+    tokenBudgetFillFromCounts(
+      docs.select(col("source"), size(split(col("text"), " ")).as("nt"))
+        .groupBy("source").agg(sum(col("nt")).cast(LongType).as("n_tokens")),
+      budgetMult, maxEpochs)
+
+  /** Water-filling over a precomputed `(source, n_tokens)` frame — the
+    * allocation core of c23, factored so p08 can allocate over
+    * dedup-effective ([[effectiveTokens]]) counts instead of raw ones.
+    */
+  def tokenBudgetFillFromCounts(bySrcIn: DataFrame, budgetMult: Double = 1.2,
       maxEpochs: Double = 1.4): DataFrame = {
-    val bySrc = docs
-      .select(col("source"), size(split(col("text"), " ")).as("nt"))
-      .groupBy("source").agg(sum(col("nt")).cast(LongType).as("n_tokens"))
-      .localCheckpoint(true)
+    val bySrc = bySrcIn.localCheckpoint(true)
     val tot = broadcast(bySrc.agg(sum(col("n_tokens")).as("t"),
       count(lit(1)).as("s")))
     val budget = lit(budgetMult) * col("t").cast(DoubleType)

@@ -555,27 +555,8 @@ object EventsOps {
     // themselves shuffle once, as narrow (user, day) pairs.
     QuerySpec(
       "e16_cohort_retention",
-      (s, d) => {
-        val evd = ev(s, d)
-          .select(col("user_id"), expr(s"($TsUsSql) div $DayUs").as("day"))
-        val first = evd.groupBy("user_id").agg(min(col("day")).as("d0"))
-        val active = evd.join(first, "user_id")
-          .select(expr("d0 div 7").as("cohort_week"),
-            expr("(day - d0) div 7").as("week_offset"),
-            col("user_id"))
-          .distinct()
-        val counts = active.groupBy("cohort_week", "week_offset")
-          .agg(count(lit(1)).as("active_users"))
-        val sizes = first
-          .select(expr("d0 div 7").as("cohort_week"), col("user_id"))
-          .groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
-        counts.join(sizes, "cohort_week")
-          .select(col("cohort_week"), col("week_offset"),
-            col("active_users"), col("cohort_size"),
-            (col("active_users").cast(DoubleType) /
-              col("cohort_size").cast(DoubleType)).as("retention"))
-          .orderBy("cohort_week", "week_offset")
-      },
+      (s, d) => cohortRetention(
+        ev(s, d).select(col("user_id"), expr(s"($TsUsSql) div $DayUs").as("day"))),
       Some(s"""WITH ev AS (
               |  SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
               |first_ AS (
@@ -657,4 +638,28 @@ object EventsOps {
       .withColumn("z", (col("value") - col("mean")) / col("sd"))
       .filter(col("sd") > 0 && abs(col("z")) > 3.0)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
+
+  /** Cohort retention over a (user_id, day) activity frame — the e16
+    * engine, factored so the ScaleProbe consumes the SAME rollup. See the
+    * e16 QuerySpec comment for the shuffle shape.
+    */
+  def cohortRetention(days: DataFrame): DataFrame = {
+    val first = days.groupBy("user_id").agg(min(col("day")).as("d0"))
+    val active = days.join(first, "user_id")
+      .select(expr("d0 div 7").as("cohort_week"),
+        expr("(day - d0) div 7").as("week_offset"),
+        col("user_id"))
+      .distinct()
+    val counts = active.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = first
+      .select(expr("d0 div 7").as("cohort_week"), col("user_id"))
+      .groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    counts.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"),
+        col("active_users"), col("cohort_size"),
+        (col("active_users").cast(DoubleType) /
+          col("cohort_size").cast(DoubleType)).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -505,5 +505,40 @@ object Pipeline {
            |ORDER BY f.source, f.stage""".stripMargin
       },
     ),
+    // Dedup-aware mixing manifest — the composition a training-data
+    // budget actually ships: effective (dedup-surviving) token counts per
+    // source (c25's accounting, shared definition) fed into the
+    // water-filling allocator (c23's core, shared definition), so
+    // duplicated sources are budgeted by what they UNIQUELY contribute,
+    // not their raw epochs-inflated mass. The stage coupling this gate
+    // protects: allocate over RAW counts and a source that is 50%
+    // duplicates gets twice the budget its unique text deserves — a bug
+    // neither c25 nor c23 alone can see. Scale = the stages' own shapes
+    // (digest agg + source rollups + a |sources|-row allocation).
+    QuerySpec(
+      "p08_mixing_manifest",
+      (s, d) => {
+        val eff = Corpus.effectiveTokens(Corpus.dupPlantedCorpus(s, d))
+          .localCheckpoint(true)
+        val alloc = Corpus.tokenBudgetFillFromCounts(
+          eff.select(col("source"), col("unique_tokens").as("n_tokens")))
+        alloc.join(eff.select(col("source"), col("dup_factor")), "source")
+          .select(col("source"), col("n_tokens").as("unique_tokens"),
+            col("dup_factor"), col("cap"), col("alloc"),
+            (col("alloc") / col("n_tokens").cast(DoubleType)).as("epochs"),
+            col("unfilled"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${Corpus.DupPlantedCorpusCte},
+              |${Corpus.EffectiveTokensCtes},
+              |by_src AS (SELECT source, unique_tokens AS n_tokens FROM eff),
+              |${Corpus.WaterFillCtes}
+              |SELECT r2.source, r2.n_tokens AS unique_tokens,
+              |  eff.dup_factor, r2.cap, r2.alloc,
+              |  r2.alloc / CAST(r2.n_tokens AS DOUBLE) AS epochs, unfilled
+              |FROM r2 CROSS JOIN u
+              |JOIN eff ON r2.source = eff.source
+              |ORDER BY r2.source""".stripMargin),
+    ),
   )
 }

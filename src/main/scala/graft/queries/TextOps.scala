@@ -861,5 +861,67 @@ object TextOps {
            |FROM ws ORDER BY doc_id""".stripMargin
       },
     ),
+    // Code-vs-prose routing — the pretraining split every mixed crawl
+    // needs before tokenization (code gets its own tokenizer budget,
+    // dedup keys, and quality rules). Corpus: every 7th doc is REPLACED
+    // by a code rendering of its tokens (a function body, one `tok();`
+    // statement per line inside braces) so the detector faces real
+    // structural signal, not an id test. Detection is blind to doc_id:
+    // count the code markers (`();` occurrences + braces) per line —
+    // prose has ~none, the rendered code ~1 per line. Everything is
+    // integer counts computed map-side in the scan stage (substring
+    // counting by length difference — no regex); the one double is the
+    // per-line score. At 100 TB this is a pure scan-stage classifier,
+    // zero shuffle before the ordered output.
+    QuerySpec(
+      "t16_code_detect",
+      (s, d) => {
+        val codeText = concat(lit("def main() {\n"),
+          concat_ws("\n", transform(split(col("text"), " "),
+            t => concat(lit("  "), t, lit("();")))),
+          lit("\n}"))
+        val corpus = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, codeText).otherwise(col("text"))
+              .as("text"))
+        // integer `div`, mirroring the oracle's `// 3` — no float hop
+        val markers = expr(
+          """cast((length(text) - length(replace(text, '();', ''))) div 3
+            |  + (length(text) - length(replace(text, '{', '')))
+            |  + (length(text) - length(replace(text, '}', ''))) as bigint)"""
+            .stripMargin)
+        corpus
+          .withColumn("n_lines",
+            size(split(col("text"), "\n")).cast(LongType))
+          .withColumn("marker_cnt", markers)
+          .withColumn("code_score",
+            col("marker_cnt").cast(DoubleType) / col("n_lines").cast(DoubleType))
+          .withColumn("is_code", col("code_score") >= 0.8)
+          .select("doc_id", "n_lines", "marker_cnt", "code_score", "is_code")
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN 'def main() {' || chr(10) ||
+             |        array_to_string(list_transform(string_split(text, ' '),
+             |          t -> '  ' || t || '();'), chr(10)) || chr(10) || '}'
+             |      ELSE text END AS text
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             |    CAST((length(text) - length(replace(text, '();', ''))) // 3
+             |      + (length(text) - length(replace(text, '{', '')))
+             |      + (length(text) - length(replace(text, '}', '')))
+             |      AS BIGINT) AS marker_cnt
+             |  FROM corpus)
+             |SELECT doc_id, n_lines, marker_cnt,
+             |  CAST(marker_cnt AS DOUBLE) / CAST(n_lines AS DOUBLE)
+             |    AS code_score,
+             |  CAST(marker_cnt AS DOUBLE) / CAST(n_lines AS DOUBLE) >= 0.8
+             |    AS is_code
+             |FROM m ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

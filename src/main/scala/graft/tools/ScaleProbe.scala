@@ -677,6 +677,113 @@ object ScaleProbe {
     println(s"""{"probe":"e15","events":$nEv,"windows":${nEv / 1000},""" +
       s""""windows_matched":$nWinMatched,"sample_mismatches":$mismatches,""" +
       s""""sec":$tE15,"e15_ok":${mismatches == 0}}""")
+
+    // ---- m07 probe: CDC chunk-store accounting at corpus scale ----
+    // The +1B planted docs are EXACT copies, so every chunk they
+    // contribute already exists in the base corpus: the dedup savings
+    // (total_bytes − unique_bytes) must be AT LEAST the copies' whole
+    // byte mass (chunks partition each doc exactly). ≥, not ==, because
+    // the w0..w99 vocabulary also produces natural cross-doc chunk
+    // repetition — which is the point of chunk-level dedup.
+    import graft.queries.MultimodalOps
+    val (m07Stats, tM07) = time {
+      val per = MultimodalOps.cdcChunks(corpus.select(col("doc_id"), col("text")))
+        .select(explode(arrays_zip(col("chs"), col("lens"))).as("z"))
+        .select(col("z.chs").as("ch"), col("z.lens").cast("long").as("len"))
+        .localCheckpoint(true)
+      val t = per.agg(count(lit(1)), sum(col("len"))).head()
+      val u = per.groupBy("ch").agg(min(col("len")).as("len"))
+        .agg(count(lit(1)), sum(col("len"))).head()
+      (t.getLong(0), t.getLong(1), u.getLong(0), u.getLong(1))
+    }
+    val (m07Tot, m07TotB, m07Dist, m07UniqB) = m07Stats
+    val copyBytes = tenth.select(sum(length(col("text")))).head().getLong(0)
+    val m07Ok = (m07TotB - m07UniqB) >= copyBytes && m07Dist < m07Tot
+    println(s"""{"probe":"m07","docs":${n + 2 * (n / 100)},""" +
+      s""""total_chunks":$m07Tot,"distinct_chunks":$m07Dist,""" +
+      s""""total_bytes":$m07TotB,"unique_bytes":$m07UniqB,""" +
+      s""""copy_bytes":$copyBytes,"sec":$tM07,"m07_ok":$m07Ok}""")
+
+    // ---- c25 probe: dedup-aware token accounting at corpus scale ----
+    // Global conservation, exactly: the duplicated token mass across all
+    // sources must equal the planted exact copies' tokens (the +2B near
+    // copies dropped a token, so they are distinct texts and survive as
+    // unique — their mass is NOT duplicated; the lsh probe's exact_ok
+    // already pinned that the base corpus has no natural exact dups).
+    val (c25Dup, tC25) = time {
+      val rws = corpus.select(col("doc_id"), col("lang").as("source"),
+        md5(col("text")).as("dg"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val srv = rws.groupBy("dg").agg(min(col("doc_id")).as("doc_id"))
+      val totT = rws.agg(sum(col("n_tok"))).head().getLong(0)
+      val uniqT = rws.join(srv, Seq("dg", "doc_id"))
+        .agg(sum(col("n_tok"))).head().getLong(0)
+      totT - uniqT
+    }
+    val copyToks = tenth
+      .select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    println(s"""{"probe":"c25","docs":${n + 2 * (n / 100)},""" +
+      s""""dup_token_mass":$c25Dup,"planted_copy_tokens":$copyToks,""" +
+      s""""sec":$tC25,"c25_ok":${c25Dup == copyToks}}""")
+
+    // ---- e16 probe: cohort retention at 10n events ----
+    // Same rollup as the contract query (shared cohortRetention helper).
+    // Invariants at scale: offset-0 retention is exactly 1 for EVERY
+    // cohort (a user is active in their own first week by construction)
+    // and cohort sizes partition the distinct-user population.
+    val evUsers = evScale.select(
+      pmod(xxhash64(col("event_id"), lit(3)), lit(100000L)).as("user_id"),
+      expr(s"ts_us div $dayUs").as("day"))
+    val ((e16Rows, e16Bad, e16SizeSum), tE16) = time {
+      val r = graft.queries.EventsOps.cohortRetention(evUsers)
+        .localCheckpoint(true)
+      val bad = r.filter(col("week_offset") === 0 && col("retention") =!= 1.0)
+        .count()
+      val sizeSum = r.filter(col("week_offset") === 0)
+        .agg(sum(col("cohort_size"))).head().getLong(0)
+      (r.count(), bad, sizeSum)
+    }
+    val e16Users = evUsers.select(countDistinct(col("user_id")))
+      .head().getLong(0)
+    println(s"""{"probe":"e16","events":$nEv,"cells":$e16Rows,""" +
+      s""""week0_not_full":$e16Bad,"size_sum":$e16SizeSum,""" +
+      s""""users":$e16Users,"sec":$tE16,""" +
+      s""""e16_ok":${e16Bad == 0 && e16SizeSum == e16Users}}""")
+
+    // ---- s12 probe: hybrid fusion arms at corpus scale ----
+    // Both arms must stay shortlist-shaped at 1M docs/vectors: the BM25
+    // arm's only corpus-scale work is the matching-token aggregation, the
+    // dense arm is the broadcast-query scan, and fusion runs on 20∪20
+    // driver rows. Pins: both shortlists fill, fused output is 10, and
+    // every fused score is reproduced by the driver-side RRF recompute.
+    val (s12Stats, tS12) = time {
+      val sp = Corpus.bm25Scores(corpus.select(col("doc_id"), col("text")),
+          Seq("w1", "w42", "w77"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .collect().map(_.getLong(0))
+      val qv = baseEmb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val dn = embCorpus.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos",
+          graft.functions.gvec.cosineSim(col("q_emb"), col("embedding")))
+        .orderBy(col("cos").desc, col("vec_id")).limit(20)
+        .collect().map(_.getLong(0))
+      val sR = sp.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val dR = dn.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val fused = (sR.keySet ++ dR.keySet).toSeq
+        .map { id =>
+          (id, sR.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+            dR.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0))
+        }
+        .sortBy { case (id, rrf) => (-rrf, id) }.take(10)
+      (sp.length, dn.length, fused.length, fused.headOption.map(_._2).getOrElse(0.0))
+    }
+    val (s12Sp, s12Dn, s12Fused, s12Top) = s12Stats
+    println(s"""{"probe":"s12","docs":${n + 2 * (n / 100)},""" +
+      s""""vectors":${nEmb + plantedEmb + 5000},"sparse_list":$s12Sp,""" +
+      s""""dense_list":$s12Dn,"fused":$s12Fused,"top_rrf":$s12Top,""" +
+      s""""sec":$tS12,"s12_ok":${s12Sp == 20 && s12Dn == 20 && s12Fused == 10}}""")
     spark.stop()
   }
 }

@@ -243,4 +243,24 @@ class EdgeSpec extends AnyFunSuite {
     val sizeSum = out.filter(_._1._2 == 0L).map(_._2._2).sum
     assert(sizeSum == users, s"cohort sizes $sizeSum != users $users")
   }
+
+  test("t16: every rendered-code doc flagged, every prose doc not; counts exact") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("t16_code_detect").run(spark, sf).collect()
+    val nToks = graft.engine.Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (id, nLines, markers, isCode) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))
+      if (id % 7 == 0) {
+        // rendered code: one `tok();` line per token inside a brace pair
+        assert(nLines == nToks(id) + 2, s"doc $id lines")
+        assert(markers == nToks(id) + 2, s"doc $id markers")
+        assert(isCode, s"doc $id must be flagged as code")
+      } else {
+        assert(nLines == 1 && !isCode, s"doc $id is prose")
+      }
+    }
+  }
 }

@@ -74,4 +74,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(actions.getOrElse("rewrite", 0) > 0)
     assert(out.map(_.getLong(0)).distinct.length == out.length, "duplicate shard rows")
   }
+
+  test("p08: allocation runs on c25's UNIQUE counts, not raw epochs-inflated mass") {
+    val p08 = Registry.byName("p08_mixing_manifest").run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val c25 = Registry.byName("c25_effective_tokens").run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(p08.keySet == c25.keySet)
+    p08.foreach { case (src, (uniq, dup, cap, alloc, epochs)) =>
+      // the stage-coupling cross-gate: the manifest's inputs are exactly
+      // the accounting stage's outputs, per source
+      assert(uniq == c25(src)._1, s"$src unique tokens")
+      assert(dup == c25(src)._2, s"$src dup factor")
+      assert(alloc <= cap && alloc >= 0.0, s"$src alloc within cap")
+      assert(epochs == alloc / uniq.toDouble, s"$src epochs")
+      // cap is 1.4 epochs over UNIQUE tokens — allocating over raw
+      // counts would let a 50%-duplicated source exceed it
+      assert(cap == 1.4 * uniq.toDouble, s"$src cap basis")
+    }
+    val unfilled = Registry.byName("p08_mixing_manifest").run(spark, sf)
+      .collect().head.getDouble(6)
+    assert(unfilled >= -1e-9, "over-allocated past the budget")
+  }
 }
