@@ -463,5 +463,87 @@ object Relational4 {
              |FROM orders WHERE o_custkey < 50
              |ORDER BY o_custkey, o_orderkey""".stripMargin),
     ),
+    // CUBE aggregation with grouping markers — the OLAP subtotal surface
+    // (reference ceiling is plain GROUP BY): all four grouping-set
+    // combinations in ONE pass (Spark expands the sets before the same
+    // partial+final hash agg; no extra scan per subtotal level).
+    // grouping_id()'s bit order (leftmost column = MSB) matches DuckDB's
+    // GROUPING(a, b); NULLS FIRST normalizes the subtotal rows' order.
+    QuerySpec(
+      "q85_cube",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            Exact.dsum(col("l_quantity")).as("sum_qty"),
+            grouping_id().as("gid"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |  ${Exact.sqlSum("l_quantity")} AS sum_qty,
+              |  GROUPING(l_returnflag, l_linestatus) AS gid
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY gid, l_returnflag NULLS FIRST,
+              |  l_linestatus NULLS FIRST""".stripMargin),
+    ),
+    // The rank family (rank / dense_rank / percent_rank / cume_dist) —
+    // completing q77's window suite. The window input is AGGREGATED
+    // first (revenue per supplier), so partitions are dim-sized
+    // (|suppliers per nation|), never lineitem-scale — the shape that
+    // keeps ranking scale-safe at 100 TB. percent_rank/cume_dist are
+    // IEEE divisions of integer rank/count — exact across engines;
+    // revenue is decimal-exact, ties broken by key.
+    QuerySpec(
+      "q86_rank_suite",
+      (s, d) => {
+        val rev = Tables(s, d, "lineitem")
+          .groupBy(col("l_suppkey").as("s_suppkey"))
+          .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        val sup = Tables(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        rev.join(broadcast(sup), "s_suppkey")
+          .selectExpr("s_nationkey", "s_suppkey", "revenue",
+            "rank() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS rnk",
+            "dense_rank() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS drnk",
+            "percent_rank() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS prnk",
+            "cume_dist() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS cdist")
+          .orderBy("s_nationkey", "rnk", "s_suppkey")
+      },
+      Some(s"""WITH rev AS (
+              |  SELECT l_suppkey AS s_suppkey,
+              |    ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")}
+              |      AS revenue
+              |  FROM lineitem GROUP BY l_suppkey)
+              |SELECT s_nationkey, s_suppkey, revenue,
+              |  rank() OVER w AS rnk,
+              |  dense_rank() OVER w AS drnk,
+              |  percent_rank() OVER w AS prnk,
+              |  cume_dist() OVER w AS cdist
+              |FROM rev JOIN supplier USING (s_suppkey)
+              |WINDOW w AS (PARTITION BY s_nationkey
+              |  ORDER BY revenue DESC, s_suppkey)
+              |ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin),
+    ),
+    // PIVOT — wide-format reporting (quantity by return flag across
+    // line status). Spark's pivot with EXPLICIT values compiles to one
+    // partial+final agg with a CASE per output column — one pass, no
+    // values-discovery scan; the oracle spells the same CASEs. NULL-sum
+    // semantics match (an empty cell is NULL in both engines).
+    QuerySpec(
+      "q87_pivot",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(Exact.dsum(col("l_quantity")))
+          .orderBy("l_linestatus"),
+      Some(s"""SELECT l_linestatus,
+              |  ${Exact.sqlSum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS "A",
+              |  ${Exact.sqlSum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS "N",
+              |  ${Exact.sqlSum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS "R"
+              |FROM lineitem GROUP BY l_linestatus
+              |ORDER BY l_linestatus""".stripMargin),
+    ),
   )
 }

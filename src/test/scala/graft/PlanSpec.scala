@@ -391,6 +391,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("q85 cube expands grouping sets in ONE pass; q87 pivot is one scan") {
+    val p85 = plan("q85_cube")
+    // Expand feeds a single partial+final agg — no per-subtotal rescan
+    assert(p85.contains("Expand"), p85)
+    assert(p85.contains("partial_count"), p85)
+    // formatted mode mentions each scan twice (tree + details): one
+    // scan == exactly 2 mentions
+    assert(p85.linesIterator.count(_.contains("Scan parquet")) == 2, p85)
+    val p87 = plan("q87_pivot")
+    assert(p87.linesIterator.count(_.contains("Scan parquet")) == 2, p87)
+    assert(p87.contains("partial_sum"), p87)
+  }
+
+  test("q86 ranks run over the aggregated dim-sized frame, not raw lineitem") {
+    val p = plan("q86_rank_suite")
+    // revenue is aggregated per supplier BEFORE the window (partial_sum),
+    // the supplier dim broadcasts, and the window partitions by nation —
+    // its input is |suppliers| rows, never lineitem-scale
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("m07 chunk accounting: chunk-hash agg is partial+final; no text in shuffles") {
     val p = plan("m07_chunk_dedup_ratio")
     assert(p.contains("partial_count") || p.contains("partial_min"), p)
