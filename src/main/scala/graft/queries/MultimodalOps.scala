@@ -89,6 +89,57 @@ object MultimodalOps {
       zip_with(lo, hi, (a, b) => (b - a).cast(LongType)).as("lens"))
   }
 
+  /** Planted-header payloads + magic-byte detection — the m06 engine,
+    * factored so m08's per-format rollup consumes the SAME dispatch.
+    * Returns (doc_id, n_bytes, detected, claimed, ok); see the m06 spec
+    * comment for the planting scheme and the binary-substring note.
+    */
+  def sniffedMedia(s: SparkSession, d: String): DataFrame = {
+    val v = (col("doc_id") % 4).cast("int")
+    val hdr = when(v === 0, unhex(lit("89504E470D0A1A0A")))
+      .when(v === 1, unhex(lit("FFD8FF")))
+      .when(v === 2, unhex(lit("524946460000000057415645")))
+    val payload = when(v === 3, encode(col("text"), "UTF-8"))
+      .otherwise(concat(hdr, encode(col("text"), "UTF-8")))
+    Tables(s, d, "documents")
+      .select(col("doc_id"), payload.as("p"))
+      .select(col("doc_id"),
+        length(col("p")).cast(LongType).as("n_bytes"),
+        when(hex(substring(col("p"), 1, 8)) === "89504E470D0A1A0A", "png")
+          .when(hex(substring(col("p"), 1, 3)) === "FFD8FF", "jpg")
+          .when(hex(substring(col("p"), 1, 4)) === "52494646" &&
+            hex(substring(col("p"), 9, 4)) === "57415645", "wav")
+          .otherwise("raw").as("detected"))
+      .withColumn("claimed",
+        when(col("doc_id") % 2 === 0, "png").otherwise("jpg"))
+      .withColumn("ok", col("detected") === col("claimed"))
+  }
+
+  /** Oracle CTEs `p → m` mirroring [[sniffedMedia]] (ending in
+    * `m(doc_id, n_bytes, detected, claimed)`), shared by m06 and m08.
+    */
+  val sniffedMediaCtes: String =
+    """p AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN unhex('89504E470D0A1A0A') || encode(text)
+      |      WHEN 1 THEN unhex('FFD8FF') || encode(text)
+      |      WHEN 2 THEN unhex('524946460000000057415645') ||
+      |                    encode(text)
+      |      ELSE encode(text)
+      |    END AS p
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, CAST(octet_length(p) AS BIGINT) AS n_bytes,
+      |    CASE WHEN substr(hex(p), 1, 16) = '89504E470D0A1A0A'
+      |           THEN 'png'
+      |         WHEN substr(hex(p), 1, 6) = 'FFD8FF' THEN 'jpg'
+      |         WHEN substr(hex(p), 1, 8) = '52494646'
+      |          AND substr(hex(p), 17, 8) = '57415645' THEN 'wav'
+      |         ELSE 'raw' END AS detected,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS claimed
+      |  FROM p)""".stripMargin
+
   /** DuckDB CTEs `m → b → c` mirroring [[cdcCorpus]] + [[cdcChunks]]
     * (`c` carries both chs and lens) — shared by the m05 and m07 oracles.
     * NOTE: the position lambda binds `p`, NOT `i` — DuckHash.fnv's
@@ -310,50 +361,11 @@ object MultimodalOps {
     // DuckDB lacking blob substring. Map-side; scan speed.
     QuerySpec(
       "m06_magic_sniff",
-      (s, d) => {
-        val v = (col("doc_id") % 4).cast("int")
-        val hdr = when(v === 0, unhex(lit("89504E470D0A1A0A")))
-          .when(v === 1, unhex(lit("FFD8FF")))
-          .when(v === 2, unhex(lit("524946460000000057415645")))
-        val payload = when(v === 3, encode(col("text"), "UTF-8"))
-          .otherwise(concat(hdr, encode(col("text"), "UTF-8")))
-        Tables(s, d, "documents")
-          .select(col("doc_id"), payload.as("p"))
-          .select(col("doc_id"),
-            length(col("p")).cast(LongType).as("n_bytes"),
-            when(hex(substring(col("p"), 1, 8)) === "89504E470D0A1A0A", "png")
-              .when(hex(substring(col("p"), 1, 3)) === "FFD8FF", "jpg")
-              .when(hex(substring(col("p"), 1, 4)) === "52494646" &&
-                hex(substring(col("p"), 9, 4)) === "57415645", "wav")
-              .otherwise("raw").as("detected"))
-          .withColumn("claimed",
-            when(col("doc_id") % 2 === 0, "png").otherwise("jpg"))
-          .withColumn("ok", col("detected") === col("claimed"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH p AS (
-             |  SELECT doc_id,
-             |    CASE CAST(doc_id % 4 AS INT)
-             |      WHEN 0 THEN unhex('89504E470D0A1A0A') || encode(text)
-             |      WHEN 1 THEN unhex('FFD8FF') || encode(text)
-             |      WHEN 2 THEN unhex('524946460000000057415645')
-             |                    || encode(text)
-             |      ELSE encode(text)
-             |    END AS p
-             |  FROM documents),
-             |m AS (
-             |  SELECT doc_id, CAST(octet_length(p) AS BIGINT) AS n_bytes,
-             |    CASE WHEN substr(hex(p), 1, 16) = '89504E470D0A1A0A'
-             |           THEN 'png'
-             |         WHEN substr(hex(p), 1, 6) = 'FFD8FF' THEN 'jpg'
-             |         WHEN substr(hex(p), 1, 8) = '52494646'
-             |          AND substr(hex(p), 17, 8) = '57415645' THEN 'wav'
-             |         ELSE 'raw' END AS detected,
-             |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS claimed
-             |  FROM p)
-             |SELECT doc_id, n_bytes, detected, claimed,
-             |  detected = claimed AS ok
-             |FROM m ORDER BY doc_id""".stripMargin),
+      (s, d) => sniffedMedia(s, d).orderBy("doc_id"),
+      Some(s"""WITH $sniffedMediaCtes
+              |SELECT doc_id, n_bytes, detected, claimed,
+              |  detected = claimed AS ok
+              |FROM m ORDER BY doc_id""".stripMargin),
     ),
     // Chunk-store dedup accounting — the content-addressable-store sizing
     // question: if payloads are stored by CDC chunk hash (the m05
@@ -399,6 +411,36 @@ object MultimodalOps {
               |  CAST(total_bytes AS DOUBLE) / CAST(unique_bytes AS DOUBLE)
               |    AS dedup_ratio
               |FROM tot, uni""".stripMargin),
+    ),
+    // Per-format ingest QA dashboard — the rollup a media pipeline reads
+    // after m06's sniffing: per DETECTED format, volume (count + bytes),
+    // how many payloads' claimed type lied, and the byte-size quartiles
+    // (the c04 exact-percentile contract: Spark `percentile` ==
+    // DuckDB `quantile_cont`, interpolated on the same sorted values).
+    // One pass over the sniffed frame ([[sniffedMedia]], shared with
+    // m06), one 4-group partial+final agg; payload bytes reduce to a
+    // (format, n_bytes) pair in the scan stage.
+    QuerySpec(
+      "m08_format_stats",
+      (s, d) =>
+        sniffedMedia(s, d)
+          .groupBy("detected")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_bytes")).as("total_bytes"),
+            sum(when(!col("ok"), 1L).otherwise(0L)).as("claim_mismatches"),
+            expr("percentile(n_bytes, 0.25)").as("p25_bytes"),
+            expr("percentile(n_bytes, 0.5)").as("p50_bytes"),
+            expr("percentile(n_bytes, 0.75)").as("p75_bytes"))
+          .orderBy("detected"),
+      Some(s"""WITH $sniffedMediaCtes
+              |SELECT detected, COUNT(*) AS n,
+              |  SUM(n_bytes) AS total_bytes,
+              |  SUM(CASE WHEN detected = claimed THEN 0 ELSE 1 END)
+              |    AS claim_mismatches,
+              |  quantile_cont(n_bytes, 0.25) AS p25_bytes,
+              |  quantile_cont(n_bytes, 0.5) AS p50_bytes,
+              |  quantile_cont(n_bytes, 0.75) AS p75_bytes
+              |FROM m GROUP BY detected ORDER BY detected""".stripMargin),
     ),
   )
 }

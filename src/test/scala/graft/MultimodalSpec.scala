@@ -107,4 +107,22 @@ class MultimodalSpec extends AnyFunSuite {
       s"chunk store must dedup real bytes: $uniqB/$totB ratio $ratio")
     assert(ratio == totB.toDouble / uniqB.toDouble)
   }
+
+  test("m08: per-format rollup matches the mod-4 planting; quartiles ordered") {
+    val out = Registry.byName("m08_format_stats").run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(out.keySet == Set("png", "jpg", "wav", "raw"))
+    val n = graft.engine.Tables(spark, sf, "documents").count()
+    // ids ≡ 0,1 (mod 4) carry the header their claim promises → 0
+    // mismatches; ids ≡ 2 (wav header, claimed png) and ≡ 3 (no header,
+    // claimed jpg) lie on every row
+    assert(out("png")._2 == 0 && out("jpg")._2 == 0)
+    assert(out("wav")._2 == out("wav")._1 && out("raw")._2 == out("raw")._1)
+    assert(out.values.map(_._1).sum == n, "formats partition the corpus")
+    out.foreach { case (fmt, (_, _, p25, p50, p75)) =>
+      assert(p25 <= p50 && p50 <= p75, s"$fmt quartiles out of order")
+    }
+  }
 }
