@@ -577,6 +577,49 @@ object EventsOps {
               |FROM counts JOIN sizes USING (cohort_week)
               |ORDER BY cohort_week, week_offset""".stripMargin),
     ),
+    // User-journey transition matrix — the Markov view of event streams
+    // (what follows what, per user): lag(event_type) within each user's
+    // time-ordered stream, transition counts, and row-normalized
+    // probabilities. Shuffle shape: ONE user-keyed exchange for the lag
+    // window (per-user partitions are session-sized, bounded), then a
+    // tiny |types|² rollup; probabilities are IEEE divisions of exact
+    // longs. The first event per user has no predecessor and drops out
+    // (inner lag semantics — same contract both engines).
+    QuerySpec(
+      "e17_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val trans = ev(s, d)
+          .withColumn("ts_us", expr(TsUsSql))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+        val totals = trans.groupBy("prev_type")
+          .agg(sum(col("n")).as("n_from"))
+        trans.join(totals, "prev_type")
+          .select(col("prev_type"), col("event_type"), col("n"),
+            (col("n").cast(DoubleType) / col("n_from").cast(DoubleType))
+              .as("p"))
+          .orderBy("prev_type", "event_type")
+      },
+      Some(s"""WITH seq AS (
+              |  SELECT user_id, event_type,
+              |    lag(event_type) OVER (PARTITION BY user_id
+              |      ORDER BY epoch_us(ts), event_id) AS prev_type
+              |  FROM events),
+              |trans AS (
+              |  SELECT prev_type, event_type, COUNT(*) AS n
+              |  FROM seq WHERE prev_type IS NOT NULL
+              |  GROUP BY prev_type, event_type),
+              |totals AS (
+              |  SELECT prev_type, SUM(n) AS n_from FROM trans
+              |  GROUP BY prev_type)
+              |SELECT prev_type, event_type, n,
+              |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+              |FROM trans JOIN totals USING (prev_type)
+              |ORDER BY prev_type, event_type""".stripMargin),
+    ),
   )
 
   /** Per-type anomaly model: decimal-exact (q35-technique) mean and

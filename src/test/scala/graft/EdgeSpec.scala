@@ -244,6 +244,22 @@ class EdgeSpec extends AnyFunSuite {
     assert(sizeSum == users, s"cohort sizes $sizeSum != users $users")
   }
 
+  test("e17: transitions conserve events minus first-per-user; rows sum to 1") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("e17_transition_matrix").run(spark, sf).collect()
+    val ev = graft.engine.Tables(spark, sf, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select(countDistinct(col("user_id"))).head.getLong(0)
+    // each user's first event has no predecessor and contributes nothing
+    assert(out.map(_.getLong(2)).sum == nEvents - nUsers, "transition mass")
+    out.groupBy(_.getString(0)).foreach { case (prev, rows) =>
+      val total = rows.map(_.getLong(2)).sum
+      rows.foreach(r =>
+        assert(r.getDouble(3) == r.getLong(2).toDouble / total.toDouble,
+          s"$prev p"))
+    }
+  }
+
   test("t16: every rendered-code doc flagged, every prose doc not; counts exact") {
     import org.apache.spark.sql.functions._
     val out = Registry.byName("t16_code_detect").run(spark, sf).collect()
