@@ -875,31 +875,9 @@ object TextOps {
     // zero shuffle before the ordered output.
     QuerySpec(
       "t16_code_detect",
-      (s, d) => {
-        val codeText = concat(lit("def main() {\n"),
-          concat_ws("\n", transform(split(col("text"), " "),
-            t => concat(lit("  "), t, lit("();")))),
-          lit("\n}"))
-        val corpus = Tables(s, d, "documents")
-          .select(col("doc_id"),
-            when(col("doc_id") % 7 === 0, codeText).otherwise(col("text"))
-              .as("text"))
-        // integer `div`, mirroring the oracle's `// 3` — no float hop
-        val markers = expr(
-          """cast((length(text) - length(replace(text, '();', ''))) div 3
-            |  + (length(text) - length(replace(text, '{', '')))
-            |  + (length(text) - length(replace(text, '}', ''))) as bigint)"""
-            .stripMargin)
-        corpus
-          .withColumn("n_lines",
-            size(split(col("text"), "\n")).cast(LongType))
-          .withColumn("marker_cnt", markers)
-          .withColumn("code_score",
-            col("marker_cnt").cast(DoubleType) / col("n_lines").cast(DoubleType))
-          .withColumn("is_code", col("code_score") >= 0.8)
-          .select("doc_id", "n_lines", "marker_cnt", "code_score", "is_code")
-          .orderBy("doc_id")
-      },
+      (s, d) => CodeRouting.signals(CodeRouting.plant(
+        Tables(s, d, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id"),
       Some("""WITH corpus AS (
              |  SELECT doc_id,
              |    CASE WHEN doc_id % 7 = 0
@@ -924,4 +902,45 @@ object TextOps {
              |FROM m ORDER BY doc_id""".stripMargin),
     ),
   )
+
+  /** Code-vs-prose routing — the t16 engine, ONE shared definition for
+    * the batch query and [[graft.streaming.Streams.codeRouter]] (the
+    * streaming half cannot drift from the oracle-gated batch rule). All
+    * per-row column math: stateless in append mode.
+    */
+  object CodeRouting {
+
+    /** Every 7th doc rendered as code: one `tok();` statement per line
+      * inside a brace pair — the planted structural signal.
+      */
+    def plant(docs: DataFrame): DataFrame = {
+      val codeText = concat(lit("def main() {\n"),
+        concat_ws("\n", transform(split(col("text"), " "),
+          t => concat(lit("  "), t, lit("();")))),
+        lit("\n}"))
+      docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, codeText).otherwise(col("text"))
+          .as("text"))
+    }
+
+    /** Blind detection over a (doc_id, text) frame: code markers (`();`
+      * occurrences + braces) per line, counted by length difference —
+      * no regex; integer `div` mirrors the oracle's `// 3`.
+      */
+    def signals(corpus: DataFrame): DataFrame = {
+      val markers = expr(
+        """cast((length(text) - length(replace(text, '();', ''))) div 3
+          |  + (length(text) - length(replace(text, '{', '')))
+          |  + (length(text) - length(replace(text, '}', ''))) as bigint)"""
+          .stripMargin)
+      corpus
+        .withColumn("n_lines",
+          size(split(col("text"), "\n")).cast(LongType))
+        .withColumn("marker_cnt", markers)
+        .withColumn("code_score",
+          col("marker_cnt").cast(DoubleType) / col("n_lines").cast(DoubleType))
+        .withColumn("is_code", col("code_score") >= 0.8)
+        .select("doc_id", "n_lines", "marker_cnt", "code_score", "is_code")
+    }
+  }
 }

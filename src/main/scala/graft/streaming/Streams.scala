@@ -219,6 +219,19 @@ object Streams {
         g.keep(col("n_words"), col("mwl"), col("n_stop"), col("rep")))
   }
 
+  /** Streaming code-vs-prose router — t16's detection applied to a
+    * document stream (ONE shared definition,
+    * [[graft.queries.TextOps.CodeRouting]]): the routing split a live
+    * crawl ingest makes before tokenization. Pure per-row column math —
+    * stateless append mode; StreamingSpec pins routing decisions equal
+    * to batch t16's.
+    */
+  def codeRouter(spark: SparkSession, dir: String): DataFrame = {
+    val cr = graft.queries.TextOps.CodeRouting
+    cr.signals(cr.plant(readDocs(spark, dir)
+      .select(col("doc_id"), col("text"))))
+  }
+
   /** Streaming half of e15's range join: incoming events matched to the
     * STATIC incident-window table (built batch-side by the same shared
     * [[graft.queries.EventsOps.incidentWindows]] rule). The chunked

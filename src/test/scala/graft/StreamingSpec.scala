@@ -258,6 +258,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming code router equals the batch t16 routing decisions") {
+    val q = Streams.codeRouter(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_code_router")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_code_router").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      val batch = Registry.byName("t16_code_detect").run(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      assert(streamed == batch)
+      assert(streamed.values.exists(identity) &&
+        streamed.values.exists(!_), "router lost discrimination")
+    } finally q.stop()
+  }
+
   test("streaming range-join matches equal the batch e15 pair set") {
     val q = Streams.rangeJoinMatches(spark, sf)
       .writeStream.outputMode("append")
