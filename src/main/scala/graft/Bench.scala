@@ -159,7 +159,8 @@ object Bench {
         // (chunk-hash store accounting), c25 (digest survivor accounting),
         // e16 (cohort rollup)
         "s12_hybrid_rrf", "m07_chunk_dedup_ratio", "c25_effective_tokens",
-        "e16_cohort_retention", "t16_code_detect", "p08_mixing_manifest")
+        "e16_cohort_retention", "t16_code_detect", "p08_mixing_manifest",
+        "e17_transition_matrix", "m08_format_stats")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = (r1 ++ rExt).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
