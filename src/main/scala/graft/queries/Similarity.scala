@@ -1173,7 +1173,11 @@ object Similarity {
     // transcendental — and the summation order (sparse + dense) is
     // pinned on both engines. Fusion itself is a 20∪20-row full outer
     // join: at 100 TB the fused stage costs nothing beyond the two scans
-    // the arms already do.
+    // the arms already do. The fusion contract is ARM-AGNOSTIC: the
+    // exact brute-force dense arm here is the oracle-able baseline
+    // (s01's contract); a deployment at corpus scale swaps in the
+    // s02/s04/s08 bucketed shortlists — RRF consumes only (doc_id,
+    // rank) lists, so the swap can't change the fusion semantics.
     QuerySpec(
       "s12_hybrid_rrf",
       (s, d) => {

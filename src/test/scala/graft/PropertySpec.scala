@@ -150,4 +150,12 @@ class PropertySpec extends AnyFunSuite {
     assert(ids(Dedup.bloomGuardedNewRows(
       batch.repartition(7), hist.repartition(3), "digest")) == base)
   }
+
+  test("c25 effective-token accounting is invariant under input partitioning") {
+    val c = queries.Corpus.dupPlantedCorpus(spark, sf)
+    val a = queries.Corpus.effectiveTokens(c).collect().toSeq
+    val b = queries.Corpus.effectiveTokens(c.repartition(13)).collect().toSeq
+    assert(a == b, "integer counts + fixed survivor rule must be layout-blind")
+    assert(a.nonEmpty)
+  }
 }
