@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated name prefixes — dev-only filter
-    // for gating a single query without the full 121-query run. The driver
+    // for gating a single query without the full ~190-query run. The driver
     // passes two args, so its gate always covers everything.
     val only: String => Boolean = args.lift(2) match {
       case Some(p) => val ps = p.split(","); name => ps.exists(name.startsWith)
