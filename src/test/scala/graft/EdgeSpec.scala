@@ -205,6 +205,23 @@ class EdgeSpec extends AnyFunSuite {
     assert(graft.queries.Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("phase-4 engines degrade to empty outputs on empty inputs") {
+    import org.apache.spark.sql.functions._
+    val noDocs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(col("doc_id") < 0)
+    assert(graft.queries.Corpus.effectiveTokens(noDocs).count() == 0)
+    assert(graft.queries.TextOps.CodeRouting.signals(
+      graft.queries.TextOps.CodeRouting.plant(
+        noDocs.select(col("doc_id"), col("text")))).count() == 0)
+    val noDays = Seq.empty[(Long, Long)].toDF("user_id", "day")
+    assert(graft.queries.EventsOps.cohortRetention(noDays).count() == 0)
+    // bm25 over a corpus with no matching terms: empty scores, not a crash
+    val scores = graft.queries.Corpus.bm25Scores(
+      noDocs.select(col("doc_id"), col("text")), Seq("hash"))
+    assert(scores.count() == 0)
+  }
+
   test("t13: classifier score is a bounded mean; keep tracks the sign") {
     val out = Registry.byName("t13_classifier_score").run(spark, sf).collect()
     val docs = Tables(spark, sf, "documents")
