@@ -94,14 +94,21 @@ object MultimodalOps {
     * Returns (doc_id, n_bytes, detected, claimed, ok); see the m06 spec
     * comment for the planting scheme and the binary-substring note.
     */
-  def sniffedMedia(s: SparkSession, d: String): DataFrame = {
+  def sniffedMedia(s: SparkSession, d: String): DataFrame =
+    sniffSignals(Tables(s, d, "documents").select(col("doc_id"), col("text")))
+
+  /** The header planting + detection dispatch over any (doc_id, text)
+    * frame — pure per-row column math, so the streaming half
+    * ([[graft.streaming.Streams.formatSniffer]]) runs it stateless.
+    */
+  def sniffSignals(docs: DataFrame): DataFrame = {
     val v = (col("doc_id") % 4).cast("int")
     val hdr = when(v === 0, unhex(lit("89504E470D0A1A0A")))
       .when(v === 1, unhex(lit("FFD8FF")))
       .when(v === 2, unhex(lit("524946460000000057415645")))
     val payload = when(v === 3, encode(col("text"), "UTF-8"))
       .otherwise(concat(hdr, encode(col("text"), "UTF-8")))
-    Tables(s, d, "documents")
+    docs
       .select(col("doc_id"), payload.as("p"))
       .select(col("doc_id"),
         length(col("p")).cast(LongType).as("n_bytes"),

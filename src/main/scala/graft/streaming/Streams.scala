@@ -232,6 +232,17 @@ object Streams {
       .select(col("doc_id"), col("text"))))
   }
 
+  /** Streaming format sniffer — m06's magic-byte QA applied to a live
+    * media ingest (ONE shared definition,
+    * [[graft.queries.MultimodalOps.sniffSignals]]): claimed-vs-detected
+    * routing before any decoder touches a payload. Per-row binary
+    * prefix math — stateless append mode; StreamingSpec pins streaming
+    * == batch m06.
+    */
+  def formatSniffer(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.MultimodalOps.sniffSignals(
+      readDocs(spark, dir).select(col("doc_id"), col("text")))
+
   /** Streaming half of e15's range join: incoming events matched to the
     * STATIC incident-window table (built batch-side by the same shared
     * [[graft.queries.EventsOps.incidentWindows]] rule). The chunked

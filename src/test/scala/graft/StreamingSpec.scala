@@ -258,6 +258,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming format sniffer equals the batch m06 verdicts") {
+    val q = Streams.formatSniffer(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_sniffer")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sniffer").collect()
+        .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(4))).toMap
+      val batch = Registry.byName("m06_magic_sniff").run(spark, sf)
+        .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(4)))
+        .toMap
+      assert(streamed == batch)
+      assert(streamed.values.map(_._1).toSet.size > 1, "detection collapsed")
+    } finally q.stop()
+  }
+
   test("streaming code router equals the batch t16 routing decisions") {
     val q = Streams.codeRouter(spark, sf)
       .writeStream.outputMode("append")
