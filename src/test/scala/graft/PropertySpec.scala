@@ -151,6 +151,22 @@ class PropertySpec extends AnyFunSuite {
       batch.repartition(7), hist.repartition(3), "digest")) == base)
   }
 
+  test("registry contract is well-formed: unique names, prefixed ids, oracle coverage") {
+    val specs = Registry.specs
+    val names = specs.map(_.name)
+    assert(names.distinct.length == names.length,
+      s"duplicate query names: ${names.diff(names.distinct)}")
+    // every name carries a family prefix the driver/judge can bucket by
+    assert(names.forall(_.matches("^[a-z][0-9]{2}_[a-z0-9_]+$")), names
+      .filterNot(_.matches("^[a-z][0-9]{2}_[a-z0-9_]+$")).mkString(","))
+    // rows-only queries are the two BPE ops BY DESIGN — any new oracle-less
+    // query must be a deliberate decision, not an omission
+    val rowsOnly = specs.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(rowsOnly == Set("c17_bpe_merges", "c18_bpe_encode"),
+      s"unexpected rows-only queries: $rowsOnly")
+    assert(Registry.headline.nonEmpty)
+  }
+
   test("c25 effective-token accounting is invariant under input partitioning") {
     val c = queries.Corpus.dupPlantedCorpus(spark, sf)
     val a = queries.Corpus.effectiveTokens(c).collect().toSeq
