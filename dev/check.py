@@ -48,6 +48,21 @@ def main(sfdir, outdir, json_out=None):
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # Completion manifest (written by graft.Verify): the floor on how many
+    # query verdicts this run must produce. Guards against the r03/r08
+    # failure mode where the round's artifact arrived as `{}` — an artifact
+    # below the manifest count is a harvest bug, and emitting it would
+    # silently zero the round's correctness signal.
+    manifest = None
+    try:
+        manifest = json.load(open(f"{outdir}/_manifest.json"))
+        print(f"manifest: {len(manifest['written'])} written, "
+              f"{len(manifest['failed'])} failed, "
+              f"{manifest['queries_total']} total")
+        for mq, merr in sorted(manifest["failed"].items()):
+            print(f"FAILED-IN-VERIFY  {mq}: {merr}")
+    except FileNotFoundError:
+        print("WARNING: no _manifest.json in verify output (old Verify build?)")
     n_pass = n_fail = n_skip = 0
     report = {}
 
@@ -110,7 +125,16 @@ def main(sfdir, outdir, json_out=None):
             rec(name, True, True, True, len(s_rows), len(d_rows), None)
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only/skip")
+    # Refuse to write an artifact that would under-report the gate: zero
+    # queries, or fewer verdicts than the manifest says Verify produced.
     if json_out:
+        floor = len(manifest["written"]) if manifest else 1
+        covered = len(report) + n_skip  # rows-only queries have no report row
+        if covered == 0 or covered < floor:
+            print(f"REFUSING to write {json_out}: covered {covered} queries "
+                  f"but manifest floor is {floor} — artifact would zero the "
+                  f"round's correctness signal (harvest bug, not engine bug)")
+            return 2
         with open(json_out, "w") as f:
             json.dump(dict(sorted(report.items())), f, indent=2)
         print(f"wrote {json_out}")

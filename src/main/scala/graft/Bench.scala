@@ -46,21 +46,30 @@ object Bench {
     catch { case _: Throwable => () }
 
     // min of two runs: the first run of a query pays one-off codegen/JIT
-    // costs that say nothing about per-row throughput.
-    val results = Registry.headline.map { spec =>
+    // costs that say nothing about per-row throughput. BOTH raw runs are
+    // kept and emitted (`*_runs` fields) so machine interference is visible
+    // in the artifact — the r8 driver bench showed phantom "regressions"
+    // (q11 0.92→2.31 s) that a lone min-of-2 number can't distinguish from
+    // a real plan change, but a [0.95, 2.31] pair can.
+    def runPair(spec: QuerySpec, dir: String, tag: String): (String, Seq[Double]) = {
       val secs = (1 to 2).map { _ =>
         time {
-          try spec.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          try spec.run(spark, dir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
-            System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
+            System.err.println(s"[bench] $tag${spec.name} failed: ${e.getMessage}")
           }
         }
       }
-      spec.name -> secs.min
+      spec.name -> secs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def minsJson(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v.min }.mkString("{", ",", "}")
+    def runsJson(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+    val results = Registry.headline.map(spec => runPair(spec, sfDir, ""))
+    val qs = minsJson(results)
+    val total = results.map(_._2.min).sum
 
     // Optional larger-SF point: the headline set is overhead-dominated at
     // sf0.1 on 32 cores (~0.4 s fixed job setup per query), so per-row
@@ -108,17 +117,8 @@ object Bench {
     }
     val sf1 = if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
       warm(sf1Dir)
-      def timed(spec: QuerySpec): (String, Double) = {
-        val secs = (1 to 2).map { _ =>
-          time {
-            try spec.run(spark, sf1Dir).write.format("noop").mode("overwrite").save()
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] sf1 ${spec.name} failed: ${e.getMessage}")
-            }
-          }
-        }
-        spec.name -> secs.min
-      }
+      def timed(spec: QuerySpec): (String, Seq[Double]) =
+        runPair(spec, sf1Dir, "sf1 ")
       val r1 = Registry.headline.map(timed)
       // non-headline operators whose cost profile only shows at scale:
       // clustering (iterative CC), contamination (gram join), inverted
@@ -162,9 +162,9 @@ object Bench {
         "e16_cohort_retention", "t16_code_detect", "p08_mixing_manifest",
         "e17_transition_matrix", "m08_format_stats")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
-      val q1 = (r1 ++ rExt).map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      s""","sf1_total":${r1.map(_._2).sum},"sf1_ext_total":${rExt.map(_._2).sum},"sf1_queries":$q1,"sf1_dir":"$sf1Dir""""
+      val q1 = minsJson(r1 ++ rExt)
+      val q1runs = runsJson(r1 ++ rExt)
+      s""","sf1_total":${r1.map(_._2.min).sum},"sf1_ext_total":${rExt.map(_._2.min).sum},"sf1_queries":$q1,"sf1_queries_runs":$q1runs,"sf1_dir":"$sf1Dir""""
     } else ""
     // HLL-only distinct count: q39's contract output folds in an exact
     // countDistinct purely so the DuckDB oracle can hash-match it, which
@@ -209,7 +209,17 @@ object Bench {
     val duck1 =
       if (sf1.isEmpty) ""","sf1":"skipped (no data)""""
       else duckTotal(sf1Dir).map(v => s""","sf1_duckdb_total":$v""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","hll_only":$hll,"note":"$note"$duck$sf1$duck1}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":${runsJson(results)},"sf":"$sfDir","hll_only":$hll,"note":"$note"$duck$sf1$duck1}"""
+    println(line)
+    // The same line, file-based: the driver harvests the stdout tail, where
+    // the JSON rides behind sbt's "[info] " prefix and a tail window that
+    // has truncated it before (BENCH_r08 lost the sf0.1 headline total; the
+    // driver's `parsed` field has been null every round). A file can be
+    // neither prefix-mangled nor tail-truncated.
+    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

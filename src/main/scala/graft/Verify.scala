@@ -31,12 +31,24 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.filter(t => only(t._1)).map { case (name, fn) =>
+    // Per-query outcome, recorded for the completion manifest below. A
+    // write failure is still only logged (the gate should report EVERY
+    // query's verdict, not die on the first), but it is no longer silent:
+    // the manifest distinguishes "engine never produced output" from "the
+    // driver's harvest lost the artifact" — twice now (r03, r08) the
+    // round's CORRECTNESS_r*.json arrived as `{}` with a fully green
+    // engine, and nothing in the output could prove which side failed.
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val selected = SparkEntry.queries.toSeq.filter(t => only(t._1))
+    val futures = selected.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          outcomes.put(name, "")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          outcomes.put(name, Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       }
     }
@@ -59,6 +71,31 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Completion manifest: the machine-checkable record that Verify ran to
+    // completion and what it produced. dev/check.py refuses to emit a
+    // correctness artifact that covers fewer queries than `written` claims,
+    // so an empty or truncated driver artifact is provably a harvest
+    // failure, never a silently-zeroed engine.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val written = outcomes.asScala.toSeq.collect { case (n, "") => n }.sorted
+      val failed = outcomes.asScala.toSeq.collect {
+        case (n, msg) if msg.nonEmpty => n -> msg
+      }.sortBy(_._1)
+      val manifest =
+        s"""{"queries_total": ${selected.size}, """ +
+          s""""written": ${written.map(q).mkString("[", ",", "]")}, """ +
+          s""""failed": ${failed.map { case (n, m) => s"${q(n)}: ${q(m.take(300))}" }
+              .mkString("{", ",", "}")}}"""
+      Files.writeString(Paths.get(s"$outDir/_manifest.json"), manifest)
+      if (failed.nonEmpty) {
+        System.err.println(s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
+          failed.map(_._1).mkString(", "))
+      }
+      System.err.println(
+        s"[verify] manifest: ${written.size} written, ${failed.size} failed, " +
+          s"${selected.size} total")
+    }
     spark.stop()
   }
 }
