@@ -383,68 +383,117 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list (a_id, b_id) by
-    * iterative min-label propagation: every vertex starts labeled with its
-    * own id; each round every vertex takes the min of its label and its
-    * neighbors' labels; converged when no label changes. This is the
-    * standard cluster-scale CC shape (what GraphX/Pregel run under the
-    * hood): per round one join + one aggregation, both shuffling on vertex
-    * id, state = one (id, label) row per vertex. Rounds = graph diameter —
-    * near-dup clusters are dense (diameter ≤ 2-3), so a handful of rounds.
+    * alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
+    * rounds instead of the O(diameter) min-label propagation this replaces.
+    * Edges are kept canonical (u > v, no self-loops, deduped); one round is:
     *
-    * The driver-side loop is inherent to fixpoint iteration (someone must
-    * decide convergence); the per-round convergence probe is a single-value
-    * `sum(label)`. The probe is SOUND, not just heuristic: each vertex's
-    * label is min(previous label, neighbor labels), so every term of the sum
-    * is monotone non-increasing round over round — an unchanged sum forces
-    * every term unchanged (no cancellation is possible when no term can
-    * grow), and termwise-unchanged labels ARE the fixpoint.
+    *  - LARGE-STAR: every node x attaches each strictly LARGER neighbor to
+    *    m(x) = min of x's closed neighborhood. One groupBy(x) min + one
+    *    join, both shuffling 8-byte vertex ids; edge count never grows
+    *    (each canonical edge maps to exactly one new edge).
+    *  - SMALL-STAR: every node x attaches its SMALLER neighbors and itself
+    *    to their minimum. Same shuffle shape; adds at most one (x, m) edge
+    *    per node.
     *
-    * Rounds needed = graph diameter. If `maxRounds` is hit before the
-    * fixpoint this THROWS rather than returning silently-wrong labels —
-    * near-dup graphs are dense (diameter ≤ 2–3) so the default cap is ~20×
-    * headroom, but a generic caller with a long-chain graph must hear about
-    * non-convergence, not get plausible garbage.
+    * Both operations provably preserve the component partition (SoCC'14
+    * Lemmas 1-2: new edges only connect vertices already in one component,
+    * and connectivity is never lost). The fixpoint is a STAR FOREST whose
+    * centers are the component minima — so the final labels fall straight
+    * out of the edge list: leaves label with their center, centers with
+    * themselves.
     *
-    * Each round's label frame is materialized by an eager LOCAL CHECKPOINT,
-    * not a cache: `next` references `labels` twice (self ∪ propagated), so
-    * an uncheckpointed lineage doubles every round — 2^rounds plan nodes by
-    * round 20 — and a cache entry leaks storage past the call. The
-    * checkpoint truncates the plan to the materialized blocks (plan size
-    * O(1) in rounds); superseded round RDDs are released by Spark's
-    * ContextCleaner once unreferenced, and the returned frame is
-    * self-contained — no cache entries outlive the call.
+    * Convergence probe (sound, like the sum-probe it replaces — termination
+    * implies a correct labeling of the *current* graph): the edge set is a
+    * star forest iff no vertex appears as both a leaf (u side) and a center
+    * (v side) AND no leaf points at two centers. Both conditions reduce to
+    * one union + groupBy over the edge list with two counters per vertex
+    * (`deg` = appearances, `outdeg` = appearances as leaf): a violation is
+    * `outdeg > 1` (leaf with two centers — more merging needed) or
+    * `outdeg >= 1 && deg > outdeg` (center that is itself a leaf — a chain).
+    * Zero violations ⇒ star forest ⇒ labels are exact component minima.
+    *
+    * If `maxRounds` is hit before the fixpoint this THROWS rather than
+    * returning silently-wrong labels. O(log n) rounds means the default cap
+    * covers any graph up to ~2^50 vertices — the cap exists for contract
+    * loudness, not as a realistic limit.
+    *
+    * Each round's edge frame is materialized by an eager LOCAL CHECKPOINT:
+    * the star transforms reference `edges` twice (both join sides derive
+    * from it), so an uncheckpointed lineage doubles every round; the
+    * checkpoint keeps plan size O(1) in rounds and superseded round RDDs
+    * are released by the ContextCleaner. No cache entries outlive the call.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxRounds)._1
+
+  /** As [[connectedComponents]], also returning the number of star rounds
+    * run before the fixpoint — the ScaleProbe CC section reports it so the
+    * O(log n)-rounds claim is measured, not asserted. */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     require(maxRounds > 0, "maxRounds must be positive")
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
-    var sum = labels.agg(coalesce(org.apache.spark.sql.functions.sum("label"),
-      lit(0L))).head().getLong(0)
-    var converged = false
+    // all vertices of the ORIGINAL graph (incl. self-loop-only ones, which
+    // the canonical edge list drops) — the output covers every one of them
+    val vertices = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id"))).distinct()
+      .localCheckpoint(true)
+    var edges = pairs
+      .select(greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val m = nbrs.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      // y > x >= m, so (y, m) is already canonical and never a self-loop
+      nbrs.filter(col("y") > col("x")).join(m, "x")
+        .select(col("y").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical edges: x's smaller neighbors are exactly the v's of its
+      // u-side edges
+      val lower = e.select(col("u").as("x"), col("v").as("y"))
+      val m = lower.groupBy("x").agg(min(col("y")).as("m"))
+      val leaves = lower.join(m, "x")
+        .filter(col("y") =!= col("m"))
+        .select(col("y").as("u"), col("m").as("v")) // y > m: canonical
+      val self = m.select(col("x").as("u"), col("m").as("v")) // x > m
+      leaves.union(self).distinct()
+    }
+    /** -1 when the edge set is a star forest, else the violation count. */
+    def violations(e: DataFrame): Long =
+      e.select(col("u").as("id"), lit(1L).as("outdeg"))
+        .union(e.select(col("v").as("id"), lit(0L).as("outdeg")))
+        .groupBy("id")
+        .agg(org.apache.spark.sql.functions.sum("outdeg").as("outdeg"),
+          count(lit(1)).as("deg"))
+        .filter(col("outdeg") > 1 ||
+          (col("outdeg") >= 1 && col("deg") > col("outdeg")))
+        .count()
+
+    var converged = violations(edges) == 0
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val prop = edges.toDF("jid", "dst")
-        .join(labels.toDF("jid", "lab"), "jid")
-        .select(col("dst").as("id"), col("lab").as("label"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
-      val nextSum = next.agg(coalesce(org.apache.spark.sql.functions.sum("label"),
-        lit(0L))).head().getLong(0)
-      labels = next
-      converged = nextSum == sum
-      sum = nextSum
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = violations(edges) == 0
       rounds += 1
     }
-    edges.unpersist()
     if (!converged) {
       throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxRounds rounds " +
-          "(graph diameter exceeds the cap); raise maxRounds")
+        s"connectedComponents did not converge within $maxRounds rounds; " +
+          "raise maxRounds")
     }
-    labels
+    // star forest: leaves -> center, centers -> themselves; vertices the
+    // canonical edge list dropped (self-loop-only) label themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v").as("id"), col("v").as("label")).distinct())
+    val out = vertices.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      .localCheckpoint(true)
+    (out, rounds)
   }
 
   /** Corpus-level line dedup, per-line verdict — the d12/ScaleProbe engine.

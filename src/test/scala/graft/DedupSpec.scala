@@ -98,18 +98,24 @@ class DedupSpec extends AnyFunSuite {
 
   test("connectedComponents throws past the round cap instead of lying") {
     import spark.implicits._
-    // a 12-vertex chain has diameter 11 > maxRounds = 3: min-label
-    // propagation cannot finish, and the contract is a LOUD failure — an
-    // unconverged label set is silently-wrong clustering
-    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // star contraction closes a chain in O(log n) rounds, so the cap test
+    // needs a chain long enough that ONE round provably cannot finish it
+    // (one large-star + small-star round cannot collapse a 256-diameter
+    // path). The contract is a LOUD failure — an unconverged label set is
+    // silently-wrong clustering.
+    val chain = (0L until 256L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val ex = intercept[IllegalStateException] {
-      graft.queries.Dedup.connectedComponents(chain, maxRounds = 3)
+      graft.queries.Dedup.connectedComponents(chain, maxRounds = 1)
     }
     assert(ex.getMessage.contains("did not converge"))
-    // the same chain converges with an adequate cap and labels to vertex 0
-    val labels = graft.queries.Dedup.connectedComponents(chain, maxRounds = 20)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size == 12 && labels.values.forall(_ == 0L))
+    // the same chain converges with an adequate cap and labels to vertex 0,
+    // in far fewer rounds than its diameter (the O(log n) claim, measured)
+    val (labelsDf, rounds) = graft.queries.Dedup
+      .connectedComponentsWithRounds(chain, maxRounds = 20)
+    val labels = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 257 && labels.values.forall(_ == 0L))
+    assert(rounds <= 15, s"star contraction took $rounds rounds on a " +
+      "257-vertex chain — O(log n) regressed to O(diameter)")
   }
 
   test("d08 clusters are a partition and keep every planted triple together") {
