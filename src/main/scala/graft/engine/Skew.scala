@@ -17,6 +17,23 @@ import org.apache.spark.sql.functions._
   * problem reactively at runtime; explicit salting remains the tool when the
   * skew is known ahead of time or the join sits under further shuffles AQE
   * won't re-split.
+  *
+  * Decision rule (gated by PlanSpec "AQE splits a planted skewed join" and
+  * the ScaleProbe `skewjoin` section):
+  *  1. DEFAULT: do nothing — AQE's `OptimizeSkewedJoin` splits oversized
+  *     join partitions at runtime using the actual map-output sizes. It
+  *     needs no foreknowledge of which key is hot, adds zero cost when data
+  *     is uniform, and composes with partition coalescing.
+  *  2. SALT (this object) only when AQE cannot act:
+  *     - the skewed shuffle feeds an AGGREGATION, not a join (AQE skew
+  *       handling only splits join partitions; a hot groupBy key still
+  *       lands on one task — pre-aggregate by (key, salt), then merge);
+  *     - the join's output partitioning must survive for a downstream
+  *       stage (skew-split breaks the partitioning guarantee, so AQE
+  *       refuses to split such joins — e.g. under a co-partitioned merge);
+  *     - the hot key is known AND the small side is cheap to replicate,
+  *       and you want deterministic task sizing rather than reactive
+  *       re-planning (benchmark pinning).
   */
 object Skew {
 

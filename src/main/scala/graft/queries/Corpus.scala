@@ -148,7 +148,10 @@ object Corpus {
     * `bm25(doc_id, score)`; callers append their final SELECT.
     */
   def bm25Sql(qt: Seq[String]): String = {
-    val inList = qt.map(t => s"'$t'").mkString(", ")
+    // SQL-escape each term (single quote doubling) — terms land inside the
+    // oracle's IN (...) literal list, and an unescaped quote would break or
+    // inject into the generated DuckDB query
+    val inList = qt.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |lens AS (
@@ -955,14 +958,19 @@ object Corpus {
     * and in the Spark defaults must stay in lockstep.
     */
   lazy val WaterFillCtes: String = {
-    s"""tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS s FROM by_src),
+    s"""by_src_pos AS (
+       |  -- zero-token sources are excluded BEFORE allocation (mirrored in
+       |  -- tokenBudgetFillFromCounts): a 0-token source would divide by
+       |  -- zero in epochs, where Spark yields Infinity but DuckDB NULL
+       |  SELECT * FROM by_src WHERE n_tokens > 0),
+       |tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS s FROM by_src_pos),
        |r1 AS (
        |  SELECT source, n_tokens,
        |    1.4 * CAST(n_tokens AS DOUBLE) AS cap,
        |    least((1.2 * CAST(t AS DOUBLE)) / CAST(s AS DOUBLE),
        |      1.4 * CAST(n_tokens AS DOUBLE)) AS alloc1,
        |    (1.2 * CAST(t AS DOUBLE)) / CAST(s AS DOUBLE) AS want
-       |  FROM by_src, tot),
+       |  FROM by_src_pos, tot),
        |l1 AS (
        |  SELECT 1.2 * CAST((SELECT t FROM tot) AS DOUBLE)
        |      - ${Exact.sqlSum("alloc1")} AS left1,
@@ -997,7 +1005,13 @@ object Corpus {
     */
   def tokenBudgetFillFromCounts(bySrcIn: DataFrame, budgetMult: Double = 1.2,
       maxEpochs: Double = 1.4): DataFrame = {
-    val bySrc = bySrcIn.localCheckpoint(true)
+    // exclude zero-token sources before allocating (mirrored in
+    // WaterFillCtes' by_src_pos): epochs = alloc / n_tokens would divide
+    // by zero — Spark Infinity vs DuckDB NULL, a silent engine divergence
+    // the moment a future corpus makes the case reachable (p08 feeds
+    // dedup-effective unique_tokens here, which CAN be 0 for a source
+    // whose every digest survives elsewhere)
+    val bySrc = bySrcIn.filter(col("n_tokens") > 0).localCheckpoint(true)
     val tot = broadcast(bySrc.agg(sum(col("n_tokens")).as("t"),
       count(lit(1)).as("s")))
     val budget = lit(budgetMult) * col("t").cast(DoubleType)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -546,8 +546,10 @@ object EventsOps {
     // Cohort retention — the product-analytics staple: users grouped by
     // first-seen week (cohort), activity counted per week offset since
     // that first appearance, retention = active/cohort_size. All
-    // integer day/week math on epoch-µs (floor division — exact, both
-    // engines), so the only double is the final ratio. Shuffle shape:
+    // integer day/week math on epoch-µs in FLOOR-division form
+    // (pmod-adjusted on the Spark side, since `div` truncates toward
+    // zero while DuckDB's `//` floors — they agree only on non-negative
+    // inputs), so the only double is the final ratio. Shuffle shape:
     // one user-keyed min-agg for first-seen (per-user O(1) state), the
     // first-seen frame re-joins the stream on user_id (a dim-sized side
     // AQE broadcasts at any realistic user count), a (user, cohort,
@@ -556,7 +558,10 @@ object EventsOps {
     QuerySpec(
       "e16_cohort_retention",
       (s, d) => cohortRetention(
-        ev(s, d).select(col("user_id"), expr(s"($TsUsSql) div $DayUs").as("day"))),
+        ev(s, d).select(col("user_id"),
+          // floor form (see cohortRetention): `div` alone truncates and
+          // would disagree with the oracle's `//` for pre-1970 timestamps
+          expr(s"(($TsUsSql) - pmod($TsUsSql, $DayUs)) div $DayUs").as("day"))),
       Some(s"""WITH ev AS (
               |  SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
               |first_ AS (
@@ -687,16 +692,24 @@ object EventsOps {
     * e16 QuerySpec comment for the shuffle shape.
     */
   def cohortRetention(days: DataFrame): DataFrame = {
+    // FLOOR division, not Spark's truncate-toward-zero `div`: DuckDB's `//`
+    // floors, so `div` alone would diverge on negative inputs (pre-1970
+    // timestamps make `day` and `d0` negative). (a - pmod(a, 7)) is exactly
+    // divisible by 7 with a non-negative remainder removed, so the
+    // truncating div of it IS floor — pure integer arithmetic, no
+    // double-rounding hazard. week_offset needs no guard (day >= d0 by
+    // construction), but gets the same form for uniformity.
+    def floorDiv7(e: String): Column = expr(s"(($e) - pmod($e, 7)) div 7")
     val first = days.groupBy("user_id").agg(min(col("day")).as("d0"))
     val active = days.join(first, "user_id")
-      .select(expr("d0 div 7").as("cohort_week"),
-        expr("(day - d0) div 7").as("week_offset"),
+      .select(floorDiv7("d0").as("cohort_week"),
+        floorDiv7("day - d0").as("week_offset"),
         col("user_id"))
       .distinct()
     val counts = active.groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("active_users"))
     val sizes = first
-      .select(expr("d0 div 7").as("cohort_week"), col("user_id"))
+      .select(floorDiv7("d0").as("cohort_week"), col("user_id"))
       .groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
     counts.join(sizes, "cohort_week")
       .select(col("cohort_week"), col("week_offset"),

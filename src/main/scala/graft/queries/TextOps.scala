@@ -907,6 +907,15 @@ object TextOps {
     * the batch query and [[graft.streaming.Streams.codeRouter]] (the
     * streaming half cannot drift from the oracle-gated batch rule). All
     * per-row column math: stateless in append mode.
+    *
+    * SYNTHETIC-CORPUS ASSUMPTION: the 0.8 markers-per-line threshold
+    * discriminates cleanly here because the prose side of this corpus is
+    * brace-free (generated token text) while planted code carries one
+    * `();` per line — EdgeSpec pins exactly that. Real-world prose is
+    * often single-line and one stray `{` or `();` would clear the
+    * threshold; a production router should require multiple DISTINCT
+    * marker kinds (braces AND call syntax) or a minimum marker count
+    * before flagging, not just this density ratio.
     */
   object CodeRouting {
 

@@ -96,18 +96,22 @@ object ScaleProbe {
     // Each planted group {d, d+1B, d+2B} is fully linked by the pairs above
     // (exact copy: jaccard 1; near copy: high overlap), so CC must produce
     // `planted` clusters of exactly 3 — false-positive edges could only
-    // merge clusters, so ≥ 95% surviving at size 3 is the pass bar. Rounds
-    // = cluster diameter (≤ 2): the fixpoint loop must converge immediately,
-    // proving the probe's O(rounds · one-join-one-agg) cost model.
-    val (ccSizes, tCc) = time {
-      val labels = Dedup.connectedComponents(pairs.select("a_id", "b_id"))
-      labels.groupBy("label").agg(count(lit(1)).as("sz"))
+    // merge clusters, so ≥ 95% surviving at size 3 is the pass bar. Star
+    // contraction converges dense triangle clusters in 1-2 rounds (reported
+    // as cc_rounds), proving the O(log n)-rounds cost model on real pairs.
+    val (ccRes, tCc) = time {
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+        pairs.select("a_id", "b_id"))
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("sz"))
         .filter(col("sz") > 1)
         .groupBy("sz").count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (sizes, rounds)
     }
+    val (ccSizes, ccRounds) = ccRes
     val size3 = ccSizes.getOrElse(3L, 0L)
     println(s"""{"probe":"cc","edges":$nPairs,"cc_sec":$tCc,""" +
+      s""""cc_rounds":$ccRounds,""" +
       s""""clusters_size3":$size3,"cluster_sizes":"${ccSizes.toSeq.sorted
         .map { case (k, v) => s"$k:$v" }.mkString(",")}",""" +
       s""""cc_ok":${size3 >= (planted * 95) / 100}}""")
@@ -784,6 +788,49 @@ object ScaleProbe {
       s""""vectors":${nEmb + plantedEmb + 5000},"sparse_list":$s12Sp,""" +
       s""""dense_list":$s12Dn,"fused":$s12Fused,"top_rrf":$s12Top,""" +
       s""""sec":$tS12,"s12_ok":${s12Sp == 20 && s12Dn == 20 && s12Fused == 10}}""")
+
+    // ---- skewjoin probe: AQE OptimizeSkewedJoin on a planted hot key ----
+    // One key carries 50% of the big side (n rows, incompressible 64-char
+    // payload so the COMPRESSED map-output sizes AQE reads show the skew).
+    // Same join run twice: skew handling ON must mark the SMJ skew=true
+    // and split the hot partition across tasks; OFF runs the hot partition
+    // as one straggler task. Wall times + equal row counts are the
+    // evidence for the Skew.scala decision rule ("default = let AQE act").
+    val skewConfs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB")
+    val skewSaved = (skewConfs.keys ++ Seq("spark.sql.adaptive.skewJoin.enabled"))
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val skewPad = concat(md5(col("id").cast("string")),
+        md5((col("id") + 7).cast("string"))).as("pad")
+      val bigSkew = spark.range(n / 2).select(lit(0L).as("k"), skewPad)
+        .unionByName(
+          spark.range(n / 2).select((col("id") % 10000 + 1).as("k"), skewPad))
+      val dimSkew = spark.range(10001)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      def runSkewJoin(handle: Boolean): (Long, Boolean, Double) = {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", handle.toString)
+        val j = bigSkew.join(dimSkew, "k")
+        val ((cnt, fired), sec) = time {
+          val c = j.queryExecution.executedPlan.execute().count()
+          (c, j.queryExecution.executedPlan.toString.contains("skew=true"))
+        }
+        (cnt, fired, sec)
+      }
+      val (cOn, firedOn, tOn) = runSkewJoin(handle = true)
+      val (cOff, firedOff, tOff) = runSkewJoin(handle = false)
+      println(s"""{"probe":"skewjoin","rows":$n,"hot_share":0.5,""" +
+        s""""split_sec":$tOn,"straggler_sec":$tOff,""" +
+        s""""skew_fired":$firedOn,"skew_fired_off":$firedOff,""" +
+        s""""skewjoin_ok":${cOn == n && cOff == n && firedOn && !firedOff}}""")
+    } finally skewSaved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
     spark.stop()
   }
 }

@@ -392,15 +392,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q85 cube expands grouping sets in ONE pass; q87 pivot is one scan") {
+    // count distinct scan NODES via the details-section headers
+    // ("(<id>) Scan parquet") rather than raw line mentions — the tree
+    // section also names each scan, and exact mention counts are brittle
+    // against explain-format changes (a format tweak would fail this test
+    // for reasons unrelated to the single-scan property it gates)
+    def scanNodes(p: String): Int =
+      p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet.*"""))
     val p85 = plan("q85_cube")
     // Expand feeds a single partial+final agg — no per-subtotal rescan
     assert(p85.contains("Expand"), p85)
     assert(p85.contains("partial_count"), p85)
-    // formatted mode mentions each scan twice (tree + details): one
-    // scan == exactly 2 mentions
-    assert(p85.linesIterator.count(_.contains("Scan parquet")) == 2, p85)
+    assert(scanNodes(p85) == 1, s"expected ONE scan node:\n$p85")
     val p87 = plan("q87_pivot")
-    assert(p87.linesIterator.count(_.contains("Scan parquet")) == 2, p87)
+    assert(scanNodes(p87) == 1, s"expected ONE scan node:\n$p87")
     assert(p87.contains("partial_sum"), p87)
   }
 
@@ -421,5 +426,53 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty, p)
     assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")),
       s"doc text leaks into a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("AQE splits a planted skewed join at runtime (OptimizeSkewedJoin fires)") {
+    // engine/Skew.scala documents the decision rule: AQE's reactive
+    // skew-split is the DEFAULT defense (no code changes, reacts to the
+    // actual runtime sizes); explicit salting is for skew that AQE cannot
+    // see or re-split — a skewed SHUFFLE feeding an aggregation rather
+    // than a join, or a join whose output partitioning must be preserved
+    // for a downstream stage. This test proves the default actually fires:
+    // a planted hot key carrying 50% of the rows must come out of AQE as
+    // a skew-split sort-merge join, not one straggler task.
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold", // force a shuffled join
+      // test-sized skew thresholds: the defaults (256 MB partitions) are
+      // cluster-scale; the RULE under test is identical
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val n = 240000L
+      // skew detection reads COMPRESSED map-output sizes — constant-char
+      // padding lz4-compresses ~50× and hides the hot partition, so the
+      // payload must be incompressible: two md5 rounds = 64 ~random chars
+      val pad = concat(md5(col("id").cast("string")),
+        md5((col("id") + 7).cast("string"))).as("pad")
+      val hot = spark.range(n / 2).select(lit(0L).as("k"), pad)
+      val rest = spark.range(n / 2).select((col("id") % 10000 + 1).as("k"), pad)
+      val big = hot.union(rest)
+      val dim = spark.range(10001).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = big.join(dim, "k")
+      // AQE decides at RUNTIME — materialize THIS queryExecution (a
+      // derived Dataset would execute its own plan and leave this one
+      // isFinalPlan=false), then read the final adaptive plan
+      val rows = joined.collect()
+      assert(rows.length == n, "inner join must preserve every big-side row")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the join (skew=true):\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
