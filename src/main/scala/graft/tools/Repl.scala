@@ -11,6 +11,12 @@ import graft.engine.{GraftSession, Tables}
   * meta-commands:
   *   \dt                      list tables        (reference: src/cli.rs:118-119)
   *   \load csv <name> <path>  register a CSV     (reference: src/cli.rs:111-129)
+  *   \explain <sql>           plan tree          (reference pretty-prints its
+  *                            plan via src/util/mod.rs:14-16 +
+  *                            src/optimizer/plan_node/mod.rs:45-50; the Spark
+  *                            equivalent is the extended explain — parsed /
+  *                            analyzed / optimized logical + physical plan,
+  *                            with the pushdown detail the reference lacks)
   *   <sql>                    run through spark.sql
   * Rendering matches the reference's SLT rules (src/util/mod.rs:27-54):
   * space-separated values, NULL for nulls, (empty) for empty strings.
@@ -33,6 +39,11 @@ object Repl {
           val df = Tables.loadCsv(spark, parts(2), parts(3))
           s"loaded ${parts(2)} (${df.schema.fields.length} columns)"
         }
+      } else if (trimmed == "\\explain" || trimmed.startsWith("\\explain ")) {
+        val sql = trimmed.stripPrefix("\\explain").trim
+        if (sql.isEmpty) "usage: \\explain <sql>"
+        else spark.sql(sql).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExtendedMode)
       } else render(spark, trimmed)
     } catch {
       case NonFatal(e) => s"error: ${e.getMessage}"
@@ -55,7 +66,8 @@ object Repl {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("graft-repl")
     args.headOption.foreach(dir => Tables.registerAll(spark, dir))
-    println("graft> enter SQL, \\dt, \\load csv <name> <path>, or \\q")
+    println("graft> enter SQL, \\dt, \\load csv <name> <path>, " +
+      "\\explain <sql>, or \\q")
     Iterator.continually(scala.io.StdIn.readLine("graft> "))
       .takeWhile(l => l != null && l.trim != "\\q")
       .foreach(l => println(handle(spark, l)))

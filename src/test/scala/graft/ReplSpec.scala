@@ -33,6 +33,21 @@ class ReplSpec extends AnyFunSuite {
     assert(out.startsWith("error: "))
   }
 
+  test("\\explain prints the optimized and physical plan") {
+    val path = getClass.getResource("/csv/employee.csv").getPath
+    Repl.handle(spark, s"\\load csv employee $path")
+    val out = Repl.handle(spark,
+      "\\explain select first_name from employee where id > 2")
+    assert(out.contains("== Optimized Logical Plan =="), out)
+    assert(out.contains("== Physical Plan =="), out)
+    // the plan is the real one: the filter must appear as a pushed/planned
+    // predicate, not vanish into a collect-then-filter
+    assert(out.contains("id"), out)
+    assert(Repl.handle(spark, "\\explain") == "usage: \\explain <sql>")
+    assert(Repl.handle(spark, "\\explain select * from no_such_table")
+      .startsWith("error: "))
+  }
+
   test("salted join returns identical results to the plain join") {
     val ev = Tables(spark, sf, "events")
     val users = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
