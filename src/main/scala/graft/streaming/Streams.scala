@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface. The reference has no streaming at all
@@ -403,5 +405,98 @@ object Streams {
             out.result().iterator
           }
       }
+  }
+
+  /** Spark 4 `transformWithState` sessionization — the SAME contract as
+    * [[sessionizeAppend]] (Append mode, emit on close, state evicted by an
+    * event-time timer), expressed in the forward-compatible stateful API.
+    *
+    * Decision record (SURVEY §2.4 streaming): ADOPTED as a parallel path,
+    * not a replacement. `transformWithState` is where Spark's stateful
+    * processing is headed — named state variables with independent schemas
+    * (enabling state-schema evolution), first-class timers decoupled from
+    * state, TTL, and `StatefulProcessorWithInitialState` for state
+    * bootstrap. But it REQUIRES the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`; the default HDFS-backed store
+    * throws STATE_STORE_INVALID_PROVIDER at query start), which a library
+    * must not silently impose on every caller's session — so
+    * `flatMapGroupsWithState`, which runs on any provider, stays the
+    * default. StreamingSpec gates both variants against the same batch
+    * oracle so they cannot drift.
+    *
+    * Timer discipline: `registerTimer` ACCUMULATES timers (unlike
+    * `setTimeoutTimestamp`, which replaces), so the processor tracks the
+    * live timer in a second value state and deletes the stale one whenever
+    * the session extends — otherwise every micro-batch that touches a user
+    * leaves a timer behind, and each stale firing would have to re-check
+    * state (and the state-store keeps paying for the orphaned entries).
+    */
+  class SessionProcessor extends StatefulProcessor[Long, TimedEvent, Session] {
+    @transient private var open: ValueState[OpenSession] = _
+    @transient private var timerMs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+      timerMs = getHandle.getValueState[Long]("timerMs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, events: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[Session] = {
+      val sorted = events.toIndexedSeq.sortBy(_.ts_us)
+      var cur = if (open.exists()) Some(open.get()) else None
+      val out = Vector.newBuilder[Session]
+      sorted.foreach { e =>
+        cur match {
+          case Some(o) if e.ts_us - o.end_us <= GapUs =>
+            cur = Some(o.copy(end_us = e.ts_us, n = o.n + 1, sum = o.sum + e.value))
+          case Some(o) =>
+            out += Session(uid, o.start_us, o.end_us, o.n, o.sum)
+            cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+          case None =>
+            cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+        }
+      }
+      cur.foreach { o =>
+        open.update(o)
+        val ts = o.end_us / 1000L + GapUs / 1000L
+        if (timerMs.exists() && timerMs.get() != ts) {
+          getHandle.deleteTimer(timerMs.get())
+        }
+        getHandle.registerTimer(ts)
+        timerMs.update(ts)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      // only the timer matching the CURRENT open session closes it — a
+      // stale timer that raced a same-batch extension is a no-op
+      if (open.exists() && timerMs.exists() &&
+          timerMs.get() == expiredTimerInfo.getExpiryTimeInMs) {
+        val o = open.get()
+        open.clear()
+        timerMs.clear()
+        Iterator.single(Session(uid, o.start_us, o.end_us, o.n, o.sum))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[sessionizeAppend]] via [[SessionProcessor]]. Caller's session must
+    * run the RocksDB state store provider — see the decision record above.
+    */
+  def sessionizeAppendTws(events: DataFrame, delay: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("event_time", delay)
+      .select(col("user_id"), col("ts_us"), col("value"), col("event_time"))
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }
