@@ -388,6 +388,17 @@ object Similarity {
   def lshProjs(vec: Column, table: Int, nBits: Int): Column =
     array((0 until nBits).map(j => lshProj(vec, table, j)): _*)
 
+  /** Bits-per-table sized to the corpus: the smallest b in [lo, hi] with
+    * `occupancy · 2^b >= n`, i.e. expected bucket occupancy ≤ `occupancy`
+    * under uniform codes. Integer arithmetic only — a float log2 could
+    * round differently from the oracle's replica at exact powers of two.
+    * This is the s10b deployment rule: candidate volume per query stays
+    * O(occupancy · probes) as the corpus grows, instead of growing
+    * linearly with n at a pinned code width.
+    */
+  def scaledBits(n: Long, occupancy: Long = 16L, lo: Int = 4, hi: Int = 16): Int =
+    (lo to hi).find(b => (occupancy << b) >= n).getOrElse(hi)
+
   /** Code from a materialized projection array. */
   def codeOf(projs: Column, nBits: Int): Column =
     (0 until nBits)
@@ -1029,6 +1040,27 @@ object Similarity {
               |SELECT q_id, neighbor_id, rank, cos FROM ranked
               |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     ),
+    // s13 = s10 with the code width SIZED TO THE CORPUS ([[scaledBits]]: smallest
+    // b with 16·2^b ≥ n, clamped to [4,16]) — the deployment configuration.
+    // s10's pinned nBits=8 is a fixed contract: at sf1 its 256 buckets/table
+    // hold ~78 vectors each and the graph build burns ~47M cosines; the
+    // scaled width keeps expected occupancy ≤ 16 at ANY corpus size, so
+    // candidate volume per query stays O(occupancy · probes). The oracle
+    // computes the same width from the same COUNT (integer rule, no float
+    // log2), generates the full 16 projections, and masks code/probes to
+    // the first nb — so ONE static SQL text follows the Spark side across
+    // every SF. This is the config the sf1 bench times (Bench extNames).
+    QuerySpec(
+      "s13_knn_graph_scaled",
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("embedding"))
+        val nb = scaledBits(e.count())
+        knnGraph(e, nTables = 4, nBits = nb, k = 5, cap = 1000)
+      },
+      Some(s"""WITH $knnGraphScaledOracleCtes
+              |SELECT q_id, neighbor_id, rank, cos FROM ranked
+              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+    ),
     // Cluster-balanced mixing weights — the semantic counterpart of c12's
     // per-source mixing: cluster the corpus in embedding space (the s04
     // Lloyd quantizer, same fixed 16-seed/3-iteration contract), then
@@ -1305,6 +1337,63 @@ object Similarity {
        |  JOIN embeddings qe ON qe.vec_id = c.q_id
        |  JOIN embeddings ne ON ne.vec_id = c.vec_id)"""
       .stripMargin
+
+  /** The s10b oracle: [[knnGraphOracleCtes]] with the code width computed
+    * from the corpus COUNT by the same integer rule as [[scaledBits]]
+    * (occupancy 16, clamp [4,16]). All 16 projections are generated and
+    * code/probes mask to the first `nb` — `nb` is a scalar CTE, so the SQL
+    * text is static while the effective width follows the data, exactly
+    * like the Spark side's count-then-build.
+    */
+  private def knnGraphScaledOracleCtes: String = {
+    val dynCode =
+      """CAST(list_sum(list_transform(range(0, nb), j ->
+        |      CASE WHEN projs[j+1] > 0 THEN 1 << j ELSE 0 END)) AS BIGINT)"""
+        .stripMargin
+    def dynProbe(rank: Int): String =
+      s"""xor($dynCode,
+         |    CAST(2 ** (list_position(list_transform(projs[1:nb], p -> abs(p)),
+         |      list_sort(list_transform(projs[1:nb], p -> abs(p)))[$rank]) - 1)
+         |      AS BIGINT))""".stripMargin
+    s"""nbv AS MATERIALIZED (
+       |  SELECT COALESCE(MIN(b), 16) AS nb
+       |  FROM range(4, 17) t(b), (SELECT COUNT(*) AS n FROM embeddings)
+       |  WHERE (16 * (1 << b)) >= n),
+       |proj AS MATERIALIZED (
+       |  SELECT vec_id, embedding, tbl,
+       |    ${duckProjs("embedding", 16)} AS projs
+       |  FROM embeddings, (SELECT unnest(range(0, 4)) AS tbl)),
+       |coded AS MATERIALIZED (
+       |  SELECT vec_id, tbl,
+       |    $dynCode AS code,
+       |    ${dynProbe(1)} AS probe,
+       |    ${dynProbe(2)} AS probe2
+       |  FROM proj, nbv),
+       |idx AS (
+       |  SELECT tbl, code, vec_id FROM coded
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY tbl, code
+       |    ORDER BY vec_id) <= 1000),
+       |q AS (
+       |  SELECT tbl, code AS qcode, vec_id AS q_id FROM coded
+       |  UNION ALL
+       |  SELECT tbl, probe AS qcode, vec_id AS q_id FROM coded
+       |  UNION ALL
+       |  SELECT tbl, probe2 AS qcode, vec_id AS q_id FROM coded),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, i.vec_id
+       |  FROM idx i JOIN q ON i.tbl = q.tbl AND i.code = q.qcode
+       |  WHERE i.vec_id != q.q_id),
+       |ranked AS MATERIALIZED (
+       |  SELECT c.q_id, c.vec_id AS neighbor_id,
+       |    ${duckCos("qe.embedding", "ne.embedding")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+       |      ORDER BY ${duckCos("qe.embedding", "ne.embedding")} DESC,
+       |        c.vec_id) AS rank
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings ne ON ne.vec_id = c.vec_id)"""
+      .stripMargin
+  }
 
   /** s03's full SQL oracle, shared with s06 (which nests it as the pairs
     * CTE of the survivor computation).

@@ -61,6 +61,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s13 scaled kNN graph: width follows the corpus; graph is well-formed") {
+    import org.apache.spark.sql.functions.col
+    // the sizing rule itself, at the boundaries the oracle must agree on
+    import graft.queries.Similarity.scaledBits
+    assert(scaledBits(0) == 4 && scaledBits(256) == 4)
+    assert(scaledBits(257) == 5, "just past a power boundary must step up")
+    assert(scaledBits(500) == 5 && scaledBits(2000) == 7)
+    assert(scaledBits(20000) == 11 && scaledBits(Long.MaxValue) == 16)
+    assert((1 to 60).forall(i =>
+      scaledBits(1L << i) <= scaledBits((1L << i) + 1)), "monotone in n")
+    // the query itself: equals knnGraph built at the same width (the rule
+    // is applied OUTSIDE the pipeline — nothing else may drift), and ranks
+    // are dense per node
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val nb = scaledBits(e.count())
+    val direct = graft.queries.Similarity
+      .knnGraph(e, nTables = 4, nBits = nb, k = 5, cap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val s13 = Registry.byName("s13_knn_graph_scaled").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(s13.toSet == direct)
+    s13.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"node $q has non-dense ranks")
+    }
+  }
+
   test("c24 cluster mixing: sqrt temperature flattens toward the mean") {
     val out = Registry.byName("c24_cluster_mix").run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
