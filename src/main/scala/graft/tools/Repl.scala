@@ -17,6 +17,11 @@ import graft.engine.{GraftSession, Tables}
   *                            equivalent is the extended explain — parsed /
   *                            analyzed / optimized logical + physical plan,
   *                            with the pushdown detail the reference lacks)
+  *   \pretty <sql>            bordered table     (reference renders interactive
+  *                            results through Arrow's prettyprint,
+  *                            src/util/mod.rs:9-11 — +---+ borders, one cell
+  *                            per value; same shape here, same NULL/(empty)
+  *                            cell rules as the SLT renderer)
   *   <sql>                    run through spark.sql
   * Rendering matches the reference's SLT rules (src/util/mod.rs:27-54):
   * space-separated values, NULL for nulls, (empty) for empty strings.
@@ -39,6 +44,10 @@ object Repl {
           val df = Tables.loadCsv(spark, parts(2), parts(3))
           s"loaded ${parts(2)} (${df.schema.fields.length} columns)"
         }
+      } else if (trimmed == "\\pretty" || trimmed.startsWith("\\pretty ")) {
+        val sql = trimmed.stripPrefix("\\pretty").trim
+        if (sql.isEmpty) "usage: \\pretty <sql>"
+        else prettyRender(spark, sql)
       } else if (trimmed == "\\explain" || trimmed.startsWith("\\explain ")) {
         val sql = trimmed.stripPrefix("\\explain").trim
         if (sql.isEmpty) "usage: \\explain <sql>"
@@ -48,6 +57,29 @@ object Repl {
     } catch {
       case NonFatal(e) => s"error: ${e.getMessage}"
     }
+  }
+
+  /** Arrow-prettyprint-shaped rendering: +---+ borders, left-aligned cells
+    * padded to the column's widest value. Cell values follow the same
+    * NULL/(empty) rules as [[render]]. Driver-side by nature (a REPL prints
+    * what fits a terminal) — not a query-path operator.
+    */
+  private def prettyRender(spark: SparkSession, sql: String): String = {
+    val df = spark.sql(sql)
+    val header = df.schema.fieldNames.toSeq
+    val rows = df.collect().toSeq.map(_.toSeq.map {
+      case null => "NULL"
+      case "" => "(empty)"
+      case v => v.toString
+    })
+    val widths = header.indices.map { i =>
+      (header(i).length +: rows.map(_(i).length)).max
+    }
+    def bar: String = widths.map("-" * _).mkString("+-", "-+-", "-+")
+    def line(cells: Seq[String]): String =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }
+        .mkString("| ", " | ", " |")
+    (Seq(bar, line(header), bar) ++ rows.map(line) :+ bar).mkString("\n")
   }
 
   private def render(spark: SparkSession, sql: String): String = {
@@ -67,7 +99,7 @@ object Repl {
     val spark = GraftSession.build("graft-repl")
     args.headOption.foreach(dir => Tables.registerAll(spark, dir))
     println("graft> enter SQL, \\dt, \\load csv <name> <path>, " +
-      "\\explain <sql>, or \\q")
+      "\\explain <sql>, \\pretty <sql>, or \\q")
     Iterator.continually(scala.io.StdIn.readLine("graft> "))
       .takeWhile(l => l != null && l.trim != "\\q")
       .foreach(l => println(handle(spark, l)))

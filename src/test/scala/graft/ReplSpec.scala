@@ -33,6 +33,22 @@ class ReplSpec extends AnyFunSuite {
     assert(out.startsWith("error: "))
   }
 
+  test("\\pretty renders a bordered table with NULL/(empty) cell rules") {
+    val path = getClass.getResource("/csv/employee.csv").getPath
+    Repl.handle(spark, s"\\load csv employee $path")
+    val out = Repl.handle(spark,
+      "\\pretty select first_name, state, salary from employee " +
+        "where id in (3, 4) order by id")
+    assert(out ==
+      """+------------+---------+--------+
+        || first_name | state   | salary |
+        |+------------+---------+--------+
+        || John       | CO      | 11500  |
+        || Von        | (empty) | NULL   |
+        |+------------+---------+--------+""".stripMargin, out)
+    assert(Repl.handle(spark, "\\pretty") == "usage: \\pretty <sql>")
+  }
+
   test("\\explain prints the optimized and physical plan") {
     val path = getClass.getResource("/csv/employee.csv").getPath
     Repl.handle(spark, s"\\load csv employee $path")
