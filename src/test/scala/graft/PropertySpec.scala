@@ -151,6 +151,46 @@ class PropertySpec extends AnyFunSuite {
       batch.repartition(7), hist.repartition(3), "digest")) == base)
   }
 
+  test("star-contraction CC equals driver-side union-find on random graphs") {
+    import spark.implicits._
+    // the algorithmic gate for connectedComponents: on seeded random
+    // graphs spanning sparse-to-dense and long-chain regimes, the
+    // distributed star contraction must produce EXACTLY the partition a
+    // textbook union-find computes, with labels = component minima
+    val r = rng
+    val shapes = Seq(
+      (60, 30),   // sparse: mostly singleton edges + small trees
+      (60, 90),   // dense-ish: cycles, merged clusters
+      (200, 120), // mid density at more vertices
+      (40, 200))  // multigraph density: many parallel/self edges
+    shapes.foreach { case (nv, ne) =>
+      val edges = Seq.fill(ne)((r.nextInt(nv).toLong, r.nextInt(nv).toLong))
+      // union-find ground truth (path compression, min as representative)
+      val parent = Array.tabulate(nv)(identity)
+      def find(x: Int): Int = {
+        var p = x; while (parent(p) != p) p = parent(p)
+        var q = x; while (parent(q) != p) { val nx = parent(q); parent(q) = p; q = nx }
+        p
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val (lo, hi) = (ra min rb, ra max rb); parent(hi) = lo }
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = touched.map(v => v -> {
+        // representative chosen by union order isn't necessarily the min;
+        // normalize: min vertex of the component
+        val root = find(v.toInt)
+        touched.filter(u => find(u.toInt) == root).min
+      }).toMap
+      val got = graft.queries.Dedup.connectedComponents(
+          edges.toDF("a_id", "b_id"))
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(got == expected, s"nv=$nv ne=$ne: " +
+        s"diff=${(got.toSet diff expected.toSet).take(5)}")
+    }
+  }
+
   test("registry contract is well-formed: unique names, prefixed ids, oracle coverage") {
     val specs = Registry.specs
     val names = specs.map(_.name)
