@@ -448,9 +448,11 @@ object Dedup {
         .union(e.select(col("v").as("x"), col("u").as("y")))
       val m = nbrs.groupBy("x").agg(min(col("y")).as("mn"))
         .select(col("x"), least(col("x"), col("mn")).as("m"))
-      // y > x >= m, so (y, m) is already canonical and never a self-loop
+      // y > x >= m, so (y, m) is already canonical and never a self-loop.
+      // NO distinct here: duplicates are absorbed by smallStar's min-agg
+      // and its final distinct — saving one full exchange per round.
       nbrs.filter(col("y") > col("x")).join(m, "x")
-        .select(col("y").as("u"), col("m").as("v")).distinct()
+        .select(col("y").as("u"), col("m").as("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       // canonical edges: x's smaller neighbors are exactly the v's of its
@@ -474,7 +476,12 @@ object Dedup {
           (col("outdeg") >= 1 && col("deg") > col("outdeg")))
         .count()
 
-    var converged = violations(edges) == 0
+    // no pre-loop violations check: every real caller feeds a non-star
+    // graph, so the check would be a pure extra shuffle before round 1;
+    // a caller handing in an already-star graph pays one identity round
+    // instead (the star ops are idempotent on their fixpoint). Empty edge
+    // sets skip the loop outright.
+    var converged = edges.isEmpty
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       edges = smallStar(largeStar(edges)).localCheckpoint(true)
