@@ -117,6 +117,29 @@ object ScaleProbe {
       s""""cc_ok":${size3 >= (planted * 95) / 100}}""")
     pairs.unpersist()
 
+    // ---- ccchain probe: the adversarial CC topology ----
+    // A single 200k-vertex path — graph diameter 200k. This is the input
+    // class the round-9 star-contraction rewrite exists for: min-label
+    // propagation needs diameter rounds (200,000 sequential shuffles —
+    // unrunnable), star contraction needs O(log n). The probe pins both
+    // the round count and exactness (every vertex labeled 0).
+    val chainN = 200000L
+    val (chainRes, tChain) = time {
+      val chainEdges = spark.range(chainN - 1)
+        .select(col("id").as("a_id"), (col("id") + 1L).as("b_id"))
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+        chainEdges, maxRounds = 60)
+      val agg = labels.agg(count(lit(1)).as("n"),
+        max(col("label")).as("mx")).head()
+      (agg.getLong(0), agg.getLong(1), rounds)
+    }
+    val (chainLabeled, chainMax, chainRounds) = chainRes
+    println(s"""{"probe":"ccchain","vertices":$chainN,""" +
+      s""""diameter":${chainN - 1},"cc_rounds":$chainRounds,""" +
+      s""""sec":$tChain,"labeled":$chainLabeled,"max_label":$chainMax,""" +
+      s""""ccchain_ok":${chainLabeled == chainN && chainMax == 0L &&
+        chainRounds <= 30}}""")
+
     // ---- s03 probe: guarded embedding near-dup at the same scale ----
     // Corpus: n hash-derived pseudo-random 64-dim vectors (near-orthogonal
     // by construction — entries are independent xxhash64 values, so
