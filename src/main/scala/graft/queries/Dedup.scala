@@ -424,14 +424,29 @@ object Dedup {
     * checkpoint keeps plan size O(1) in rounds and superseded round RDDs
     * are released by the ContextCleaner. No cache entries outlive the call.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
-    connectedComponentsWithRounds(pairs, maxRounds)._1
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
+      localThreshold: Long = 1L << 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxRounds, localThreshold)._1
 
   /** As [[connectedComponents]], also returning the number of star rounds
     * run before the fixpoint — the ScaleProbe CC section reports it so the
-    * O(log n)-rounds claim is measured, not asserted. */
+    * O(log n)-rounds claim is measured, not asserted (the driver fast path
+    * reports 0 rounds).
+    *
+    * `localThreshold` is the broadcast-join pattern applied to CC: a graph
+    * whose deduped edge AND vertex counts both fit under it (default 2^20 —
+    * ≤ 16 MB of long pairs) is solved by a driver-side union-find in one
+    * collect instead of 2 Spark jobs per star round; beyond the gate the
+    * distributed star contraction runs. After LSH banding a near-dup pair
+    * graph is ~0.1% of the corpus, so small corpora land under the gate
+    * (exactly like a dim table under the broadcast threshold) while the
+    * 100 TB path stays fully distributed. Both paths produce the identical
+    * labeling (component minima; PropertySpec pins the distributed path
+    * against the same union-find). Pass 0 to force the distributed path.
+    */
   def connectedComponentsWithRounds(
-      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+      pairs: DataFrame, maxRounds: Int = 50,
+      localThreshold: Long = 1L << 20): (DataFrame, Int) = {
     require(maxRounds > 0, "maxRounds must be positive")
     // all vertices of the ORIGINAL graph (incl. self-loop-only ones, which
     // the canonical edge list drops) — the output covers every one of them
@@ -442,6 +457,28 @@ object Dedup {
       .select(greatest(col("a_id"), col("b_id")).as("u"),
         least(col("a_id"), col("b_id")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+
+    if (localThreshold > 0 && edges.count() <= localThreshold &&
+        vertices.count() <= localThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var p = x
+        while (parent.getOrElse(p, p) != p) p = parent(p)
+        var q = x
+        while (parent.getOrElse(q, q) != p) { val n = parent(q); parent(q) = p; q = n }
+        p
+      }
+      edges.collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = vertices.collect()
+        .map(r => r.getLong(0) -> find(r.getLong(0))).toSeq
+        .toDF("id", "label")
+      return (labels, 0)
+    }
 
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.select(col("u").as("x"), col("v").as("y"))

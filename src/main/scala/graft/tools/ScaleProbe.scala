@@ -100,8 +100,11 @@ object ScaleProbe {
     // contraction converges dense triangle clusters in 1-2 rounds (reported
     // as cc_rounds), proving the O(log n)-rounds cost model on real pairs.
     val (ccRes, tCc) = time {
+      // localThreshold = 0: this probe measures the DISTRIBUTED path's
+      // cost model (the default size gate would route 30k edges to the
+      // driver fast path)
       val (labels, rounds) = Dedup.connectedComponentsWithRounds(
-        pairs.select("a_id", "b_id"))
+        pairs.select("a_id", "b_id"), localThreshold = 0)
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("sz"))
         .filter(col("sz") > 1)
         .groupBy("sz").count()
@@ -128,7 +131,7 @@ object ScaleProbe {
       val chainEdges = spark.range(chainN - 1)
         .select(col("id").as("a_id"), (col("id") + 1L).as("b_id"))
       val (labels, rounds) = Dedup.connectedComponentsWithRounds(
-        chainEdges, maxRounds = 60)
+        chainEdges, maxRounds = 60, localThreshold = 0)
       val agg = labels.agg(count(lit(1)).as("n"),
         max(col("label")).as("mx")).head()
       (agg.getLong(0), agg.getLong(1), rounds)

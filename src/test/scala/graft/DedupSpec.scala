@@ -88,12 +88,17 @@ class DedupSpec extends AnyFunSuite {
     // path 1-2-3-4 (no direct 1-4 edge), triangle 10-11-12, isolated edge 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
-    val labels = graft.queries.Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), s"path: $labels")
-    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L), s"triangle: $labels")
-    assert(labels(20L) == 20L && labels(21L) == 20L)
-    assert(labels.size == 9) // only vertices that appear in an edge
+    // BOTH paths — the size-gated driver union-find (default) and the
+    // distributed star contraction (localThreshold = 0) — must agree
+    Seq(1L << 20, 0L).foreach { thresh =>
+      val labels = graft.queries.Dedup
+        .connectedComponents(pairs, localThreshold = thresh)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), s"path: $labels")
+      assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L), s"triangle: $labels")
+      assert(labels(20L) == 20L && labels(21L) == 20L)
+      assert(labels.size == 9) // only vertices that appear in an edge
+    }
   }
 
   test("connectedComponents throws past the round cap instead of lying") {
@@ -104,14 +109,18 @@ class DedupSpec extends AnyFunSuite {
     // path). The contract is a LOUD failure — an unconverged label set is
     // silently-wrong clustering.
     val chain = (0L until 256L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // localThreshold = 0 forces the distributed star path — the round cap
+    // and the O(log n) claim are ITS contract (the driver fast path has
+    // no rounds to cap)
     val ex = intercept[IllegalStateException] {
-      graft.queries.Dedup.connectedComponents(chain, maxRounds = 1)
+      graft.queries.Dedup.connectedComponents(chain, maxRounds = 1,
+        localThreshold = 0)
     }
     assert(ex.getMessage.contains("did not converge"))
     // the same chain converges with an adequate cap and labels to vertex 0,
     // in far fewer rounds than its diameter (the O(log n) claim, measured)
     val (labelsDf, rounds) = graft.queries.Dedup
-      .connectedComponentsWithRounds(chain, maxRounds = 20)
+      .connectedComponentsWithRounds(chain, maxRounds = 20, localThreshold = 0)
     val labels = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 257 && labels.values.forall(_ == 0L))
     assert(rounds <= 15, s"star contraction took $rounds rounds on a " +

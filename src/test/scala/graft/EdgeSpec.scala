@@ -203,6 +203,9 @@ class EdgeSpec extends AnyFunSuite {
   test("s11 shape: connected components over an empty edge set is empty") {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(graft.queries.Dedup.connectedComponents(empty).count() == 0)
+    // distributed path too (default routes empty to the driver fast path)
+    assert(graft.queries.Dedup
+      .connectedComponents(empty, localThreshold = 0).count() == 0)
   }
 
   test("phase-4 engines degrade to empty outputs on empty inputs") {

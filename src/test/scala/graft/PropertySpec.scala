@@ -183,8 +183,11 @@ class PropertySpec extends AnyFunSuite {
         val root = find(v.toInt)
         touched.filter(u => find(u.toInt) == root).min
       }).toMap
+      // localThreshold = 0: this test exists to pin the DISTRIBUTED star
+      // contraction against union-find (the default gate would route these
+      // small graphs to the driver fast path, which IS a union-find)
       val got = graft.queries.Dedup.connectedComponents(
-          edges.toDF("a_id", "b_id"))
+          edges.toDF("a_id", "b_id"), localThreshold = 0)
         .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
       assert(got == expected, s"nv=$nv ne=$ne: " +
         s"diff=${(got.toSet diff expected.toSet).take(5)}")
