@@ -784,12 +784,17 @@ object Dedup {
         val pairs = lshJaccardPairs(corpus, k = 32, bands = 8, cap = 100,
           threshold = 0.3).select("a_id", "b_id")
         val labels = connectedComponents(pairs)
+        // checkpointed: lab is consumed twice (argmax agg + semi join),
+        // and without it the corpus text column is re-scanned for `len`
+        // on each pass — 2 full-text scans at 100 TB vs one 32-byte/row
+        // materialization
         val lab = corpus
           .select(col("doc_id"), col("lang"),
             length(col("text")).cast(LongType).as("len"))
           .join(labels, col("doc_id") === col("id"), "left_outer")
           .select(col("doc_id"), col("lang"), col("len"),
             coalesce(col("label"), col("doc_id")).as("comp"))
+          .localCheckpoint(true)
         // per-cluster argmax via struct max: lexicographic (len, -id) —
         // longest wins, ties to the smallest doc_id; an agg, not a window
         val keep = lab.groupBy("comp")
