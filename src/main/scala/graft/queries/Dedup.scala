@@ -1558,6 +1558,13 @@ object Dedup {
     // and hashed each twice; this was the sf1 suite's slowest query).
     // Variant 1 hashes an independently-mixed word image, so the
     // collision guard below still catches first-key collisions.
+    // checkpointed: grams feeds BOTH the dup-key aggregation and the hits
+    // join below, and each consumer shuffles it independently (partial-agg
+    // exchange vs join exchange — no subtree reuse), so without this the
+    // text scan + tokenize + both gram-hash kernels execute twice. The
+    // trade at scale: one 28-byte/gram block materialization (spilling via
+    // the block manager) vs a second full pass over the corpus text — the
+    // hash kernels, not the narrow gram rows, are the expensive side.
     val grams = docs
       .filter(size(tk) >= w)
       .select(col("doc_id"),
@@ -1565,6 +1572,7 @@ object Dedup {
           ghash.gramHashPos(tk, w, variant = 1))).as(Seq("pos", "z")))
       .select(col("doc_id"), col("pos"),
         col("z.0").as("h"), col("z.1").as("h2"))
+      .localCheckpoint(true)
     val dupKeys = grams.groupBy("h")
       .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"),
         min(col("h2")).as("h2lo"), max(col("h2")).as("h2hi"))
