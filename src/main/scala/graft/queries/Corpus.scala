@@ -898,9 +898,14 @@ object Corpus {
     * factor. See the c25 QuerySpec comment for the shuffle shape.
     */
   def effectiveTokens(corpus: DataFrame): DataFrame = {
+    // checkpointed: rows has THREE consumers (survivor min-agg, the kept
+    // join, per-source totals) — without it the corpus text is scanned,
+    // md5'd and tokenized three times; the materialized form is a narrow
+    // (id, source, 32-char digest, count) row
     val rows = corpus.select(col("doc_id"), col("source"),
       md5(col("text")).as("dg"),
       size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .localCheckpoint(true)
     val surv = rows.groupBy("dg").agg(min(col("doc_id")).as("doc_id"))
     val kept = rows.join(surv, Seq("dg", "doc_id"))
     val tot = rows.groupBy("source")

@@ -576,6 +576,11 @@ object Dedup {
     val nseg = ((size(toks) + lit(width - 1)) / lit(width)).cast("int")
     val lineArr = transform(sequence(lit(0), nseg - 1),
       i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))
+    // NOT checkpointed, unlike the d15 gram stream: lines carries the
+    // line TEXT (p01 reassembles kept text downstream), so materializing
+    // it stores a full corpus copy — a worse trade than the second
+    // pruned-scan pass, and it would hide the scan-side hashing from the
+    // d12 plan gate (ReadSchema / fnv1a64-at-scan assertions)
     val lines = docs
       .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line")))
       .select(col("doc_id"), col("pos"), col("line"),
