@@ -121,13 +121,23 @@ object Corpus {
     * double in both. Returns (doc_id, score) for docs matching ≥1 term.
     */
   def bm25Scores(docs: DataFrame, qt: Seq[String]): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val lens = toks.select(col("doc_id"),
-      size(col("toks")).cast("double").as("len"))
+    // ONE text pass: the un-factored form scanned + split the corpus three
+    // times (lens, the stats agg over lens, and the tf explode). Extract
+    // the per-doc length and the MATCHING tokens in a single scan-side
+    // select, checkpoint the narrow (id, len, matching-tokens) result, and
+    // derive everything from it — the match arrays are bounded by query
+    // occurrences, never document length
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("double").as("len"),
+        filter(col("toks"),
+          t => qt.map(q => t === lit(q)).reduce(_ || _)).as("mtoks"))
+      .localCheckpoint(true)
+    val lens = base.select(col("doc_id"), col("len"))
     val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
       Exact.davg(col("len")).as("avglen"))
-    val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .filter(col("tok").isin(qt: _*))
+    val tf = base.select(col("doc_id"), explode(col("mtoks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfreq), "tok")
