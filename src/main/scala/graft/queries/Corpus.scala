@@ -886,11 +886,19 @@ object Corpus {
     * attribution, shared by c25 and p08.
     */
   def dupPlantedCorpus(s: SparkSession, d: String): DataFrame = {
+    // one scan (the Dedup.plantedCorpus pattern): each row explodes into
+    // itself plus, for every 10th doc, its planted exact copy — the
+    // 2-branch union read the documents table twice
     val base = Tables(s, d, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    base.unionByName(base.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
-        col("text")))
+    val self = struct(col("doc_id"), col("source"), col("text"))
+    val copy = struct((col("doc_id") + 2000000L).as("doc_id"),
+      col("source"), col("text"))
+    base
+      .select(explode(when(col("doc_id") % 10 === 0,
+        array(self, copy)).otherwise(array(self))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+        col("r.text").as("text"))
   }
 
   /** Oracle CTE mirroring [[dupPlantedCorpus]]. */

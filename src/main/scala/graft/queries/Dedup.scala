@@ -104,17 +104,26 @@ object Dedup {
       |      '/$', '') AS canonical_url
       |  FROM planted)""".stripMargin
 
-  /** documents ∪ exact dups (+2M) ∪ near dups with last 2 tokens dropped (+1M). */
+  /** documents ∪ exact dups (+2M) ∪ near dups with last 2 tokens dropped
+    * (+1M) — as ONE scan: the naive 3-branch union re-reads the documents
+    * table three times (every planted-family query paid 3 text scans);
+    * here each row explodes into itself plus, for every 10th doc, its two
+    * planted variants. Identical rows, one pass.
+    */
   def plantedCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
-    val tenth = docs.filter(col("doc_id") % 10 === 0)
-    val exact = tenth.select((col("doc_id") + 2000000L).as("doc_id"), col("text"), col("lang"))
-    val near = tenth.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      concat_ws(" ", slice(split(col("text"), " "), lit(1), size(split(col("text"), " ")) - 2))
-        .as("text"),
-      col("lang"))
-    docs.unionByName(exact).unionByName(near)
+    val toks = split(col("text"), " ")
+    val nearText = concat_ws(" ", slice(toks, lit(1), size(toks) - 2))
+    val self = struct(col("doc_id"), col("text"), col("lang"))
+    val exact = struct((col("doc_id") + 2000000L).as("doc_id"),
+      col("text"), col("lang"))
+    val near = struct((col("doc_id") + 1000000L).as("doc_id"),
+      nearText.as("text"), col("lang"))
+    docs
+      .select(explode(when(col("doc_id") % 10 === 0,
+        array(self, exact, near)).otherwise(array(self))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.lang").as("lang"))
   }
 
   /** Shared oracle CTE mirroring plantedCorpus. */
