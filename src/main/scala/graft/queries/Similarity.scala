@@ -556,14 +556,23 @@ object Similarity {
     * v·0.98 + 0.01 per element — cos ≈ 0.9999 to the original), then
     * [[nearDupPairs]].
     */
-  def embeddingNearDup(e: DataFrame, nTables: Int, nBits: Int, cap: Int): DataFrame = {
-    val base = e.select(col("vec_id"), col("embedding"))
-    val perturbed = base.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"),
-          v => (v.cast(DoubleType) * 0.98 + 0.01).cast("float")).as("embedding"))
-    nearDupPairs(base.unionByName(perturbed), nTables, nBits, cap)
+  /** embeddings ∪ planted perturbed copies in ONE scan (the
+    * Dedup.plantedCorpus explode pattern — the 2-branch union read the
+    * embeddings twice, and nearDupPairs attaches this corpus three times).
+    */
+  def perturbedCorpus(e: DataFrame): DataFrame = {
+    val self = struct(col("vec_id"), col("embedding"))
+    val copy = struct((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        v => (v.cast(DoubleType) * 0.98 + 0.01).cast("float")).as("embedding"))
+    e.select(col("vec_id"), col("embedding"))
+      .select(explode(when(col("vec_id") % 10 === 0,
+        array(self, copy)).otherwise(array(self))).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.embedding").as("embedding"))
   }
+
+  def embeddingNearDup(e: DataFrame, nTables: Int, nBits: Int, cap: Int): DataFrame =
+    nearDupPairs(perturbedCorpus(e), nTables, nBits, cap)
 
   val specs: Vector[QuerySpec] = Vector(
     // Exact brute-force top-5 cosine neighbors for 10 query vectors.
@@ -756,12 +765,7 @@ object Similarity {
     QuerySpec(
       "s06_semantic_dedup",
       (s, d) => {
-        val base = emb(s, d).select(col("vec_id"), col("embedding"))
-        val perturbed = base.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            transform(col("embedding"),
-              v => (v.cast(DoubleType) * 0.98 + 0.01).cast("float")).as("embedding"))
-        val corpus = base.unionByName(perturbed)
+        val corpus = perturbedCorpus(emb(s, d))
         val pairs = nearDupPairs(corpus, nTables = 4, nBits = 10, cap = 100)
           .select(col("a_id"), col("b_id"))
         val losers = graft.queries.Dedup.connectedComponents(pairs)
