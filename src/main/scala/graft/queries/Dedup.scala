@@ -1572,13 +1572,15 @@ object Dedup {
     // and hashed each twice; this was the sf1 suite's slowest query).
     // Variant 1 hashes an independently-mixed word image, so the
     // collision guard below still catches first-key collisions.
-    // checkpointed: grams feeds BOTH the dup-key aggregation and the hits
-    // join below, and each consumer shuffles it independently (partial-agg
-    // exchange vs join exchange — no subtree reuse), so without this the
-    // text scan + tokenize + both gram-hash kernels execute twice. The
-    // trade at scale: one 28-byte/gram block materialization (spilling via
-    // the block manager) vs a second full pass over the corpus text — the
-    // hash kernels, not the narrow gram rows, are the expensive side.
+    // NOT checkpointed (measured, round 9): grams feeds both the dup-key
+    // aggregation and the hits join, so it computes twice — but it is a
+    // stride-1 fan-out (~one 28-byte row per corpus TOKEN), and
+    // materializing that multi-GB stream cost 3× the recompute at the 1M
+    // probe (7.4 s → 21.9 s) while pressuring the block manager for every
+    // later stage. The fused GramHashPos kernel makes the second pass
+    // cheap; recompute-over-materialize is the right trade for fan-out
+    // streams (same call as lineKeep; contrast CC's narrow pair frame,
+    // where the checkpoint IS the win).
     val grams = docs
       .filter(size(tk) >= w)
       .select(col("doc_id"),
@@ -1586,7 +1588,6 @@ object Dedup {
           ghash.gramHashPos(tk, w, variant = 1))).as(Seq("pos", "z")))
       .select(col("doc_id"), col("pos"),
         col("z.0").as("h"), col("z.1").as("h2"))
-      .localCheckpoint(true)
     val dupKeys = grams.groupBy("h")
       .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"),
         min(col("h2")).as("h2lo"), max(col("h2")).as("h2hi"))
