@@ -63,7 +63,7 @@ def main(sfdir, outdir, json_out=None):
             print(f"FAILED-IN-VERIFY  {mq}: {merr}")
     except FileNotFoundError:
         print("WARNING: no _manifest.json in verify output (old Verify build?)")
-    n_pass = n_fail = n_skip = 0
+    n_pass = n_fail = n_skip = n_rows_only = 0
     report = {}
 
     def rec(name, rows_match, schema_match, hash_match, s_rows, d_rows, err):
@@ -81,6 +81,7 @@ def main(sfdir, outdir, json_out=None):
             continue
         if name not in oracle:
             print(f"ROWS  {name}: rows={spark_tbl.num_rows} (no oracle)")
+            n_rows_only += 1
             n_skip += 1
             continue
         try:
@@ -129,7 +130,10 @@ def main(sfdir, outdir, json_out=None):
     # queries, or fewer verdicts than the manifest says Verify produced.
     if json_out:
         floor = len(manifest["written"]) if manifest else 1
-        covered = len(report) + n_skip  # rows-only queries have no report row
+        # rows-only queries have no report row; no-output skips DO get a
+        # report row, so counting all of n_skip here would double-count
+        # them and let an under-covering run clear the manifest floor
+        covered = len(report) + n_rows_only
         if covered == 0 or covered < floor:
             print(f"REFUSING to write {json_out}: covered {covered} queries "
                   f"but manifest floor is {floor} — artifact would zero the "

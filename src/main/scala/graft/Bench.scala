@@ -222,8 +222,17 @@ object Bench {
     // has truncated it before (BENCH_r08 lost the sf0.1 headline total; the
     // driver's `parsed` field has been null every round). A file can be
     // neither prefix-mangled nor tail-truncated.
-    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
-    catch { case e: Throwable =>
+    try {
+      Files.writeString(Paths.get("bench_out.json"), line + "\n")
+      // Provenance stamp (both streams): ties the committed file to this
+      // run, so a driver-harvested artifact that differs is attributable
+      // in one glance (the r9 close carried an interference-skewed e11).
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val md5 = d.digest(Files.readAllBytes(Paths.get("bench_out.json")))
+        .map("%02x".format(_)).mkString
+      val stamp = s"[bench] provenance: bench_out.json bytes=${line.length + 1} md5=$md5"
+      println(stamp); System.err.println(stamp)
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
     }
     spark.stop()

@@ -95,6 +95,18 @@ object Verify {
       System.err.println(
         s"[verify] manifest: ${written.size} written, ${failed.size} failed, " +
           s"${selected.size} total")
+      // Provenance stamp: size + md5 of every JSON this run produced, on
+      // BOTH stdout and stderr. If the round's harvested correctness
+      // artifact arrives empty again (r03/r08/r09), one glance at this
+      // line vs the committed fallback proves which side dropped it.
+      def md5(p: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.digest(Files.readAllBytes(Paths.get(p))).map("%02x".format(_)).mkString
+      }
+      for (f <- Seq(s"$outDir/oracle_sql.json", s"$outDir/_manifest.json")) {
+        val stamp = s"[verify] provenance: $f bytes=${Files.size(Paths.get(f))} md5=${md5(f)}"
+        println(stamp); System.err.println(stamp)
+      }
     }
     spark.stop()
   }

@@ -61,4 +61,38 @@ object MisraGries {
     */
   def sketch(c: Column, k: Int): Column =
     udaf(new MGAgg(k), Encoders.STRING).apply(c)
+
+  /** Weighted Misra-Gries: each input row carries an item and a weight
+    * (e.g. a pre-aggregated count). Inserting (x, w) is EXACTLY the
+    * mergeable-summaries merge of the buffer with the one-entry sketch
+    * {x → w}, so the n/(k+1) guarantee holds over total WEIGHT — which is
+    * what lets a heavy-hitter query run the sketch over a groupBy's
+    * (item, cnt) frame instead of re-scanning the raw stream: same
+    * sketch semantics, one scan.
+    */
+  class WMGAgg(k: Int)
+      extends Aggregator[(String, Long), Map[String, Long], Map[String, Long]] {
+    private val mg = new MGAgg(k)
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(buf: Map[String, Long], xw: (String, Long)): Map[String, Long] =
+      if (xw._1 == null || xw._2 <= 0L) buf // null/non-positive: SQL-skip
+      else mg.merge(buf, Map(xw._1 -> xw._2))
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mg.merge(a, b)
+
+    override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Column aggregate: weighted Misra-Gries over (item, weight) rows. */
+  def weightedSketch(c: Column, w: Column, k: Int): Column =
+    udaf(new WMGAgg(k),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)).apply(c, w)
 }

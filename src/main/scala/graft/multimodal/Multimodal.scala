@@ -15,10 +15,13 @@ import graft.engine.Tables
   * which likewise amortizes per-batch setup, e.g. loading a codec once per
   * partition).
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment): payload bytes are the document text encoded as UTF-8 and
-  * [[FakeCodec.decode]] derives deterministic features from raw bytes. The
-  * seam to replace is exactly one function.
+  * Two codecs live behind the seam. [[ImageCodec]] is REAL: deterministic
+  * tiny rasters encoded to actual PNG/BMP bytes and decoded back through
+  * `javax.imageio` (m01 dimensions and m03 resampling run on decoded
+  * pixels). [[FakeCodec]] remains for the byte-stream ops (frames,
+  * fingerprints, chunking), where payload bytes being document text keeps
+  * those oracles exact; audio/video decode stays stubbed (no codec libs
+  * in this environment).
   */
 object Multimodal {
 
@@ -43,6 +46,140 @@ object Multimodal {
     }
   }
   case class MediaFeatures0(nBytes: Long, meanByte: Double)
+
+  /** ======== REAL CODEC (round 10) ========
+    * Deterministic tiny raster images, ENCODED to real PNG/BMP bytes and
+    * DECODED back through `javax.imageio` — the codec seam with an actual
+    * codec in it. The pixel field is a pure function of (doc_id, x, y), so
+    * a SQL oracle can recompute every feature the decode path reports
+    * without being able to decode: if the Spark side's numbers match, the
+    * bytes really round-tripped through the image format.
+    *
+    * Format choices are the lossless-roundtrip ones: PNG as 8-bit
+    * grayscale (TYPE_BYTE_GRAY, raster samples read/written directly — no
+    * color-space conversion), BMP as 24-bit BGR with r=g=b (the JDK BMP
+    * writer's reliable path; channel 0 reads the value back). Both decode
+    * bit-exactly, which is what makes the oracle an equality gate rather
+    * than a tolerance test.
+    */
+  object ImageCodec {
+    /** deterministic gray value at (x, y) — all math non-negative */
+    def px(id: Long, x: Int, y: Int): Int =
+      ((id * 31 + x * 7 + y * 13) % 256).toInt
+    /** deterministic dims: 4..16 × 3..13 — tiny, but real rasters */
+    def dims(id: Long): (Int, Int) =
+      ((4 + id % 13).toInt, (3 + id % 11).toInt)
+    def fmt(id: Long): String = if (id % 2 == 0) "png" else "bmp"
+
+    def encode(id: Long): Array[Byte] = {
+      import java.awt.image.BufferedImage
+      val (w, h) = dims(id)
+      val gray = fmt(id) == "png"
+      val img = new BufferedImage(w, h,
+        if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = px(id, x, y)
+          if (gray) r.setSample(x, y, 0, v)
+          else { r.setSample(x, y, 0, v); r.setSample(x, y, 1, v); r.setSample(x, y, 2, v) }
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(img, fmt(id), out)
+      require(ok, s"no ${fmt(id)} writer for image type of doc $id")
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "imageio could not decode payload")
+      img
+    }
+  }
+
+  case class RealMedia(doc_id: Long, payload: Array[Byte], fmt: String)
+  case class DecodedFeatures(
+      doc_id: Long, width: Int, height: Int, fmt: String, mean_px: Double)
+
+  /** documents → real encoded image payloads (one tiny PNG/BMP per doc).
+    * mapPartitions at the binary boundary — the justified seam — with the
+    * per-partition setup (disable ImageIO's disk cache) done once.
+    */
+  def realMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map(id => RealMedia(id, ImageCodec.encode(id), ImageCodec.fmt(id)))
+      }.toDF()
+  }
+
+  /** Decode features from REAL image bytes: dimensions + mean pixel are
+    * read from the decoded raster, never from the generator — the oracle
+    * recomputes them from the generator formula, so agreement proves the
+    * encode→decode round trip.
+    */
+  def decodeFeatures(media: DataFrame): Dataset[DecodedFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[RealMedia].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img = ImageCodec.decode(m.payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        DecodedFeatures(m.doc_id, w, h, m.fmt, sum.toDouble / (w.toLong * h))
+      }
+    }
+  }
+
+  case class ResizedFeatures(
+      doc_id: Long, width: Int, height: Int, fmt: String, mean_px: Double)
+
+  /** TRUE pixel resampling: decode, 2×2 box-downsample the raster
+    * (integer mean, floor), report the resized dims + mean. Output dims
+    * are w/2 × h/2 (floor), so every 2×2 block lies fully inside the
+    * source — no edge clamping, and the SQL oracle replicates the
+    * arithmetic exactly (all values non-negative, truncating division on
+    * both engines).
+    */
+  def resizeReal(media: DataFrame): Dataset[ResizedFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[RealMedia].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img = ImageCodec.decode(m.payload)
+        val r = img.getRaster
+        val (rw, rh) = (img.getWidth / 2, img.getHeight / 2)
+        var sum = 0L
+        var y = 0
+        while (y < rh) {
+          var x = 0
+          while (x < rw) {
+            val v = (r.getSample(2 * x, 2 * y, 0) + r.getSample(2 * x + 1, 2 * y, 0) +
+              r.getSample(2 * x, 2 * y + 1, 0) + r.getSample(2 * x + 1, 2 * y + 1, 0)) / 4
+            sum += v
+            x += 1
+          }
+          y += 1
+        }
+        ResizedFeatures(m.doc_id, rw, rh, m.fmt, sum.toDouble / (rw.toLong * rh))
+      }
+    }
+  }
 
   /** Attach a fake binary payload + metadata to the documents table —
     * in production this is the column layout (payload: binary, meta: struct)

@@ -132,7 +132,10 @@ object Corpus {
       .select(col("doc_id"),
         size(col("toks")).cast("double").as("len"),
         filter(col("toks"),
-          t => qt.map(q => t === lit(q)).reduce(_ || _)).as("mtoks"))
+          // foldLeft, not reduce: an empty query-term list degrades to an
+          // all-false filter (zero matches, zero scores) instead of a throw
+          t => qt.foldLeft(lit(false))((acc, q) => acc || t === lit(q)))
+          .as("mtoks"))
       .localCheckpoint(true)
     val lens = base.select(col("doc_id"), col("len"))
     val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),

@@ -368,9 +368,12 @@ object EventsOps {
               |FROM ranked WHERE rn <= 2
               |ORDER BY user_id, dur_us DESC, start_us""".stripMargin),
     ),
-    // Heavy hitters via a Misra-Gries sketch (functions/MisraGries): one
-    // pass, ≤ k counters per partition, mergeable partials — the bounded-
-    // memory alternative to groupBy-count when the value domain is huge.
+    // Heavy hitters via a weighted Misra-Gries sketch (functions/
+    // MisraGries): one pass over events, ≤ k counters per partition,
+    // mergeable partials — the bounded-memory alternative to groupBy-count
+    // when the value domain is huge. Here the sketch consumes the exact
+    // groupBy's (event_type, cnt) rows as weighted items, so the raw
+    // stream is scanned once, not once per consumer.
     // The sketch's residual counts are merge-order-dependent, so the
     // ORACLE-ABLE output is the EXACT heavy hitters (count > n/(k+1),
     // computable by any engine) plus the boolean `in_sketch`, which the
@@ -382,10 +385,20 @@ object EventsOps {
       (s, d) => {
         import org.apache.spark.sql.types.DoubleType
         val k = 4
-        val ev = Tables(s, d, "events").select(col("event_type"))
-        val stats = ev.agg(count(lit(1)).as("n"),
-          graft.functions.MisraGries.sketch(col("event_type"), k).as("mg"))
-        ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        // ONE scan of events: the exact groupBy frame is the only consumer
+        // of the raw stream; n and the sketch both derive from its
+        // (event_type, cnt) rows — sum(cnt) is n, and weighted Misra-Gries
+        // over pre-aggregated counts has the identical n/(k+1) guarantee
+        // (insert(x, w) IS the mergeable-summaries merge with {x → w}).
+        // The two consumers of `counts` share one canonical scan+partial-
+        // agg+exchange subtree, which Spark's ReuseExchange collapses —
+        // gated in PlanSpec.
+        val counts = Tables(s, d, "events").select(col("event_type"))
+          .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        val stats = counts.agg(sum(col("cnt")).as("n"),
+          graft.functions.MisraGries
+            .weightedSketch(col("event_type"), col("cnt"), k).as("mg"))
+        counts
           .crossJoin(broadcast(stats))
           .filter(col("cnt").cast(DoubleType) >
             col("n").cast(DoubleType) / (k + 1).toDouble)
@@ -546,10 +559,11 @@ object EventsOps {
     // Cohort retention — the product-analytics staple: users grouped by
     // first-seen week (cohort), activity counted per week offset since
     // that first appearance, retention = active/cohort_size. All
-    // integer day/week math on epoch-µs in FLOOR-division form
-    // (pmod-adjusted on the Spark side, since `div` truncates toward
-    // zero while DuckDB's `//` floors — they agree only on non-negative
-    // inputs), so the only double is the final ratio. Shuffle shape:
+    // integer day/week math on epoch-µs in FLOOR-division form on BOTH
+    // sides (Spark's `div` AND DuckDB 1.0.0's `//` truncate toward
+    // zero, so each gets the same pmod adjustment — they'd otherwise
+    // diverge on pre-1970 timestamps), so the only double is the final
+    // ratio. Shuffle shape:
     // one user-keyed min-agg for first-seen (per-user O(1) state), the
     // first-seen frame re-joins the stream on user_id (a dim-sized side
     // AQE broadcasts at any realistic user count), a (user, cohort,
@@ -562,19 +576,31 @@ object EventsOps {
           // floor form (see cohortRetention): `div` alone truncates and
           // would disagree with the oracle's `//` for pre-1970 timestamps
           expr(s"(($TsUsSql) - pmod($TsUsSql, $DayUs)) div $DayUs").as("day"))),
+      // DuckDB 1.0.0's `//` TRUNCATES toward zero (-7 // 2 = -3), it does
+      // not floor — so every division below uses the same pmod-floor form
+      // as the Spark side: (x - ((x % k) + k) % k) // k. The numerator is
+      // an exact multiple of k, so the truncating `//` of it IS floor;
+      // pure integer arithmetic (no CAST-to-double rounding hazard near
+      // exact multiples). Verified against math.floor on negative inputs.
       Some(s"""WITH ev AS (
-              |  SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+              |  SELECT user_id,
+              |    (epoch_us(ts) - ((epoch_us(ts) % $DayUs) + $DayUs) % $DayUs)
+              |      // $DayUs AS day
+              |  FROM events),
               |first_ AS (
               |  SELECT user_id, MIN(day) AS d0 FROM ev GROUP BY user_id),
               |active AS (
-              |  SELECT DISTINCT d0 // 7 AS cohort_week,
-              |    (day - d0) // 7 AS week_offset, ev.user_id
+              |  SELECT DISTINCT
+              |    (d0 - ((d0 % 7) + 7) % 7) // 7 AS cohort_week,
+              |    ((day - d0) - (((day - d0) % 7) + 7) % 7) // 7
+              |      AS week_offset, ev.user_id
               |  FROM ev JOIN first_ USING (user_id)),
               |counts AS (
               |  SELECT cohort_week, week_offset, COUNT(*) AS active_users
               |  FROM active GROUP BY 1, 2),
               |sizes AS (
-              |  SELECT d0 // 7 AS cohort_week, COUNT(*) AS cohort_size
+              |  SELECT (d0 - ((d0 % 7) + 7) % 7) // 7 AS cohort_week,
+              |    COUNT(*) AS cohort_size
               |  FROM first_ GROUP BY 1)
               |SELECT cohort_week, week_offset, active_users, cohort_size,
               |  CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)
@@ -692,13 +718,16 @@ object EventsOps {
     * e16 QuerySpec comment for the shuffle shape.
     */
   def cohortRetention(days: DataFrame): DataFrame = {
-    // FLOOR division, not Spark's truncate-toward-zero `div`: DuckDB's `//`
-    // floors, so `div` alone would diverge on negative inputs (pre-1970
-    // timestamps make `day` and `d0` negative). (a - pmod(a, 7)) is exactly
-    // divisible by 7 with a non-negative remainder removed, so the
-    // truncating div of it IS floor — pure integer arithmetic, no
-    // double-rounding hazard. week_offset needs no guard (day >= d0 by
-    // construction), but gets the same form for uniformity.
+    // FLOOR division, not Spark's truncate-toward-zero `div`. DuckDB
+    // 1.0.0's `//` ALSO truncates (-7 // 2 = -3), so the oracle carries
+    // the same pmod adjustment — floor is the chosen contract (calendar
+    // weeks partition time uniformly across the epoch), and both engines
+    // reach it identically. (a - pmod(a, 7)) is exactly divisible by 7
+    // with a non-negative remainder removed, so the truncating div of it
+    // IS floor — pure integer arithmetic, no double-rounding hazard.
+    // week_offset needs no guard (day >= d0 by construction), but gets
+    // the same form for uniformity. Negative-day behavior is pinned by a
+    // pre-1970 row in EdgeSpec.
     def floorDiv7(e: String): Column = expr(s"(($e) - pmod($e, 7)) div 7")
     val first = days.groupBy("user_id").agg(min(col("day")).as("d0"))
     val active = days.join(first, "user_id")

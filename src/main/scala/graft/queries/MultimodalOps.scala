@@ -179,19 +179,33 @@ object MultimodalOps {
   }
 
   val specs: Vector[QuerySpec] = Vector(
+    // REAL decode (round 10): one tiny deterministic raster per doc,
+    // encoded to actual PNG (even ids, 8-bit gray) / BMP (odd ids, 24-bit)
+    // bytes, decoded back via javax.imageio — dimensions and mean pixel
+    // are read from the DECODED raster. The oracle recomputes both from
+    // the generator formula (pixel = (doc_id·31 + x·7 + y·13) mod 256),
+    // which it can do without a codec — so a green row proves the bytes
+    // round-tripped bit-exactly through the image format.
     QuerySpec(
       "m01_media_features",
       (s, d) =>
-        Multimodal.extractFeatures(Multimodal.mediaTable(s, d))
+        Multimodal.decodeFeatures(Multimodal.realMediaTable(s, d))
           .orderBy("doc_id")
           .toDF(),
-      Some("""SELECT doc_id,
-             |  CAST(length(text) AS BIGINT) AS n_bytes,
-             |  CAST(list_sum(list_transform(string_split(text, ''),
-             |      c -> ascii(c))) AS DOUBLE)
-             |    / CAST(length(text) AS DOUBLE) AS mean_byte,
-             |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS fmt
-             |FROM documents ORDER BY doc_id""".stripMargin),
+      Some("""WITH g AS (
+             |  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS width,
+             |    CAST(3 + doc_id % 11 AS INT) AS height,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, width, height, fmt,
+             |    list_sum(flatten(list_transform(range(0, height), y ->
+             |      list_transform(range(0, width), x ->
+             |        (doc_id * 31 + x * 7 + y * 13) % 256)))) AS s
+             |  FROM g)
+             |SELECT doc_id, width, height, fmt,
+             |  CAST(s AS DOUBLE) / (width * height) AS mean_px
+             |FROM m ORDER BY doc_id""".stripMargin),
     ),
     // Frame sampling: fixed-size windows over the payload (the shape a
     // video frame-sampler or audio chunker has), one row per frame with
@@ -217,29 +231,36 @@ object MultimodalOps {
              |  UNNEST(range(0, (length(text) - 1) // 100 + 1)) AS u(frame_idx)
              |ORDER BY doc_id, frame_idx""".stripMargin),
     ),
-    // Resize/downsample through the codec seam: dims halved, payload
-    // subsampled (every 2nd byte), features recomputed on the result. The
-    // ASCII payload keeps the whole transform oracle-able byte-for-byte.
+    // TRUE pixel resampling (round 10): decode the real PNG/BMP payload,
+    // 2×2 box-downsample the raster (integer mean, floor — output dims
+    // w/2 × h/2 keep every block inside the source, no edge clamping),
+    // report resized dims + mean pixel. The oracle replays the identical
+    // integer arithmetic on the generator formula: agreement proves the
+    // resample ran on faithfully decoded pixels.
     QuerySpec(
       "m03_resize",
       (s, d) =>
-        Multimodal.resize(Multimodal.mediaTable(s, d), factor = 2)
+        Multimodal.resizeReal(Multimodal.realMediaTable(s, d))
           .orderBy("doc_id")
           .toDF(),
-      Some("""WITH b AS (
-             |  SELECT doc_id,
-             |    CAST(n_chars % 640 AS INT) AS w0,
-             |    CAST(n_chars % 480 AS INT) AS h0,
-             |    list_transform(list_filter(range(0, length(text)), i -> i % 2 = 0),
-             |                   i -> ascii(text[i+1])) AS sub
-             |  FROM documents)
-             |SELECT doc_id,
-             |  w0 // 2 AS width, h0 // 2 AS height,
-             |  CAST(len(sub) AS BIGINT) AS n_bytes,
-             |  CASE WHEN len(sub) = 0 THEN 0.0
-             |       ELSE CAST(list_sum(sub) AS DOUBLE) / CAST(len(sub) AS DOUBLE)
-             |  END AS mean_byte
-             |FROM b ORDER BY doc_id""".stripMargin),
+      Some("""WITH g AS (
+             |  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w0,
+             |    CAST(3 + doc_id % 11 AS INT) AS h0,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, w0 // 2 AS width, h0 // 2 AS height, fmt,
+             |    list_sum(flatten(list_transform(range(0, h0 // 2), y ->
+             |      list_transform(range(0, w0 // 2), x ->
+             |        ((doc_id*31 + (2*x)*7 + (2*y)*13) % 256
+             |         + (doc_id*31 + (2*x+1)*7 + (2*y)*13) % 256
+             |         + (doc_id*31 + (2*x)*7 + (2*y+1)*13) % 256
+             |         + (doc_id*31 + (2*x+1)*7 + (2*y+1)*13) % 256) // 4))))
+             |      AS s
+             |  FROM g)
+             |SELECT doc_id, width, height, fmt,
+             |  CAST(s AS DOUBLE) / (width * height) AS mean_px
+             |FROM r ORDER BY doc_id""".stripMargin),
     ),
     // Media near-duplicate pairs: perceptual-hash fingerprints, 16-bit
     // banding, hot-bucket guard, hamming verify — the d04 SimHash machinery

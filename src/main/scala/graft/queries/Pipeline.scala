@@ -540,5 +540,68 @@ object Pipeline {
               |JOIN eff ON r2.source = eff.source
               |ORDER BY r2.source""".stripMargin),
     ),
+    // Shard compaction planner — the small-files answer a 100 TB publish
+    // needs: a published corpus accretes under-sized shards (partial
+    // ranges, churn rewrites, per-source stragglers), and every downstream
+    // scan then pays per-file open/footer costs. The planner reads shard
+    // SIZES (metadata — bytes, never text), keeps shards already at the
+    // target, and packs the rest into merge groups by deterministic
+    // first-fit in shard order: running prefix-sum of bytes, group =
+    // before div target (the c16 bin-packing machinery on file sizes).
+    // Packing domains are 4096-shard ranges so the prefix-sum window's
+    // task state is bounded at any manifest size (each domain wastes at
+    // most one partial group — c16's <1% argument); group ids are
+    // domain-offset so they never collide across domains. Every division
+    // runs on non-negative values, so Spark `div` and DuckDB `//` agree
+    // without the e16 pmod adjustment. Sizes are plant-inflated 8× on
+    // every 5th shard (size metadata only — the text itself is never
+    // rewritten or shuffled) so BOTH actions are oracle-exercised at
+    // every SF: inflated shards pass the target and 'keep'; the rest
+    // 'merge' in multi-shard groups.
+    QuerySpec(
+      "p09_compaction_plan",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (b, t, dom) = (64, 65536L, 4096)
+        val shards = Tables(s, d, "documents")
+          .select(expr(s"doc_id div $b").as("shard"),
+            (octet_length(col("text")).cast(LongType) *
+              when(expr(s"(doc_id div $b) % 5 = 0"), 8L).otherwise(1L)).as("bsz"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("bsz")).as("bytes"))
+        val keeps = shards.filter(col("bytes") >= t)
+          .select(col("shard"), col("n_docs"), col("bytes"),
+            lit("keep").as("action"), lit(null).cast(LongType).as("grp"))
+        val w = Window.partitionBy(expr(s"shard div $dom")).orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val merges = shards.filter(col("bytes") < t)
+          .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+          .select(col("shard"), col("n_docs"), col("bytes"),
+            lit("merge").as("action"),
+            (expr(s"shard div $dom") * dom + expr(s"before div $t")).as("grp"))
+        keeps.unionByName(merges).orderBy("shard")
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id // 64 AS shard, COUNT(*) AS n_docs,
+             |    SUM(strlen(text) *
+             |      (CASE WHEN (doc_id // 64) % 5 = 0 THEN 8 ELSE 1 END))
+             |      AS bytes
+             |  FROM documents GROUP BY 1),
+             |small AS (
+             |  SELECT shard, n_docs, bytes,
+             |    COALESCE(SUM(bytes) OVER (PARTITION BY shard // 4096
+             |      ORDER BY shard
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS before
+             |  FROM s WHERE bytes < 65536)
+             |SELECT shard, n_docs, bytes, 'keep' AS action,
+             |  CAST(NULL AS BIGINT) AS grp
+             |FROM s WHERE bytes >= 65536
+             |UNION ALL
+             |SELECT shard, n_docs, bytes, 'merge' AS action,
+             |  (shard // 4096) * 4096 + before // 65536 AS grp
+             |FROM small
+             |ORDER BY shard""".stripMargin),
+    ),
   )
 }

@@ -514,14 +514,22 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
-    cand
+    val scored = cand
       .join(corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
       .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .select(col("q_id"), col("vec_id"), col("cos")) // embeddings out of the heaps
+    // TopKPerKey (bounded map-side heaps, ≤k rows/key/task into the
+    // exchange) instead of a row_number window over the full candidate
+    // set — the s08 serve pattern. Its final phase emits key-partitioned,
+    // (key, cos desc, vec_id)-sorted rows, so the rank window that
+    // follows adds NO exchange and NO sort: it streams over ≤k-row
+    // groups purely to materialize the rank column.
+    graft.plans.TopK.perKey(scored,
+        Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
       .withColumn("rank",
         row_number().over(
           Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
       .orderBy("q_id", "rank")
   }

@@ -109,7 +109,14 @@ object Streams {
           sorted.foreach { e =>
             open match {
               case Some(o) if e.ts_us - o.end_us <= GapUs =>
-                open = Some(o.copy(end_us = e.ts_us, n = o.n + 1, sum = o.sum + e.value))
+                // max/min, not assignment: in-batch events arrive sorted
+                // (no-op there), but a late-within-watermark event in a
+                // LATER micro-batch has ts < end_us and must not regress
+                // the session end (or its eviction timer) / start
+                open = Some(o.copy(
+                  start_us = math.min(o.start_us, e.ts_us),
+                  end_us = math.max(o.end_us, e.ts_us),
+                  n = o.n + 1, sum = o.sum + e.value))
               case Some(o) =>
                 out += Session(uid, o.start_us, o.end_us, o.n, o.sum)
                 open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
@@ -389,7 +396,14 @@ object Streams {
             sorted.foreach { e =>
               open match {
                 case Some(o) if e.ts_us - o.end_us <= GapUs =>
-                  open = Some(o.copy(end_us = e.ts_us, n = o.n + 1, sum = o.sum + e.value))
+                  // max/min, not assignment: in-batch events arrive sorted
+                // (no-op there), but a late-within-watermark event in a
+                // LATER micro-batch has ts < end_us and must not regress
+                // the session end (or its eviction timer) / start
+                open = Some(o.copy(
+                  start_us = math.min(o.start_us, e.ts_us),
+                  end_us = math.max(o.end_us, e.ts_us),
+                  n = o.n + 1, sum = o.sum + e.value))
                 case Some(o) =>
                   out += Session(uid, o.start_us, o.end_us, o.n, o.sum)
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
@@ -451,7 +465,11 @@ object Streams {
       sorted.foreach { e =>
         cur match {
           case Some(o) if e.ts_us - o.end_us <= GapUs =>
-            cur = Some(o.copy(end_us = e.ts_us, n = o.n + 1, sum = o.sum + e.value))
+            // same max/min late-event discipline as the fMGWS paths above
+            cur = Some(o.copy(
+              start_us = math.min(o.start_us, e.ts_us),
+              end_us = math.max(o.end_us, e.ts_us),
+              n = o.n + 1, sum = o.sum + e.value))
           case Some(o) =>
             out += Session(uid, o.start_us, o.end_us, o.n, o.sum)
             cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))

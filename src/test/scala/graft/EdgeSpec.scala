@@ -264,6 +264,26 @@ class EdgeSpec extends AnyFunSuite {
     assert(sizeSum == users, s"cohort sizes $sizeSum != users $users")
   }
 
+  test("e16: pre-1970 days floor into negative cohort weeks (not truncate)") {
+    // day -15 lies in calendar week floor(-15/7) = -3; truncating division
+    // would put it in week -2 and shift every offset. Both the Spark engine
+    // and the DuckDB oracle carry the same pmod-floor form, so this pins
+    // the contract on the negative domain the generated corpus never hits.
+    val days = Seq(
+      (1L, -15L), (1L, -8L), (1L, -1L), // user 1: weeks -3 +0, +1, +2
+      (2L, -15L), (2L, 6L)              // user 2: weeks -3 +0, +3
+    ).toDF("user_id", "day")
+    val out = graft.queries.EventsOps.cohortRetention(days).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet.map(_._1) == Set(-3L), s"cohort weeks: ${out.keySet}")
+    assert(out((-3L, 0L)) == ((2L, 2L, 1.0)))
+    assert(out((-3L, 1L)) == ((1L, 2L, 0.5)))
+    assert(out((-3L, 2L)) == ((1L, 2L, 0.5)))
+    assert(out((-3L, 3L)) == ((1L, 2L, 0.5)))
+    assert(out.size == 4)
+  }
+
   test("e17: transitions conserve events minus first-per-user; rows sum to 1") {
     import org.apache.spark.sql.functions._
     val out = Registry.byName("e17_transition_matrix").run(spark, sf).collect()

@@ -56,4 +56,41 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(exactHitters.subsetOf(mg.keySet.toSet), s"hitters missing from $mg")
     assert(mg.size <= 4)
   }
+
+  test("weighted guarantee: weight > W/(k+1) survives every merge order") {
+    val a = new MisraGries.WMGAgg(3)
+    // total weight W = 100, hot carries 30 > 100/4 = 25, split into small
+    // increments so no single insert dominates; adversarial filler
+    val items = Seq.fill(10)(("hot", 3L)) ++
+      (0 until 35).map(i => (s"f${i % 9}", 2L))
+    for (seed <- 1 to 5; parts <- Seq(2, 3, 5)) {
+      val shuffled = new scala.util.Random(seed).shuffle(items)
+      val chunks = shuffled.grouped(math.max(1, shuffled.size / parts)).toSeq
+      val partials = chunks.map(_.foldLeft(a.zero)(a.reduce))
+      val leftFold = partials.reduceLeft(a.merge)
+      val rightFold = partials.reduceRight(a.merge)
+      assert(leftFold.contains("hot"), s"hot lost (left, seed=$seed): $leftFold")
+      assert(rightFold.contains("hot"), s"hot lost (right, seed=$seed): $rightFold")
+      (leftFold ++ rightFold).foreach { case (_, c) => assert(c > 0) }
+      assert(leftFold.size <= 3 && rightFold.size <= 3)
+    }
+    // null item and non-positive weights are SQL-skipped
+    val b = a.reduce(a.reduce(a.reduce(a.zero, (null, 5L)), ("x", 0L)), ("x", -2L))
+    assert(b.isEmpty)
+  }
+
+  test("weighted sketch over a pre-aggregated frame finds the raw-stream hitters") {
+    import spark.implicits._
+    // same corpus as the unweighted test, but the sketch consumes the
+    // exact (item, cnt) rollup — the one-scan e11 shape
+    val rows = Seq.fill(300)("x") ++ Seq.fill(280)("y") ++ Seq.fill(260)("z") ++
+      (0 until 400).map(i => s"t${i % 40}")
+    val counts = rows.toDF("v").repartition(8)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val mg = counts
+      .agg(MisraGries.weightedSketch(col("v"), col("cnt"), 4).as("mg"))
+      .head().getMap[String, Long](0)
+    assert(Set("x", "y", "z").subsetOf(mg.keySet.toSet), s"hitters missing from $mg")
+    assert(mg.size <= 4)
+  }
 }

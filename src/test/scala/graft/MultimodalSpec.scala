@@ -29,13 +29,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.mean_byte == 65.5)
   }
 
-  test("m01 features align with the documents table") {
+  test("ImageCodec: PNG and BMP encode→decode round-trips every pixel") {
+    for (id <- Seq(0L, 1L, 2L, 7L, 42L, 123L, 1000001L)) {
+      val bytes = Multimodal.ImageCodec.encode(id)
+      // real magic bytes: PNG signature / 'BM'
+      if (id % 2 == 0)
+        assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte, s"doc $id")
+      else
+        assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, s"doc $id")
+      val img = Multimodal.ImageCodec.decode(bytes)
+      val (w, h) = Multimodal.ImageCodec.dims(id)
+      assert(img.getWidth == w && img.getHeight == h, s"doc $id dims")
+      val r = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        assert(r.getSample(x, y, 0) == Multimodal.ImageCodec.px(id, x, y),
+          s"doc $id pixel ($x,$y)")
+    }
+  }
+
+  test("m01 decoded features match the generator formula (real decode)") {
     val rows = Registry.byName("m01_media_features").run(spark, sf).collect()
     assert(rows.length == 500)
-    assert(rows.forall(r => r.getDouble(2) > 32.0 && r.getDouble(2) < 127.0))
-    // fmt parity rule
-    assert(rows.forall(r =>
-      r.getString(3) == (if (r.getLong(0) % 2 == 0) "png" else "jpg")))
+    rows.foreach { r =>
+      val (id, w, h, fmt, mean) = (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getDouble(4))
+      val (ew, eh) = Multimodal.ImageCodec.dims(id)
+      assert(w == ew && h == eh, s"doc $id dims")
+      assert(fmt == (if (id % 2 == 0) "png" else "bmp"), s"doc $id fmt")
+      val es = (for (y <- 0 until eh; x <- 0 until ew)
+        yield Multimodal.ImageCodec.px(id, x, y).toLong).sum
+      assert(mean == es.toDouble / (ew * eh), s"doc $id mean")
+    }
+  }
+
+  test("m03 true resample: 2x2 box means of decoded pixels") {
+    val rows = Registry.byName("m03_resize").run(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (id, w, h, mean) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(4))
+      val (w0, h0) = Multimodal.ImageCodec.dims(id)
+      assert(w == w0 / 2 && h == h0 / 2, s"doc $id resized dims")
+      def p(x: Int, y: Int) = Multimodal.ImageCodec.px(id, x, y)
+      val es = (for (y <- 0 until h; x <- 0 until w)
+        yield ((p(2 * x, 2 * y) + p(2 * x + 1, 2 * y) +
+          p(2 * x, 2 * y + 1) + p(2 * x + 1, 2 * y + 1)) / 4).toLong).sum
+      assert(mean == es.toDouble / (w.toLong * h), s"doc $id mean")
+    }
   }
 
   test("m04 recalls planted perturbed-payload copies; non-planted pairs are rare") {

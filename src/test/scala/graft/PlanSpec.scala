@@ -77,6 +77,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("codegen id"), p)
   }
 
+  test("e11 scans events once: weighted sketch rides the rollup's exchange") {
+    // the exact groupBy frame feeds BOTH the broadcast stats agg (n + the
+    // weighted MG sketch) and the output filter; the shared scan+partial-
+    // agg+exchange subtree must collapse to one events scan via exchange
+    // reuse — the d15/c25 single-materialization audit pattern
+    val df = Registry.byName("e11_heavy_hitters").run(spark, sf)
+    df.collect()
+    // only the Final Plan section reflects what ran; the Initial Plan and
+    // the per-node detail blocks repeat the scan and would double-count
+    val p = df.queryExecution.explainString(FormattedMode)
+      .split("== Initial Plan ==")(0)
+    val eventScans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(eventScans == 1, p)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("q63 (Q6 shape) pushes every predicate to the scan, no joins") {
     val p = plan("q63_tpch_q6")
     assert(p.contains("PushedFilters:"), p)
@@ -323,6 +339,39 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
     assert(!exchanges.exists(_.matches(".*\\bembedding#\\d+.*")),
       s"corpus embeddings leak into a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("s13 kNN serve: TopKPerKey bounds the candidate cut; rank window adds no exchange") {
+    val df = Registry.byName("s13_knn_graph_scaled").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+      .split("== Initial Plan ==")(0)
+    // bounded heaps replace the full-candidate row_number sort
+    assert(p.contains("TopKPerKey"), p)
+    // the rank window consumes TopK's key-partitioned, (key, cos desc,
+    // vec_id)-sorted output directly: between the final TopKPerKey and the
+    // Window there must be no Exchange and no Sort
+    // first TopKPerKey in the tree = the FINAL phase (the partial phase
+    // sits deeper, below its own legitimate exchange+sort)
+    val lines = p.linesIterator.toIndexedSeq
+    val topkIdx = lines.indexWhere(_.contains("TopKPerKey"))
+    val winIdx = lines.indexWhere(l => l.contains("Window") && !l.contains("WindowGroupLimit"))
+    assert(topkIdx >= 0 && winIdx >= 0 && winIdx < topkIdx, p)
+    val between = lines.slice(winIdx + 1, topkIdx)
+    assert(!between.exists(l => l.contains("Exchange") || l.contains("Sort")),
+      s"exchange/sort between TopKPerKey and Window:\n${between.mkString("\n")}")
+  }
+
+  test("p09 compaction plan shuffles sizes only — text never leaves the scan") {
+    val p = plan("p09_compaction_plan")
+    // byte sizes are computed scan-side; the shard rollup moves partial
+    // sums (map-side combine), and no exchange carries the text column
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")),
+      s"text leaks into a shuffle:\n${exchanges.mkString("\n")}")
+    // only doc_id + text are ever read
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
   test("c20 DSIR: one token shuffle for the model; top-k is TakeOrdered, not a sort") {
