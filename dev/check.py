@@ -6,11 +6,21 @@ Mimics the driver's correctness gate: for each query dir under OUTDIR
 oracle_sql.json in DuckDB over the same sf parquet tables, sort columns
 by name, sort rows, and compare values exactly.
 
-Usage: python3 dev/check.py /root/testdata/sf0.01 /tmp/verify_out [out.json]
+Usage: python3 dev/check.py /root/testdata/sf0.01 /tmp/verify_out \
+           [out.json] [oracle_cap_s]
 
 The optional third arg writes a driver-format artifact (per-query
 rows_match/schema_match/hash_match) — used to commit the sf0.1-scale gate
 result (CORRECTNESS_sf0.1.json).
+
+The optional fourth arg is a per-oracle wall cap in seconds (enforced
+with con.interrupt() from a watchdog thread; the connection survives).
+Queries whose DuckDB replica exceeds the cap are recorded as explicit
+skips ({"skipped": ...} rows in the artifact), NOT failures — at sf1 a
+handful of oracle replicas (the 16-projection kNN SQL, the quadratic
+d03/e01 window replicas) are infeasible in DuckDB even though the Spark
+side finishes in seconds; the cap makes that set self-discovering and
+machine-readable instead of hand-maintained.
 """
 import glob
 import json
@@ -40,9 +50,27 @@ def load_spark(path):
     return tbl
 
 
-def main(sfdir, outdir, json_out=None):
+def main(sfdir, outdir, json_out=None, oracle_cap_s=None):
     import os.path
+    import threading
+    cap = float(oracle_cap_s) if oracle_cap_s else None
     con = duckdb.connect()
+
+    def run_oracle(sql):
+        """con.sql(...).arrow() under the optional wall cap."""
+        if not cap:
+            return con.sql(sql).arrow()
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(cap):
+                con.interrupt()
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        try:
+            return con.sql(sql).arrow()
+        finally:
+            done.set()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
@@ -85,7 +113,14 @@ def main(sfdir, outdir, json_out=None):
             n_skip += 1
             continue
         try:
-            duck_tbl = con.sql(oracle[name]).arrow()
+            duck_tbl = run_oracle(oracle[name])
+        except duckdb.InterruptException:
+            print(f"SKIP  {name}: oracle exceeded {cap:.0f}s wall cap "
+                  f"(spark rows={spark_tbl.num_rows})")
+            report[name] = {"skipped": f"oracle wall cap {cap:.0f}s",
+                            "spark_rows": spark_tbl.num_rows}
+            n_skip += 1
+            continue
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             rec(name, False, False, False, spark_tbl.num_rows, 0, str(e)[:200])

@@ -514,22 +514,28 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
-    val scored = cand
+    // DECISION RECORD (r10, measured): the serve cut stays a row_number
+    // window, NOT plans/TopKPerKey. At the 1M probe (tools/ProbeKnn,
+    // identical corpus/params), the TopKPerKey variant ran 424 s vs 44 s
+    // for this shape — in an ALL-queries build the bucket cap leaves only
+    // ~tens of candidates per q_id, so a 32-task run sees ≈1 row per
+    // (task, key): partial heaps reduce nothing while paying per-key map
+    // state for ~|corpus| keys per task (the variant also OOMed an 8 GiB
+    // driver). The window here is not a full per-partition sort anyway:
+    // Spark plans rank<=k filters as WindowGroupLimit (partial map-side
+    // group limit before the exchange + final limit after), i.e. the
+    // bounded streaming cut TopKPerKey would hand-roll — gated in
+    // PlanSpec. s08 keeps TopKPerKey, where per-task rows-per-key ≫ k
+    // (corpus-wide scoring against a broadcast shortlist) makes the
+    // partial phase genuinely reductive.
+    cand
       .join(corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
       .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
-      .select(col("q_id"), col("vec_id"), col("cos")) // embeddings out of the heaps
-    // TopKPerKey (bounded map-side heaps, ≤k rows/key/task into the
-    // exchange) instead of a row_number window over the full candidate
-    // set — the s08 serve pattern. Its final phase emits key-partitioned,
-    // (key, cos desc, vec_id)-sorted rows, so the rank window that
-    // follows adds NO exchange and NO sort: it streams over ≤k-row
-    // groups purely to materialize the rank column.
-    graft.plans.TopK.perKey(scored,
-        Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), k)
       .withColumn("rank",
         row_number().over(
           Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
       .orderBy("q_id", "rank")
   }

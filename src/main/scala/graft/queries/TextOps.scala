@@ -54,6 +54,123 @@ object TextOps {
 
   private val enStop = markers.head._2
 
+  /** t17's char-n-gram language classifier — the upgrade path from t03's
+    * marker-word argmax: language profiles are DISTINCT CHAR TRIGRAMS of
+    * the (space-padded) marker vocabularies, and a doc's per-language
+    * score is its trigram hit COUNT against each profile (argmax with the
+    * t03 prio tie-break). Trigram membership is how fastText-style
+    * lang-id actually discriminates — robust to unseen words sharing
+    * morphology — while staying a pure map-side scan op: the profiles are
+    * literal arrays folded into the plan (a real model would broadcast
+    * them, c13 pattern), and the SAME Scala data generates the DuckDB
+    * oracle's literals, so both engines share one source of truth.
+    * Restricted to the 4 ASCII vocabularies: CJK trigrams would ride on
+    * char-vs-byte substring semantics across engines, which is a
+    * different contract than the classifier under test.
+    */
+  private[graft] object LangClassifier {
+    val langs: Seq[(String, Seq[String], Int)] = markers.take(4)
+    val Words = 20 // planted doc length; 3j mod 10 covers every vocab index
+
+    def profile(words: Seq[String]): Seq[String] =
+      words.flatMap { w =>
+        val s = " " + w + " "
+        (0 to s.length - 3).map(i => s.substring(i, i + 3))
+      }.distinct
+
+    /** Planted multilingual corpus: doc_id % 4 selects the language; word
+      * j is vocab[(doc_id·7 + j·3) mod 10] — gcd(3,10)=1, so every doc
+      * cycles through its whole vocabulary (full profile coverage).
+      */
+    def plant(docs: DataFrame): DataFrame = {
+      val arrs = langs.map { case (_, ws, _) => array(ws.map(lit): _*) }
+      def gen(l: Int): Column = concat_ws(" ",
+        transform(sequence(lit(0), lit(Words - 1)),
+          j => element_at(arrs(l),
+            (pmod(col("doc_id") * 7 + j * 3, lit(10)) + 1).cast("int"))))
+      def pick(f: Int => Column): Column =
+        (0 until 3).foldLeft(when(lit(false), lit(null))) { (acc, l) =>
+          acc.when(pmod(col("doc_id"), lit(4)) === l, f(l))
+        }.otherwise(f(3))
+      docs.select(col("doc_id"),
+        pick(l => lit(langs(l)._1)).as("lang_label"),
+        pick(gen).as("text"))
+    }
+
+    /** Per-language trigram hit counts + argmax over k = hits·10 + prio
+      * (prio < 10 and prios are distinct, so k values never collide and
+      * k div 10 recovers the winner's hit count).
+      */
+    def classify(planted: DataFrame): DataFrame = {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val grams = transform(sequence(lit(1), length(padded) - 2),
+        i => substring(padded, i, lit(3)))
+      val withG = planted.select(col("doc_id"), col("lang_label"),
+        grams.as("grams"))
+      val ks = langs.map { case (lang, ws, prio) =>
+        (size(filter(col("grams"),
+          g => array_contains(array(profile(ws).map(lit): _*), g)))
+          .cast(LongType) * 10 + prio).as(s"k_$lang")
+      }
+      val kCols = langs.map { case (lang, _, _) => col(s"k_$lang") }
+      val best = greatest(kCols: _*)
+      val pred = langs.init.foldLeft(when(lit(false), lit(null))) {
+        case (acc, (lang, _, _)) => acc.when(best === col(s"k_$lang"), lang)
+      }.otherwise(langs.last._1)
+      withG
+        .withColumn("n_grams", size(col("grams")).cast(LongType))
+        .select(Seq(col("doc_id"), col("lang_label"), col("n_grams")) ++ ks: _*)
+        .select(col("doc_id"), col("lang_label"), pred.as("lang_pred"),
+          (expr("greatest(" + langs.map(l => s"k_${l._1}").mkString(",") +
+            ") div 10").cast(DoubleType) /
+            col("n_grams").cast(DoubleType)).as("confidence"))
+        .orderBy("doc_id")
+    }
+
+    def oracleSql: String = {
+      def lits(ss: Seq[String]) = ss.map(s => s"'$s'").mkString(", ")
+      val vocabCases = langs.zipWithIndex.map { case ((_, ws, _), l) =>
+        s"WHEN ${l} THEN list_extract([${lits(ws)}], CAST((doc_id*7 + j*3) % 10 + 1 AS BIGINT))"
+      }.mkString("\n           ")
+      val kDefs = langs.map { case (lang, ws, prio) =>
+        s"""CAST(len(list_filter(grams,
+           |      g2 -> list_contains([${lits(profile(ws))}], g2))) AS BIGINT)
+           |      * 10 + $prio AS k_$lang""".stripMargin
+      }.mkString(",\n    ")
+      val kNames = langs.map(l => s"k_${l._1}").mkString(", ")
+      val predCases = langs.init.map { case (lang, _, _) =>
+        s"WHEN k_$lang THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 4 ${langs.zipWithIndex.map { case ((lang, _, _), l) =>
+               s"WHEN $l THEN '$lang'" }.mkString(" ")} END AS lang_label,
+         |    array_to_string(list_transform(range(0, $Words), j ->
+         |      CASE doc_id % 4
+         |           $vocabCases
+         |      END), ' ') AS text
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang_label, ' ' || text || ' ' AS pt FROM corpus),
+         |g AS (
+         |  SELECT doc_id, lang_label,
+         |    list_transform(range(1, length(pt) - 1),
+         |      i -> substr(pt, CAST(i AS BIGINT), 3)) AS grams
+         |  FROM p),
+         |sc AS (
+         |  SELECT doc_id, lang_label,
+         |    CAST(len(grams) AS BIGINT) AS n_grams,
+         |    $kDefs
+         |  FROM g)
+         |SELECT doc_id, lang_label,
+         |  CASE greatest($kNames) $predCases ELSE '${langs.last._1}' END
+         |    AS lang_pred,
+         |  CAST(greatest($kNames) // 10 AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         |    AS confidence
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }
+  }
+
   /** Gopher rule battery — ONE definition shared by the t09 gate and the
     * p01 publish pipeline. The stage-coupling rot p01 exists to catch
     * would otherwise start right here: duplicated thresholds/stop lists
@@ -900,6 +1017,21 @@ object TextOps {
              |  CAST(marker_cnt AS DOUBLE) / CAST(n_lines AS DOUBLE) >= 0.8
              |    AS is_code
              |FROM m ORDER BY doc_id""".stripMargin),
+    ),
+    // Char-n-gram language classifier (see LangClassifier): planted
+    // 4-language corpus (doc_id % 4 picks the vocabulary, word sequence
+    // deterministic), trigram-profile hit counts per language, prio-
+    // tie-broken argmax, confidence = winner hits / doc grams. Unlike
+    // t03's marker-word argmax this discriminates on sub-word morphology
+    // — LangIdSpec shows it separates real multilingual prose the word
+    // heuristic misses. Entirely map-side (profile literals in the plan;
+    // a production model broadcasts its profile table): a scan-speed
+    // classifier at 100 TB, zero shuffle before the ordered output.
+    QuerySpec(
+      "t17_lang_classifier",
+      (s, d) => LangClassifier.classify(LangClassifier.plant(
+        Tables(s, d, "documents").select(col("doc_id")))),
+      Some(LangClassifier.oracleSql),
     ),
   )
 

@@ -26,6 +26,42 @@ class LangIdSpec extends AnyFunSuite {
     }
   }
 
+  test("t17 trigram classifier: planted corpus fully discriminated, 4 languages") {
+    val out = Registry.byName("t17_lang_classifier").run(spark, SharedSpark.sf)
+      .collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(r.getString(2) == r.getString(1),
+        s"doc ${r.getLong(0)}: pred ${r.getString(2)} != label ${r.getString(1)}")
+      // planted docs cycle their whole vocabulary: every within-word gram
+      // hits the true profile; only boundary-spanning grams (c ' ' c) can
+      // miss, and they're a bounded minority of a 20-word doc
+      assert(r.getDouble(3) > 0.6, s"doc ${r.getLong(0)} confidence ${r.getDouble(3)}")
+    }
+    assert(out.map(_.getString(1)).distinct.length == 4)
+  }
+
+  test("t17 trigram classifier separates real sentences with unseen inflections") {
+    // each sentence mixes the language's function words with inflected
+    // forms the profile never saw (dem/einem, sont/fête, familia/casa) —
+    // sub-word trigram morphology carries them; the word-level t03
+    // heuristic gets no credit for unseen forms
+    val samples = Seq(
+      (1L, "the cat is in the house and it is with the dog for the day", "en"),
+      (2L, "der hund und die katze sind nicht mit dem einem zu den", "de"),
+      (3L, "le chat est dans la maison et les enfants sont pour une des", "fr"),
+      (4L, "el perro es una familia en la casa por los gatos para con", "es"),
+    ).toDF("doc_id", "text", "expected")
+    val got = TextOps.LangClassifier.classify(
+      samples.select(col("doc_id"), col("expected").as("lang_label"), col("text")))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(2) == r.getString(1),
+        s"doc ${r.getLong(0)}: pred ${r.getString(2)}")
+      assert(r.getDouble(3) > 0.3 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("readability orders real prose: simple short-word text above dense jargon") {
     val samples = Seq(
       ("simple",

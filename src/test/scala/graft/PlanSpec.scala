@@ -341,25 +341,21 @@ class PlanSpec extends AnyFunSuite {
       s"corpus embeddings leak into a shuffle:\n${exchanges.mkString("\n")}")
   }
 
-  test("s13 kNN serve: TopKPerKey bounds the candidate cut; rank window adds no exchange") {
+  test("s13 kNN serve: rank<=k cut is a WindowGroupLimit, partial before the exchange") {
+    // decision record in Similarity.knnGraph: TopKPerKey measured 11×
+    // SLOWER here (≈1 candidate per (task, key) — nothing to reduce);
+    // the gate instead pins Spark's own bounded cut: a Partial
+    // WindowGroupLimit must run map-side BEFORE the window's exchange,
+    // so at most k rows per (key, task) enter the shuffle
     val df = Registry.byName("s13_knn_graph_scaled").run(spark, sf)
     df.collect()
     val p = df.queryExecution.explainString(FormattedMode)
       .split("== Initial Plan ==")(0)
-    // bounded heaps replace the full-candidate row_number sort
-    assert(p.contains("TopKPerKey"), p)
-    // the rank window consumes TopK's key-partitioned, (key, cos desc,
-    // vec_id)-sorted output directly: between the final TopKPerKey and the
-    // Window there must be no Exchange and no Sort
-    // first TopKPerKey in the tree = the FINAL phase (the partial phase
-    // sits deeper, below its own legitimate exchange+sort)
-    val lines = p.linesIterator.toIndexedSeq
-    val topkIdx = lines.indexWhere(_.contains("TopKPerKey"))
-    val winIdx = lines.indexWhere(l => l.contains("Window") && !l.contains("WindowGroupLimit"))
-    assert(topkIdx >= 0 && winIdx >= 0 && winIdx < topkIdx, p)
-    val between = lines.slice(winIdx + 1, topkIdx)
-    assert(!between.exists(l => l.contains("Exchange") || l.contains("Sort")),
-      s"exchange/sort between TopKPerKey and Window:\n${between.mkString("\n")}")
+    assert(p.contains("WindowGroupLimit"), p)
+    // two WindowGroupLimit nodes = partial (map-side, before the exchange)
+    // + final (after) — the bounded-shuffle guarantee
+    val n = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(n >= 2, s"expected partial+final WindowGroupLimit, got $n:\n$p")
   }
 
   test("p09 compaction plan shuffles sizes only — text never leaves the scan") {

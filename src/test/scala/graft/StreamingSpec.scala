@@ -441,6 +441,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lshDedupIngest restart from checkpoint equals the uninterrupted run") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // the recovery gate: stop the daemon mid-stream (after batch 1 of 2),
+    // restart a NEW query from the same checkpointLocation, and require
+    // the corpus + emitted pair set to equal an uninterrupted run — i.e.
+    // the checkpoint's offset log really prevents re-ingesting batch 1
+    val docs = graft.engine.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 10 === 0)
+    val b1 = docs.select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val b2 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), lit(1),
+        size(split(col("text"), " ")) - 2)).as("text"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val tmp = Files.createTempDirectory("graft-lsh-restart")
+    def arrive(df: org.apache.spark.sql.DataFrame, in: String, name: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val stage = s"$tmp/stage-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val f = Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      Files.copy(f, Paths.get(in, s"$name.parquet"))
+    }
+    def run(tag: String)(drive: (String, String, scala.collection.mutable.Set[(Long, Long)]) => Unit)
+        : (Set[(Long, String)], Long, Set[(Long, Long)]) = {
+      val (in, corpus, cp) = (s"$tmp/$tag-in", s"$tmp/$tag-corpus", s"$tmp/$tag-cp")
+      Files.createDirectories(Paths.get(in))
+      docs.write.mode("overwrite").parquet(corpus)
+      val pairs = scala.collection.mutable.Set[(Long, Long)]()
+      drive(in, corpus, pairs)
+      val rows = spark.read.parquet(corpus)
+      (rows.collect().map(r => (r.getLong(0), r.getString(1))).toSet,
+        rows.count(), pairs.toSet)
+      // count vs set: a re-ingested batch appends DUPLICATE rows, which
+      // the set view would hide — the count catches it
+    }
+    def startQ(in: String, corpus: String, cp: String,
+        sink: scala.collection.mutable.Set[(Long, Long)]) =
+      Streams.lshDedupIngest(
+        spark.readStream.schema(schema).parquet(in), corpus,
+        (_, p) => sink.synchronized {
+          sink ++= p.collect().map(r => (r.getLong(0), r.getLong(1)))
+        }).option("checkpointLocation", cp).start()
+    val interrupted = run("restarted") { (in, corpus, pairs) =>
+      val cp = s"$tmp/restarted-cp"
+      val q1 = startQ(in, corpus, cp, pairs)
+      try { arrive(b1, in, "b1"); q1.processAllAvailable() } finally q1.stop()
+      // restart: a NEW query object, same checkpoint, same corpus state
+      val q2 = startQ(in, corpus, cp, pairs)
+      try { arrive(b2, in, "b2"); q2.processAllAvailable() } finally q2.stop()
+    }
+    val clean = run("clean") { (in, corpus, pairs) =>
+      val q = startQ(in, corpus, s"$tmp/clean-cp", pairs)
+      try {
+        arrive(b1, in, "b1"); q.processAllAvailable()
+        arrive(b2, in, "b2"); q.processAllAvailable()
+      } finally q.stop()
+    }
+    assert(interrupted._1 == clean._1, "corpus contents diverged")
+    assert(interrupted._2 == clean._2,
+      s"row counts diverged (${interrupted._2} vs ${clean._2}) — duplicate append")
+    assert(interrupted._3 == clean._3,
+      s"pair sets diverged: only-restarted=${interrupted._3 -- clean._3} " +
+        s"only-clean=${clean._3 -- interrupted._3}")
+    assert(interrupted._3.nonEmpty)
+  }
+
   test("streaming bloom-guarded exact-dedup ingest keeps the corpus duplicate-free") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
