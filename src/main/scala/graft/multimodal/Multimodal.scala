@@ -102,6 +102,95 @@ object Multimodal {
     }
   }
 
+  /** ======== REAL AUDIO CODEC (round 10) ========
+    * Deterministic 16-bit mono PCM, ENCODED to real RIFF/WAVE bytes and
+    * DECODED back through `javax.sound.sampled.AudioSystem` — the audio
+    * analog of [[ImageCodec]]. PCM in a WAV container is lossless, so the
+    * sample field being a pure function of (doc_id, i) lets a SQL oracle
+    * recompute every reported feature; agreement proves a bit-exact
+    * round trip through the container format (header parse, frame size,
+    * endianness — the parts a real ingest gets wrong).
+    */
+  object AudioCodec {
+    val SampleRate = 8000f
+    /** deterministic signed 16-bit sample at index i */
+    def sample(id: Long, i: Int): Int =
+      (((id * 31 + i.toLong * 7) % 65536) - 32768).toInt
+    /** deterministic length: 256..767 samples */
+    def nSamples(id: Long): Int = (256 + id % 512).toInt
+
+    def encode(id: Long): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val n = nSamples(id)
+      val pcm = new Array[Byte](n * 2) // 16-bit mono little-endian
+      var i = 0
+      while (i < n) {
+        val v = sample(id, i)
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** decode WAV bytes → (sampleRate, samples) via the real parser */
+    def decode(bytes: Array[Byte]): (Float, Array[Int]) = {
+      import javax.sound.sampled.AudioSystem
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian, s"unexpected decoded format: $fmt")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      (fmt.getSampleRate, samples)
+    }
+  }
+
+  case class RealAudio(doc_id: Long, payload: Array[Byte])
+  case class AudioFeatures(
+      doc_id: Long, n_samples: Long, sample_rate: Double,
+      duration_s: Double, mean_amp: Double)
+
+  /** documents → real WAV payloads (one tiny PCM clip per doc). */
+  def realAudioTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => RealAudio(id, AudioCodec.encode(id))))
+      .toDF()
+  }
+
+  /** Decode features from REAL WAV bytes: sample count, rate, duration
+    * and mean amplitude all come from the DECODED stream — the oracle
+    * recomputes them from the generator formula.
+    */
+  def audioFeatures(audio: DataFrame): Dataset[AudioFeatures] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.as[RealAudio].mapPartitions { rows =>
+      rows.map { a =>
+        val (rate, samples) = AudioCodec.decode(a.payload)
+        var sum = 0L
+        var i = 0
+        while (i < samples.length) { sum += samples(i); i += 1 }
+        AudioFeatures(a.doc_id, samples.length.toLong, rate.toDouble,
+          samples.length.toDouble / rate.toDouble,
+          sum.toDouble / samples.length)
+      }
+    }
+  }
+
   case class RealMedia(doc_id: Long, payload: Array[Byte], fmt: String)
   case class DecodedFeatures(
       doc_id: Long, width: Int, height: Int, fmt: String, mean_px: Double)

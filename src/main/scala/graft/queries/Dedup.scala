@@ -919,7 +919,15 @@ object Dedup {
       },
     ),
     // Exact n-gram Jaccard near-dup join, blocked by (lang, |Δchars| ≤ 60).
-    // DuckDB-oracle-able: no hashing, pure set arithmetic.
+    // DuckDB-oracle-able: no hashing, pure set arithmetic. The length
+    // blocking is an EQUI-join, not a residual filter (r10 — the sf1 gate
+    // caught the lang-only join going quadratic): docs bucket by
+    // n_ch div 64, and since |Δch| ≤ 60 < 64 forces buckets within ±1,
+    // the a-side probes three buckets (the e15 chunked-range trick) and
+    // the join key becomes (lang, bucket) — candidates drop from
+    // |lang-block|² to |length-neighborhood| sized, with an IDENTICAL
+    // pair set (each qualifying pair meets exactly one probe offset, so
+    // no dedup step is needed either).
     QuerySpec(
       "d05_ngram_jaccard",
       (s, d) => {
@@ -930,10 +938,14 @@ object Dedup {
           // both sides of the blocked self-join
           .localCheckpoint(true)
         val a = c.select(col("lang"), col("doc_id").as("a_id"),
-          col("sh").as("a_sh"), col("n_ch").as("a_n"))
+          col("sh").as("a_sh"), col("n_ch").as("a_n"),
+          explode(array(lit(-1), lit(0), lit(1))).as("off"))
+          .select(col("lang"), col("a_id"), col("a_sh"), col("a_n"),
+            (expr("a_n div 64") + col("off")).as("bk"))
         val b = c.select(col("lang"), col("doc_id").as("b_id"),
-          col("sh").as("b_sh"), col("n_ch").as("b_n"))
-        a.join(b, Seq("lang"))
+          col("sh").as("b_sh"), col("n_ch").as("b_n"),
+          expr("n_ch div 64").as("bk"))
+        a.join(b, Seq("lang", "bk"))
           .filter(col("a_id") < col("b_id") &&
             abs(col("a_n") - col("b_n")) <= 60)
           .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
@@ -944,6 +956,7 @@ object Dedup {
       Some(s"""$corpusCte,
               |shingled AS (
               |  SELECT doc_id, lang, length(text) AS n_ch,
+              |    length(text) // 64 AS bk,
               |    list_distinct(list_transform(
               |      range(1, CASE WHEN len(string_split(text,' ')) - 2 > 1
               |                    THEN len(string_split(text,' ')) - 2
@@ -955,8 +968,11 @@ object Dedup {
               |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
               |    (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
               |     - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jac
-              |FROM shingled a JOIN shingled b
-              |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+              |FROM shingled a
+              |JOIN (SELECT unnest([-1, 0, 1]) AS off) o ON true
+              |JOIN shingled b
+              |  ON a.lang = b.lang AND b.bk = a.bk + o.off
+              | AND a.doc_id < b.doc_id
               | AND abs(a.n_ch - b.n_ch) <= 60
               |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
               |    (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)

@@ -470,5 +470,35 @@ object MultimodalOps {
               |  quantile_cont(n_bytes, 0.75) AS p75_bytes
               |FROM m GROUP BY detected ORDER BY detected""".stripMargin),
     ),
+    // REAL audio decode (round 10): one tiny deterministic 16-bit mono
+    // PCM clip per doc, encoded to actual RIFF/WAVE bytes and decoded
+    // back through javax.sound.sampled — sample count, rate, duration and
+    // mean amplitude are read from the DECODED stream. The oracle
+    // recomputes all four from the generator formula
+    // (sample_i = (doc_id·31 + i·7) mod 65536 − 32768), which it can do
+    // without an audio parser — a green row proves the bytes round-
+    // tripped bit-exactly through the WAV container (header, frame size,
+    // little-endian 16-bit samples). Same mapPartitions codec seam as the
+    // image path: at 100 TB decode is a scan-stage map, zero shuffle
+    // before the ordered output.
+    QuerySpec(
+      "m09_audio_features",
+      (s, d) =>
+        Multimodal.audioFeatures(Multimodal.realAudioTable(s, d))
+          .orderBy("doc_id")
+          .toDF(),
+      Some("""WITH g AS (
+             |  SELECT doc_id, 256 + doc_id % 512 AS n FROM documents),
+             |m AS (
+             |  SELECT doc_id, n,
+             |    list_sum(list_transform(range(0, n), i ->
+             |      (doc_id*31 + i*7) % 65536 - 32768)) AS s
+             |  FROM g)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+             |  CAST(8000.0 AS DOUBLE) AS sample_rate,
+             |  CAST(n AS DOUBLE) / CAST(8000.0 AS DOUBLE) AS duration_s,
+             |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_amp
+             |FROM m ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -517,4 +517,21 @@ object Streams {
       .transformWithState(new SessionProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Streaming heavy hitters — the streaming half of batch e11, and the
+    * cleanest demonstration of WHY the sketch is built on mergeable
+    * summaries: a plain streaming aggregation whose buffer IS the
+    * Misra-Gries state. Spark's streaming aggregation keeps the udaf
+    * buffer in the state store and MERGES each micro-batch's partial
+    * sketches into it — exactly the arbitrary-merge-order regime the
+    * n/(k+1) guarantee covers (MisraGriesSpec pins it adversarially;
+    * StreamingSpec pins it across real micro-batch boundaries with the
+    * guarantee checked after every batch). Run in Complete mode: the
+    * output is one row (n, sketch) — O(k) state forever, no per-key
+    * shuffle of the value domain, the 100 TB/unbounded-stream shape.
+    */
+  def heavyHitterSketch(events: DataFrame, k: Int): DataFrame =
+    events.groupBy().agg(
+      count(lit(1)).as("n"),
+      graft.functions.MisraGries.sketch(col("event_type"), k).as("mg"))
 }

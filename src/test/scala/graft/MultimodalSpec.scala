@@ -47,6 +47,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AudioCodec: WAV encode→decode round-trips every 16-bit sample") {
+    for (id <- Seq(0L, 1L, 7L, 255L, 511L, 100003L)) {
+      val bytes = Multimodal.AudioCodec.encode(id)
+      // real RIFF/WAVE magic
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF", s"doc $id")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE", s"doc $id")
+      val (rate, samples) = Multimodal.AudioCodec.decode(bytes)
+      assert(rate == 8000f, s"doc $id rate")
+      assert(samples.length == Multimodal.AudioCodec.nSamples(id), s"doc $id n")
+      samples.indices.foreach { i =>
+        assert(samples(i) == Multimodal.AudioCodec.sample(id, i),
+          s"doc $id sample $i")
+      }
+      // negative samples must survive (sign bit through the container)
+      assert(samples.exists(_ < 0), s"doc $id sign")
+    }
+  }
+
   test("m01 decoded features match the generator formula (real decode)") {
     val rows = Registry.byName("m01_media_features").run(spark, sf).collect()
     assert(rows.length == 500)

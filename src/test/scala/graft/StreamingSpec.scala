@@ -54,6 +54,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("e18: heavy-hitter sketch guarantee survives micro-batch state merges") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import spark.implicits._
+    // three adversarial arrivals: batch 2 is pure filler trying to decay
+    // the batch-1 hitter's counter out of the state-store sketch; batch 3
+    // promotes a second hitter. After EVERY merge the exact hitters over
+    // everything-so-far must still be in the sketch — the state-store
+    // merge is just another merge order the MG guarantee covers.
+    val tmp = Files.createTempDirectory("graft-mg-stream")
+    val in = s"$tmp/in"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(StructField("event_type", StringType)))
+    def arrive(rows: Seq[String], name: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val stage = s"$tmp/stage-$name"
+      rows.toDF("event_type").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val f = Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      Files.copy(f, Paths.get(in, s"$name.parquet"))
+    }
+    // counts chosen so both hitters clear n/5 at EVERY checkpoint they
+    // exist at: n = 180 / 280 / 440 → thresholds 36 / 56 / 88; hot = 100,
+    // hot2 = 120
+    val b1 = Seq.fill(100)("hot") ++ (0 until 80).map(i => s"f${i % 16}")
+    val b2 = (0 until 100).map(i => s"g${i % 20}")
+    val b3 = Seq.fill(120)("hot2") ++ (0 until 40).map(i => s"f${i % 16}")
+    val q = Streams.heavyHitterSketch(
+        spark.readStream.schema(schema).parquet(in), k = 4)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_mg_batches")
+      .start()
+    try {
+      var fed = Seq.empty[String]
+      for ((b, name) <- Seq(b1 -> "b1", b2 -> "b2", b3 -> "b3")) {
+        arrive(b, name)
+        fed = fed ++ b
+        q.processAllAvailable()
+        val row = spark.table("stream_mg_batches").head()
+        val (n, mg) = (row.getLong(0), row.getMap[String, Long](1))
+        assert(n == fed.size, s"after $name")
+        val counts = fed.groupBy(identity).view.mapValues(_.size.toLong)
+        val hitters = counts.filter(_._2 > n / 5.0).keySet
+        assert(hitters.subsetOf(mg.keySet.toSet),
+          s"after $name: hitters $hitters missing from $mg")
+        assert(mg.size <= 4, s"after $name")
+      }
+      // the final state must hold BOTH planted hitters
+      val mgF = spark.table("stream_mg_batches").head().getMap[String, Long](1)
+      assert(mgF.keySet.contains("hot") && mgF.keySet.contains("hot2"), mgF)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates with watermark equals batch distinct") {
     val q = Streams.readEvents(spark, sf)
       .withWatermark("event_time", "2 hours")
