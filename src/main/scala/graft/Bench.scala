@@ -166,7 +166,14 @@ object Bench {
         // e16 (cohort rollup)
         "s12_hybrid_rrf", "m07_chunk_dedup_ratio", "c25_effective_tokens",
         "e16_cohort_retention", "t16_code_detect", "p08_mixing_manifest",
-        "e17_transition_matrix", "m08_format_stats")
+        "e17_transition_matrix", "m08_format_stats",
+        // ... and the round-10 additions: real-codec decode paths (m01
+        // PNG/BMP decode, m03 true resample, m09 WAV decode — per-row
+        // codec cost is the scale story), p09 (size-only compaction
+        // planner), t17 (trigram-profile classifier — the widest
+        // array_contains battery in the suite)
+        "m01_media_features", "m03_resize", "m09_audio_features",
+        "p09_compaction_plan", "t17_lang_classifier")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

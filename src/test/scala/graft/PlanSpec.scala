@@ -358,6 +358,26 @@ class PlanSpec extends AnyFunSuite {
     assert(n >= 2, s"expected partial+final WindowGroupLimit, got $n:\n$p")
   }
 
+  test("real-codec paths read only doc_id; decode stays in the scan stage") {
+    // the generators derive payloads from doc_id alone — a scan that
+    // reads text/lang/source for these would ship dead columns into the
+    // mapPartitions codec seam
+    for (q <- Seq("m01_media_features", "m03_resize", "m09_audio_features")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint>"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("p09 compaction plan scans documents once (keep/merge share the rollup)") {
+    val df = Registry.byName("p09_compaction_plan").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+      .split("== Initial Plan ==")(0)
+    val docScans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(docScans == 1, p)
+  }
+
   test("p09 compaction plan shuffles sizes only — text never leaves the scan") {
     val p = plan("p09_compaction_plan")
     // byte sizes are computed scan-side; the shard rollup moves partial
