@@ -23,6 +23,34 @@ import graft.engine.Tables
   */
 object Pipeline {
 
+  /** p09's engine — ONE definition shared by the contract query and the
+    * ScaleProbe p09 section. See the p09 QuerySpec comment for the full
+    * design narrative (first-fit by prefix sum, 4096-shard packing
+    * domains, planted size inflation on every 5th shard).
+    */
+  def compactionPlan(docs: DataFrame, shardDocs: Int = 64,
+      targetBytes: Long = 65536L, domain: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (b, t, dom) = (shardDocs, targetBytes, domain)
+    val shards = docs
+      .select(expr(s"doc_id div $b").as("shard"),
+        (octet_length(col("text")).cast(LongType) *
+          when(expr(s"(doc_id div $b) % 5 = 0"), 8L).otherwise(1L)).as("bsz"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("bsz")).as("bytes"))
+    val keeps = shards.filter(col("bytes") >= t)
+      .select(col("shard"), col("n_docs"), col("bytes"),
+        lit("keep").as("action"), lit(null).cast(LongType).as("grp"))
+    val w = Window.partitionBy(expr(s"shard div $dom")).orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val merges = shards.filter(col("bytes") < t)
+      .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .select(col("shard"), col("n_docs"), col("bytes"),
+        lit("merge").as("action"),
+        (expr(s"shard div $dom") * dom + expr(s"before div $t")).as("grp"))
+    keeps.unionByName(merges).orderBy("shard")
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     QuerySpec(
       "p01_publish_manifest",
@@ -560,27 +588,8 @@ object Pipeline {
     // 'merge' in multi-shard groups.
     QuerySpec(
       "p09_compaction_plan",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val (b, t, dom) = (64, 65536L, 4096)
-        val shards = Tables(s, d, "documents")
-          .select(expr(s"doc_id div $b").as("shard"),
-            (octet_length(col("text")).cast(LongType) *
-              when(expr(s"(doc_id div $b) % 5 = 0"), 8L).otherwise(1L)).as("bsz"))
-          .groupBy("shard")
-          .agg(count(lit(1)).as("n_docs"), sum(col("bsz")).as("bytes"))
-        val keeps = shards.filter(col("bytes") >= t)
-          .select(col("shard"), col("n_docs"), col("bytes"),
-            lit("keep").as("action"), lit(null).cast(LongType).as("grp"))
-        val w = Window.partitionBy(expr(s"shard div $dom")).orderBy("shard")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val merges = shards.filter(col("bytes") < t)
-          .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
-          .select(col("shard"), col("n_docs"), col("bytes"),
-            lit("merge").as("action"),
-            (expr(s"shard div $dom") * dom + expr(s"before div $t")).as("grp"))
-        keeps.unionByName(merges).orderBy("shard")
-      },
+      (s, d) => compactionPlan(Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"))),
       Some("""WITH s AS (
              |  SELECT doc_id // 64 AS shard, COUNT(*) AS n_docs,
              |    SUM(strlen(text) *

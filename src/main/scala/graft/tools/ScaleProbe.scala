@@ -857,6 +857,84 @@ object ScaleProbe {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+
+    // ---- p09 probe: compaction planning over n-doc shard metadata ----
+    // The planner must stay metadata-sized at any corpus: one shard
+    // rollup (n/64 rows) + a domain-partitioned prefix-sum window.
+    // Invariants: shard doc counts partition the corpus; every 'keep' is
+    // at/above target; every merge GROUP lands at/above target except at
+    // most one trailing group per 4096-shard packing domain (the c16
+    // partial-bin argument, now at file granularity).
+    val (p09Stats, tP09) = time {
+      val plan = graft.queries.Pipeline
+        .compactionPlan(base.select(col("doc_id"), col("text")))
+        .localCheckpoint(true)
+      val docsCovered = plan.agg(sum(col("n_docs"))).head().getLong(0)
+      val badKeeps = plan.filter(col("action") === "keep" &&
+        col("bytes") < 65536L).count()
+      val groups = plan.filter(col("action") === "merge")
+        .groupBy("grp").agg(sum(col("bytes")).as("gb"))
+      val nGroups = groups.count()
+      val underfull = groups.filter(col("gb") < 65536L).count()
+      val domains = plan.filter(col("action") === "merge")
+        .select(expr("shard div 4096")).distinct().count()
+      (docsCovered, badKeeps, nGroups, underfull, domains)
+    }
+    val (p09Docs, p09BadKeep, p09Groups, p09Under, p09Domains) = p09Stats
+    println(s"""{"probe":"p09","docs":$n,"docs_covered":$p09Docs,""" +
+      s""""merge_groups":$p09Groups,"underfull_groups":$p09Under,""" +
+      s""""packing_domains":$p09Domains,"bad_keeps":$p09BadKeep,""" +
+      s""""sec":$tP09,"p09_ok":${p09Docs == n && p09BadKeep == 0 &&
+        p09Under <= p09Domains}}""")
+
+    // ---- t17 probe: trigram lang classifier at n docs ----
+    // Map-side classifier throughput + total discrimination on the
+    // planted corpus (every doc must classify to its planted language).
+    val (t17Wrong, tT17) = time {
+      graft.queries.TextOps.LangClassifier.classify(
+        graft.queries.TextOps.LangClassifier.plant(
+          spark.range(n).select(col("id").as("doc_id"))))
+        .filter(col("lang_pred") =!= col("lang_label")).count()
+    }
+    println(s"""{"probe":"t17","docs":$n,"misclassified":$t17Wrong,""" +
+      s""""sec":$tT17,"t17_ok":${t17Wrong == 0L}}""")
+
+    // ---- m01/m09 probe: real codec throughput at n docs ----
+    // Encode+decode n tiny PNG/BMP images and n WAV clips through the
+    // actual javax codecs; dims/sample counts re-checked against the
+    // generator rule per row. This is the per-row codec cost a media
+    // ingest pays at scale — measured, not assumed.
+    import graft.multimodal.Multimodal
+    locally {
+      import spark.implicits._
+      val (m01Bad, tM01) = time {
+        val media = spark.range(n).select(col("id").as("doc_id")).as[Long]
+          .mapPartitions { ids =>
+            javax.imageio.ImageIO.setUseCache(false)
+            ids.map(id => Multimodal.RealMedia(
+              id, Multimodal.ImageCodec.encode(id), Multimodal.ImageCodec.fmt(id)))
+          }.toDF()
+        Multimodal.decodeFeatures(media)
+          .filter(col("width") =!= (lit(4) + pmod(col("doc_id"), lit(13))).cast("int") ||
+            col("height") =!= (lit(3) + pmod(col("doc_id"), lit(11))).cast("int"))
+          .count()
+      }
+      println(s"""{"probe":"m01","docs":$n,"bad_dims":$m01Bad,""" +
+        s""""sec":$tM01,"imgs_per_sec":${(n / tM01).toLong},""" +
+        s""""m01_ok":${m01Bad == 0L}}""")
+      val (m09Bad, tM09) = time {
+        val audio = spark.range(n).select(col("id").as("doc_id")).as[Long]
+          .mapPartitions(ids =>
+            ids.map(id => Multimodal.RealAudio(id, Multimodal.AudioCodec.encode(id))))
+          .toDF()
+        Multimodal.audioFeatures(audio)
+          .filter(col("n_samples") =!= lit(256L) + pmod(col("doc_id"), lit(512L)))
+          .count()
+      }
+      println(s"""{"probe":"m09","docs":$n,"bad_lengths":$m09Bad,""" +
+        s""""sec":$tM09,"clips_per_sec":${(n / tM09).toLong},""" +
+        s""""m09_ok":${m09Bad == 0L}}""")
+    }
     spark.stop()
   }
 }
