@@ -69,19 +69,41 @@ object Relational2 {
         Tables(s, d, "orders")
           .groupBy("o_orderstatus")
           .agg(
-            // no price ties at group extremes in this data → unambiguous
-            max_by(col("o_orderkey"), col("o_totalprice")).as("key_of_max"),
-            min_by(col("o_orderkey"), col("o_totalprice")).as("key_of_min"),
+            // TIE-DETERMINISTIC arg-extremes (r10 — the sf1 gate caught
+            // max_by/arg_max diverging: the sf1 tiling duplicates the
+            // extremal price, and BOTH engines leave the tie-break
+            // unspecified). Struct ordering pins the contract: among
+            // max-price ties take the LARGEST key, among min-price ties
+            // the SMALLEST — lexicographic (price, key) max/min, which
+            // any engine can replicate exactly.
+            max(struct(col("o_totalprice"), col("o_orderkey")))
+              .getField("o_orderkey").as("key_of_max"),
+            min(struct(col("o_totalprice"), col("o_orderkey")))
+              .getField("o_orderkey").as("key_of_min"),
             count_if(col("o_totalprice") > 250000).as("n_big"),
             max(col("o_totalprice")).as("max_price"),
           )
           .orderBy("o_orderstatus"),
-      Some("""SELECT o_orderstatus,
-             |  arg_max(o_orderkey, o_totalprice) AS key_of_max,
-             |  arg_min(o_orderkey, o_totalprice) AS key_of_min,
-             |  COUNT(*) FILTER (WHERE o_totalprice > 250000) AS n_big,
-             |  MAX(o_totalprice) AS max_price
-             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      // DuckDB 1.0's arg_max has no composite-key form, so the oracle
+      // makes the tie rule explicit: join back on the extreme price and
+      // take MAX/MIN of the qualifying keys
+      Some("""WITH m AS (
+             |  SELECT o_orderstatus, MAX(o_totalprice) AS max_price,
+             |    MIN(o_totalprice) AS min_price,
+             |    COUNT(*) FILTER (WHERE o_totalprice > 250000) AS n_big
+             |  FROM orders GROUP BY o_orderstatus),
+             |km AS (
+             |  SELECT o_orderstatus, MAX(o_orderkey) AS key_of_max
+             |  FROM orders JOIN m USING (o_orderstatus)
+             |  WHERE o_totalprice = max_price GROUP BY o_orderstatus),
+             |kn AS (
+             |  SELECT o_orderstatus, MIN(o_orderkey) AS key_of_min
+             |  FROM orders JOIN m USING (o_orderstatus)
+             |  WHERE o_totalprice = min_price GROUP BY o_orderstatus)
+             |SELECT m.o_orderstatus, key_of_max, key_of_min, n_big,
+             |  max_price
+             |FROM m JOIN km USING (o_orderstatus) JOIN kn USING (o_orderstatus)
+             |ORDER BY m.o_orderstatus""".stripMargin),
     ),
     QuerySpec(
       "q45_string_funcs2",
