@@ -119,23 +119,36 @@ object Multimodal {
     /** deterministic length: 256..767 samples */
     def nSamples(id: Long): Int = (256 + id % 512).toInt
 
+    /** RIFF/WAVE container assembled directly (canonical 44-byte header
+      * + little-endian PCM) — the shape a producer writes; the DECODE
+      * side still goes through the real `AudioSystem` parser, which is
+      * the half that proves container correctness. (The first cut
+      * encoded via `AudioSystem.write`; the 200k-doc probe measured its
+      * per-clip stream plumbing at ~30× the cost of the bytes
+      * themselves, so the producer side became explicit.)
+      */
     def encode(id: Long): Array[Byte] = {
-      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
       val n = nSamples(id)
-      val pcm = new Array[Byte](n * 2) // 16-bit mono little-endian
+      val dataLen = n * 2 // 16-bit mono little-endian PCM
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val rate = SampleRate.toInt
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(rate)
+        .putInt(rate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
       var i = 0
       while (i < n) {
-        val v = sample(id, i)
-        pcm(2 * i) = (v & 0xff).toByte
-        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        buf.putShort(sample(id, i).toShort)
         i += 1
       }
-      val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
-      val ais = new AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-      val out = new java.io.ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
-      out.toByteArray
+      buf.array()
     }
 
     /** decode WAV bytes → (sampleRate, samples) via the real parser */

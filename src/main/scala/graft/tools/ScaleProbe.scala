@@ -875,17 +875,26 @@ object ScaleProbe {
       val groups = plan.filter(col("action") === "merge")
         .groupBy("grp").agg(sum(col("bytes")).as("gb"))
       val nGroups = groups.count()
-      val underfull = groups.filter(col("gb") < 65536L).count()
-      val domains = plan.filter(col("action") === "merge")
-        .select(expr("shard div 4096")).distinct().count()
-      (docsCovered, badKeeps, nGroups, underfull, domains)
+      // first-fit-by-prefix guarantees: no merged shard past 2×target
+      // (a group spans < target of window plus one straddling shard),
+      // and never more groups than the byte mass requires (group ids are
+      // before div target, so per domain they fit in bytes/target + 1) —
+      // a group CAN undershoot after its predecessor overshot, so
+      // per-group fullness is deliberately NOT asserted
+      val oversize = groups.filter(col("gb") >= 2 * 65536L).count()
+      val maxGroups = plan.filter(col("action") === "merge")
+        .groupBy(expr("shard div 4096").as("dom"))
+        .agg((sum(col("bytes")) / 65536L + 1).as("cap_g"),
+          countDistinct(col("grp")).as("got_g"))
+        .filter(col("got_g") > col("cap_g")).count()
+      (docsCovered, badKeeps, nGroups, oversize, maxGroups)
     }
-    val (p09Docs, p09BadKeep, p09Groups, p09Under, p09Domains) = p09Stats
+    val (p09Docs, p09BadKeep, p09Groups, p09Oversize, p09OverCap) = p09Stats
     println(s"""{"probe":"p09","docs":$n,"docs_covered":$p09Docs,""" +
-      s""""merge_groups":$p09Groups,"underfull_groups":$p09Under,""" +
-      s""""packing_domains":$p09Domains,"bad_keeps":$p09BadKeep,""" +
+      s""""merge_groups":$p09Groups,"oversize_groups":$p09Oversize,""" +
+      s""""domains_over_group_cap":$p09OverCap,"bad_keeps":$p09BadKeep,""" +
       s""""sec":$tP09,"p09_ok":${p09Docs == n && p09BadKeep == 0 &&
-        p09Under <= p09Domains}}""")
+        p09Oversize == 0 && p09OverCap == 0}}""")
 
     // ---- t17 probe: trigram lang classifier at n docs ----
     // Map-side classifier throughput + total discrimination on the
