@@ -57,20 +57,46 @@ def main(sfdir, outdir, json_out=None, oracle_cap_s=None):
     con = duckdb.connect()
 
     def run_oracle(sql):
-        """con.sql(...).arrow() under the optional wall cap."""
+        """con.sql(...).arrow() under the optional wall cap.
+
+        Watchdog race discipline: a query finishing right AT the cap can
+        lose the done.set() race, leaving con.interrupt() to fire on an
+        idle connection and abort the NEXT query — which would then be
+        mis-recorded as a cap-skip it didn't earn. So (a) the watchdog
+        records that it fired, and an InterruptException only counts as a
+        cap-skip when THIS query's watchdog fired; (b) a stray interrupt
+        is retried once; (c) after a fired-but-finished race the pending
+        interrupt is drained with a trivial query before returning.
+        """
         if not cap:
             return con.sql(sql).arrow()
-        done = threading.Event()
+        attempts = 0
+        while True:
+            attempts += 1
+            done = threading.Event()
+            fired = threading.Event()
 
-        def watchdog():
-            if not done.wait(cap):
-                con.interrupt()
-        w = threading.Thread(target=watchdog, daemon=True)
-        w.start()
-        try:
-            return con.sql(sql).arrow()
-        finally:
-            done.set()
+            def watchdog():
+                if not done.wait(cap):
+                    fired.set()
+                    con.interrupt()
+            w = threading.Thread(target=watchdog, daemon=True)
+            w.start()
+            try:
+                result = con.sql(sql).arrow()
+            except duckdb.InterruptException:
+                if fired.is_set() or attempts >= 2:
+                    raise  # genuine cap-skip for this query
+                continue   # stray interrupt from an earlier watchdog: retry
+            finally:
+                done.set()
+                w.join()
+                if fired.is_set():
+                    try:
+                        con.execute("SELECT 1")
+                    except duckdb.InterruptException:
+                        pass
+            return result
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
@@ -113,7 +139,12 @@ def main(sfdir, outdir, json_out=None, oracle_cap_s=None):
             n_skip += 1
             continue
         try:
+            import time as _time
+            _t0 = _time.time()
             duck_tbl = run_oracle(oracle[name])
+            _el = _time.time() - _t0
+            if _el > 1.0:
+                print(f"TIME  {name}: oracle {_el:.1f}s")
         except duckdb.InterruptException:
             print(f"SKIP  {name}: oracle exceeded {cap:.0f}s wall cap "
                   f"(spark rows={spark_tbl.num_rows})")

@@ -45,31 +45,66 @@ object Bench {
       .format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Machine-interference attribution: 1-min loadavg + JVM RSS bracketing
+    // every run. The r10 driver bench carried rows 17–23× the quiet numbers
+    // (e15 196 s vs 2 s) with nothing in the artifact to prove the machine
+    // (not the plan) was at fault — these stamps make that one glance.
+    def loadAvg(): Double =
+      try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def rssMb(): Long =
+      try {
+        val s = Files.readAllLines(Paths.get("/proc/self/status"))
+        import scala.jdk.CollectionConverters._
+        s.asScala.find(_.startsWith("VmRSS:"))
+          .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
+    case class RunStamp(sec: Double, loadBefore: Double, loadAfter: Double,
+        rssAfterMb: Long)
     // min of two runs: the first run of a query pays one-off codegen/JIT
     // costs that say nothing about per-row throughput. BOTH raw runs are
     // kept and emitted (`*_runs` fields) so machine interference is visible
     // in the artifact — the r8 driver bench showed phantom "regressions"
     // (q11 0.92→2.31 s) that a lone min-of-2 number can't distinguish from
-    // a real plan change, but a [0.95, 2.31] pair can.
-    def runPair(spec: QuerySpec, dir: String, tag: String): (String, Seq[Double]) = {
-      val secs = (1 to 2).map { _ =>
-        time {
+    // a real plan change, but a [0.95, 2.31] pair can. When the two runs
+    // disagree by >3× (the interference signature — warm runs should only
+    // get faster), a THIRD run breaks the tie: min-of-3 then can't be a
+    // lone spike, and the raw triple + load stamps prove which run was hit.
+    def runPair(spec: QuerySpec, dir: String, tag: String): (String, Seq[RunStamp]) = {
+      def one(): RunStamp = {
+        val lb = loadAvg()
+        val sec = time {
           try spec.run(spark, dir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $tag${spec.name} failed: ${e.getMessage}")
           }
         }
+        RunStamp(sec, lb, loadAvg(), rssMb())
       }
-      spec.name -> secs
+      var runs = Seq(one(), one())
+      if (runs.map(_.sec).max > 3 * runs.map(_.sec).min) {
+        System.err.println(
+          f"[bench] $tag${spec.name}: runs ${runs.map(_.sec).mkString(", ")} " +
+            "disagree >3x — taking a third run")
+        runs = runs :+ one()
+      }
+      spec.name -> runs
     }
-    def minsJson(rs: Seq[(String, Seq[Double])]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v.min }.mkString("{", ",", "}")
-    def runsJson(rs: Seq[(String, Seq[Double])]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+    def minsJson(rs: Seq[(String, Seq[RunStamp])]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v.map(_.sec).min }
         .mkString("{", ",", "}")
+    def runsJson(rs: Seq[(String, Seq[RunStamp])]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v.map(_.sec).mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+    def stampsJson(rs: Seq[(String, Seq[RunStamp])]): String =
+      rs.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(r =>
+          s"[${r.loadBefore},${r.loadAfter},${r.rssAfterMb}]")
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val results = Registry.headline.map(spec => runPair(spec, sfDir, ""))
     val qs = minsJson(results)
-    val total = results.map(_._2.min).sum
+    val total = results.map(_._2.map(_.sec).min).sum
 
     // Optional larger-SF point: the headline set is overhead-dominated at
     // sf0.1 on 32 cores (~0.4 s fixed job setup per query), so per-row
@@ -117,7 +152,7 @@ object Bench {
     }
     val sf1 = if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
       warm(sf1Dir)
-      def timed(spec: QuerySpec): (String, Seq[Double]) =
+      def timed(spec: QuerySpec): (String, Seq[RunStamp]) =
         runPair(spec, sf1Dir, "sf1 ")
       val r1 = Registry.headline.map(timed)
       // non-headline operators whose cost profile only shows at scale:
@@ -177,7 +212,8 @@ object Bench {
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)
-      s""","sf1_total":${r1.map(_._2.min).sum},"sf1_ext_total":${rExt.map(_._2.min).sum},"sf1_queries":$q1,"sf1_queries_runs":$q1runs,"sf1_dir":"$sf1Dir""""
+      val q1stamps = stampsJson(r1 ++ rExt)
+      s""","sf1_total":${r1.map(_._2.map(_.sec).min).sum},"sf1_ext_total":${rExt.map(_._2.map(_.sec).min).sum},"sf1_queries":$q1,"sf1_queries_runs":$q1runs,"sf1_queries_stamps":$q1stamps,"sf1_dir":"$sf1Dir""""
     } else ""
     // HLL-only distinct count: q39's contract output folds in an exact
     // countDistinct purely so the DuckDB oracle can hash-match it, which
@@ -222,7 +258,7 @@ object Bench {
     val duck1 =
       if (sf1.isEmpty) ""","sf1":"skipped (no data)""""
       else duckTotal(sf1Dir).map(v => s""","sf1_duckdb_total":$v""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":${runsJson(results)},"sf":"$sfDir","hll_only":$hll,"note":"$note"$duck$sf1$duck1}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":${runsJson(results)},"queries_stamps":${stampsJson(results)},"sf":"$sfDir","hll_only":$hll,"note":"$note"$duck$sf1$duck1}"""
     println(line)
     // The same line, file-based: the driver harvests the stdout tail, where
     // the JSON rides behind sbt's "[info] " prefix and a tail window that
@@ -235,9 +271,12 @@ object Bench {
       // run, so a driver-harvested artifact that differs is attributable
       // in one glance (the r9 close carried an interference-skewed e11).
       val d = java.security.MessageDigest.getInstance("MD5")
-      val md5 = d.digest(Files.readAllBytes(Paths.get("bench_out.json")))
-        .map("%02x".format(_)).mkString
-      val stamp = s"[bench] provenance: bench_out.json bytes=${line.length + 1} md5=$md5"
+      val bytes = Files.readAllBytes(Paths.get("bench_out.json"))
+      val md5 = d.digest(bytes).map("%02x".format(_)).mkString
+      // byte count from the md5'd bytes, not line.length — a char count
+      // would disagree with the file size on any non-ASCII content and
+      // defeat the stamp's attribution purpose
+      val stamp = s"[bench] provenance: bench_out.json bytes=${bytes.length} md5=$md5"
       println(stamp); System.err.println(stamp)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")

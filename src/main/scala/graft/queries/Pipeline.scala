@@ -612,5 +612,76 @@ object Pipeline {
              |FROM small
              |ORDER BY shard""".stripMargin),
     ),
+    // p10: seeded global shard shuffle + training-order manifest — the
+    // LAST step between the packed/compacted corpus and a trainer. A
+    // training run must read the corpus in a reproducible pseudo-random
+    // order that (a) decorrelates neighboring sequences from their source
+    // locality and (b) is a pure function of a pinned seed, so a restarted
+    // job, a different cluster, or an auditor re-deriving the manifest
+    // all get byte-identical order. RNG state is the wrong tool at 100 TB
+    // (retries/repartitioning reorder visits); a content-keyed hash is
+    // exact everywhere: each c16-packed sequence (source, shard, bin)
+    // gets skey = fnv1a64("p10|<seed>|source|shard|bin"), lands in
+    // out_shard = pmod(skey, N), and its position within the shard is its
+    // skey rank (ties broken by the id triple — the q44 lesson: every
+    // rank contract pins its tie-break). Scale shape: the pack aggregates
+    // text away first (ids+sizes only shuffle — text never moves), then
+    // ONE hash-partitioned exchange on out_shard and a per-shard sort;
+    // with production N (e.g. 2^16) each shard holds |sequences|/N
+    // manifest rows — window state is bounded by design, and writing the
+    // actual shard files is a partitionBy(out_shard) sorted write away.
+    QuerySpec(
+      "p10_shard_shuffle",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.ghash
+        val packed = Corpus.sequencePack(Tables(s, d, "documents"))
+        val skey = ghash.fnv1a64(concat(
+          lit("p10|42|"), col("source"), lit("|"),
+          col("shard").cast("string"), lit("|"), col("bin").cast("string")))
+        packed
+          .select(col("source"), col("shard"), col("bin"), col("n_tokens"),
+            skey.as("skey"))
+          .withColumn("out_shard", pmod(col("skey"), lit(16L)))
+          .withColumn("position",
+            (row_number().over(Window.partitionBy("out_shard")
+              .orderBy("skey", "source", "shard", "bin")) - 1).cast(LongType))
+          .select(col("source"), col("shard"), col("bin"), col("n_tokens"),
+            col("out_shard"), col("position"))
+          .orderBy("out_shard", "position")
+      },
+      Some {
+        import graft.engine.DuckHash
+        val fnv = DuckHash.signed(DuckHash.fnv(
+          "'p10|42|' || source || '|' || CAST(shard AS VARCHAR)" +
+            " || '|' || CAST(bin AS VARCHAR)"))
+        s"""WITH t AS (
+           |  SELECT source, doc_id, doc_id // 8192 AS shard,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+           |  FROM documents),
+           |p AS (
+           |  SELECT source, shard, doc_id, nt,
+           |    COALESCE(SUM(nt) OVER (PARTITION BY source, shard
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS before
+           |  FROM t),
+           |bins AS (
+           |  SELECT source, shard, before // 2048 AS bin,
+           |    CAST(SUM(nt) AS BIGINT) AS n_tokens
+           |  FROM p GROUP BY source, shard, before // 2048),
+           |k AS (
+           |  SELECT source, shard, bin, n_tokens, $fnv AS skey
+           |  FROM bins)
+           |SELECT source, shard, bin, n_tokens,
+           |  ((skey % 16) + 16) % 16 AS out_shard,
+           |  CAST(row_number() OVER (
+           |      PARTITION BY ((skey % 16) + 16) % 16
+           |      ORDER BY skey, source, shard, bin) - 1 AS BIGINT)
+           |    AS position
+           |FROM k
+           |ORDER BY out_shard, position""".stripMargin
+      },
+    ),
   )
 }

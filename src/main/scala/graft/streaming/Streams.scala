@@ -108,15 +108,28 @@ object Streams {
           val out = Vector.newBuilder[Session]
           sorted.foreach { e =>
             open match {
-              case Some(o) if e.ts_us - o.end_us <= GapUs =>
+              case Some(o) if e.ts_us - o.end_us <= GapUs &&
+                  e.ts_us >= o.start_us - GapUs =>
                 // max/min, not assignment: in-batch events arrive sorted
                 // (no-op there), but a late-within-watermark event in a
                 // LATER micro-batch has ts < end_us and must not regress
-                // the session end (or its eviction timer) / start
+                // the session end (or its eviction timer) / start. The
+                // second conjunct stops a stray event MORE than a gap
+                // older than start from merging (for ts < end the first
+                // test is trivially true) — under the documented
+                // watermark-delay <= gap contract such strays cannot
+                // occur, but if one does it must not silently drag the
+                // session start across a > gap silence.
                 open = Some(o.copy(
                   start_us = math.min(o.start_us, e.ts_us),
                   end_us = math.max(o.end_us, e.ts_us),
                   n = o.n + 1, sum = o.sum + e.value))
+              case Some(o) if e.ts_us < o.start_us - GapUs =>
+                // stray beyond-contract late event: a > gap silence
+                // separates it from the open session on both sides, so
+                // batch semantics would close it alone — emit it as its
+                // own session and keep the open one untouched
+                out += Session(uid, e.ts_us, e.ts_us, 1, e.value)
               case Some(o) =>
                 out += Session(uid, o.start_us, o.end_us, o.n, o.sum)
                 open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
@@ -395,15 +408,16 @@ object Streams {
             val out = Vector.newBuilder[Session]
             sorted.foreach { e =>
               open match {
-                case Some(o) if e.ts_us - o.end_us <= GapUs =>
-                  // max/min, not assignment: in-batch events arrive sorted
-                // (no-op there), but a late-within-watermark event in a
-                // LATER micro-batch has ts < end_us and must not regress
-                // the session end (or its eviction timer) / start
-                open = Some(o.copy(
-                  start_us = math.min(o.start_us, e.ts_us),
-                  end_us = math.max(o.end_us, e.ts_us),
-                  n = o.n + 1, sum = o.sum + e.value))
+                case Some(o) if e.ts_us - o.end_us <= GapUs &&
+                    e.ts_us >= o.start_us - GapUs =>
+                  // max/min + stray guard: same discipline as sessionize
+                  // above (see the comment there)
+                  open = Some(o.copy(
+                    start_us = math.min(o.start_us, e.ts_us),
+                    end_us = math.max(o.end_us, e.ts_us),
+                    n = o.n + 1, sum = o.sum + e.value))
+                case Some(o) if e.ts_us < o.start_us - GapUs =>
+                  out += Session(uid, e.ts_us, e.ts_us, 1, e.value)
                 case Some(o) =>
                   out += Session(uid, o.start_us, o.end_us, o.n, o.sum)
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
@@ -464,12 +478,16 @@ object Streams {
       val out = Vector.newBuilder[Session]
       sorted.foreach { e =>
         cur match {
-          case Some(o) if e.ts_us - o.end_us <= GapUs =>
-            // same max/min late-event discipline as the fMGWS paths above
+          case Some(o) if e.ts_us - o.end_us <= GapUs &&
+              e.ts_us >= o.start_us - GapUs =>
+            // same max/min + stray-event discipline as the fMGWS paths
+            // above (see sessionize for the rationale)
             cur = Some(o.copy(
               start_us = math.min(o.start_us, e.ts_us),
               end_us = math.max(o.end_us, e.ts_us),
               n = o.n + 1, sum = o.sum + e.value))
+          case Some(o) if e.ts_us < o.start_us - GapUs =>
+            out += Session(uid, e.ts_us, e.ts_us, 1, e.value)
           case Some(o) =>
             out += Session(uid, o.start_us, o.end_us, o.n, o.sum)
             cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))

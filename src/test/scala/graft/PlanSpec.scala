@@ -390,6 +390,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("p10 shard shuffle moves ids+sizes only — text dies at the pack aggregation") {
+    val p = plan("p10_shard_shuffle")
+    // token counts are computed scan-side (split+size inside the scan
+    // stage); every exchange after the pack carries only the id triple,
+    // n_tokens, and the hash key — never the text column
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")),
+      s"text leaks into a shuffle:\n${exchanges.mkString("\n")}")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>") ||
+      p.contains("ReadSchema: struct<doc_id:bigint,source:string,text:string>"), p)
+  }
+
   test("c20 DSIR: one token shuffle for the model; top-k is TakeOrdered, not a sort") {
     val p = plan("c20_dsir_select")
     assert(p.contains("TakeOrderedAndProject"), p)
