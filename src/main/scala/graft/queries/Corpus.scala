@@ -882,6 +882,18 @@ object Corpus {
               |  unique_tokens, dup_factor
               |FROM eff ORDER BY source""".stripMargin),
     ),
+    // Unigram-LM (SentencePiece-style) tokenizer training — the second
+    // tokenizer family beside BPE (c17): seed substring vocabulary →
+    // K Viterbi-EM rounds over the word-TYPE table → pruned final vocab.
+    // Rows-only at the driver gate for the same reason as c17 (chained
+    // re-segmentation state); CorpusSpec carries exact full-vocab parity
+    // vs an independent single-node reference + determinism across
+    // partitionings. See [[unigramTrain]] for the scale shape.
+    QuerySpec(
+      "c26_unigram_lm_train",
+      (s, d) => unigramTrain(Tables(s, d, "documents")),
+      None,
+    ),
   )
 
   /** documents ∪ exact copies of every 10th doc (+2M, `source` kept — a
@@ -1250,5 +1262,131 @@ object Corpus {
         (col("sum_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
           .as("chars_per_token"))
       .orderBy("source")
+  }
+
+  /** Viterbi segmentation of one word against a piece log-prob table: the
+    * max-sum-of-logp split, DP left to right. Tie rule (PINNED — the q44
+    * lesson, and part of the c26 contract the independent reference spec
+    * replicates): on exactly-equal scores prefer FEWER pieces; still equal
+    * → the candidate with the LONGER last piece (smaller split point,
+    * visited first) wins. Doubles compare exactly: both sides build logp
+    * with StrictMath.log on identical inputs.
+    *
+    * Coverage: every single corpus char is seeded into the vocabulary and
+    * floor-kept through EM, so `back(n)` is always reachable.
+    */
+  def viterbiSegment(w: String, logp: scala.collection.Map[String, Double],
+      maxLen: Int): Seq[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val bestN = new Array[Int](n + 1)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (back(j) >= 0 || j == 0) {
+          logp.get(w.substring(j, i)) match {
+            case Some(lp) =>
+              val s = best(j) + lp
+              val nn = bestN(j) + 1
+              if (back(i) < 0 || s > best(i) || (s == best(i) && nn < bestN(i))) {
+                best(i) = s; bestN(i) = nn; back(i) = j
+              }
+            case None =>
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    require(back(n) >= 0 || n == 0, s"unsegmentable word under vocab: $w")
+    var out = List.empty[String]
+    var k = n
+    while (k > 0) { out = w.substring(back(k), k) :: out; k = back(k) }
+    out
+  }
+
+  /** Unigram-LM tokenizer training (SentencePiece-style; Kudo 2018,
+    * "Subword Regularization", §3.2) in its SCALABLE hard-EM form — the
+    * second tokenizer family next to BPE (c17), and the same state
+    * discipline: all corpus-sized work happens on the word-TYPE table
+    * (word → count; |types| ≪ corpus — pair/piece statistics are
+    * identical because segmentation never crosses word boundaries).
+    *
+    * Seed: every substring of length ≤ `maxPieceLen` of every type,
+    * weighted by corpus count — top `seedPieces` multi-char pieces by
+    * (weight, then lexicographic piece) ∪ ALL single chars (the coverage
+    * guarantee SentencePiece hard-codes). K EM rounds: E-step = Viterbi
+    * best-segmentation of each TYPE against the broadcast piece log-prob
+    * table ([[viterbiSegment]], map-side, zero shuffle); M-step = one
+    * narrow (piece, weighted count) partial+final agg. Pieces that win no
+    * Viterbi mass drop out (self-pruning); single chars floor-keep at
+    * weight 1 so coverage never breaks. Final vocab: all single chars +
+    * top multi-char pieces by (weight desc, piece) up to `vocab`.
+    *
+    * Driver-side state is the piece table only (≤ seedPieces + |alphabet|
+    * rows/round — dictionary-sized, the same size-gated collect class as
+    * c17's one-row argmaxes and every broadcast model in the suite).
+    * Like c17/c18 this is rows-only at the driver gate (the E-step's
+    * chained re-segmentations are state SQL can't carry); CorpusSpec
+    * pins the FULL final vocab against an independent single-node
+    * reference implementation plus determinism across partitionings.
+    */
+  def unigramTrain(docs: DataFrame, rounds: Int = 4, seedPieces: Int = 300,
+      vocab: Int = 200, maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val types = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // scanned once per EM round
+    val subWeights = types
+      .select(col("cnt"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))),
+          i => transform(
+            sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i + 1)),
+            len => col("w").substr(i, len))))).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("wt"))
+    val seeded = subWeights.filter(length(col("piece")) === 1)
+      .unionByName(subWeights.filter(length(col("piece")) > 1)
+        .orderBy(col("wt").desc, col("piece")).limit(seedPieces))
+    var weights: Map[String, Long] =
+      seeded.as[(String, Long)].collect().toMap // dictionary-sized
+    val sc = spark.sparkContext
+    for (_ <- 1 to rounds) {
+      val total = weights.valuesIterator.sum.toDouble
+      val logp = weights.map { case (p, w) => p -> StrictMath.log(w / total) }
+      val maxLen = weights.keysIterator.map(_.length).max
+      val bc = sc.broadcast((logp, maxLen))
+      val counted = types.select(col("w"), col("cnt")).as[(String, Long)]
+        .mapPartitions { it =>
+          val (lp, ml) = bc.value
+          it.flatMap { case (w, cnt) =>
+            viterbiSegment(w, lp, ml).iterator.map(p => (p, cnt))
+          }
+        }
+        .toDF("piece", "cnt")
+        .groupBy("piece").agg(sum(col("cnt")).as("wt"))
+        .as[(String, Long)].collect().toMap // ≤ |vocab| rows
+      weights = weights.flatMap { case (p, _) =>
+        counted.get(p) match {
+          case Some(c) => Some(p -> c)
+          case None if p.length == 1 => Some(p -> 1L) // coverage floor
+          case None => None
+        }
+      }
+    }
+    val chars = weights.toSeq.filter(_._1.length == 1)
+    val multi = weights.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, w) => (-w, p) }
+      .take(math.max(0, vocab - chars.size))
+    val finalVocab = (chars ++ multi)
+      .sortBy { case (p, w) => (-w, p) }
+      .zipWithIndex
+      .map { case ((p, w), i) => (i + 1L, p, w) }
+    finalVocab.toDF("rank", "piece", "weight").orderBy("rank")
   }
 }

@@ -174,6 +174,93 @@ class CorpusSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  /** Independent single-node unigram-LM trainer — same CONTRACT as
+    * Corpus.unigramTrain (seed top-substrings ∪ chars, K Viterbi hard-EM
+    * rounds, char coverage floor, top-V prune), separately implemented:
+    * mutable-map seeding, declarative candidate selection for the Viterbi
+    * tie rule (max score → fewest pieces → smallest split point = longest
+    * last piece) instead of the engine's first-visit iteration order.
+    */
+  private def referenceUnigram(wordCounts: Map[String, Long], rounds: Int,
+      seedPieces: Int, vocab: Int, maxLen: Int): Vector[(Long, String, Long)] = {
+    val sub = scala.collection.mutable.Map.empty[String, Long]
+    wordCounts.foreach { case (w, c) =>
+      for (i <- 0 until w.length; l <- 1 to math.min(maxLen, w.length - i)) {
+        val p = w.substring(i, i + l)
+        sub(p) = sub.getOrElse(p, 0L) + c
+      }
+    }
+    var weights: Map[String, Long] =
+      sub.filter(_._1.length == 1).toMap ++
+        sub.filter(_._1.length > 1).toSeq
+          .sortBy { case (p, wt) => (-wt, p) }.take(seedPieces)
+    def segment(w: String, logp: Map[String, Double], ml: Int): Vector[String] = {
+      // prefix DP, candidates picked declaratively by the pinned tie rule
+      case class St(score: Double, n: Int, from: Int)
+      val dp = new Array[St](w.length + 1)
+      dp(0) = St(0.0, 0, -1)
+      for (i <- 1 to w.length) {
+        val cands = for {
+          j <- math.max(0, i - ml) until i
+          if dp(j) != null
+          lp <- logp.get(w.substring(j, i))
+        } yield St(dp(j).score + lp, dp(j).n + 1, j)
+        if (cands.nonEmpty) {
+          dp(i) = cands.reduceLeft { (a, b) =>
+            if (b.score > a.score) b
+            else if (b.score == a.score && b.n < a.n) b
+            else if (b.score == a.score && b.n == a.n && b.from < a.from) b
+            else a
+          }
+        }
+      }
+      var out = Vector.empty[String]
+      var k = w.length
+      while (k > 0) { out = w.substring(dp(k).from, k) +: out; k = dp(k).from }
+      out
+    }
+    for (_ <- 1 to rounds) {
+      val total = weights.valuesIterator.sum.toDouble
+      val logp = weights.map { case (p, wt) => p -> StrictMath.log(wt / total) }
+      val ml = weights.keysIterator.map(_.length).max
+      val counted = scala.collection.mutable.Map.empty[String, Long]
+      wordCounts.foreach { case (w, c) =>
+        segment(w, logp, ml).foreach(p => counted(p) = counted.getOrElse(p, 0L) + c)
+      }
+      weights = weights.flatMap { case (p, _) =>
+        counted.get(p) match {
+          case Some(cc)              => Some(p -> cc)
+          case None if p.length == 1 => Some(p -> 1L)
+          case None                  => None
+        }
+      }
+    }
+    val chars = weights.toSeq.filter(_._1.length == 1)
+    val multi = weights.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, wt) => (-wt, p) }
+      .take(math.max(0, vocab - chars.size))
+    (chars ++ multi).sortBy { case (p, wt) => (-wt, p) }
+      .zipWithIndex.map { case ((p, wt), i) => (i + 1L, p, wt) }.toVector
+  }
+
+  test("c26 unigram-LM vocab equals an independent reference, any partitioning") {
+    import org.apache.spark.sql.functions._
+    val wordCounts = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = referenceUnigram(wordCounts, 4, 300, 200, 4)
+    def got(d: org.apache.spark.sql.DataFrame) =
+      Corpus.unigramTrain(d).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toVector
+    val g = got(docs)
+    assert(g == expect,
+      s"sizes ${g.size}/${expect.size}; first divergence: " +
+        s"${g.zip(expect).find(x => x._1 != x._2)}")
+    assert(got(docs.repartition(13)) == g)
+  }
+
   /** Apply a merge sequence to one word — the reference ENCODER (greedy
     * left-to-right fuse per merge, in merge order), independent of the
     * distributed implementation.
