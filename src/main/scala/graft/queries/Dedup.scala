@@ -614,6 +614,59 @@ object Dedup {
       .drop("h", "h2", "surv", "h2lo", "h2hi")
   }
 
+  /** Corpus-level PARAGRAPH dedup with CCNet-style normalization — the
+    * granularity between d12's lines and d01's whole docs, and the pass
+    * CCNet (Wenzek et al. 2020, §3.1) runs first: paragraphs are hashed
+    * AFTER normalization (lowercase, digit runs → 0, trim), so
+    * boilerplate that varies only in case or numbers ("Issue 123…" vs
+    * "ISSUE 456…") still dedups — the case d12's raw-line keys cannot
+    * fire on. Survivor-keeps-first (min doc_id·2^20+pos, d12's packed
+    * key + overflow guard), per-paragraph verdict, original (NOT
+    * normalized) text reassembles. Same scale shape as [[lineKeep]]:
+    * 8-byte normalized-fnv shuffle keys with O(1) per-key state, one
+    * re-attach join, one per-doc regroup; the same independent-xxhash64
+    * collision guard raise_errors on a silent fnv merge (the oracle
+    * groups by the normalized STRING and could not see it).
+    * Returns (doc_id, pos, para, cnt, keep).
+    */
+  def paragraphKeep(docs: DataFrame): DataFrame = {
+    val paras = docs
+      .select(col("doc_id"), posexplode(col("paras")).as(Seq("pos", "para")))
+      .select(col("doc_id"), col("pos"), col("para"),
+        ghash.fnv1a64(ParaDedup.norm(col("para"))).as("h"),
+        xxhash64(ParaDedup.norm(col("para"))).as("h2"),
+        (col("doc_id") * 1048576L + col("pos")).as("packed"))
+      .withColumn("packed",
+        when(col("pos") >= 1048576 || col("doc_id") >= (1L << 43),
+          raise_error(concat(lit("paragraphKeep pack overflow: doc_id="),
+            col("doc_id"), lit(" pos="), col("pos"))))
+          .otherwise(col("packed")))
+    val counts = paras.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(col("packed")).as("surv"),
+        min(col("h2")).as("h2lo"), max(col("h2")).as("h2hi"))
+    paras.join(counts, Seq("h"))
+      .withColumn("keep",
+        (col("cnt") === 1 || col("packed") === col("surv")) &&
+          when(col("h2lo") =!= col("h2hi"),
+            raise_error(lit("paragraphKeep 64-bit hash collision: distinct " +
+              "normalized paragraphs share one fnv1a64 key")))
+            .otherwise(lit(true)))
+      .drop("h", "h2", "surv", "h2lo", "h2hi")
+  }
+  // paragraphKeep expects docs to carry a `paras` array column; build it
+  // from fixed-width segments + the planted noisy banner. Kept separate so
+  // the segmentation is visible to the caller (and the oracle mirror).
+  private def withParas(docs: DataFrame, width: Int = 25): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nseg = ((size(toks) + lit(width - 1)) / lit(width)).cast("int")
+    val segs = transform(sequence(lit(0), nseg - 1),
+      i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(array(ParaDedup.banner(col("doc_id"))), segs))
+        .otherwise(segs).as("paras"))
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     // Exact dedup: digest → group → keep min id. Finds exactly the planted
     // exact copies.
@@ -1127,6 +1180,41 @@ object Dedup {
            |    '')) AS cleaned_md5
            |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
+    ),
+    // Paragraph-level dedup with CCNet normalization — the granularity
+    // between d12 (raw fixed-width lines) and d01 (whole docs), and a
+    // semantically NEW key: paragraphs hash after lowercase+digits→0
+    // normalization, so the planted banner — 2·97·3 raw variants across
+    // every 5th doc — folds to 3 normalized keys and dedups, while raw
+    // keys (d12's) would see each variant as unique. Survivor keeps
+    // first; original text reassembles, md5-pinned. See [[paragraphKeep]]
+    // for the scale shape (lineKeep's: 8-byte keys, O(1) state, one
+    // re-attach join, one per-doc regroup).
+    QuerySpec(
+      "d22_paragraph_dedup",
+      (s, d) =>
+        paragraphKeep(withParas(Tables(s, d, "documents")))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_paras"),
+            sum(col("keep").cast(LongType)).as("n_kept"),
+            md5(array_join(
+              transform(
+                filter(
+                  array_sort(collect_list(
+                    struct(col("pos"), col("keep"), col("para")))),
+                  x => x.getField("keep")),
+                x => x.getField("para")),
+              " ")).as("cleaned_md5"))
+          .orderBy("doc_id"),
+      Some("WITH " + ParaDedup.paraKeepSqlCtes + "\n" +
+        """SELECT doc_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  md5(coalesce(
+          |    string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY pos),
+          |    '')) AS cleaned_md5
+          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
     // URL-keyed dedup — the FIRST dedup pass of a web-crawl pipeline
     // (CommonCrawl/C4 drop refetches of the same page before looking at
@@ -1806,4 +1894,80 @@ private[graft] object LineDedup {
       |k AS (SELECT doc_id, pos, l.line,
       |        (cnt = 1 OR doc_id * 1048576 + pos = surv) AS keep
       |      FROM l JOIN lc USING (line))""".stripMargin
+}
+
+/** d22's planted noisy banner + CCNet normalizer — ONE definition shared by
+  * the Spark plan, the DuckDB oracle mirror, and DedupSpec (the d12
+  * shared-expression discipline). The banner varies in DIGITS (doc_id % 97)
+  * and CASE (upper for even doc_id) per planting doc, so raw-text keys see
+  * up to 2·97·3 distinct strings while the normalizer folds them to 3 —
+  * exactly the near-boilerplate CCNet's normalized hashes catch.
+  */
+private[graft] object ParaDedup {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  val templates: Seq[(String, String)] = Seq(
+    ("our weekly newsletter issue ", " is free for the next 7 days subscribe now"),
+    ("all content copyright year ", " some rights reserved see terms for details"),
+    ("cookie notice revision ", " accept to continue reading this page"))
+
+  /** CCNet-style normalization: lowercase, digit runs → 0, trim. Both
+    * engines replace ALL matches ('g' in DuckDB; Java default).
+    */
+  def norm(p: Column): Column = trim(regexp_replace(lower(p), "[0-9]+", "0"))
+
+  val normSql: String =
+    "trim(regexp_replace(lower(%s), '[0-9]+', '0', 'g'))"
+
+  def banner(docId: Column): Column = {
+    val n = (docId % 97).cast("string")
+    val pieces = templates.map { case (a, b) => concat(lit(a), n, lit(b)) }
+    val sel = element_at(array(pieces: _*), (docId % 3).cast("int") + 1)
+    when(docId % 2 === 0, upper(sel)).otherwise(sel)
+  }
+
+  val bannerSql: String = {
+    val list = templates.map { case (a, b) =>
+      s"'$a' || CAST(doc_id % 97 AS VARCHAR) || '$b'"
+    }.mkString(", ")
+    s"""CASE WHEN doc_id % 2 = 0
+       | THEN upper(([$list])[CAST(doc_id % 3 AS INT) + 1])
+       | ELSE ([$list])[CAST(doc_id % 3 AS INT) + 1] END""".stripMargin
+  }
+
+  /** DuckDB CTE block mirroring [[Dedup.paragraphKeep]] + the planting in
+    * `withParas` over the raw documents table: produces
+    * `k`(doc_id, pos, para, keep). Width 25; banner prepended for
+    * doc_id % 5 = 0 (both parities, so the case variant varies); counts
+    * group by the NORMALIZED paragraph string.
+    */
+  val paraKeepSqlCtes: String = {
+    val normPara = normSql.format("para")
+    s"""p0 AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      range(0, (len(string_split(text, ' ')) + 24) // 25),
+       |      i -> array_to_string(
+       |             (string_split(text, ' '))[i*25+1 : i*25+25], ' ')) AS segs
+       |  FROM documents),
+       |p1 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |         THEN list_prepend($bannerSql, segs)
+       |         ELSE segs END AS ps
+       |  FROM p0),
+       |p2 AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, len(ps)),
+       |      i -> {'pos': i, 'para': ps[i+1]}) AS pl
+       |  FROM p1),
+       |p AS (SELECT doc_id, unnest(pl, recursive := true) FROM p2),
+       |pc AS (SELECT $normPara AS np, COUNT(*) AS cnt,
+       |         MIN(doc_id * 1048576 + pos) AS surv
+       |       FROM p GROUP BY 1),
+       |k AS (SELECT doc_id, pos, p.para,
+       |        (cnt = 1 OR doc_id * 1048576 + pos = surv) AS keep
+       |      FROM p JOIN pc ON $normPara = np)""".stripMargin
+  }
 }

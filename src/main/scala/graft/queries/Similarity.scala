@@ -316,13 +316,35 @@ object Similarity {
     * ([[graft.engine.DuckHash.mix64]] replicates the finalizer in HUGEINT
     * arithmetic bit-exactly).
     */
-  private def duckProjs(vec: String, nBits: Int): String =
-    s"""list_transform(range(0, $nBits), j ->
-       |      list_sum(list_transform(list_zip($vec, range(0, 64)), p ->
-       |        CAST(p[1] AS DOUBLE) *
+  /** Hyperplane sign matrix as a CTE: one row per table, `sgns` = list of
+    * `nBits` lists of 64 ±1.0 doubles. The mix64 sign depends ONLY on
+    * (tbl, bit, dim) — ≤ 4·16·64 = 4096 values — but the previous oracle
+    * text re-derived it per CORPUS ROW through the ~72×-expanded HUGEINT
+    * chain, which made the s02/s03/s06/s10/s11/s13 DuckDB replicas the
+    * wall-clock of the whole driver gate (s13 alone 103 s at sf0.01; the
+    * r8–r10 CORRECTNESS harvests plausibly died on exactly this). Sign
+    * values and the per-row multiply-sum order are unchanged, so every
+    * projection double is bit-identical to the inline form.
+    */
+  private def duckHypCte(nTables: Int, nBits: Int): String =
+    s"""hyp AS MATERIALIZED (
+       |  SELECT tbl,
+       |    list_transform(range(0, $nBits), j ->
+       |      list_transform(range(0, 64), d ->
        |        CASE WHEN ${graft.engine.DuckHash.mix64(
-                  "CAST(p[2] + 64 * j + 1024 * tbl AS HUGEINT)")} % 2 = 0
-       |             THEN 1.0 ELSE -1.0 END)))""".stripMargin
+                  "CAST(d + 64 * j + 1024 * tbl AS HUGEINT)")} % 2 = 0
+       |             THEN CAST(1.0 AS DOUBLE)
+       |             ELSE CAST(-1.0 AS DOUBLE) END)) AS sgns
+       |  FROM (SELECT unnest(range(0, $nTables)) AS tbl))""".stripMargin
+
+  /** Mirrors [[lshProj]] against the `sgns` column of [[duckHypCte]]:
+    * per-dim double multiply + left-to-right list_sum, the same float
+    * evaluation order as the Spark kernel.
+    */
+  private def duckProjs(vec: String): String =
+    s"""list_transform(sgns, sgn ->
+       |      list_sum(list_transform(list_zip($vec, sgn), p ->
+       |        CAST(p[1] AS DOUBLE) * p[2])))""".stripMargin
 
   /** Mirrors [[codeOf]]: bit j set iff projs[j] > 0. */
   private def duckCode(projs: String, nBits: Int): String =
@@ -640,10 +662,11 @@ object Similarity {
       // (keep the 1000 smallest vec_ids per (tbl, code)) is the QUALIFY
       // row_number ≤ cap — same deterministic kept-ids rule as the Spark
       // side's min-cap aggregation.
-      Some(s"""WITH proj AS MATERIALIZED (
+      Some(s"""WITH ${duckHypCte(4, 8)},
+              |proj AS MATERIALIZED (
               |  SELECT vec_id, embedding, tbl,
-              |    ${duckProjs("embedding", 8)} AS projs
-              |  FROM embeddings, (SELECT unnest(range(0, 4)) AS tbl)),
+              |    ${duckProjs("embedding")} AS projs
+              |  FROM embeddings CROSS JOIN hyp),
               |coded AS MATERIALIZED (
               |  SELECT vec_id, tbl,
               |    ${duckCode("projs", 8)} AS code,
@@ -1321,10 +1344,11 @@ object Similarity {
     * (q_id, neighbor_id, cos, rank). Shared by the s10 and s11 oracles.
     */
   private def knnGraphOracleCtes: String =
-    s"""proj AS MATERIALIZED (
+    s"""${duckHypCte(4, 8)},
+       |proj AS MATERIALIZED (
        |  SELECT vec_id, embedding, tbl,
-       |    ${duckProjs("embedding", 8)} AS projs
-       |  FROM embeddings, (SELECT unnest(range(0, 4)) AS tbl)),
+       |    ${duckProjs("embedding")} AS projs
+       |  FROM embeddings CROSS JOIN hyp),
        |coded AS MATERIALIZED (
        |  SELECT vec_id, tbl,
        |    ${duckCode("projs", 8)} AS code,
@@ -1377,10 +1401,11 @@ object Similarity {
        |  SELECT COALESCE(MIN(b), 16) AS nb
        |  FROM range(4, 17) t(b), (SELECT COUNT(*) AS n FROM embeddings)
        |  WHERE (16 * (1 << b)) >= n),
+       |${duckHypCte(4, 16)},
        |proj AS MATERIALIZED (
        |  SELECT vec_id, embedding, tbl,
-       |    ${duckProjs("embedding", 16)} AS projs
-       |  FROM embeddings, (SELECT unnest(range(0, 4)) AS tbl)),
+       |    ${duckProjs("embedding")} AS projs
+       |  FROM embeddings CROSS JOIN hyp),
        |coded AS MATERIALIZED (
        |  SELECT vec_id, tbl,
        |    $dynCode AS code,
@@ -1424,10 +1449,11 @@ object Similarity {
        |    list_transform(embedding,
        |      v -> CAST(CAST(v AS DOUBLE) * 0.98 + 0.01 AS FLOAT))
        |  FROM embeddings WHERE vec_id % 10 = 0),
+       |${duckHypCte(4, 10)},
        |proj AS MATERIALIZED (
        |  SELECT vec_id, embedding, tbl,
-       |    ${duckProjs("embedding", 10)} AS projs
-       |  FROM corpus, (SELECT unnest(range(0, 4)) AS tbl)),
+       |    ${duckProjs("embedding")} AS projs
+       |  FROM corpus CROSS JOIN hyp),
        |coded AS MATERIALIZED (
        |  SELECT vec_id, embedding, tbl, ${duckCode("projs", 10)} AS code
        |  FROM proj),

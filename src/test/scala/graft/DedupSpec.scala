@@ -434,4 +434,27 @@ class DedupSpec extends AnyFunSuite {
     assert(train > 0.6 && train < 0.95,
       s"train share $train implausibly far from 0.8")
   }
+
+  test("d22: normalization folds the noisy banner to 3 survivors; raw keys would not") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables(spark, sf, "documents")
+    val planted = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        graft.queries.ParaDedup.banner(col("doc_id")).as("banner"))
+    val raw = planted.select(countDistinct(col("banner"))).head().getLong(0)
+    val normed = planted
+      .select(countDistinct(graft.queries.ParaDedup.norm(col("banner"))))
+      .head().getLong(0)
+    // the planting varies digits (doc_id % 97) and case (parity), so raw
+    // keys see many strings; the CCNet normalizer folds them to exactly
+    // the 3 templates — the separation that makes d22 ≠ d12
+    assert(normed == 3, s"normalized banner keys: $normed")
+    assert(raw > 20, s"raw banner variants: $raw — planting too uniform")
+    // end-to-end: across planted docs, banner paragraphs (pos 0) keep
+    // exactly one survivor per normalized template
+    val verdicts = Dedup.paragraphKeep(
+      planted.select(col("doc_id"), array(col("banner")).as("paras")))
+    val kept = verdicts.filter(col("keep")).count()
+    assert(kept == 3, s"banner survivors: $kept")
+  }
 }
