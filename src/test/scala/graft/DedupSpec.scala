@@ -435,6 +435,42 @@ class DedupSpec extends AnyFunSuite {
       s"train share $train implausibly far from 0.8")
   }
 
+  test("d05: bucketed (lang, len-div-64 ±1) join pair-set-equals the lang-only join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fixture with deliberate CROSS-BUCKET qualifying pairs: lengths
+    // straddle the 64-char boundaries with |Δch| ≤ 60 (62/66 → buckets
+    // 0/1, 120/180 → 1/2 at exactly Δ=60) plus a just-outside pair
+    // (Δ=61) and a different-lang decoy. Shared word runs give high
+    // Jaccard so pairs survive the 0.3 verify.
+    def textOfLen(n: Int, tag: String): String = {
+      val base = s"alpha beta gamma delta $tag"
+      var t = base
+      while (t.length < n) t = t + " " + base
+      t.substring(0, n).trim
+    }
+    val rows = Seq(
+      (1L, "en", textOfLen(62, "x")), (2L, "en", textOfLen(66, "x")),
+      (3L, "en", textOfLen(120, "y")), (4L, "en", textOfLen(180, "y")),
+      (5L, "en", textOfLen(250, "z")), (6L, "en", textOfLen(312, "z")),
+      (7L, "de", textOfLen(66, "x")))
+    val fixture = rows.toDF("doc_id", "lang", "text")
+    def pairs(bucketed: Boolean, df: org.apache.spark.sql.DataFrame) =
+      Dedup.ngramJaccardPairs(df, bucketed = bucketed).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucketedPairs = pairs(bucketed = true, fixture)
+    assert(pairs(bucketed = false, fixture) == bucketedPairs)
+    // the fixture must actually exercise cross-bucket pairs, or the test
+    // proves nothing about the ±1 probe
+    val lens = rows.map(r => r._1 -> r._3.length).toMap
+    assert(bucketedPairs.exists { case (a, b, _) =>
+      lens(a) / 64 != lens(b) / 64
+    }, s"no cross-bucket pair in $bucketedPairs")
+    // and on the real planted corpus (sf0.001): full output identity
+    val corpus = Dedup.plantedCorpus(spark, sf)
+    assert(pairs(bucketed = false, corpus) == pairs(bucketed = true, corpus))
+  }
+
   test("d22: normalization folds the noisy banner to 3 survivors; raw keys would not") {
     import org.apache.spark.sql.functions._
     val docs = graft.engine.Tables(spark, sf, "documents")
