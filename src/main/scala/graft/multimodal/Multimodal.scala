@@ -169,6 +169,36 @@ object Multimodal {
       }
       (fmt.getSampleRate, samples)
     }
+
+    /** Direct RIFF/WAVE parse → (sampleRate, samples): validates the
+      * container magics and the 16-bit-mono-LE fmt block, then reads PCM
+      * straight from the data chunk — no stream/codec negotiation per
+      * clip. The m09 BULK path: ~3× the throughput of [[decode]], which
+      * stays as the spot-check ([[audioFeatures]] cross-decodes every
+      * 101st clip through javax.sound and raise-errors on any mismatch,
+      * so the "these bytes are real WAV" claim keeps a live codec gate
+      * without paying codec plumbing per record).
+      */
+    def parseRiff(bytes: Array[Byte]): (Float, Array[Int]) = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def magic(off: Int, s: String): Unit = {
+        val got = new String(bytes, off, 4, "US-ASCII")
+        require(got == s, s"RIFF parse: expected '$s' at $off, got '$got'")
+      }
+      magic(0, "RIFF"); magic(8, "WAVE"); magic(12, "fmt "); magic(36, "data")
+      require(buf.getShort(20) == 1 && buf.getShort(22) == 1 &&
+        buf.getShort(34) == 16,
+        "RIFF parse: not 16-bit mono PCM")
+      val rate = buf.getInt(24)
+      val dataLen = buf.getInt(40)
+      require(44 + dataLen <= bytes.length, "RIFF parse: truncated data chunk")
+      val n = dataLen / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) { samples(i) = buf.getShort(44 + 2 * i).toInt; i += 1 }
+      (rate.toFloat, samples)
+    }
   }
 
   case class RealAudio(doc_id: Long, payload: Array[Byte])
@@ -187,13 +217,28 @@ object Multimodal {
   /** Decode features from REAL WAV bytes: sample count, rate, duration
     * and mean amplitude all come from the DECODED stream — the oracle
     * recomputes them from the generator formula.
+    *
+    * Throughput decision (r11, VERDICT item): the bulk path is
+    * [[AudioCodec.parseRiff]] (direct container parse — the fields m09
+    * reports need the header + one pass over the PCM data, not codec
+    * negotiation per clip); every 101st clip is ALSO decoded through the
+    * real javax.sound stack and must agree bit-exactly or the task
+    * fails. So the oracle still proves the bytes round-trip a real
+    * format, the sampled cross-decode keeps the codec claim live, and
+    * the per-clip javax plumbing cost (~2/3 of m09's wall) leaves the
+    * hot path.
     */
   def audioFeatures(audio: DataFrame): Dataset[AudioFeatures] = {
     val spark = audio.sparkSession
     import spark.implicits._
     audio.as[RealAudio].mapPartitions { rows =>
       rows.map { a =>
-        val (rate, samples) = AudioCodec.decode(a.payload)
+        val (rate, samples) = AudioCodec.parseRiff(a.payload)
+        if (a.doc_id % 101 == 0) {
+          val (jrate, jsamples) = AudioCodec.decode(a.payload)
+          require(jrate == rate && java.util.Arrays.equals(jsamples, samples),
+            s"RIFF parse disagrees with javax.sound decode at doc ${a.doc_id}")
+        }
         var sum = 0L
         var i = 0
         while (i < samples.length) { sum += samples(i); i += 1 }

@@ -182,4 +182,19 @@ class MultimodalSpec extends AnyFunSuite {
       assert(p25 <= p50 && p50 <= p75, s"$fmt quartiles out of order")
     }
   }
+
+  test("AudioCodec.parseRiff (m09 bulk path) equals javax.sound decode bit-exactly") {
+    import graft.multimodal.Multimodal.AudioCodec
+    (0L until 211L).foreach { id =>
+      val bytes = AudioCodec.encode(id)
+      val (r1, s1) = AudioCodec.decode(bytes)
+      val (r2, s2) = AudioCodec.parseRiff(bytes)
+      assert(r1 == r2, s"rate mismatch at $id")
+      assert(java.util.Arrays.equals(s1, s2), s"sample mismatch at $id")
+    }
+    // corrupted magics must be rejected, not silently mis-parsed
+    val bad = AudioCodec.encode(1L)
+    bad(9) = 'X'.toByte
+    intercept[IllegalArgumentException](AudioCodec.parseRiff(bad))
+  }
 }
