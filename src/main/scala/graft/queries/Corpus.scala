@@ -365,16 +365,24 @@ object Corpus {
           )
           .orderBy("lang_a", "lang_b")
       },
+      // the per-lang sketch slot is a MIN over all tokens of the lang, so
+      // collapse to DISTINCT (lang, token) first and run the 16-seed
+      // HUGEINT chain once per distinct pair (the d04 oracle pattern) —
+      // min is set-based, so the result is bit-identical
       Some {
         import graft.engine.DuckHash
-        s"""WITH sigs AS MATERIALIZED (
-           |  SELECT lang,
-           |    ${DuckHash.sigK("list_transform(string_split(text, ' '), s -> " +
-              DuckHash.fnv("s") + ")", 16)} AS sig
+        s"""WITH t0 AS (
+           |  SELECT lang, unnest(string_split(text, ' ')) AS s
            |  FROM documents),
+           |tf AS (
+           |  SELECT lang, s FROM t0 GROUP BY lang, s),
+           |tfh AS MATERIALIZED (
+           |  SELECT lang, ${DuckHash.fnv("s")} AS f FROM tf),
+           |elsig AS (
+           |  SELECT lang, ${DuckHash.sigK("[f]", 16)} AS pv FROM tfh),
            |slot AS (
-           |  SELECT lang, t.i AS slot, MIN(sig[t.i+1]) AS v
-           |  FROM sigs, (SELECT unnest(range(0, 16)) AS i) t
+           |  SELECT lang, t.i AS slot, MIN(pv[t.i+1]) AS v
+           |  FROM elsig, (SELECT unnest(range(0, 16)) AS i) t
            |  GROUP BY lang, t.i),
            |sk AS (SELECT lang, list(v ORDER BY slot) AS sk FROM slot GROUP BY lang)
            |SELECT a.lang AS lang_a, b.lang AS lang_b,

@@ -702,7 +702,7 @@ object Dedup {
   // paragraphKeep expects docs to carry a `paras` array column; build it
   // from fixed-width segments + the planted noisy banner. Kept separate so
   // the segmentation is visible to the caller (and the oracle mirror).
-  private def withParas(docs: DataFrame, width: Int = 25): DataFrame = {
+  private[graft] def withParas(docs: DataFrame, width: Int = 25): DataFrame = {
     val toks = split(col("text"), " ")
     val nseg = ((size(toks) + lit(width - 1)) / lit(width)).cast("int")
     val segs = transform(sequence(lit(0), nseg - 1),

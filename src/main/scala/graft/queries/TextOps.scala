@@ -386,20 +386,43 @@ object TextOps {
             element_at(ghash.minhashSig(tokens(col("text")), 4), 1).as("fp_minhash0"),
           )
           .orderBy("doc_id"),
+      // token hashes dedupe across docs (the d04 oracle pattern): hash
+      // each DISTINCT token once, vote simhash bits per (doc, bit) over
+      // rows, take minhash0 as a row MIN — bit-identical, and the
+      // HUGEINT chain runs |vocab| times instead of |corpus tokens|
       Some {
         import graft.engine.DuckHash
-        s"""WITH t AS (
-           |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-           |h AS (
+        s"""WITH t0 AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS s
+           |  FROM documents),
+           |tf AS (
+           |  SELECT s, ${DuckHash.fnv("s")} AS f
+           |  FROM (SELECT DISTINCT s FROM t0)),
+           |th AS MATERIALIZED (
+           |  SELECT s, ${DuckHash.mix64("f")} AS h FROM tf),
+           |tb AS (
+           |  SELECT t0.doc_id, bb.b,
+           |    SUM(CASE WHEN (th.h // (1::HUGEINT << bb.b)) % 2 = 1
+           |             THEN 1 ELSE -1 END) AS net
+           |  FROM t0 JOIN th USING (s),
+           |       (SELECT unnest(range(0, 64)) AS b) bb
+           |  GROUP BY t0.doc_id, bb.b),
+           |sim AS (
            |  SELECT doc_id,
-           |    ${DuckHash.fnv("text")} AS fnv_u,
-           |    ${DuckHash.mixChain("toks")} AS hs
-           |  FROM t)
-           |SELECT doc_id,
+           |    CAST(SUM(CASE WHEN net > 0 THEN 1::HUGEINT << b
+           |                  ELSE 0::HUGEINT END) AS HUGEINT) AS usk
+           |  FROM tb GROUP BY doc_id),
+           |mh AS (
+           |  SELECT t0.doc_id, MIN(${DuckHash.signed("th.h")}) AS fp_minhash0
+           |  FROM t0 JOIN th USING (s) GROUP BY t0.doc_id),
+           |f AS (
+           |  SELECT doc_id, ${DuckHash.fnv("text")} AS fnv_u FROM documents)
+           |SELECT f.doc_id,
            |  ${DuckHash.signed("fnv_u")} AS fp_fnv,
-           |  ${DuckHash.signed(DuckHash.simhash("hs"))} AS fp_simhash,
-           |  ${DuckHash.minhash0("hs")} AS fp_minhash0
-           |FROM h ORDER BY doc_id""".stripMargin
+           |  ${DuckHash.signed("sim.usk")} AS fp_simhash,
+           |  mh.fp_minhash0
+           |FROM f JOIN sim USING (doc_id) JOIN mh USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
       },
     ),
     // Stopword removal + normalization — the standard text-cleaning pass

@@ -944,6 +944,113 @@ object ScaleProbe {
         s""""sec":$tM09,"clips_per_sec":${(n / tM09).toLong},""" +
         s""""m09_ok":${m09Bad == 0L}}""")
     }
+
+    // ---- p10 probe: seeded shard shuffle manifest at n docs ----
+    // Invariants: (a) the manifest covers every c16 bin exactly once
+    // (bins == manifest rows); (b) positions are DENSE per out_shard
+    // (min 0, max+1 == shard count — a trainer reads shards by position,
+    // so a gap or dup is a corrupted training order); (c) the fnv key
+    // balances shards (every shard within ±15% of the mean — hash
+    // uniformity at bins/16 per shard).
+    locally {
+      val docsWithSource = base.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(7))))
+      val (p10Stats, tP10) = time {
+        val packed = graft.queries.Corpus.sequencePack(
+          docsWithSource.select(col("source"), col("doc_id"), col("text")))
+        val nBins = packed.count()
+        // probe the ENGINE over the synthetic corpus: replicate the
+        // contract query's shuffle inline (the registry entry is bound
+        // to the parquet tables)
+        import org.apache.spark.sql.expressions.Window
+        val skey = ghash.fnv1a64(concat(
+          lit("p10|42|"), col("source"), lit("|"),
+          col("shard").cast("string"), lit("|"), col("bin").cast("string")))
+        val manifest = packed
+          .select(col("source"), col("shard"), col("bin"), col("n_tokens"),
+            skey.as("skey"))
+          .withColumn("out_shard", pmod(col("skey"), lit(16L)))
+          .withColumn("position",
+            (row_number().over(Window.partitionBy("out_shard")
+              .orderBy("skey", "source", "shard", "bin")) - 1)
+              .cast("long"))
+          .localCheckpoint(true)
+        val rows = manifest.count()
+        val perShard = manifest.groupBy("out_shard")
+          .agg(count(lit(1)).as("c"), min("position").as("pmin"),
+            max("position").as("pmax"))
+          .collect()
+        val dense = perShard.forall(r =>
+          r.getLong(1) == 0L && r.getLong(2) == r.getLong(0) - 1)
+        val cs = perShard.map(_.getLong(0))
+        val mean = cs.sum.toDouble / cs.length
+        val balanced = cs.forall(c => math.abs(c - mean) <= 0.15 * mean)
+        (nBins, rows, dense, balanced, perShard.length)
+      }
+      val (p10Bins, p10Rows, p10Dense, p10Balanced, p10Shards) = p10Stats
+      println(s"""{"probe":"p10","docs":$n,"bins":$p10Bins,""" +
+        s""""manifest_rows":$p10Rows,"shards":$p10Shards,""" +
+        s""""dense_positions":$p10Dense,"balanced":$p10Balanced,""" +
+        s""""sec":$tP10,"p10_ok":${p10Bins == p10Rows && p10Dense &&
+          p10Balanced && p10Shards == 16}}""")
+    }
+
+    // ---- c26 probe: unigram-LM training at n docs ----
+    // The EM state is the word-TYPE table — under graft-gen's bounded
+    // vocabulary |types| saturates, so the probe measures the E-step's
+    // corpus-independent cost staying flat per round while the
+    // segmentation itself runs over the full type mass. Invariants:
+    // single-char coverage (every corpus char in vocab), positive
+    // weights, rank-ordering consistent with (weight desc, piece).
+    locally {
+      val (c26Stats, tC26) = time {
+        val v = graft.queries.Corpus.unigramTrain(base.select(col("text")))
+          .collect()
+        val pieces = v.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        val chars = base.select(explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= " ").distinct()
+          .collect().map(_.getString(0)).toSet
+        val vocabChars = pieces.map(_._2).filter(_.length == 1).toSet
+        val ordered = pieces.sortBy(_._1).sliding(2).forall {
+          case Array((_, p1, w1), (_, p2, w2)) =>
+            w1 > w2 || (w1 == w2 && p1 < p2)
+          case _ => true
+        }
+        (pieces.length, (chars -- vocabChars).size,
+          pieces.forall(_._3 > 0), ordered)
+      }
+      val (c26N, c26Missing, c26Pos, c26Ordered) = c26Stats
+      println(s"""{"probe":"c26","docs":$n,"vocab":$c26N,""" +
+        s""""uncovered_chars":$c26Missing,"weights_positive":$c26Pos,""" +
+        s""""rank_ordered":$c26Ordered,"sec":$tC26,""" +
+        s""""c26_ok":${c26Missing == 0 && c26Pos && c26Ordered && c26N > 0}}""")
+    }
+
+    // ---- d22 probe: paragraph dedup at n docs ----
+    // Planted noisy banner (every 5th doc, digits+case variants) must
+    // fold to EXACTLY 3 normalized survivors at any corpus size — the
+    // normalization claim at scale. Also: verdicts cover every paragraph,
+    // and the un-planted docs' body paragraphs survive at high rate (the
+    // generator's 25-word windows rarely repeat verbatim).
+    locally {
+      val (d22Stats, tD22) = time {
+        val verdicts = Dedup.paragraphKeep(
+          Dedup.withParas(base.select(col("doc_id"), col("text"))))
+          .localCheckpoint(true)
+        val total = verdicts.count()
+        val bannerKeeps = verdicts
+          .filter(col("doc_id") % 5 === 0 && col("pos") === 0 && col("keep"))
+          .count()
+        val banners = verdicts
+          .filter(col("doc_id") % 5 === 0 && col("pos") === 0).count()
+        (total, banners, bannerKeeps)
+      }
+      val (d22Total, d22Banners, d22Keeps) = d22Stats
+      println(s"""{"probe":"d22","docs":$n,"paragraphs":$d22Total,""" +
+        s""""banner_paras":$d22Banners,"banner_survivors":$d22Keeps,""" +
+        s""""sec":$tD22,"d22_ok":${d22Keeps == 3L &&
+          d22Banners == (n + 4) / 5}}""")
+    }
     spark.stop()
   }
 }
