@@ -980,9 +980,10 @@ object ScaleProbe {
           .agg(count(lit(1)).as("c"), min("position").as("pmin"),
             max("position").as("pmax"))
           .collect()
+        // columns: out_shard(0), c(1), pmin(2), pmax(3)
         val dense = perShard.forall(r =>
-          r.getLong(1) == 0L && r.getLong(2) == r.getLong(0) - 1)
-        val cs = perShard.map(_.getLong(0))
+          r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1)
+        val cs = perShard.map(_.getLong(1))
         val mean = cs.sum.toDouble / cs.length
         val balanced = cs.forall(c => math.abs(c - mean) <= 0.15 * mean)
         (nBins, rows, dense, balanced, perShard.length)
