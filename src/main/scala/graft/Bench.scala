@@ -208,7 +208,12 @@ object Bench {
         // planner), t17 (trigram-profile classifier — the widest
         // array_contains battery in the suite)
         "m01_media_features", "m03_resize", "m09_audio_features",
-        "p09_compaction_plan", "t17_lang_classifier")
+        "p09_compaction_plan", "t17_lang_classifier",
+        // ... and the round-11 additions: d22 (normalized paragraph keys —
+        // one more corpus-keyed text shuffle), p10 (pack + manifest
+        // shuffle), c26 (K Viterbi-EM rounds over the type table — the
+        // driver-loop cost profile like c17)
+        "d22_paragraph_dedup", "p10_shard_shuffle", "c26_unigram_lm_train")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)
