@@ -33,6 +33,13 @@ import pyarrow.parquet as pq
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+class StrayInterrupt(Exception):
+    """A second InterruptException whose watchdog never fired — a stray
+    from an earlier query's watchdog, NOT a cap exceedance of this query.
+    Raised distinctly so the caller doesn't record an unearned cap-skip
+    (r11 ADVICE)."""
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -85,8 +92,14 @@ def main(sfdir, outdir, json_out=None, oracle_cap_s=None):
             try:
                 result = con.sql(sql).arrow()
             except duckdb.InterruptException:
-                if fired.is_set() or attempts >= 2:
+                if fired.is_set():
                     raise  # genuine cap-skip for this query
+                if attempts >= 2:
+                    # two strays in a row: mis-labeling it a cap-skip would
+                    # credit this query a cap it never hit
+                    raise StrayInterrupt(
+                        f"interrupted twice without this query's watchdog "
+                        f"firing (cap={cap:.0f}s)")
                 continue   # stray interrupt from an earlier watchdog: retry
             finally:
                 done.set()
@@ -145,6 +158,12 @@ def main(sfdir, outdir, json_out=None, oracle_cap_s=None):
             _el = _time.time() - _t0
             if _el > 1.0:
                 print(f"TIME  {name}: oracle {_el:.1f}s")
+        except StrayInterrupt as e:
+            print(f"FAIL  {name}: stray interrupt (not a cap-skip): {e}")
+            rec(name, False, False, False, spark_tbl.num_rows, 0,
+                f"stray interrupt: {e}")
+            n_fail += 1
+            continue
         except duckdb.InterruptException:
             print(f"SKIP  {name}: oracle exceeded {cap:.0f}s wall cap "
                   f"(spark rows={spark_tbl.num_rows})")
@@ -163,6 +182,42 @@ def main(sfdir, outdir, json_out=None, oracle_cap_s=None):
             print(f"FAIL  {name}: columns differ spark={s_cols} duck={d_cols}")
             rec(name, spark_tbl.num_rows == duck_tbl.num_rows, False, False,
                 spark_tbl.num_rows, duck_tbl.num_rows, "schema mismatch")
+            n_fail += 1
+            continue
+        # Arrow TYPE comparison — the driver's hash is type-CLASS-sensitive
+        # (r11: DuckDB SUM(BIGINT) → HUGEINT → decimal128(38,0) vs Spark
+        # int64 hash-failed 8 queries whose VALUES were equal; as_py()
+        # compares Decimal(123) == 123 so the value check below cannot see
+        # it). Calibrated against CORRECTNESS_r11.json: integer WIDTHS are
+        # canonicalized by the driver (q22/q43/s01/d04/... ship spark int32
+        # vs duck int64/int8 and were driver-GREEN), as are
+        # string/large_string (arrow's large-offset variant of the same
+        # logical type) — but decimal vs int is a driver hash fail even
+        # with equal values. So: fold all arrow integer widths into one
+        # class, fold string variants, keep everything else (notably
+        # decimal128) strict.
+        def canon_type(t):
+            import pyarrow as pa
+            import pyarrow.types as pt
+            if t in (pa.large_string(), pa.string()):
+                return "string"
+            if pt.is_integer(t):
+                return "int"
+            return str(t)
+        type_bad = [
+            (c, str(spark_tbl.schema.field(c).type),
+             str(duck_tbl.schema.field(c).type))
+            for c in s_cols
+            if canon_type(spark_tbl.schema.field(c).type)
+            != canon_type(duck_tbl.schema.field(c).type)]
+        if type_bad:
+            c, st, dt = type_bad[0]
+            print(f"FAIL  {name}: arrow type-class mismatch "
+                  f"({len(type_bad)} cols); first: {c} spark={st} duck={dt} "
+                  f"— driver hash WILL fail (CAST the oracle column)")
+            rec(name, spark_tbl.num_rows == duck_tbl.num_rows, True, False,
+                spark_tbl.num_rows, duck_tbl.num_rows,
+                f"type mismatch: {c} spark={st} duck={dt}")
             n_fail += 1
             continue
         s_rows = sorted(

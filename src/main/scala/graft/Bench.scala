@@ -82,10 +82,19 @@ object Bench {
         RunStamp(sec, lb, loadAvg(), rssMb())
       }
       var runs = Seq(one(), one())
-      if (runs.map(_.sec).max > 3 * runs.map(_.sec).min) {
+      // Second tie-break trigger (r11 ADVICE): if interference inflates
+      // BOTH runs similarly, the >3x disagreement check never fires and
+      // min-of-2 silently reports the inflated number. The load stamps
+      // are already collected — when the post-run loadavg exceeds 1.5x
+      // the core count (the bench's own 32 threads can drive loadavg to
+      // ~cores when saturated, so bare `> cores` would false-trip), some
+      // other process is competing and a third run is cheap insurance.
+      val loadCeil = 1.5 * cpus.toDouble
+      if (runs.map(_.sec).max > 3 * runs.map(_.sec).min ||
+          runs.map(_.loadAfter).max > loadCeil) {
         System.err.println(
           f"[bench] $tag${spec.name}: runs ${runs.map(_.sec).mkString(", ")} " +
-            "disagree >3x — taking a third run")
+            f"loads ${runs.map(_.loadAfter).mkString(", ")} — taking a third run")
         runs = runs :+ one()
       }
       spec.name -> runs
@@ -286,6 +295,40 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
     }
+    // Compact summary as the FINAL stdout line. The driver's harvester
+    // parses only a ~2000-char tail of stdout; the full line above is
+    // ~23 KB, so BENCH_r{9,10,11}.json all carried `parsed: null`. This
+    // line keeps the driver-graded fields (metric/value/unit/queries/sf)
+    // under ~1.5 KB — headline mins, totals, and the 5 slowest sf1-ext
+    // queries; full per-run detail stays in bench_out.json.
+    val sf1Fields = {
+      // re-extract the totals from the sf1 fragment rather than re-running
+      val totRe = """"sf1_total":([0-9.eE+-]+)""".r
+      val extRe = """"sf1_ext_total":([0-9.eE+-]+)""".r
+      val t = totRe.findFirstMatchIn(sf1).map(_.group(1))
+      val e = extRe.findFirstMatchIn(sf1).map(_.group(1))
+      (t.map(v => s""","sf1_total":$v""").getOrElse("") +
+        e.map(v => s""","sf1_ext_total":$v""").getOrElse(""))
+    }
+    val slow5 = {
+      val qRe = """"sf1_queries":\{([^}]*)\}""".r
+      qRe.findFirstMatchIn(sf1).map(_.group(1)) match {
+        case Some(body) if body.nonEmpty =>
+          val pairs = body.split(",").flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
+              case _ => None
+            }
+          }
+          val top = pairs.sortBy(-_._2).take(5)
+            .map { case (k, v) => s"$k:$v" }.mkString(",")
+          s""","sf1_slowest":{$top}"""
+        case _ => ""
+      }
+    }
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","hll_only":$hll$duck$sf1Fields$duck1$slow5,"full":"bench_out.json"}"""
+    println(compact)
     spark.stop()
   }
 }

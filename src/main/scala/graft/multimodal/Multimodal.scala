@@ -186,17 +186,34 @@ object Multimodal {
         val got = new String(bytes, off, 4, "US-ASCII")
         require(got == s, s"RIFF parse: expected '$s' at $off, got '$got'")
       }
-      magic(0, "RIFF"); magic(8, "WAVE"); magic(12, "fmt "); magic(36, "data")
-      require(buf.getShort(20) == 1 && buf.getShort(22) == 1 &&
-        buf.getShort(34) == 16,
+      magic(0, "RIFF"); magic(8, "WAVE")
+      // Walk chunks by their declared sizes rather than assuming the
+      // canonical 44-byte layout: an extended fmt block (cbSize tail) or
+      // extra LIST/fact chunks shift the data chunk, and the synthetic
+      // corpus being canonical is no reason for the parser to require it.
+      var off = 12
+      var fmtOff = -1
+      var dataOff = -1
+      var dataLen = -1
+      while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val sz = buf.getInt(off + 4)
+        require(sz >= 0 && off + 8 + sz <= bytes.length,
+          s"RIFF parse: chunk '$id' ($sz bytes at $off) overruns buffer")
+        if (id == "fmt ") fmtOff = off + 8
+        else if (id == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz + (sz & 1) // chunk payloads are word-aligned
+      }
+      require(fmtOff >= 0 && dataOff >= 0,
+        "RIFF parse: missing fmt /data chunk")
+      require(buf.getShort(fmtOff) == 1 && buf.getShort(fmtOff + 2) == 1 &&
+        buf.getShort(fmtOff + 14) == 16,
         "RIFF parse: not 16-bit mono PCM")
-      val rate = buf.getInt(24)
-      val dataLen = buf.getInt(40)
-      require(44 + dataLen <= bytes.length, "RIFF parse: truncated data chunk")
+      val rate = buf.getInt(fmtOff + 4)
       val n = dataLen / 2
       val samples = new Array[Int](n)
       var i = 0
-      while (i < n) { samples(i) = buf.getShort(44 + 2 * i).toInt; i += 1 }
+      while (i < n) { samples(i) = buf.getShort(dataOff + 2 * i).toInt; i += 1 }
       (rate.toFloat, samples)
     }
   }

@@ -647,7 +647,7 @@ object Corpus {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              |      AS before
              |  FROM t)
-             |SELECT source, shard, before // 2048 AS bin,
+             |SELECT source, shard, CAST(before // 2048 AS BIGINT) AS bin,
              |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
              |  CAST(SUM(nt) AS DOUBLE) / 2048.0 AS fill_ratio
              |FROM p GROUP BY source, shard, before // 2048
@@ -676,6 +676,31 @@ object Corpus {
       (s, d) => bpeMerges(Tables(s, d, "documents"), 20),
       None,
     ),
+    // c17's driver-legible companion (r11 ask #4): the FIRST merge (K=1)
+    // has no chained re-tokenization — weighted adjacent char-pair counts
+    // over the type table + one argmax — so it IS plain SQL. A green
+    // oracle here vouches at the driver for the pair-count/argmax
+    // machinery every subsequent c17 round reuses; CorpusSpec still pins
+    // the full 20-merge sequence.
+    QuerySpec(
+      "c17a_bpe_first_merge",
+      (s, d) => bpeMerges(Tables(s, d, "documents"), 1),
+      Some("""WITH types AS (
+             |  SELECT w, COUNT(*) AS cnt
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE len(w) > 0 GROUP BY w),
+             |pr AS (
+             |  SELECT w, cnt, unnest(range(1, len(w))) AS i
+             |  FROM types WHERE len(w) >= 2),
+             |pairs AS (
+             |  SELECT substr(w, CAST(i AS INT), 1) AS l,
+             |    substr(w, CAST(i AS INT) + 1, 1) AS r,
+             |    CAST(SUM(cnt) AS BIGINT) AS pair_count
+             |  FROM pr GROUP BY 1, 2)
+             |SELECT CAST(1 AS BIGINT) AS step, l AS "left", r AS "right",
+             |  pair_count
+             |FROM pairs ORDER BY pair_count DESC, l, r LIMIT 1""".stripMargin),
+    ),
     // BPE encode (the c17 tokenizer, applied): per-source token stats
     // under the learned merges — the serving half of tokenizer training.
     // See [[bpeEncodeStats]] for the type-table scale shape. Rows-only
@@ -685,6 +710,37 @@ object Corpus {
       "c18_bpe_encode",
       (s, d) => bpeEncodeStats(Tables(s, d, "documents"), 20),
       None,
+    ),
+    // c18's driver-legible companion (r11 ask #4): the SAME applyMerge
+    // fold + encode-stats join, but under the pinned literal merge chain
+    // [[FixedMerges]] — state-free, so the oracle can express merge
+    // application as sequential replace() over marker chars (see
+    // [[bpeEncodeStatsFixed]] for why replace ≡ greedy BPE application).
+    QuerySpec(
+      "c18a_bpe_encode_fixed",
+      (s, d) => bpeEncodeStatsFixed(Tables(s, d, "documents"), FixedMerges),
+      Some(s"""WITH toks AS (
+              |  SELECT source, unnest(string_split(text, ' ')) AS w
+              |  FROM documents),
+              |tw AS (
+              |  SELECT source, w, COUNT(*) AS n FROM toks
+              |  WHERE len(w) > 0 GROUP BY source, w),
+              |enc AS (
+              |  SELECT w, len($FixedMergesReplaceSql) AS n_toks,
+              |    len(w) AS n_chars
+              |  FROM (SELECT DISTINCT w FROM tw)),
+              |agg AS (
+              |  SELECT source,
+              |    CAST(SUM(n) AS BIGINT) AS n_words,
+              |    CAST(SUM(n * n_toks) AS BIGINT) AS n_tokens,
+              |    CAST(SUM(n * n_chars) AS BIGINT) AS sum_chars
+              |  FROM tw JOIN enc USING (w) GROUP BY source)
+              |SELECT source, n_words, n_tokens,
+              |  CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+              |    AS tokens_per_word,
+              |  CAST(sum_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              |    AS chars_per_token
+              |FROM agg ORDER BY source""".stripMargin),
     ),
     // Per-domain curation report — the blocklist-candidate surface every
     // web-scale pipeline maintains: for each canonical URL host (the
@@ -902,6 +958,34 @@ object Corpus {
       (s, d) => unigramTrain(Tables(s, d, "documents")),
       None,
     ),
+    // c26's driver-legible companion (r11 ask #4): the EM seed table —
+    // substring weights + coverage chars + top-V selection — is c26's
+    // exact starting state ([[seedFrom]]) and, unlike the chained Viterbi
+    // rounds, plain SQL.
+    QuerySpec(
+      "c26a_unigram_seed",
+      (s, d) => unigramSeed(Tables(s, d, "documents")),
+      Some("""WITH types AS (
+             |  SELECT w, COUNT(*) AS cnt
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE len(w) > 0 GROUP BY w),
+             |st AS (
+             |  SELECT w, cnt, unnest(range(1, len(w) + 1)) AS i FROM types),
+             |pc AS (
+             |  SELECT w, cnt, i,
+             |    unnest(range(1, least(4, len(w) - i + 1) + 1)) AS l
+             |  FROM st),
+             |wts AS (
+             |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+             |    CAST(SUM(cnt) AS BIGINT) AS wt
+             |  FROM pc GROUP BY 1)
+             |SELECT piece, wt FROM wts WHERE len(piece) = 1
+             |UNION ALL
+             |SELECT piece, wt FROM (
+             |  SELECT piece, wt FROM wts WHERE len(piece) > 1
+             |  ORDER BY wt DESC, piece LIMIT 300)
+             |ORDER BY piece""".stripMargin),
+    ),
   )
 
   /** documents ∪ exact copies of every 10th doc (+2M, `source` kept — a
@@ -982,11 +1066,12 @@ object Corpus {
       |surv AS (SELECT dg, MIN(doc_id) AS doc_id FROM rows_ GROUP BY dg),
       |kept AS (SELECT rows_.* FROM rows_ JOIN surv USING (dg, doc_id)),
       |etot AS (
-      |  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS total_tokens
       |  FROM rows_ GROUP BY source),
       |uniq AS (
       |  SELECT source, COUNT(*) AS n_unique_docs,
-      |    SUM(n_tok) AS unique_tokens
+      |    CAST(SUM(n_tok) AS BIGINT) AS unique_tokens
       |  FROM kept GROUP BY source),
       |eff AS (
       |  SELECT t.source, n_docs,
@@ -1176,6 +1261,38 @@ object Corpus {
     */
   def bpeMerges(docs: DataFrame, k: Int): DataFrame = bpeTrain(docs, k)._1
 
+  /** The word-TYPE table (word → corpus count) both tokenizer families
+    * train on: |types| ≪ corpus, and pair/piece statistics over it equal
+    * the corpus statistics because merges/segmentation never cross word
+    * boundaries.
+    */
+  private def wordTypes(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** `w` split into single-character symbols — BPE's starting state. */
+  private def charSyms: Column =
+    transform(sequence(lit(1), length(col("w"))),
+      i => substring(col("w"), i, lit(1)).cast("string"))
+
+  /** Greedy left-to-right application of merge (l, r) → l+r to a `syms`
+    * array: an array fold — a freshly merged symbol can't re-merge with
+    * the next token because its TEXT is l+r, which only matches a future
+    * (l, r) pair via the new fused symbol, exactly BPE's semantics.
+    * CaseWhen branches evaluate lazily, so element_at only runs on a
+    * non-empty accumulator (ANSI-safe).
+    */
+  private def applyMerge(l: String, r: String): Column = {
+    val fused = l + r
+    aggregate(col("syms"),
+      array().cast("array<string>"),
+      (acc, s) => when(size(acc) === 0, array(s))
+        .when(element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+        .otherwise(concat(acc, array(s)))).as("syms")
+  }
+
   /** Full BPE training state: the merge table AND the final encoded type
     * table `(w, cnt, syms)` — the tokenizer's dictionary, which [[c18's
     * encode|bpeEncodeStats]] reuses so corpus-wide encoding is a join
@@ -1185,13 +1302,8 @@ object Corpus {
     val spark = docs.sparkSession
     import spark.implicits._
     // the type table: word → count, words split into single-char symbols
-    var types = docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("w"), col("cnt"),
-        transform(sequence(lit(1), length(col("w"))),
-          i => substring(col("w"), i, lit(1)).cast("string")).as("syms"))
+    var types = wordTypes(docs)
+      .select(col("w"), col("cnt"), charSyms.as("syms"))
       .localCheckpoint(true)
     val merges = Vector.newBuilder[(Long, String, String, Long)]
     var step = 1
@@ -1214,20 +1326,8 @@ object Corpus {
         val r = top(0).getString(1)
         val pc = top(0).getLong(2)
         merges += ((step.toLong, l, r, pc))
-        // apply (l, r) → l+r left-to-right greedily: an array fold —
-        // a freshly merged symbol can't re-merge with the next token
-        // because its TEXT is l+r, which only matches a future (l, r)
-        // pair via the new fused symbol, exactly BPE's semantics
-        val fused = l + r
-        // CaseWhen branches evaluate lazily, so element_at only runs on a
-        // non-empty accumulator (ANSI-safe)
-        types = types.select(col("w"), col("cnt"),
-          aggregate(col("syms"),
-            array().cast("array<string>"),
-            (acc, s) => when(size(acc) === 0, array(s))
-              .when(element_at(acc, -1) === lit(l) && s === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
-              .otherwise(concat(acc, array(s)))).as("syms"))
+        // apply (l, r) → l+r left-to-right greedily: [[applyMerge]]
+        types = types.select(col("w"), col("cnt"), applyMerge(l, r))
           .localCheckpoint(true)
         step += 1
       }
@@ -1251,8 +1351,52 @@ object Corpus {
     * (the dictionary is the trainer's output — same contract as c17),
     * CorpusSpec pins exact parity against the independent reference BPE.
     */
-  def bpeEncodeStats(docs: DataFrame, k: Int): DataFrame = {
-    val types = bpeTrain(docs, k)._2
+  def bpeEncodeStats(docs: DataFrame, k: Int): DataFrame =
+    encodeStatsFrom(docs, bpeTrain(docs, k)._2)
+
+  /** c18's encode stats under a PINNED literal merge chain instead of a
+    * trained one — the driver-legible companion to c18: with the merge
+    * table a literal, the whole computation is state-free and the DuckDB
+    * oracle can express merge application as sequential `replace()` over
+    * a marker alphabet (each symbol — original char or fused piece — is
+    * exactly ONE character in the marker representation, so a merge
+    * (l, r) is a 2-char pattern and `replace`'s left-to-right
+    * non-overlapping scan IS BPE's greedy application order). The Spark
+    * side runs the SAME [[applyMerge]] fold and [[encodeStatsFrom]] stats
+    * as the trained path, so a green oracle here vouches for the encode
+    * machinery that c17/c18 exercise under trained merges.
+    */
+  def bpeEncodeStatsFixed(
+      docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    // 6 nested selects over |types| rows — shallow plan, no checkpoint
+    var types = wordTypes(docs).select(col("w"), col("cnt"), charSyms.as("syms"))
+    merges.foreach { case (l, r) =>
+      types = types.select(col("w"), col("cnt"), applyMerge(l, r))
+    }
+    encodeStatsFrom(docs, types)
+  }
+
+  /** The c18a pinned merge chain: chained (later merges consume earlier
+    * fused symbols, incl. a fused×fused pair) over the corpus alphabet.
+    */
+  val FixedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("s", "c"), ("sc", "an"), ("r", "e"))
+
+  /** Oracle fragment mirroring [[FixedMerges]] applied to column `w`:
+    * sequential replace over private-use-area marker chars (the corpus
+    * alphabet is space + lowercase ASCII — TESTDATA.md — so U+E001.. can
+    * never collide with a raw symbol).
+    */
+  lazy val FixedMergesReplaceSql: String =
+    """replace(replace(replace(replace(replace(replace(w,
+      |  'th', chr(57345)),
+      |  chr(57345)||'e', chr(57346)),
+      |  'an', chr(57347)),
+      |  'sc', chr(57348)),
+      |  chr(57348)||chr(57347), chr(57349)),
+      |  're', chr(57350))""".stripMargin
+
+  private def encodeStatsFrom(docs: DataFrame, types: DataFrame): DataFrame = {
     val perType = types.select(col("w"),
       size(col("syms")).cast(LongType).as("n_toks"),
       length(col("w")).cast(LongType).as("n_chars"))
@@ -1342,15 +1486,21 @@ object Corpus {
     * pins the FULL final vocab against an independent single-node
     * reference implementation plus determinism across partitionings.
     */
-  def unigramTrain(docs: DataFrame, rounds: Int = 4, seedPieces: Int = 300,
-      vocab: Int = 200, maxPieceLen: Int = 4): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val types = docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // scanned once per EM round
+  /** The c26 seed vocabulary as a standalone query — the driver-legible
+    * companion to c26: every substring of length ≤ `maxPieceLen` of every
+    * word type, weighted by corpus count; ALL single chars (the coverage
+    * guarantee) ∪ top `seedPieces` multi-char pieces by (weight desc,
+    * piece). This is [[unigramTrain]]'s exact EM starting state (same
+    * [[seedFrom]] code path), and unlike the chained EM rounds it is
+    * plain SQL — a green oracle here vouches for the substring/weight
+    * machinery the rows-only c26 builds on.
+    */
+  def unigramSeed(docs: DataFrame, seedPieces: Int = 300,
+      maxPieceLen: Int = 4): DataFrame =
+    seedFrom(wordTypes(docs), seedPieces, maxPieceLen).orderBy("piece")
+
+  private def seedFrom(types: DataFrame, seedPieces: Int,
+      maxPieceLen: Int): DataFrame = {
     val subWeights = types
       .select(col("cnt"), explode(flatten(
         transform(sequence(lit(1), length(col("w"))),
@@ -1358,11 +1508,20 @@ object Corpus {
             sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i + 1)),
             len => col("w").substr(i, len))))).as("piece"))
       .groupBy("piece").agg(sum(col("cnt")).as("wt"))
-    val seeded = subWeights.filter(length(col("piece")) === 1)
+    subWeights.filter(length(col("piece")) === 1)
       .unionByName(subWeights.filter(length(col("piece")) > 1)
         .orderBy(col("wt").desc, col("piece")).limit(seedPieces))
+  }
+
+  def unigramTrain(docs: DataFrame, rounds: Int = 4, seedPieces: Int = 300,
+      vocab: Int = 200, maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val types = wordTypes(docs)
+      .localCheckpoint(true) // scanned once per EM round
     var weights: Map[String, Long] =
-      seeded.as[(String, Long)].collect().toMap // dictionary-sized
+      seedFrom(types, seedPieces, maxPieceLen)
+        .as[(String, Long)].collect().toMap // dictionary-sized
     val sc = spark.sparkContext
     for (_ <- 1 to rounds) {
       val total = weights.valuesIterator.sum.toDouble

@@ -365,7 +365,8 @@ object MultimodalOps {
            |  SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM per GROUP BY ch),
            |ns AS (
            |  SELECT doc_id,
-           |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared
+           |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_shared
            |  FROM per JOIN shared USING (ch) GROUP BY doc_id)
            |SELECT c.doc_id, CAST(len(chs) AS BIGINT) AS n_chunks,
            |  md5(array_to_string(chs, ',')) AS chunks_digest, n_shared
@@ -430,10 +431,12 @@ object MultimodalOps {
       Some(s"""WITH $cdcChunkCtes,
               |per AS (SELECT unnest(chs) AS ch, unnest(lens) AS len FROM c),
               |tot AS (
-              |  SELECT COUNT(*) AS total_chunks, SUM(len) AS total_bytes
+              |  SELECT COUNT(*) AS total_chunks,
+              |    CAST(SUM(len) AS BIGINT) AS total_bytes
               |  FROM per),
               |uni AS (
-              |  SELECT COUNT(*) AS distinct_chunks, SUM(len) AS unique_bytes
+              |  SELECT COUNT(*) AS distinct_chunks,
+              |    CAST(SUM(len) AS BIGINT) AS unique_bytes
               |  FROM (SELECT ch, MIN(len) AS len FROM per GROUP BY ch))
               |SELECT total_chunks, distinct_chunks, total_bytes, unique_bytes,
               |  CAST(total_bytes AS DOUBLE) / CAST(unique_bytes AS DOUBLE)
@@ -462,9 +465,9 @@ object MultimodalOps {
           .orderBy("detected"),
       Some(s"""WITH $sniffedMediaCtes
               |SELECT detected, COUNT(*) AS n,
-              |  SUM(n_bytes) AS total_bytes,
-              |  SUM(CASE WHEN detected = claimed THEN 0 ELSE 1 END)
-              |    AS claim_mismatches,
+              |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+              |  CAST(SUM(CASE WHEN detected = claimed THEN 0 ELSE 1 END)
+              |    AS BIGINT) AS claim_mismatches,
               |  quantile_cont(n_bytes, 0.25) AS p25_bytes,
               |  quantile_cont(n_bytes, 0.5) AS p50_bytes,
               |  quantile_cont(n_bytes, 0.75) AS p75_bytes

@@ -592,9 +592,9 @@ object Pipeline {
         .select(col("doc_id"), col("text"))),
       Some("""WITH s AS (
              |  SELECT doc_id // 64 AS shard, COUNT(*) AS n_docs,
-             |    SUM(strlen(text) *
+             |    CAST(SUM(strlen(text) *
              |      (CASE WHEN (doc_id // 64) % 5 = 0 THEN 8 ELSE 1 END))
-             |      AS bytes
+             |      AS BIGINT) AS bytes
              |  FROM documents GROUP BY 1),
              |small AS (
              |  SELECT shard, n_docs, bytes,
@@ -608,7 +608,8 @@ object Pipeline {
              |FROM s WHERE bytes >= 65536
              |UNION ALL
              |SELECT shard, n_docs, bytes, 'merge' AS action,
-             |  (shard // 4096) * 4096 + before // 65536 AS grp
+             |  CAST((shard // 4096) * 4096 + before // 65536 AS BIGINT)
+             |    AS grp
              |FROM small
              |ORDER BY shard""".stripMargin),
     ),
@@ -667,7 +668,7 @@ object Pipeline {
            |      AS before
            |  FROM t),
            |bins AS (
-           |  SELECT source, shard, before // 2048 AS bin,
+           |  SELECT source, shard, CAST(before // 2048 AS BIGINT) AS bin,
            |    CAST(SUM(nt) AS BIGINT) AS n_tokens
            |  FROM p GROUP BY source, shard, before // 2048),
            |k AS (

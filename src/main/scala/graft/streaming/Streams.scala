@@ -93,6 +93,63 @@ object Streams {
 
   val GapUs: Long = 1800000000L // 30 min, same as EventsOps
 
+  /** Folds one ts-sorted micro-batch into the key's open session. Shared by
+    * all three sessionization paths (fMGWS Update / fMGWS Append /
+    * transformWithState) so the merge discipline lives in one place.
+    *
+    * Returns (sessions closed within this batch, ascending by start; the
+    * still-open session).
+    *
+    * Merge discipline:
+    *  - max/min, not assignment: in-batch events arrive sorted (no-op
+    *    there), but a late-within-watermark event in a LATER micro-batch
+    *    has ts < end_us and must not regress the session end (or its
+    *    eviction timer) / start. The second conjunct stops a stray event
+    *    MORE than a gap older than start from merging (for ts < end the
+    *    first test is trivially true) — under the documented
+    *    watermark-delay <= gap contract such strays cannot occur, but if
+    *    one does it must not silently drag the session start across a
+    *    > gap silence.
+    *  - stray beyond-contract late events (ts more than a gap before the
+    *    open session's start) are buffered and re-sessionized among
+    *    THEMSELVES: two strays within a gap of each other merge into one
+    *    emitted session, as batch semantics would, instead of one
+    *    singleton per stray. Since the batch is sorted, strays can only
+    *    precede the events that touch the open session, so the buffer is
+    *    complete when the batch ends and its session is closed then.
+    */
+  private[graft] def foldBatch(
+      sorted: IndexedSeq[(Long, Double)],
+      open0: Option[OpenSession]): (Vector[OpenSession], Option[OpenSession]) = {
+    var open = open0
+    var stray: Option[OpenSession] = None
+    val out = Vector.newBuilder[OpenSession]
+    sorted.foreach { case (ts, v) =>
+      open match {
+        case Some(o) if ts - o.end_us <= GapUs && ts >= o.start_us - GapUs =>
+          open = Some(o.copy(
+            start_us = math.min(o.start_us, ts),
+            end_us = math.max(o.end_us, ts),
+            n = o.n + 1, sum = o.sum + v))
+        case Some(_) if stray.exists(s => ts - s.end_us <= GapUs &&
+            ts < open.get.start_us - GapUs) =>
+          val s = stray.get
+          stray = Some(s.copy(end_us = math.max(s.end_us, ts),
+            n = s.n + 1, sum = s.sum + v))
+        case Some(o) if ts < o.start_us - GapUs =>
+          stray.foreach(out += _)
+          stray = Some(OpenSession(ts, ts, 1, v))
+        case Some(o) =>
+          out += o
+          open = Some(OpenSession(ts, ts, 1, v))
+        case None =>
+          open = Some(OpenSession(ts, ts, 1, v))
+      }
+    }
+    stray.foreach(out += _)
+    (out.result().sortBy(_.start_us), open)
+  }
+
   /** Gap-based sessionization with explicit state. Emits every session of
     * the key seen so far (closed ones finally, the open one as a snapshot) —
     * with a single input batch this equals the batch sessionization e01.
@@ -103,40 +160,12 @@ object Streams {
       .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, events: Iterator[SessEvent], state: GroupState[OpenSession]) =>
-          val sorted = events.toIndexedSeq.sortBy(e => (e.ts_us))
-          var open = state.getOption
+          val sorted = events.toIndexedSeq.sortBy(_.ts_us)
+          val (closed, open) =
+            foldBatch(sorted.map(e => (e.ts_us, e.value)), state.getOption)
           val out = Vector.newBuilder[Session]
-          sorted.foreach { e =>
-            open match {
-              case Some(o) if e.ts_us - o.end_us <= GapUs &&
-                  e.ts_us >= o.start_us - GapUs =>
-                // max/min, not assignment: in-batch events arrive sorted
-                // (no-op there), but a late-within-watermark event in a
-                // LATER micro-batch has ts < end_us and must not regress
-                // the session end (or its eviction timer) / start. The
-                // second conjunct stops a stray event MORE than a gap
-                // older than start from merging (for ts < end the first
-                // test is trivially true) — under the documented
-                // watermark-delay <= gap contract such strays cannot
-                // occur, but if one does it must not silently drag the
-                // session start across a > gap silence.
-                open = Some(o.copy(
-                  start_us = math.min(o.start_us, e.ts_us),
-                  end_us = math.max(o.end_us, e.ts_us),
-                  n = o.n + 1, sum = o.sum + e.value))
-              case Some(o) if e.ts_us < o.start_us - GapUs =>
-                // stray beyond-contract late event: a > gap silence
-                // separates it from the open session on both sides, so
-                // batch semantics would close it alone — emit it as its
-                // own session and keep the open one untouched
-                out += Session(uid, e.ts_us, e.ts_us, 1, e.value)
-              case Some(o) =>
-                out += Session(uid, o.start_us, o.end_us, o.n, o.sum)
-                open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
-              case None =>
-                open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
-            }
-          }
+          closed.foreach(o =>
+            out += Session(uid, o.start_us, o.end_us, o.n, o.sum))
           open.foreach { o =>
             state.update(o)
             out += Session(uid, o.start_us, o.end_us, o.n, o.sum) // snapshot
@@ -404,33 +433,16 @@ object Streams {
             Iterator.single(Session(uid, o.start_us, o.end_us, o.n, o.sum))
           } else {
             val sorted = events.toIndexedSeq.sortBy(_.ts_us)
-            var open = state.getOption
-            val out = Vector.newBuilder[Session]
-            sorted.foreach { e =>
-              open match {
-                case Some(o) if e.ts_us - o.end_us <= GapUs &&
-                    e.ts_us >= o.start_us - GapUs =>
-                  // max/min + stray guard: same discipline as sessionize
-                  // above (see the comment there)
-                  open = Some(o.copy(
-                    start_us = math.min(o.start_us, e.ts_us),
-                    end_us = math.max(o.end_us, e.ts_us),
-                    n = o.n + 1, sum = o.sum + e.value))
-                case Some(o) if e.ts_us < o.start_us - GapUs =>
-                  out += Session(uid, e.ts_us, e.ts_us, 1, e.value)
-                case Some(o) =>
-                  out += Session(uid, o.start_us, o.end_us, o.n, o.sum)
-                  open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
-                case None =>
-                  open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
-              }
-            }
+            // merge + stray discipline shared with sessionize: foldBatch
+            val (closed, open) =
+              foldBatch(sorted.map(e => (e.ts_us, e.value)), state.getOption)
             open.foreach { o =>
               state.update(o)
               // evict once no event can extend this session: end + gap
               state.setTimeoutTimestamp(o.end_us / 1000L + GapUs / 1000L)
             }
-            out.result().iterator
+            closed.iterator
+              .map(o => Session(uid, o.start_us, o.end_us, o.n, o.sum))
           }
       }
   }
@@ -474,27 +486,12 @@ object Streams {
     override def handleInputRows(uid: Long, events: Iterator[TimedEvent],
         timerValues: TimerValues): Iterator[Session] = {
       val sorted = events.toIndexedSeq.sortBy(_.ts_us)
-      var cur = if (open.exists()) Some(open.get()) else None
+      // merge + stray discipline shared with the fMGWS paths: foldBatch
+      val (closed, cur) = foldBatch(
+        sorted.map(e => (e.ts_us, e.value)),
+        if (open.exists()) Some(open.get()) else None)
       val out = Vector.newBuilder[Session]
-      sorted.foreach { e =>
-        cur match {
-          case Some(o) if e.ts_us - o.end_us <= GapUs &&
-              e.ts_us >= o.start_us - GapUs =>
-            // same max/min + stray-event discipline as the fMGWS paths
-            // above (see sessionize for the rationale)
-            cur = Some(o.copy(
-              start_us = math.min(o.start_us, e.ts_us),
-              end_us = math.max(o.end_us, e.ts_us),
-              n = o.n + 1, sum = o.sum + e.value))
-          case Some(o) if e.ts_us < o.start_us - GapUs =>
-            out += Session(uid, e.ts_us, e.ts_us, 1, e.value)
-          case Some(o) =>
-            out += Session(uid, o.start_us, o.end_us, o.n, o.sum)
-            cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
-          case None =>
-            cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
-        }
-      }
+      closed.foreach(o => out += Session(uid, o.start_us, o.end_us, o.n, o.sum))
       cur.foreach { o =>
         open.update(o)
         val ts = o.end_us / 1000L + GapUs / 1000L

@@ -197,4 +197,30 @@ class MultimodalSpec extends AnyFunSuite {
     bad(9) = 'X'.toByte
     intercept[IllegalArgumentException](AudioCodec.parseRiff(bad))
   }
+
+  test("parseRiff walks non-canonical chunk layouts (extended fmt, LIST)") {
+    import graft.multimodal.Multimodal.AudioCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    val canonical = AudioCodec.encode(7L)
+    val (rate0, samples0) = AudioCodec.parseRiff(canonical)
+    val dataLen = canonical.length - 44
+    // rebuild: RIFF/WAVE + 18-byte fmt (cbSize=0 extension) + LIST chunk
+    // with odd payload (exercises word-align padding) + the same data
+    val listPayload = "INFOx".getBytes("US-ASCII") // 5 bytes, odd
+    val out = ByteBuffer.allocate(
+      12 + (8 + 18) + (8 + listPayload.length + 1) + 8 + dataLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(out.capacity() - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(18)
+    out.put(canonical, 20, 16) // the canonical 16-byte fmt body
+    out.putShort(0.toShort)    // cbSize = 0
+    out.put("LIST".getBytes("US-ASCII")).putInt(listPayload.length)
+      .put(listPayload).put(0.toByte) // pad byte for odd size
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      .put(canonical, 44, dataLen)
+    val (rate1, samples1) = AudioCodec.parseRiff(out.array())
+    assert(rate1 == rate0)
+    assert(java.util.Arrays.equals(samples1, samples0))
+  }
 }

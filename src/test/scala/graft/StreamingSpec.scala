@@ -638,4 +638,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("foldBatch buffers beyond-contract strays and re-sessionizes them") {
+    import Streams.{foldBatch, GapUs, OpenSession}
+    // open session far in the future relative to the strays
+    val open = OpenSession(100L * GapUs, 100L * GapUs + 1, 2, 5.0)
+    // two strays within a gap of each other → ONE merged session (batch
+    // semantics), not two singletons (the pre-r12 behavior)
+    val (closed1, open1) = foldBatch(
+      IndexedSeq((10L, 1.0), (10L + GapUs, 2.0)), Some(open))
+    assert(closed1 == Vector(OpenSession(10L, 10L + GapUs, 2, 3.0)))
+    assert(open1.contains(open))
+    // strays separated by MORE than a gap → two sessions, ascending start
+    val (closed2, open2) = foldBatch(
+      IndexedSeq((10L, 1.0), (10L + GapUs + 1, 2.0)), Some(open))
+    assert(closed2 == Vector(
+      OpenSession(10L, 10L, 1, 1.0),
+      OpenSession(10L + GapUs + 1, 10L + GapUs + 1, 1, 2.0)))
+    assert(open2.contains(open))
+    // a stray batch plus an in-contract extension: the stray session is
+    // emitted closed, the open session extends
+    val (closed3, open3) = foldBatch(
+      IndexedSeq((10L, 1.0), (100L * GapUs + 2, 4.0)), Some(open))
+    assert(closed3 == Vector(OpenSession(10L, 10L, 1, 1.0)))
+    assert(open3.contains(
+      OpenSession(100L * GapUs, 100L * GapUs + 2, 3, 9.0)))
+  }
 }
