@@ -1298,11 +1298,18 @@ object Corpus {
     * encode|bpeEncodeStats]] reuses so corpus-wide encoding is a join
     * against |types| rows, never a re-tokenization of every document.
     */
-  def bpeTrain(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
+  def bpeTrain(docs: DataFrame, k: Int): (DataFrame, DataFrame) =
+    bpeTrainFromTypes(wordTypes(docs), k)
+
+  /** [[bpeTrain]] from a pre-aggregated (w, cnt) type table — so a caller
+    * that already tokenized the corpus once (c18's per-source pass) can
+    * feed the trainer WITHOUT a second corpus-wide tokenize+shuffle.
+    */
+  def bpeTrainFromTypes(wordCnts: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val spark = wordCnts.sparkSession
     import spark.implicits._
     // the type table: word → count, words split into single-char symbols
-    var types = wordTypes(docs)
+    var types = wordCnts
       .select(col("w"), col("cnt"), charSyms.as("syms"))
       .localCheckpoint(true)
     val merges = Vector.newBuilder[(Long, String, String, Long)]
@@ -1351,8 +1358,16 @@ object Corpus {
     * (the dictionary is the trainer's output — same contract as c17),
     * CorpusSpec pins exact parity against the independent reference BPE.
     */
-  def bpeEncodeStats(docs: DataFrame, k: Int): DataFrame =
-    encodeStatsFrom(docs, bpeTrain(docs, k)._2)
+  def bpeEncodeStats(docs: DataFrame, k: Int): DataFrame = {
+    // ONE corpus tokenization: the (source, word) counts feed the stats
+    // join directly AND collapse (sum over source) into the trainer's
+    // type table — r11 shipped two full corpus tokenize+shuffles here;
+    // |source x type| rows checkpoint cheaply and everything downstream
+    // is dictionary-sized.
+    val tw = sourceWordCounts(docs).localCheckpoint(true)
+    val types = tw.groupBy("w").agg(sum(col("n")).as("cnt"))
+    encodeStatsFrom(tw, bpeTrainFromTypes(types, k)._2)
+  }
 
   /** c18's encode stats under a PINNED literal merge chain instead of a
     * trained one — the driver-legible companion to c18: with the merge
@@ -1368,13 +1383,24 @@ object Corpus {
     */
   def bpeEncodeStatsFixed(
       docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    // same single-tokenization shape as bpeEncodeStats
+    val tw = sourceWordCounts(docs).localCheckpoint(true)
     // 6 nested selects over |types| rows — shallow plan, no checkpoint
-    var types = wordTypes(docs).select(col("w"), col("cnt"), charSyms.as("syms"))
+    var types = tw.groupBy("w").agg(sum(col("n")).as("cnt"))
+      .select(col("w"), col("cnt"), charSyms.as("syms"))
     merges.foreach { case (l, r) =>
       types = types.select(col("w"), col("cnt"), applyMerge(l, r))
     }
-    encodeStatsFrom(docs, types)
+    encodeStatsFrom(tw, types)
   }
+
+  /** The per-(source, word) occurrence counts — c18's one corpus-sized
+    * tokenize+shuffle, shared by the trained and pinned encode paths.
+    */
+  private def sourceWordCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
 
   /** The c18a pinned merge chain: chained (later merges consume earlier
     * fused symbols, incl. a fused×fused pair) over the corpus alphabet.
@@ -1396,13 +1422,11 @@ object Corpus {
       |  chr(57348)||chr(57347), chr(57349)),
       |  're', chr(57350))""".stripMargin
 
-  private def encodeStatsFrom(docs: DataFrame, types: DataFrame): DataFrame = {
+  private def encodeStatsFrom(tw: DataFrame, types: DataFrame): DataFrame = {
     val perType = types.select(col("w"),
       size(col("syms")).cast(LongType).as("n_toks"),
       length(col("w")).cast(LongType).as("n_chars"))
-    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+    tw
       .join(perType, "w")
       .groupBy("source")
       .agg(sum(col("n")).as("n_words"),
