@@ -848,28 +848,7 @@ object Dedup {
               .as("kept_digest"))
           .orderBy("lang")
       },
-      Some {
-        // outer corpus CTE re-declared (the one inside the pairs subquery
-        // is scoped to it); reach/comp mirror the d08 oracle
-        val corpusBody = corpusCte.stripPrefix("WITH ")
-        s"""WITH RECURSIVE pairs AS MATERIALIZED (
-           |${lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3)}
-           |),
-           |$corpusBody,
-           |sym AS MATERIALIZED (
-           |  SELECT a_id AS src, b_id AS dst FROM pairs
-           |  UNION ALL SELECT b_id, a_id FROM pairs),
-           |reach AS (
-           |  SELECT src AS id, src AS label FROM sym
-           |  UNION
-           |  SELECT e.dst AS id, r.label FROM reach r JOIN sym e ON e.src = r.id),
-           |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
-           |losers AS (SELECT id FROM comp WHERE id != component)
-           |SELECT lang, COUNT(*) AS n_kept,
-           |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS kept_digest
-           |FROM corpus ANTI JOIN losers ON doc_id = id
-           |GROUP BY lang ORDER BY lang""".stripMargin
-      },
+      Some(d11OracleSql(corpusCte)),
     ),
     // Cross-corpus NEAR-dup decontamination — the fuzzy half of the
     // contamination story: d09 catches verbatim 8-gram overlap with a
@@ -900,29 +879,7 @@ object Dedup {
             (col("b_id") - 5000000L).as("bench_src"), col("jac"))
           .orderBy("train_id", "bench_src")
       },
-      Some {
-        val benchCorpus =
-          """WITH corpus AS (
-            |  SELECT doc_id, text FROM documents
-            |  UNION ALL
-            |  SELECT doc_id + 5000000,
-            |         array_to_string(l[1:len(l)-2], ' ')
-            |  FROM (SELECT doc_id, string_split(text, ' ') AS l
-            |        FROM documents)
-            |  WHERE doc_id % 23 = 0
-            |)""".stripMargin
-        lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3,
-          newPred = Some("doc_id >= 5000000"),
-          corpusSql = benchCorpus,
-          finalSql = Some(
-            s"""SELECT a_id AS train_id, b_id - 5000000 AS bench_src,
-               |  $jacSql AS jac
-               |FROM cand
-               |JOIN shingled sa ON sa.doc_id = a_id
-               |JOIN shingled sb ON sb.doc_id = b_id
-               |WHERE $jacSql >= 0.3 AND a_id < 5000000
-               |ORDER BY train_id, bench_src""".stripMargin))
-      },
+      Some(d20OracleSql(slicePred = "TRUE")),
     ),
     // QUALITY-aware survivor selection — d11 with the keeper rule real
     // pipelines use: within each near-dup cluster keep the LONGEST
@@ -963,34 +920,7 @@ object Dedup {
               .as("kept_digest"))
           .orderBy("lang")
       },
-      Some {
-        val corpusBody = corpusCte.stripPrefix("WITH ")
-        s"""WITH RECURSIVE pairs AS MATERIALIZED (
-           |${lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3)}
-           |),
-           |$corpusBody,
-           |sym AS MATERIALIZED (
-           |  SELECT a_id AS src, b_id AS dst FROM pairs
-           |  UNION ALL SELECT b_id, a_id FROM pairs),
-           |reach AS (
-           |  SELECT src AS id, src AS label FROM sym
-           |  UNION
-           |  SELECT e.dst AS id, r.label FROM reach r JOIN sym e ON e.src = r.id),
-           |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
-           |lab AS (
-           |  SELECT s.doc_id, s.lang, CAST(length(s.text) AS BIGINT) AS len,
-           |    COALESCE(c.component, s.doc_id) AS comp
-           |  FROM corpus s LEFT JOIN comp c ON s.doc_id = c.id),
-           |keep AS (
-           |  SELECT doc_id AS keep_id FROM (
-           |    SELECT doc_id, row_number() OVER (
-           |      PARTITION BY comp ORDER BY len DESC, doc_id) AS rn
-           |    FROM lab) WHERE rn = 1)
-           |SELECT lang, COUNT(*) AS n_kept,
-           |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS kept_digest
-           |FROM lab SEMI JOIN keep ON lab.doc_id = keep.keep_id
-           |GROUP BY lang ORDER BY lang""".stripMargin
-      },
+      Some(d21OracleSql(corpusCte)),
     ),
     // Production-scale exact-Jaccard near-dup join: the SAME verification as
     // d05 (exact word-3-gram Jaccard ≥ 0.3) but candidates come from LSH
@@ -1525,26 +1455,7 @@ object Dedup {
             (lit(1.0) / col("cluster_size").cast(DoubleType)).as("weight"))
           .orderBy("doc_id")
       },
-      Some {
-        s"""WITH RECURSIVE pairs AS MATERIALIZED (
-           |${lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3)}
-           |),
-           |sym AS MATERIALIZED (
-           |  SELECT a_id AS src, b_id AS dst FROM pairs
-           |  UNION ALL SELECT b_id, a_id FROM pairs),
-           |reach AS (
-           |  SELECT src AS id, src AS label FROM sym
-           |  UNION
-           |  SELECT e.dst AS id, r.label FROM reach r JOIN sym e ON e.src = r.id),
-           |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
-           |sizes AS (
-           |  SELECT component, COUNT(*) AS cluster_size FROM comp
-           |  GROUP BY component)
-           |SELECT c.id AS doc_id, s.cluster_size,
-           |  CAST(1.0 AS DOUBLE) / CAST(s.cluster_size AS DOUBLE) AS weight
-           |FROM comp c JOIN sizes s ON c.component = s.component
-           |ORDER BY doc_id""".stripMargin
-      },
+      Some(d17OracleSql(corpusCte)),
     ),
     // Domain-conditional boilerplate detection (the CCNet/C4 cleanup
     // stage that EXACT line dedup d12 can't express): a line is
@@ -1744,7 +1655,246 @@ object Dedup {
       },
       Some(c21OracleSql(slicedCorpusCte)),
     ),
+    // --- r12: slice rows for the remaining dedup-family sf1 cap-skips ---
+    // This round's sf1 oracle timing (240 s cap, quiet box): the whole
+    // similarity family now passes outright (s03 18 s / s06 16 s /
+    // s10 94 s / s11 53 s / s13 5 s) and so does d04 (30 s) — only the
+    // word-3-gram MinHash/LSH replica family stays infeasible in DuckDB
+    // (c21/d03/d05/d07/d08/d10/d11/d17/d20/d21 all >240 s; the shingle
+    // set arithmetic is the superlinear stage). d03/d05/d08/c21 have had
+    // slice rows since r11; these six finish the family, so EVERY
+    // cap-skipped op now has the same engine code hash-verified at
+    // sf1-scale inputs.
+    QuerySpec(
+      "v07_lsh16_pairs_sf1slice",
+      (s, d) => lshJaccardPairs(slicedPlanted(s, d), k = 32, bands = 16,
+        cap = 100, threshold = 0.3),
+      Some(lshOracleSql(k = 32, bands = 16, cap = 100, threshold = 0.3,
+        corpusSql = slicedCorpusCte)),
+    ),
+    // d10 sliced: existing = 5% of the raw docs; "every 10th" becomes
+    // every 200th RAW id so the incoming side stays a strict subset of
+    // existing ids (+1M/+2M offsets are = 0 mod 200 - families whole) and
+    // keeps d10's incoming << existing proportion instead of degenerating
+    // to incoming = 2x existing (every sliced id is divisible by 10).
+    QuerySpec(
+      "v10_incremental_sf1slice",
+      (s, d) => {
+        val base = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val docs = base.filter(col("doc_id") % 20 === 0)
+        val tenth = base.filter(col("doc_id") % 200 === 0)
+        val incoming = tenth
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+          .unionByName(tenth.select(
+            (col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), lit(1),
+              size(split(col("text"), " ")) - 2)).as("text")))
+        incrementalLshPairs(docs, incoming, k = 32, bands = 8, cap = 100,
+          threshold = 0.3)
+      },
+      Some(lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3,
+        newPred = Some("doc_id >= 1000000"),
+        corpusSql = """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, text FROM documents
+          |  WHERE doc_id % 200 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, array_to_string(l[1:len(l)-2], ' ')
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+          |  WHERE doc_id % 200 = 0
+          |)""".stripMargin)),
+    ),
+    QuerySpec(
+      "v11_survivors_sf1slice",
+      (s, d) => {
+        val corpus = slicedPlanted(s, d)
+        val pairs = lshJaccardPairs(corpus, k = 32, bands = 8, cap = 100,
+          threshold = 0.3).select("a_id", "b_id")
+        val losers = connectedComponents(pairs)
+          .filter(col("id") =!= col("label"))
+          .select(col("id").as("drop_id"))
+        corpus.join(losers, col("doc_id") === col("drop_id"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+              .as("kept_digest"))
+          .orderBy("lang")
+      },
+      Some(d11OracleSql(slicedCorpusCte)),
+    ),
+    QuerySpec(
+      "v17_softdedup_sf1slice",
+      (s, d) => {
+        val pairs = lshJaccardPairs(slicedPlanted(s, d), k = 32, bands = 8,
+          cap = 100, threshold = 0.3).select("a_id", "b_id")
+        val labels = connectedComponents(pairs)
+        val sizes = labels.groupBy("label")
+          .agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, "label")
+          .select(col("id").as("doc_id"), col("cluster_size"),
+            (lit(1.0) / col("cluster_size").cast(DoubleType)).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some(d17OracleSql(slicedCorpusCte)),
+    ),
+    // d20 sliced: train side = 5% of raw docs, benchmark derives from the
+    // SAME subset (doc_id % 23 = 0 within the slice), so every planted
+    // bench paraphrase still has its train twin present.
+    QuerySpec(
+      "v20_decontam_sf1slice",
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 20 === 0)
+        val bench = docs.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), lit(1),
+              size(split(col("text"), " ")) - 2)).as("text"))
+        incrementalLshPairs(docs, bench, k = 32, bands = 8, cap = 100,
+          threshold = 0.3)
+          .filter(col("a_id") < 5000000L)
+          .select(col("a_id").as("train_id"),
+            (col("b_id") - 5000000L).as("bench_src"), col("jac"))
+          .orderBy("train_id", "bench_src")
+      },
+      Some(d20OracleSql(slicePred = "doc_id % 20 = 0")),
+    ),
+    // v21 is c21's slice row; the d21 survivor-quality rule gets v21b.
+    QuerySpec(
+      "v21b_quality_survivors_sf1slice",
+      (s, d) => {
+        val corpus = slicedPlanted(s, d)
+        val pairs = lshJaccardPairs(corpus, k = 32, bands = 8, cap = 100,
+          threshold = 0.3).select("a_id", "b_id")
+        val labels = connectedComponents(pairs)
+        val lab = corpus
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast(LongType).as("len"))
+          .join(labels, col("doc_id") === col("id"), "left_outer")
+          .select(col("doc_id"), col("lang"), col("len"),
+            coalesce(col("label"), col("doc_id")).as("comp"))
+          .localCheckpoint(true)
+        val keep = lab.groupBy("comp")
+          .agg(max(struct(col("len"), (-col("doc_id")).as("nid"))).as("m"))
+          .select((-col("m.nid")).as("keep_id"))
+        lab.join(keep, col("doc_id") === col("keep_id"), "left_semi")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+              .as("kept_digest"))
+          .orderBy("lang")
+      },
+      Some(d21OracleSql(slicedCorpusCte)),
+    ),
   )
+
+  /** d11's oracle over a pluggable corpus CTE (shared with v11): the
+    * outer corpus CTE is re-declared (the one inside the pairs subquery
+    * is scoped to it); reach/comp mirror the d08 oracle.
+    */
+  private def d11OracleSql(corpusSql: String): String = {
+    val corpusBody = corpusSql.stripPrefix("WITH ")
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |${lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3,
+            corpusSql = corpusSql)}
+       |),
+       |$corpusBody,
+       |sym AS MATERIALIZED (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS label FROM sym
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN sym e ON e.src = r.id),
+       |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+       |losers AS (SELECT id FROM comp WHERE id != component)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS kept_digest
+       |FROM corpus ANTI JOIN losers ON doc_id = id
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** d17's oracle over a pluggable corpus CTE (shared with v17). */
+  private def d17OracleSql(corpusSql: String): String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |${lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3,
+            corpusSql = corpusSql)}
+       |),
+       |sym AS MATERIALIZED (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS label FROM sym
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN sym e ON e.src = r.id),
+       |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+       |sizes AS (
+       |  SELECT component, COUNT(*) AS cluster_size FROM comp
+       |  GROUP BY component)
+       |SELECT c.id AS doc_id, s.cluster_size,
+       |  CAST(1.0 AS DOUBLE) / CAST(s.cluster_size AS DOUBLE) AS weight
+       |FROM comp c JOIN sizes s ON c.component = s.component
+       |ORDER BY doc_id""".stripMargin
+
+  /** d21's oracle over a pluggable corpus CTE (shared with v21b). */
+  private def d21OracleSql(corpusSql: String): String = {
+    val corpusBody = corpusSql.stripPrefix("WITH ")
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |${lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3,
+            corpusSql = corpusSql)}
+       |),
+       |$corpusBody,
+       |sym AS MATERIALIZED (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS label FROM sym
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN sym e ON e.src = r.id),
+       |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+       |lab AS (
+       |  SELECT s.doc_id, s.lang, CAST(length(s.text) AS BIGINT) AS len,
+       |    COALESCE(c.component, s.doc_id) AS comp
+       |  FROM corpus s LEFT JOIN comp c ON s.doc_id = c.id),
+       |keep AS (
+       |  SELECT doc_id AS keep_id FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |      PARTITION BY comp ORDER BY len DESC, doc_id) AS rn
+       |    FROM lab) WHERE rn = 1)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS kept_digest
+       |FROM lab SEMI JOIN keep ON lab.doc_id = keep.keep_id
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** d20's oracle with a pluggable slice predicate over the raw doc_id
+    * (shared with v20): train side keeps docs matching the predicate, the
+    * planted benchmark derives from the SAME subset so every bench doc's
+    * train twin is present.
+    */
+  private def d20OracleSql(slicePred: String): String = {
+    val benchCorpus =
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE $slicePred
+         |  UNION ALL
+         |  SELECT doc_id + 5000000,
+         |         array_to_string(l[1:len(l)-2], ' ')
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+         |        FROM documents)
+         |  WHERE doc_id % 23 = 0 AND ($slicePred)
+         |)""".stripMargin
+    lshOracleSql(k = 32, bands = 8, cap = 100, threshold = 0.3,
+      newPred = Some("doc_id >= 5000000"),
+      corpusSql = benchCorpus,
+      finalSql = Some(
+        s"""SELECT a_id AS train_id, b_id - 5000000 AS bench_src,
+           |  $jacSql AS jac
+           |FROM cand
+           |JOIN shingled sa ON sa.doc_id = a_id
+           |JOIN shingled sb ON sb.doc_id = b_id
+           |WHERE $jacSql >= 0.3 AND a_id < 5000000
+           |ORDER BY train_id, bench_src""".stripMargin))
+  }
 
   /** d08's oracle over a pluggable corpus CTE (shared with v08). */
   private def d08OracleSql(corpusSql: String): String =

@@ -199,9 +199,13 @@ class PropertySpec extends AnyFunSuite {
     val names = specs.map(_.name)
     assert(names.distinct.length == names.length,
       s"duplicate query names: ${names.diff(names.distinct)}")
-    // every name carries a family prefix the driver/judge can bucket by
-    assert(names.forall(_.matches("^[a-z][0-9]{2}_[a-z0-9_]+$")), names
-      .filterNot(_.matches("^[a-z][0-9]{2}_[a-z0-9_]+$")).mkString(","))
+    // every name carries a family prefix the driver/judge can bucket by;
+    // an optional trailing letter marks a companion/disambiguated row
+    // (r12: c17a/c18a/c26a tokenizer companions, v21b = d21's slice row
+    // beside c21's v21)
+    val nameRe = "^[a-z][0-9]{2}[a-z]?_[a-z0-9_]+$"
+    assert(names.forall(_.matches(nameRe)),
+      names.filterNot(_.matches(nameRe)).mkString(","))
     // rows-only queries are the three tokenizer-training ops BY DESIGN
     // (chained re-segmentation state SQL can't carry; each carries an
     // independent-reference parity spec instead) — any new oracle-less
