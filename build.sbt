@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench harvester parses a tail of sbt's stdout looking for
+// Bench's final compact JSON line. Two things have defeated it every round
+// so far: sbt's logger prefixes forked-run output with "[info] ", and the
+// "[success] Total time…" epilogue lands after the JSON. StdoutOutput
+// passes the forked JVM's stdout straight through (no prefix), and
+// showSuccess := false drops the epilogue, so Bench's last line IS the
+// process's last stdout line.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task — the
+// unused-key lint can't see that (it IS working: no [success] epilogue).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

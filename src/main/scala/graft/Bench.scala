@@ -159,7 +159,11 @@ object Bench {
         System.err.println(s"[bench] removed partial sf1 tiling at $sf1Dir")
       }
     }
-    val sf1 = if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
+    // (sf1 JSON fragment, structured summary for the compact line) — the
+    // compact line is built from the SAME in-scope values as the fragment,
+    // not by re-parsing the rendered string, so the two cannot drift
+    // (r12 ADVICE).
+    val (sf1, sf1Summary) = if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
       warm(sf1Dir)
       def timed(spec: QuerySpec): (String, Seq[RunStamp]) =
         runPair(spec, sf1Dir, "sf1 ")
@@ -227,8 +231,12 @@ object Bench {
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)
       val q1stamps = stampsJson(r1 ++ rExt)
-      s""","sf1_total":${r1.map(_._2.map(_.sec).min).sum},"sf1_ext_total":${rExt.map(_._2.map(_.sec).min).sum},"sf1_queries":$q1,"sf1_queries_runs":$q1runs,"sf1_queries_stamps":$q1stamps,"sf1_dir":"$sf1Dir""""
-    } else ""
+      val sf1Tot = r1.map(_._2.map(_.sec).min).sum
+      val extTot = rExt.map(_._2.map(_.sec).min).sum
+      val mins = (r1 ++ rExt).map { case (k, v) => k -> v.map(_.sec).min }
+      (s""","sf1_total":$sf1Tot,"sf1_ext_total":$extTot,"sf1_queries":$q1,"sf1_queries_runs":$q1runs,"sf1_queries_stamps":$q1stamps,"sf1_dir":"$sf1Dir"""",
+        Some((sf1Tot, extTot, mins)))
+    } else ("", None)
     // HLL-only distinct count: q39's contract output folds in an exact
     // countDistinct purely so the DuckDB oracle can hash-match it, which
     // hides the bounded-memory sketch's cost profile. Time the sketch alone
@@ -300,35 +308,30 @@ object Bench {
     // ~23 KB, so BENCH_r{9,10,11}.json all carried `parsed: null`. This
     // line keeps the driver-graded fields (metric/value/unit/queries/sf)
     // under ~1.5 KB — headline mins, totals, and the 5 slowest sf1-ext
-    // queries; full per-run detail stays in bench_out.json.
-    val sf1Fields = {
-      // re-extract the totals from the sf1 fragment rather than re-running
-      val totRe = """"sf1_total":([0-9.eE+-]+)""".r
-      val extRe = """"sf1_ext_total":([0-9.eE+-]+)""".r
-      val t = totRe.findFirstMatchIn(sf1).map(_.group(1))
-      val e = extRe.findFirstMatchIn(sf1).map(_.group(1))
-      (t.map(v => s""","sf1_total":$v""").getOrElse("") +
-        e.map(v => s""","sf1_ext_total":$v""").getOrElse(""))
-    }
-    val slow5 = {
-      val qRe = """"sf1_queries":\{([^}]*)\}""".r
-      qRe.findFirstMatchIn(sf1).map(_.group(1)) match {
-        case Some(body) if body.nonEmpty =>
-          val pairs = body.split(",").flatMap { kv =>
-            kv.split(":") match {
-              case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
-              case _ => None
-            }
-          }
-          val top = pairs.sortBy(-_._2).take(5)
-            .map { case (k, v) => s"$k:$v" }.mkString(",")
-          s""","sf1_slowest":{$top}"""
-        case _ => ""
-      }
-    }
+    // queries; full per-run detail stays in bench_out.json. Built from
+    // the SAME in-scope values as the sf1 fragment (sf1Summary), never by
+    // re-parsing the rendered string (r12 ADVICE).
+    val sf1Fields = sf1Summary.map { case (t, e, _) =>
+      s""","sf1_total":$t,"sf1_ext_total":$e"""
+    }.getOrElse("")
+    val slow5 = sf1Summary.map { case (_, _, mins) =>
+      val top = mins.sortBy(-_._2).take(5)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s""","sf1_slowest":{$top}"""
+    }.getOrElse("")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","hll_only":$hll$duck$sf1Fields$duck1$slow5,"full":"bench_out.json"}"""
-    println(compact)
     spark.stop()
+    // Emit the compact line AFTER spark.stop() and through the raw file
+    // descriptor, as the process's genuinely last stdout bytes: the r12
+    // driver tail showed the line arriving prefixed "[info] " (sbt logger
+    // capture) and followed by sbt's "[success] Total time…" — so the
+    // driver's last-line parser still saw non-JSON. build.sbt pairs this
+    // with run / outputStrategy := StdoutOutput (no logger prefix) and
+    // Global / showSuccess := false (no trailing [success] line).
+    val rawOut = new java.io.PrintStream(new java.io.FileOutputStream(
+      java.io.FileDescriptor.out), true)
+    rawOut.println(compact)
+    rawOut.flush()
   }
 }

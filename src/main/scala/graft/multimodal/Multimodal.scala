@@ -193,6 +193,7 @@ object Multimodal {
       // corpus being canonical is no reason for the parser to require it.
       var off = 12
       var fmtOff = -1
+      var fmtLen = -1
       var dataOff = -1
       var dataLen = -1
       while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
@@ -200,12 +201,16 @@ object Multimodal {
         val sz = buf.getInt(off + 4)
         require(sz >= 0 && off + 8 + sz <= bytes.length,
           s"RIFF parse: chunk '$id' ($sz bytes at $off) overruns buffer")
-        if (id == "fmt ") fmtOff = off + 8
+        if (id == "fmt ") { fmtOff = off + 8; fmtLen = sz }
         else if (id == "data") { dataOff = off + 8; dataLen = sz }
         off += 8 + sz + (sz & 1) // chunk payloads are word-aligned
       }
       require(fmtOff >= 0 && dataOff >= 0,
         "RIFF parse: missing fmt /data chunk")
+      // The fmt fields below reach 16 bytes into the chunk payload; a
+      // short declared fmt chunk would otherwise silently read the next
+      // chunk's header bytes as format/rate/bits.
+      require(fmtLen >= 16, s"RIFF parse: fmt chunk too short ($fmtLen bytes)")
       require(buf.getShort(fmtOff) == 1 && buf.getShort(fmtOff + 2) == 1 &&
         buf.getShort(fmtOff + 14) == 16,
         "RIFF parse: not 16-bit mono PCM")

@@ -127,10 +127,23 @@ object Streams {
     sorted.foreach { case (ts, v) =>
       open match {
         case Some(o) if ts - o.end_us <= GapUs && ts >= o.start_us - GapUs =>
-          open = Some(o.copy(
+          var merged = o.copy(
             start_us = math.min(o.start_us, ts),
             end_us = math.max(o.end_us, ts),
-            n = o.n + 1, sum = o.sum + v))
+            n = o.n + 1, sum = o.sum + v)
+          // The min() above can drag the open session's start into gap
+          // range of the buffered stray chain; batch semantics would then
+          // merge the whole chain into one session, so fold the stray into
+          // open instead of emitting it separately when the batch ends.
+          stray.foreach { s =>
+            if (merged.start_us - s.end_us <= GapUs) {
+              merged = merged.copy(
+                start_us = math.min(merged.start_us, s.start_us),
+                n = merged.n + s.n, sum = merged.sum + s.sum)
+              stray = None
+            }
+          }
+          open = Some(merged)
         case Some(_) if stray.exists(s => ts - s.end_us <= GapUs &&
             ts < open.get.start_us - GapUs) =>
           val s = stray.get
