@@ -23,6 +23,49 @@ import graft.engine.Tables
   */
 object Pipeline {
 
+  /** One parsed record from a WARC-style container (p11). */
+  case class WarcRecord(container_id: Long, rec_doc_id: Long,
+      declared_len: Long, rec_off: Long, payload_md5: String)
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Declared-size record walk over one container — the parseRiff pattern
+    * (multimodal/Multimodal.scala:190) on the Common-Crawl-interchange
+    * shape: `REC <id> <len>\n` header, `<len>` payload chars, `\n`
+    * terminator, repeated. The walk advances by the DECLARED length and
+    * verifies the terminator lands where the header promised — it never
+    * splits on payload content, so a payload containing header-lookalike
+    * bytes (PipelineSpec plants one) cannot desync it, and a corrupted
+    * length fails the parse instead of silently shifting every record
+    * after it.
+    */
+  private[graft] def walkContainer(cid: Long, s: String): Seq[WarcRecord] = {
+    val out = Vector.newBuilder[WarcRecord]
+    var off = 0
+    while (off < s.length) {
+      val nl = s.indexOf('\n', off)
+      require(nl > off, s"container $cid: unterminated header at $off")
+      val header = s.substring(off, nl)
+      val parts = header.split(" ")
+      require(parts.length == 3 && parts(0) == "REC",
+        s"container $cid: bad record header '$header' at $off")
+      val id = parts(1).toLong
+      val len = parts(2).toInt
+      val start = nl + 1
+      require(len >= 0 && start + len < s.length && s.charAt(start + len) == '\n',
+        s"container $cid: record $id (declared $len) overruns the " +
+          "container or is missing its terminator")
+      out += WarcRecord(cid, id, len.toLong, off.toLong,
+        md5hex(s.substring(start, start + len)))
+      off = start + len + 1
+    }
+    out.result()
+  }
+
   /** p09's engine — ONE definition shared by the contract query and the
     * ScaleProbe p09 section. See the p09 QuerySpec comment for the full
     * design narrative (first-fit by prefix sum, 4096-shard packing
@@ -683,6 +726,56 @@ object Pipeline {
            |FROM k
            |ORDER BY out_shard, position""".stripMargin
       },
+    ),
+    // WARC-style container ingest — the Common Crawl interchange shape:
+    // corpora arrive as multi-record container files (header + declared
+    // length + payload), not as one-doc-per-row parquet. The query
+    // SYNTHESIZES the containers (50 docs each, records concatenated in
+    // doc order — one bounded groupBy), then INGESTS them with a
+    // declared-size walk ([[walkContainer]], the parseRiff pattern): each
+    // record re-emerges with the offset the walk actually observed, the
+    // length the header declared, and the md5 of the payload the walk
+    // extracted. The oracle recomputes all three directly from the
+    // documents table (offset = window prefix-sum of record sizes), so a
+    // walk that mis-advances by even one byte reds every downstream row.
+    // Scale shape: in production the walk runs AT THE SCAN over container
+    // blobs (map-side, payload never shuffles); here the synthesis
+    // shuffles bounded 50-doc groups once, and only ids + digests leave
+    // the parse.
+    QuerySpec(
+      "p11_warc_ingest",
+      (s, d) => {
+        import s.implicits._
+        val recs = Tables(s, d, "documents")
+          .select(expr("doc_id div 50").as("container_id"), col("doc_id"),
+            concat(lit("REC "), col("doc_id").cast("string"), lit(" "),
+              length(col("text")).cast("string"), lit("\n"),
+              col("text"), lit("\n")).as("rec"))
+        val containers = recs
+          .groupBy("container_id")
+          .agg(array_sort(collect_list(struct(col("doc_id"), col("rec"))))
+            .as("rs"))
+          .select(col("container_id"),
+            concat_ws("", expr("transform(rs, x -> x.rec)")).as("container"))
+        containers.as[(Long, String)]
+          .flatMap { case (cid, c) => walkContainer(cid, c) }
+          .toDF()
+          .orderBy("rec_doc_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, doc_id // 50 AS container_id, text,
+             |    length('REC ' || CAST(doc_id AS VARCHAR) || ' '
+             |      || CAST(length(text) AS VARCHAR)) + 1
+             |      + length(text) + 1 AS rec_len
+             |  FROM documents)
+             |SELECT container_id, doc_id AS rec_doc_id,
+             |  CAST(length(text) AS BIGINT) AS declared_len,
+             |  CAST(COALESCE(SUM(rec_len) OVER (
+             |      PARTITION BY container_id ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS BIGINT) AS rec_off,
+             |  md5(text) AS payload_md5
+             |FROM r ORDER BY rec_doc_id""".stripMargin),
     ),
   )
 }

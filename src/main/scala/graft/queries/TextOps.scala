@@ -1062,6 +1062,242 @@ object TextOps {
         Tables(s, d, "documents").select(col("doc_id")))),
       Some(LangClassifier.oracleSql),
     ),
+    // Markup/boilerplate extraction — the jusText/trafilatura-style step
+    // every web-corpus pipeline runs FIRST (the corpus here is
+    // pre-extracted plain text, so the query plants a deterministic HTML
+    // page around each doc): head/title line, a pure-link nav list, two
+    // prose paragraphs (one carrying an inline anchor), an every-7th-doc
+    // link-heavy promo block, and a link-farm footer. Extraction: strip
+    // the <head>, split into block-level lines, drop blocks that are
+    // empty after tag-strip or whose LINK DENSITY (anchor-text chars /
+    // visible chars) reaches 1/2, tag-strip the survivors, reassemble.
+    // The density threshold compares via integer cross-multiply
+    // (2*linkChars < visibleChars) so it is exact in both engines; inline
+    // anchors inside prose are KEPT (their text survives) — jusText's
+    // distinction between navigation and citation. Pure per-row column
+    // ops (regex + array HOFs, codegen'd): scan speed at 100 TB, zero
+    // shuffle before the presentation sort.
+    QuerySpec(
+      "t18_markup_extract",
+      (s, d) => {
+        val strip = (l: Column) => regexp_replace(l, "<[^>]*>", "")
+        val linkChars = (l: Column) => aggregate(
+          transform(regexp_extract_all(l, lit("<a [^>]*>([^<]*)</a>"), lit(1)),
+            x => length(x)),
+          lit(0), (a, x) => a + x)
+        val id = col("doc_id").cast("string")
+        val html = concat_ws("\n",
+          lit("<html>"),
+          concat(lit("<head><title>doc "), id, lit("</title></head>")),
+          lit("<body>"),
+          lit("<ul><li><a href=\"/home\">home</a></li>" +
+            "<li><a href=\"/about\">about</a></li>" +
+            "<li><a href=\"/contact\">contact</a></li></ul>"),
+          concat(lit("<p>"), col("text"), lit("</p>")),
+          concat(lit("<p>more about "), col("lang"),
+            lit(" topics see <a href=\"/rel/"), id,
+            lit("\">related "), id, lit("</a> here</p>")),
+          when(col("doc_id") % 7 === 0,
+            lit("<p><a href=\"/buy\">buy</a> <a href=\"/now\">now</a> " +
+              "<a href=\"/deal\">deal</a> wow</p>")),
+          lit("<div><a href=\"/terms\">terms</a> " +
+            "<a href=\"/privacy\">privacy</a> " +
+            "<a href=\"/cookies\">cookies</a></div>"),
+          lit("</body></html>"))
+        val lines = split(regexp_replace(html, "<head>.*?</head>", ""), "\n")
+        val nonempty = filter(lines, l => length(strip(l)) > lit(0))
+        val kept = filter(nonempty, l => linkChars(l) * lit(2) < length(strip(l)))
+        docs(s, d)
+          .select(
+            col("doc_id"),
+            size(kept).cast(LongType).as("n_kept"),
+            (size(nonempty) - size(kept)).cast(LongType).as("n_dropped"),
+            md5(concat_ws(" ", transform(kept, strip))).as("extracted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    concat_ws(chr(10),
+             |      '<html>',
+             |      '<head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title></head>',
+             |      '<body>',
+             |      '<ul><li><a href="/home">home</a></li><li><a href="/about">about</a></li><li><a href="/contact">contact</a></li></ul>',
+             |      '<p>' || text || '</p>',
+             |      '<p>more about ' || lang || ' topics see <a href="/rel/'
+             |        || CAST(doc_id AS VARCHAR) || '">related '
+             |        || CAST(doc_id AS VARCHAR) || '</a> here</p>',
+             |      CASE WHEN doc_id % 7 = 0
+             |           THEN '<p><a href="/buy">buy</a> <a href="/now">now</a> <a href="/deal">deal</a> wow</p>'
+             |           END,
+             |      '<div><a href="/terms">terms</a> <a href="/privacy">privacy</a> <a href="/cookies">cookies</a></div>',
+             |      '</body></html>') AS html
+             |  FROM documents),
+             |blocks AS (
+             |  SELECT doc_id,
+             |    list_filter(
+             |      string_split(regexp_replace(html, '<head>.*?</head>', ''), chr(10)),
+             |      l -> length(regexp_replace(l, '<[^>]*>', '', 'g')) > 0) AS nonempty
+             |  FROM planted),
+             |kept AS (
+             |  SELECT doc_id, nonempty,
+             |    list_filter(nonempty,
+             |      l -> 2 * coalesce(list_sum(list_transform(
+             |               regexp_extract_all(l, '<a [^>]*>([^<]*)</a>', 1),
+             |               x -> length(x))), 0)
+             |           < length(regexp_replace(l, '<[^>]*>', '', 'g'))) AS keep
+             |  FROM blocks)
+             |SELECT doc_id,
+             |  CAST(len(keep) AS BIGINT) AS n_kept,
+             |  CAST(len(nonempty) - len(keep) AS BIGINT) AS n_dropped,
+             |  md5(array_to_string(list_transform(keep,
+             |    l -> regexp_replace(l, '<[^>]*>', '', 'g')), ' ')) AS extracted_md5
+             |FROM kept ORDER BY doc_id""".stripMargin),
+    ),
+    // Intra-document repeated-span REMOVAL — the apply step of t06's
+    // repetition measure (Gopher/Rae-style: machine-generated filler
+    // repeats spans inside one document; t06 flags it, this strips it).
+    // Span = consecutive non-overlapping 3-word chunk; a chunk is dropped
+    // when an identical chunk occurred EARLIER in the same doc
+    // (first-occurrence-wins, the deterministic variant of the published
+    // rule). The plant appends a 3-word marker pattern repeated 3x to
+    // every 5th doc — whatever the doc's length mod 3, at least one of
+    // the appended chunks duplicates another, so the strip provably
+    // fires (TextOpsSpec pins plant recall + the clean-doc identity).
+    // Pure per-row array HOFs over the tokens — O(chunks^2) per doc with
+    // ~40-word docs, scan speed at 100 TB, zero shuffle before the sort.
+    QuerySpec(
+      "t19_repeated_span_strip",
+      (s, d) => {
+        val planted = when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" zq1 zq2 zq3 zq1 zq2 zq3 zq1 zq2 zq3")))
+          .otherwise(col("text"))
+        val toks = split(planted, " ")
+        val nChunks = floor((size(toks) + lit(2)) / lit(3)).cast("int")
+        val chunks = transform(sequence(lit(0), nChunks - 1),
+          j => concat_ws(" ", slice(toks, j * 3 + 1, lit(3))))
+        val kept = filter(chunks,
+          (c, j) => array_position(chunks, c) === (j + 1).cast(LongType))
+        docs(s, d)
+          .select(col("doc_id"), chunks.as("chunks"), kept.as("kept"))
+          .select(
+            col("doc_id"),
+            size(col("chunks")).cast(LongType).as("n_chunks"),
+            (size(col("chunks")) - size(col("kept"))).cast(LongType)
+              .as("n_dupes"),
+            md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0
+             |         THEN text || ' zq1 zq2 zq3 zq1 zq2 zq3 zq1 zq2 zq3'
+             |         ELSE text END AS text
+             |  FROM documents),
+             |t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM planted),
+             |ch AS (
+             |  SELECT doc_id,
+             |    list_transform(
+             |      range(0, CAST((len(toks) + 2) // 3 AS INT)),
+             |      j -> array_to_string(list_slice(toks, j*3 + 1, j*3 + 3), ' '))
+             |      AS chunks
+             |  FROM t),
+             |k AS (
+             |  SELECT doc_id, chunks,
+             |    list_filter(chunks, (x, i) -> list_position(chunks, x) = i)
+             |      AS kept
+             |  FROM ch)
+             |SELECT doc_id,
+             |  CAST(len(chunks) AS BIGINT) AS n_chunks,
+             |  CAST(len(chunks) - len(kept) AS BIGINT) AS n_dupes,
+             |  md5(array_to_string(kept, ' ')) AS cleaned_md5
+             |FROM k ORDER BY doc_id""".stripMargin),
+    ),
+    // PII breadth beyond t07's email/URL: phone numbers (3 formats: dashed,
+    // parenthesized area code, +1-international), IPv4 addresses (3
+    // private-range shapes), and SSN-shaped IDs (3 digit plants). One
+    // deterministic PII blob appended per doc, cycling over the 9 variants
+    // by doc_id % 10 (the 10th residue gets NO plant, so the clean path is
+    // exercised too). Regexes stay in the Java∩RE2 dialect (no
+    // backrefs/lookaround; \b is ASCII word-boundary in both). Counts via
+    // regexp_extract_all verify the MATCH SETS, not just replacements; the
+    // scrub order is phone → IP → ID (the shapes are disjoint — phone has
+    // a 3-3-4 digit grouping, ID 3-2-4, IP dots — so order is for
+    // determinism, not correctness). Map-side only, scan speed at 100 TB.
+    QuerySpec(
+      "t07b_pii_breadth",
+      (s, d) => {
+        val phoneRe = "(\\+1 )?(\\(\\d{3}\\) |\\d{3}[- ])\\d{3}[- ]\\d{4}"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val idRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+        val p3 = lpad(col("doc_id") % 1000 cast "string", 3, "0")
+        val p4 = lpad(col("doc_id") % 10000 cast "string", 4, "0")
+        val blob = col("doc_id") % 10
+        val planted = concat(col("text"),
+          when(blob === 0, concat(lit(" call 555-"), p3, lit("-"), p4))
+            .when(blob === 1, concat(lit(" tel (555) "), p3, lit(" "), p4))
+            .when(blob === 2, concat(lit(" intl +1 555 "), p3, lit(" "), p4))
+            .when(blob === 3, concat(lit(" host 10.0."),
+              (col("doc_id") % 256).cast("string"), lit("."),
+              (col("doc_id") % 100).cast("string")))
+            .when(blob === 4, concat(lit(" gw 192.168.1."),
+              (col("doc_id") % 200).cast("string")))
+            .when(blob === 5, concat(lit(" srv 172.16."),
+              (col("doc_id") % 50).cast("string"), lit("."),
+              (col("doc_id") % 250).cast("string")))
+            .when(blob === 6, concat(lit(" ssn 123-45-"), p4))
+            .when(blob === 7, concat(lit(" id 987-65-"), p4))
+            .when(blob === 8, concat(lit(" ref 456-78-"), p4))
+            .otherwise(lit("")))
+        docs(s, d)
+          .select(col("doc_id"), planted.as("text"))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+              .cast(LongType).as("n_phones"),
+            size(regexp_extract_all(col("text"), lit(ipRe), lit(0)))
+              .cast(LongType).as("n_ips"),
+            size(regexp_extract_all(col("text"), lit(idRe), lit(0)))
+              .cast(LongType).as("n_ids"),
+            md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+              phoneRe, "<PHONE>"), ipRe, "<IP>"), idRe, "<ID>"))
+              .as("scrubbed_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, text ||
+             |    CASE doc_id % 10
+             |      WHEN 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             |        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      WHEN 1 THEN ' tel (555) ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             |        || ' ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      WHEN 2 THEN ' intl +1 555 ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             |        || ' ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      WHEN 3 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+             |        || '.' || CAST(doc_id % 100 AS VARCHAR)
+             |      WHEN 4 THEN ' gw 192.168.1.' || CAST(doc_id % 200 AS VARCHAR)
+             |      WHEN 5 THEN ' srv 172.16.' || CAST(doc_id % 50 AS VARCHAR)
+             |        || '.' || CAST(doc_id % 250 AS VARCHAR)
+             |      WHEN 6 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      WHEN 7 THEN ' id 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      WHEN 8 THEN ' ref 456-78-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      ELSE '' END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '(\+1 )?(\(\d{3}\) |\d{3}[- ])\d{3}[- ]\d{4}')) AS BIGINT)
+             |    AS n_phones,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ids,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '(\+1 )?(\(\d{3}\) |\d{3}[- ])\d{3}[- ]\d{4}', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g')) AS scrubbed_md5
+             |FROM planted ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** Code-vs-prose routing — the t16 engine, ONE shared definition for

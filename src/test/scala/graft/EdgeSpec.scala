@@ -319,4 +319,71 @@ class EdgeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("t18: extraction keeps exactly the prose blocks — recall pinned by md5") {
+    import org.apache.spark.sql.functions._
+    // Expected extracted text per doc, built INDEPENDENTLY from the raw
+    // table: body paragraph + the tag-stripped second paragraph (inline
+    // anchor text kept). Nav, head, promo and footer must all be gone —
+    // including the every-7th-doc promo, so the SAME expectation holds
+    // for every doc. Any block mis-kept or mis-dropped breaks the md5.
+    val expected = graft.engine.Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(concat(
+        col("text"), lit(" more about "), col("lang"),
+        lit(" topics see related "), col("doc_id").cast("string"),
+        lit(" here")))
+        .as("want"))
+    val out = Registry.byName("t18_markup_extract").run(spark, sf)
+    val joined = out.join(expected, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("extracted_md5") =!= col("want")).count() == 0,
+      "extracted text diverges from the expected prose-only reassembly")
+    assert(out.filter(col("n_kept") =!= 2).count() == 0, "every doc keeps 2 blocks")
+    assert(out.filter(col("doc_id") % 7 === 0)
+      .filter(col("n_dropped") =!= 3).count() == 0, "promo docs drop 3")
+  }
+
+  test("t19: clean docs pass through identically; every planted doc strips") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("t19_repeated_span_strip").run(spark, sf)
+    val orig = graft.engine.Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("orig_md5"),
+        size(split(col("text"), " ")).as("n_words"))
+    val j = out.join(orig, "doc_id").cache()
+    // identity: an unplanted doc with no natural duplicate chunk must
+    // reassemble to EXACTLY the original text (normalize∘corrupt-style)
+    val clean = j.filter(col("doc_id") % 5 =!= 0 && col("n_dupes") === 0)
+    assert(clean.count() > 0)
+    assert(clean.filter(col("cleaned_md5") =!= col("orig_md5")).count() == 0,
+      "dupe-free docs must round-trip unchanged")
+    // plant recall: the 3x-repeated marker pattern guarantees >=1 duplicate
+    // chunk whatever the doc length mod 3
+    val planted = j.filter(col("doc_id") % 5 === 0)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("n_dupes") < 1).count() == 0,
+      "every planted doc must lose at least one span")
+    // chunk accounting: ceil((words [+9 plant])/3)
+    assert(j.filter(col("n_chunks") =!=
+      ceil((col("n_words") + when(col("doc_id") % 5 === 0, 9).otherwise(0)) / 3.0)
+        .cast("long")).count() == 0, "chunk count must match ceil(words/3)")
+    j.unpersist()
+  }
+
+  test("t07b: each planted residue carries exactly its own PII type") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("t07b_pii_breadth").run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, ph, ip, sid) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val want = (id % 10) match {
+        case 0 | 1 | 2 => (1L, 0L, 0L)
+        case 3 | 4 | 5 => (0L, 1L, 0L)
+        case 6 | 7 | 8 => (0L, 0L, 1L)
+        case _         => (0L, 0L, 0L)
+      }
+      assert((ph, ip, sid) == want,
+        s"doc $id (residue ${id % 10}): got ($ph,$ip,$sid) want $want")
+    }
+  }
 }

@@ -98,4 +98,34 @@ class PipelineSpec extends AnyFunSuite {
       .collect().head.getDouble(6)
     assert(unfilled >= -1e-9, "over-allocated past the budget")
   }
+
+  test("p11 walk round-trips records and survives header-lookalike payloads") {
+    import graft.queries.Pipeline.walkContainer
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def rec(id: Long, t: String) = s"REC $id ${t.length}\n$t\n"
+    // round-trip: N records in, N records out, offsets/lengths/digests exact
+    val texts = Seq(3L -> "alpha beta", 7L -> "", 9L -> "gamma")
+    val container = texts.map { case (i, t) => rec(i, t) }.mkString
+    val out = walkContainer(42L, container)
+    assert(out.map(_.rec_doc_id) == Seq(3L, 7L, 9L))
+    assert(out.map(_.declared_len) == texts.map(_._2.length.toLong))
+    assert(out.map(_.payload_md5) == texts.map(t => md5(t._2)))
+    assert(out.head.rec_off == 0L &&
+      out(1).rec_off == rec(3L, "alpha beta").length.toLong)
+    // the honesty test a line-splitter fails: a payload that CONTAINS a
+    // valid-looking record header must stay one payload — the declared
+    // length, not the content, drives the walk
+    val tricky = "aaa\nREC 999 4\nbbbb"
+    val out2 = walkContainer(1L, rec(5L, tricky))
+    assert(out2.map(r => (r.rec_doc_id, r.declared_len, r.payload_md5)) ==
+      Seq((5L, tricky.length.toLong, md5(tricky))))
+    // a corrupted declared length fails the parse instead of desyncing
+    val bad = s"REC 5 ${tricky.length + 1}\n$tricky\n"
+    intercept[IllegalArgumentException](walkContainer(2L, bad))
+    // truncated container (payload cut short) fails too
+    intercept[IllegalArgumentException](
+      walkContainer(3L, rec(5L, "full payload").dropRight(3)))
+  }
 }
