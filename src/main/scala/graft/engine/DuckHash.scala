@@ -20,12 +20,21 @@ object DuckHash {
   private val B32 = "4294967296::HUGEINT"
   private val M64 = "18446744073709551616::HUGEINT"
 
-  /** (v * c) mod 2^64 without int128 overflow: 32-bit split multiply. */
+  /** (v * c) mod 2^64 without int128 overflow. v carries a value in
+    * [0, 2^64); only the CONSTANT needs splitting: v*clo and v*chi are both
+    * < 2^96 (< HUGEINT max 2^127), and (v*c) mod 2^64
+    * = (v*clo + ((v*chi) mod 2^32)·2^32) mod 2^64 exactly — the high
+    * product contributes only its low 32 bits once shifted. For constants
+    * under 2^63 the product v*c < 2^127 fits outright and one multiply
+    * suffices. (The r13 rewrite: the original split BOTH operands — three
+    * multiplies and two extra mods per step — which dominated the sf1
+    * oracle replicas' runtime.)
+    */
   private def mulc(v: String, c: BigInt): String = {
     val chi = c >> 32
     val clo = c & 0xffffffffL
-    s"((($v) % $B32) * ${clo}::HUGEINT + (((($v) % $B32) * ${chi}::HUGEINT" +
-      s" + (($v) // $B32) * ${clo}::HUGEINT) % $B32) * $B32) % $M64"
+    if (c < (BigInt(1) << 63)) s"(($v) * ${c}::HUGEINT) % $M64"
+    else s"(($v) * ${clo}::HUGEINT + ((($v) * ${chi}::HUGEINT) % $B32) * $B32) % $M64"
   }
 
   private def shift33(v: String): String =

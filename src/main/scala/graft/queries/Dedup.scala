@@ -157,16 +157,13 @@ object Dedup {
     */
   private def d05OracleSql(corpusSql: String): String =
     s"""$corpusSql,
-       |shingled AS (
+       |tokd AS (
        |  SELECT doc_id, lang, length(text) AS n_ch,
-       |    length(text) // 64 AS bk,
-       |    list_distinct(list_transform(
-       |      range(1, CASE WHEN len(string_split(text,' ')) - 2 > 1
-       |                    THEN len(string_split(text,' ')) - 2
-       |                    ELSE 1 END + 1),
-       |      i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
-       |      AS sh
-       |  FROM corpus)
+       |    length(text) // 64 AS bk, string_split(text, ' ') AS tk
+       |  FROM corpus),
+       |shingled AS (
+       |  SELECT doc_id, lang, n_ch, bk, $shingleSql AS sh
+       |  FROM tokd)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |    (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
@@ -187,12 +184,16 @@ object Dedup {
   /** DuckDB text of [[shingles]] (word 3-grams, distinct) for column `text`
     * — shared by the d05 oracle and the LSH-pipeline oracles below.
     */
+  /** Over a pre-tokenized list column `tk` (tokenize ONCE per doc — the
+    * old per-gram-index re-split of `text` was O(words²) per doc and
+    * dominated the sf1 oracle replicas).
+    */
   private val shingleSql =
     """list_distinct(list_transform(
-      |      range(1, CASE WHEN len(string_split(text,' ')) - 2 > 1
-      |                    THEN len(string_split(text,' ')) - 2
+      |      range(1, CASE WHEN len(tk) - 2 > 1
+      |                    THEN len(tk) - 2
       |                    ELSE 1 END + 1),
-      |      i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))""".stripMargin
+      |      i -> array_to_string(tk[i:i+2], ' ')))""".stripMargin
 
   /** DuckDB text of [[shingleHashes]]: the same distinct 3-gram set as
     * [[shingleSql]] but carried as FNV-1a-64 hashes — the hash is a
@@ -236,22 +237,36 @@ object Dedup {
     val incrFilter = newPred.map(p =>
       s"\n    AND ((${p.replace("doc_id", "a.doc_id")}) OR (${p.replace("doc_id", "b.doc_id")}))")
       .getOrElse("")
+    // Stage shape (r13 rewrite — the sf1 cap-skips were NOT algorithmic,
+    // they were replica-SQL constant factors): tokenize once per doc (the
+    // old text re-split per gram index was O(words²) per doc), collect the
+    // per-element signature lists per doc and take element-wise list_min
+    // (the old per-(doc,i) MIN aggregate exploded docel 32× before the
+    // group-by), and hash each band string from a materialized column (the
+    // old inline form rebuilt the string per CHARACTER inside fnv's
+    // list_reduce and re-ran the whole fnv 3× inside signed()'s CASE).
     s"""$corpusSql,
+       |tokd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
        |shingled AS MATERIALIZED (
-       |  SELECT doc_id, $hashedShingleSql AS sh FROM corpus),
+       |  SELECT doc_id, $hashedShingleSql AS sh FROM tokd),
        |el AS (SELECT DISTINCT unnest(sh) AS v FROM shingled),
        |elsig AS MATERIALIZED (
        |  SELECT v, ${DuckHash.sigK("[v]", k)} AS pv FROM el),
        |docel AS (SELECT doc_id, unnest(sh) AS v FROM shingled),
-       |sigrow AS (
-       |  SELECT d.doc_id, t.i, MIN(s.pv[t.i+1]) AS m
-       |  FROM docel d JOIN elsig s USING (v), unnest(range(0, $k)) AS t(i)
-       |  GROUP BY d.doc_id, t.i),
+       |docpv AS (
+       |  SELECT d.doc_id, list(s.pv) AS pvs
+       |  FROM docel d JOIN elsig s USING (v) GROUP BY d.doc_id),
        |sigs AS MATERIALIZED (
-       |  SELECT doc_id, list(m ORDER BY i) AS sig FROM sigrow GROUP BY doc_id),
-       |buckets AS MATERIALIZED (
-       |  SELECT doc_id, band, ${DuckHash.signed(DuckHash.fnv(bucketStr))} AS bucket
+       |  SELECT doc_id, list_transform(range(1, ${k + 1}),
+       |    i -> list_min(list_transform(pvs, p -> p[i]))) AS sig
+       |  FROM docpv),
+       |bandstr AS (
+       |  SELECT doc_id, band, $bucketStr AS bs
        |  FROM sigs, (SELECT unnest(range(0, $bands)) AS band)),
+       |buckets AS MATERIALIZED (
+       |  SELECT doc_id, band, ${DuckHash.signed("ub")} AS bucket
+       |  FROM (SELECT doc_id, band, ${DuckHash.fnv("bs")} AS ub
+       |        FROM bandstr) _h),
        |hot AS (
        |  SELECT band, bucket FROM buckets GROUP BY band, bucket
        |  HAVING COUNT(*) > $cap),
@@ -1073,15 +1088,18 @@ object Dedup {
           .groupBy("doc_id").agg(count(lit(1)).as("n_overlapping"))
           .orderBy("doc_id")
       },
-      Some("""WITH g AS (
+      Some("""WITH tok9 AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS tk
+             |  FROM documents),
+             |g AS (
              |  SELECT doc_id, source,
              |    list_distinct(list_transform(
-             |      range(1, CASE WHEN len(string_split(text,' ')) - 7 > 1
-             |                    THEN len(string_split(text,' ')) - 7
+             |      range(1, CASE WHEN len(tk) - 7 > 1
+             |                    THEN len(tk) - 7
              |                    ELSE 1 END + 1),
-             |      i -> array_to_string((string_split(text,' '))[i:i+7], ' ')))
+             |      i -> array_to_string(tk[i:i+7], ' ')))
              |      AS grams
-             |  FROM documents),
+             |  FROM tok9),
              |tr AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source <> 'src0'),
              |te AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE source = 'src0')
              |SELECT doc_id, COUNT(*) AS n_overlapping

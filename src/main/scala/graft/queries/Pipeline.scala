@@ -151,10 +151,10 @@ object Pipeline {
            |g AS (
            |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
            |    list_transform(
-           |      range(1, CASE WHEN len(string_split(text, ' ')) - 2 > 1
-           |                    THEN len(string_split(text, ' ')) - 2
+           |      range(1, CASE WHEN len(toks) - 2 > 1
+           |                    THEN len(toks) - 2
            |                    ELSE 1 END + 1),
-           |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+           |      i -> array_to_string(toks[i:i+2], ' '))
            |      AS grams
            |  FROM withsrc),
            |scored AS (
@@ -528,10 +528,10 @@ object Pipeline {
            |g AS (
            |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
            |    list_transform(
-           |      range(1, CASE WHEN len(string_split(text, ' ')) - 2 > 1
-           |                    THEN len(string_split(text, ' ')) - 2
+           |      range(1, CASE WHEN len(toks) - 2 > 1
+           |                    THEN len(toks) - 2
            |                    ELSE 1 END + 1),
-           |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+           |      i -> array_to_string(toks[i:i+2], ' '))
            |      AS grams
            |  FROM withsrc),
            |scored AS (
