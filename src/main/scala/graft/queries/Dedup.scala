@@ -155,28 +155,45 @@ object Dedup {
   /** d05's oracle over a pluggable corpus CTE (shared with the sf1-slice
     * verification row v05).
     */
+  /** r13 shape: the straight blocked join produces ~96M candidate pairs at
+    * sf1, each paying a string-list list_intersect — DuckDB walls past any
+    * cap. Equivalent inverted-index form: join doc-gram rows on (gram,
+    * lang) under the same blocking predicates and COUNT shared grams per
+    * pair (sh is distinct per doc, so COUNT(*) IS the intersection size),
+    * then derive Jaccard from the counts. Identical output: jac >= 0.3
+    * implies at least one shared gram, so pairs the gram join cannot see
+    * were never emitted by the blocked form either. The join's row volume
+    * is sum over grams of docs_per_gram^2 (~13M at sf1), not candidates x
+    * list work.
+    */
   private def d05OracleSql(corpusSql: String): String =
     s"""$corpusSql,
        |tokd AS (
        |  SELECT doc_id, lang, length(text) AS n_ch,
        |    length(text) // 64 AS bk, string_split(text, ' ') AS tk
        |  FROM corpus),
-       |shingled AS (
+       |shingled AS MATERIALIZED (
        |  SELECT doc_id, lang, n_ch, bk, $shingleSql AS sh
-       |  FROM tokd)
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |    (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
-       |     - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jac
-       |FROM shingled a
-       |JOIN (SELECT unnest([-1, 0, 1]) AS off) o ON true
-       |JOIN shingled b
-       |  ON a.lang = b.lang AND b.bk = a.bk + o.off
-       | AND a.doc_id < b.doc_id
-       | AND abs(a.n_ch - b.n_ch) <= 60
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |    (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
-       |     - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.3
+       |  FROM tokd),
+       |docel AS (
+       |  SELECT doc_id, lang, n_ch, bk, unnest(sh) AS gram FROM shingled),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+       |  FROM docel a JOIN docel b
+       |    ON a.gram = b.gram AND a.lang = b.lang
+       |   AND b.bk BETWEEN a.bk - 1 AND a.bk + 1
+       |   AND a.doc_id < b.doc_id
+       |   AND abs(a.n_ch - b.n_ch) <= 60
+       |  GROUP BY a.doc_id, b.doc_id),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM shingled)
+       |SELECT a_id, b_id, jac FROM (
+       |  SELECT a_id, b_id,
+       |    CAST(i AS DOUBLE) / (CAST(sa.n AS DOUBLE) + CAST(sb.n AS DOUBLE)
+       |      - CAST(i AS DOUBLE)) AS jac
+       |  FROM inter
+       |  JOIN sz sa ON sa.doc_id = a_id
+       |  JOIN sz sb ON sb.doc_id = b_id) _j
+       |WHERE jac >= 0.3
        |ORDER BY a_id, b_id""".stripMargin
 
   private def toks(c: Column): Column = split(c, " ")
