@@ -226,7 +226,13 @@ object Bench {
         // one more corpus-keyed text shuffle), p10 (pack + manifest
         // shuffle), c26 (K Viterbi-EM rounds over the type table — the
         // driver-loop cost profile like c17)
-        "d22_paragraph_dedup", "p10_shard_shuffle", "c26_unigram_lm_train")
+        "d22_paragraph_dedup", "p10_shard_shuffle", "c26_unigram_lm_train",
+        // ... and the round-13 additions: t18 (block split + per-block
+        // regex battery — the widest per-row HOF stack in the suite),
+        // t19 (chunk array self-scan), t07b (3-pattern regex scrub),
+        // p11 (bounded container build + declared-size walk)
+        "t18_markup_extract", "t19_repeated_span_strip",
+        "t07b_pii_breadth", "p11_warc_ingest")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

@@ -210,6 +210,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t18/t19/t07b stay scan-side — no shuffle before the presentation sort") {
+    for (q <- Seq("t18_markup_extract", "t19_repeated_span_strip",
+        "t07b_pii_breadth")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n$p")
+    }
+  }
+
+  test("p11 shuffles only the bounded container build — one exchange, then map-side walk") {
+    val p = plan("p11_warc_ingest")
+    val n = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly the container-build exchange, got $n:\n$p")
+  }
+
   test("e15 range join decomposes to a hash join on chunks — never a nested loop") {
     val p = plan("e15_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
