@@ -66,6 +66,31 @@ object Pipeline {
     out.result()
   }
 
+  /** p11's engine — ONE definition for the contract query and the
+    * ScaleProbe section. Input needs (doc_id, text); synthesizes 50-doc
+    * containers then ingests them with [[walkContainer]]. See the p11
+    * QuerySpec comment for the full design narrative.
+    */
+  def warcIngest(in: DataFrame): DataFrame = {
+    val s = in.sparkSession
+    import s.implicits._
+    val recs = in
+      .select(expr("doc_id div 50").as("container_id"), col("doc_id"),
+        concat(lit("REC "), col("doc_id").cast("string"), lit(" "),
+          length(col("text")).cast("string"), lit("\n"),
+          col("text"), lit("\n")).as("rec"))
+    val containers = recs
+      .groupBy("container_id")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("rec"))))
+        .as("rs"))
+      .select(col("container_id"),
+        concat_ws("", expr("transform(rs, x -> x.rec)")).as("container"))
+    containers.as[(Long, String)]
+      .flatMap { case (cid, c) => walkContainer(cid, c) }
+      .toDF()
+      .orderBy("rec_doc_id")
+  }
+
   /** p09's engine — ONE definition shared by the contract query and the
     * ScaleProbe p09 section. See the p09 QuerySpec comment for the full
     * design narrative (first-fit by prefix sum, 4096-shard packing
@@ -744,24 +769,7 @@ object Pipeline {
     // the parse.
     QuerySpec(
       "p11_warc_ingest",
-      (s, d) => {
-        import s.implicits._
-        val recs = Tables(s, d, "documents")
-          .select(expr("doc_id div 50").as("container_id"), col("doc_id"),
-            concat(lit("REC "), col("doc_id").cast("string"), lit(" "),
-              length(col("text")).cast("string"), lit("\n"),
-              col("text"), lit("\n")).as("rec"))
-        val containers = recs
-          .groupBy("container_id")
-          .agg(array_sort(collect_list(struct(col("doc_id"), col("rec"))))
-            .as("rs"))
-          .select(col("container_id"),
-            concat_ws("", expr("transform(rs, x -> x.rec)")).as("container"))
-        containers.as[(Long, String)]
-          .flatMap { case (cid, c) => walkContainer(cid, c) }
-          .toDF()
-          .orderBy("rec_doc_id")
-      },
+      (s, d) => warcIngest(Tables(s, d, "documents")),
       Some("""WITH r AS (
              |  SELECT doc_id, doc_id // 50 AS container_id, text,
              |    length('REC ' || CAST(doc_id AS VARCHAR) || ' '

@@ -1079,42 +1079,7 @@ object TextOps {
     // shuffle before the presentation sort.
     QuerySpec(
       "t18_markup_extract",
-      (s, d) => {
-        val strip = (l: Column) => regexp_replace(l, "<[^>]*>", "")
-        val linkChars = (l: Column) => aggregate(
-          transform(regexp_extract_all(l, lit("<a [^>]*>([^<]*)</a>"), lit(1)),
-            x => length(x)),
-          lit(0), (a, x) => a + x)
-        val id = col("doc_id").cast("string")
-        val html = concat_ws("\n",
-          lit("<html>"),
-          concat(lit("<head><title>doc "), id, lit("</title></head>")),
-          lit("<body>"),
-          lit("<ul><li><a href=\"/home\">home</a></li>" +
-            "<li><a href=\"/about\">about</a></li>" +
-            "<li><a href=\"/contact\">contact</a></li></ul>"),
-          concat(lit("<p>"), col("text"), lit("</p>")),
-          concat(lit("<p>more about "), col("lang"),
-            lit(" topics see <a href=\"/rel/"), id,
-            lit("\">related "), id, lit("</a> here</p>")),
-          when(col("doc_id") % 7 === 0,
-            lit("<p><a href=\"/buy\">buy</a> <a href=\"/now\">now</a> " +
-              "<a href=\"/deal\">deal</a> wow</p>")),
-          lit("<div><a href=\"/terms\">terms</a> " +
-            "<a href=\"/privacy\">privacy</a> " +
-            "<a href=\"/cookies\">cookies</a></div>"),
-          lit("</body></html>"))
-        val lines = split(regexp_replace(html, "<head>.*?</head>", ""), "\n")
-        val nonempty = filter(lines, l => length(strip(l)) > lit(0))
-        val kept = filter(nonempty, l => linkChars(l) * lit(2) < length(strip(l)))
-        docs(s, d)
-          .select(
-            col("doc_id"),
-            size(kept).cast(LongType).as("n_kept"),
-            (size(nonempty) - size(kept)).cast(LongType).as("n_dropped"),
-            md5(concat_ws(" ", transform(kept, strip))).as("extracted_md5"))
-          .orderBy("doc_id")
-      },
+      (s, d) => markupExtract(docs(s, d)),
       Some("""WITH planted AS (
              |  SELECT doc_id,
              |    concat_ws(chr(10),
@@ -1167,33 +1132,7 @@ object TextOps {
     // ~40-word docs, scan speed at 100 TB, zero shuffle before the sort.
     QuerySpec(
       "t19_repeated_span_strip",
-      (s, d) => {
-        val planted = when(col("doc_id") % 5 === 0,
-          concat(col("text"),
-            lit(" zq1 zq2 zq3 zq1 zq2 zq3 zq1 zq2 zq3")))
-          .otherwise(col("text"))
-        val toks = split(planted, " ")
-        val nChunks = floor((size(toks) + lit(2)) / lit(3)).cast("int")
-        val chunks = transform(sequence(lit(0), nChunks - 1),
-          j => concat_ws(" ", slice(toks, j * 3 + 1, lit(3))))
-        // Materialize the chunk array BEFORE the first-occurrence filter:
-        // referencing the `chunks` transform expression inside the filter
-        // lambda would re-BUILD the whole array per array_position probe
-        // (measured 30.8 s -> ~1 s at sf1 for this exact query).
-        docs(s, d)
-          .select(col("doc_id"), chunks.as("chunks"))
-          .select(col("doc_id"), col("chunks"),
-            filter(col("chunks"), (c, j) =>
-              array_position(col("chunks"), c) === (j + 1).cast(LongType))
-              .as("kept"))
-          .select(
-            col("doc_id"),
-            size(col("chunks")).cast(LongType).as("n_chunks"),
-            (size(col("chunks")) - size(col("kept"))).cast(LongType)
-              .as("n_dupes"),
-            md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
-          .orderBy("doc_id")
-      },
+      (s, d) => repeatedSpanStrip(docs(s, d)),
       Some("""WITH planted AS (
              |  SELECT doc_id,
              |    CASE WHEN doc_id % 5 = 0
@@ -1233,44 +1172,7 @@ object TextOps {
     // determinism, not correctness). Map-side only, scan speed at 100 TB.
     QuerySpec(
       "t07b_pii_breadth",
-      (s, d) => {
-        val phoneRe = "(\\+1 )?(\\(\\d{3}\\) |\\d{3}[- ])\\d{3}[- ]\\d{4}"
-        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-        val idRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
-        val p3 = lpad(col("doc_id") % 1000 cast "string", 3, "0")
-        val p4 = lpad(col("doc_id") % 10000 cast "string", 4, "0")
-        val blob = col("doc_id") % 10
-        val planted = concat(col("text"),
-          when(blob === 0, concat(lit(" call 555-"), p3, lit("-"), p4))
-            .when(blob === 1, concat(lit(" tel (555) "), p3, lit(" "), p4))
-            .when(blob === 2, concat(lit(" intl +1 555 "), p3, lit(" "), p4))
-            .when(blob === 3, concat(lit(" host 10.0."),
-              (col("doc_id") % 256).cast("string"), lit("."),
-              (col("doc_id") % 100).cast("string")))
-            .when(blob === 4, concat(lit(" gw 192.168.1."),
-              (col("doc_id") % 200).cast("string")))
-            .when(blob === 5, concat(lit(" srv 172.16."),
-              (col("doc_id") % 50).cast("string"), lit("."),
-              (col("doc_id") % 250).cast("string")))
-            .when(blob === 6, concat(lit(" ssn 123-45-"), p4))
-            .when(blob === 7, concat(lit(" id 987-65-"), p4))
-            .when(blob === 8, concat(lit(" ref 456-78-"), p4))
-            .otherwise(lit("")))
-        docs(s, d)
-          .select(col("doc_id"), planted.as("text"))
-          .select(
-            col("doc_id"),
-            size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
-              .cast(LongType).as("n_phones"),
-            size(regexp_extract_all(col("text"), lit(ipRe), lit(0)))
-              .cast(LongType).as("n_ips"),
-            size(regexp_extract_all(col("text"), lit(idRe), lit(0)))
-              .cast(LongType).as("n_ids"),
-            md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
-              phoneRe, "<PHONE>"), ipRe, "<IP>"), idRe, "<ID>"))
-              .as("scrubbed_md5"))
-          .orderBy("doc_id")
-      },
+      (s, d) => piiBreadth(docs(s, d)),
       Some("""WITH planted AS (
              |  SELECT doc_id, text ||
              |    CASE doc_id % 10
@@ -1305,6 +1207,113 @@ object TextOps {
              |FROM planted ORDER BY doc_id""".stripMargin),
     ),
   )
+
+  /** t18's engine — ONE definition for the contract query and the
+    * ScaleProbe section. Input: (doc_id, text, lang). See the t18
+    * QuerySpec comment for the full design narrative.
+    */
+  def markupExtract(in: DataFrame): DataFrame = {
+    val strip = (l: Column) => regexp_replace(l, "<[^>]*>", "")
+    val linkChars = (l: Column) => aggregate(
+      transform(regexp_extract_all(l, lit("<a [^>]*>([^<]*)</a>"), lit(1)),
+        x => length(x)),
+      lit(0), (a, x) => a + x)
+    val id = col("doc_id").cast("string")
+    val html = concat_ws("\n",
+      lit("<html>"),
+      concat(lit("<head><title>doc "), id, lit("</title></head>")),
+      lit("<body>"),
+      lit("<ul><li><a href=\"/home\">home</a></li>" +
+        "<li><a href=\"/about\">about</a></li>" +
+        "<li><a href=\"/contact\">contact</a></li></ul>"),
+      concat(lit("<p>"), col("text"), lit("</p>")),
+      concat(lit("<p>more about "), col("lang"),
+        lit(" topics see <a href=\"/rel/"), id,
+        lit("\">related "), id, lit("</a> here</p>")),
+      when(col("doc_id") % 7 === 0,
+        lit("<p><a href=\"/buy\">buy</a> <a href=\"/now\">now</a> " +
+          "<a href=\"/deal\">deal</a> wow</p>")),
+      lit("<div><a href=\"/terms\">terms</a> " +
+        "<a href=\"/privacy\">privacy</a> " +
+        "<a href=\"/cookies\">cookies</a></div>"),
+      lit("</body></html>"))
+    val lines = split(regexp_replace(html, "<head>.*?</head>", ""), "\n")
+    val nonempty = filter(lines, l => length(strip(l)) > lit(0))
+    val kept = filter(nonempty, l => linkChars(l) * lit(2) < length(strip(l)))
+    in.select(
+      col("doc_id"),
+      size(kept).cast(LongType).as("n_kept"),
+      (size(nonempty) - size(kept)).cast(LongType).as("n_dropped"),
+      md5(concat_ws(" ", transform(kept, strip))).as("extracted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** t19's engine — input (doc_id, text). See the t19 QuerySpec comment. */
+  def repeatedSpanStrip(in: DataFrame): DataFrame = {
+    val planted = when(col("doc_id") % 5 === 0,
+      concat(col("text"),
+        lit(" zq1 zq2 zq3 zq1 zq2 zq3 zq1 zq2 zq3")))
+      .otherwise(col("text"))
+    val toks = split(planted, " ")
+    val nChunks = floor((size(toks) + lit(2)) / lit(3)).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      j => concat_ws(" ", slice(toks, j * 3 + 1, lit(3))))
+    // Materialize the chunk array BEFORE the first-occurrence filter:
+    // referencing the `chunks` transform expression inside the filter
+    // lambda would re-BUILD the whole array per array_position probe
+    // (measured 30.8 s -> ~1 s at sf1 for this exact query).
+    in.select(col("doc_id"), chunks.as("chunks"))
+      .select(col("doc_id"), col("chunks"),
+        filter(col("chunks"), (c, j) =>
+          array_position(col("chunks"), c) === (j + 1).cast(LongType))
+          .as("kept"))
+      .select(
+        col("doc_id"),
+        size(col("chunks")).cast(LongType).as("n_chunks"),
+        (size(col("chunks")) - size(col("kept"))).cast(LongType)
+          .as("n_dupes"),
+        md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** t07b's engine — input (doc_id, text). See the t07b QuerySpec comment. */
+  def piiBreadth(in: DataFrame): DataFrame = {
+    val phoneRe = "(\\+1 )?(\\(\\d{3}\\) |\\d{3}[- ])\\d{3}[- ]\\d{4}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val idRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val p3 = lpad(col("doc_id") % 1000 cast "string", 3, "0")
+    val p4 = lpad(col("doc_id") % 10000 cast "string", 4, "0")
+    val blob = col("doc_id") % 10
+    val planted = concat(col("text"),
+      when(blob === 0, concat(lit(" call 555-"), p3, lit("-"), p4))
+        .when(blob === 1, concat(lit(" tel (555) "), p3, lit(" "), p4))
+        .when(blob === 2, concat(lit(" intl +1 555 "), p3, lit(" "), p4))
+        .when(blob === 3, concat(lit(" host 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string")))
+        .when(blob === 4, concat(lit(" gw 192.168.1."),
+          (col("doc_id") % 200).cast("string")))
+        .when(blob === 5, concat(lit(" srv 172.16."),
+          (col("doc_id") % 50).cast("string"), lit("."),
+          (col("doc_id") % 250).cast("string")))
+        .when(blob === 6, concat(lit(" ssn 123-45-"), p4))
+        .when(blob === 7, concat(lit(" id 987-65-"), p4))
+        .when(blob === 8, concat(lit(" ref 456-78-"), p4))
+        .otherwise(lit("")))
+    in.select(col("doc_id"), planted.as("text"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+          .cast(LongType).as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(ipRe), lit(0)))
+          .cast(LongType).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(idRe), lit(0)))
+          .cast(LongType).as("n_ids"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          phoneRe, "<PHONE>"), ipRe, "<IP>"), idRe, "<ID>"))
+          .as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
 
   /** Code-vs-prose routing — the t16 engine, ONE shared definition for
     * the batch query and [[graft.streaming.Streams.codeRouter]] (the

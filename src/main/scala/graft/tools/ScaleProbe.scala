@@ -1052,6 +1052,112 @@ object ScaleProbe {
         s""""sec":$tD22,"d22_ok":${d22Keeps == 3L &&
           d22Banners == (n + 4) / 5}}""")
     }
+
+    // ---- t18 probe: markup extraction at n docs ----
+    // Map-side block classification must hold EXACTLY at any corpus size:
+    // every doc keeps its 2 prose blocks, drops nav+footer (+promo on
+    // every 7th), and the reassembled text equals the independently-built
+    // expectation md5 — one mis-kept block anywhere fails the count.
+    locally {
+      val (t18Stats, tT18) = time {
+        val out = graft.queries.TextOps.markupExtract(
+          base.select(col("doc_id"), col("text"), col("lang")))
+          .localCheckpoint(true)
+        val want = base.select(col("doc_id"), md5(concat(
+          col("text"), lit(" more about "), col("lang"),
+          lit(" topics see related "), col("doc_id").cast("string"),
+          lit(" here"))).as("want"))
+        (out.count(),
+          out.filter(col("n_kept") =!= 2).count(),
+          out.filter(col("n_dropped") =!=
+            when(col("doc_id") % 7 === 0, 3).otherwise(2)).count(),
+          out.join(want, "doc_id")
+            .filter(col("extracted_md5") =!= col("want")).count())
+      }
+      val (t18N, t18BadKeep, t18BadDrop, t18Mismatch) = t18Stats
+      println(s"""{"probe":"t18","docs":$n,"extracted":$t18N,""" +
+        s""""bad_keeps":$t18BadKeep,"bad_drops":$t18BadDrop,""" +
+        s""""md5_mismatches":$t18Mismatch,"sec":$tT18,""" +
+        s""""t18_ok":${t18N == n && t18BadKeep == 0 && t18BadDrop == 0 &&
+          t18Mismatch == 0}}""")
+    }
+
+    // ---- t19 probe: repeated-span strip at n docs ----
+    // Invariants at scale: every planted doc (the 3x marker pattern) loses
+    // at least one span whatever its length mod 3; every unplanted doc
+    // with zero duplicate chunks round-trips to EXACTLY its original text;
+    // chunk counts match ceil(words/3) with the plant's +9.
+    locally {
+      val (t19Stats, tT19) = time {
+        val out = graft.queries.TextOps.repeatedSpanStrip(
+          base.select(col("doc_id"), col("text"))).localCheckpoint(true)
+        val orig = base.select(col("doc_id"), md5(col("text")).as("om"),
+          size(split(col("text"), " ")).as("nw"))
+        val j = out.join(orig, "doc_id")
+        (out.count(),
+          j.filter(col("doc_id") % 5 === 0 && col("n_dupes") < 1).count(),
+          j.filter(col("doc_id") % 5 =!= 0 && col("n_dupes") === 0 &&
+            col("cleaned_md5") =!= col("om")).count(),
+          j.filter(col("n_chunks") =!= ceil((col("nw") +
+            when(col("doc_id") % 5 === 0, 9).otherwise(0)) / 3.0)
+            .cast("long")).count())
+      }
+      val (t19N, t19PlantMiss, t19IdBreak, t19BadChunks) = t19Stats
+      println(s"""{"probe":"t19","docs":$n,"stripped":$t19N,""" +
+        s""""plants_missed":$t19PlantMiss,"identity_breaks":$t19IdBreak,""" +
+        s""""bad_chunk_counts":$t19BadChunks,"sec":$tT19,""" +
+        s""""t19_ok":${t19N == n && t19PlantMiss == 0 && t19IdBreak == 0 &&
+          t19BadChunks == 0}}""")
+    }
+
+    // ---- t07b probe: PII breadth at n docs ----
+    // Each residue class must carry EXACTLY its own PII type — a regex
+    // that over- or under-matches at any doc_id shape (longer ids at 1M
+    // change the planted digit strings) fails the per-class counts.
+    locally {
+      val (t07bStats, tT07b) = time {
+        val out = graft.queries.TextOps.piiBreadth(
+          base.select(col("doc_id"), col("text"))).localCheckpoint(true)
+        val r = col("doc_id") % 10
+        val wantP = when(r.isin(0, 1, 2), 1L).otherwise(0L)
+        val wantI = when(r.isin(3, 4, 5), 1L).otherwise(0L)
+        val wantD = when(r.isin(6, 7, 8), 1L).otherwise(0L)
+        (out.count(),
+          out.filter(col("n_phones") =!= wantP || col("n_ips") =!= wantI ||
+            col("n_ids") =!= wantD).count())
+      }
+      val (t07bN, t07bBad) = t07bStats
+      println(s"""{"probe":"t07b","docs":$n,"scrubbed":$t07bN,""" +
+        s""""class_violations":$t07bBad,"sec":$tT07b,""" +
+        s""""t07b_ok":${t07bN == n && t07bBad == 0}}""")
+    }
+
+    // ---- p11 probe: WARC-style container ingest at n docs ----
+    // The declared-size walk must round-trip every record at scale: one
+    // output row per doc, payload md5 equal to the source text's, declared
+    // length equal to the text length, and each container's offsets
+    // starting at 0 (the walk never skips or double-reads a byte — a
+    // one-byte desync shifts every subsequent offset and md5).
+    locally {
+      val (p11Stats, tP11) = time {
+        val out = graft.queries.Pipeline.warcIngest(
+          base.select(col("doc_id"), col("text"))).localCheckpoint(true)
+        val src = base.select(col("doc_id").as("rec_doc_id"),
+          md5(col("text")).as("tm"),
+          length(col("text")).cast("long").as("tl"))
+        val j = out.join(src, "rec_doc_id")
+        (out.count(),
+          j.filter(col("payload_md5") =!= col("tm") ||
+            col("declared_len") =!= col("tl")).count(),
+          out.groupBy("container_id").agg(min(col("rec_off")).as("m"))
+            .filter(col("m") =!= 0L).count())
+      }
+      val (p11N, p11Bad, p11BadStart) = p11Stats
+      println(s"""{"probe":"p11","docs":$n,"records":$p11N,""" +
+        s""""roundtrip_mismatches":$p11Bad,"containers_not_at_zero":$p11BadStart,""" +
+        s""""sec":$tP11,"p11_ok":${p11N == n && p11Bad == 0 &&
+          p11BadStart == 0}}""")
+    }
     spark.stop()
   }
 }
