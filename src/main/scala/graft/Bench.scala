@@ -327,7 +327,6 @@ object Bench {
     }.getOrElse("")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","hll_only":$hll$duck$sf1Fields$duck1$slow5,"full":"bench_out.json"}"""
-    spark.stop()
     // Emit the compact line AFTER spark.stop() and through the raw file
     // descriptor, as the process's genuinely last stdout bytes: the r12
     // driver tail showed the line arriving prefixed "[info] " (sbt logger
@@ -335,9 +334,15 @@ object Bench {
     // driver's last-line parser still saw non-JSON. build.sbt pairs this
     // with run / outputStrategy := StdoutOutput (no logger prefix) and
     // Global / showSuccess := false (no trailing [success] line).
-    val rawOut = new java.io.PrintStream(new java.io.FileOutputStream(
-      java.io.FileDescriptor.out), true)
-    rawOut.println(compact)
-    rawOut.flush()
+    // stop() runs inside try/finally: a teardown failure (shutdown-hook /
+    // executor-cleanup error) must not lose the already-computed line.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"bench: spark.stop() failed: $e") }
+    finally {
+      val rawOut = new java.io.PrintStream(new java.io.FileOutputStream(
+        java.io.FileDescriptor.out), true)
+      rawOut.println(compact)
+      rawOut.flush()
+    }
   }
 }

@@ -54,14 +54,19 @@ object Pipeline {
       require(parts.length == 3 && parts(0) == "REC",
         s"container $cid: bad record header '$header' at $off")
       val id = parts(1).toLong
-      val len = parts(2).toInt
+      // Long, and bounds-checked in Long: a well-formed header declaring a
+      // length near Int.MaxValue must fail THIS require, not overflow
+      // `start + len` to negative and slip past into charAt.
+      val len = parts(2).toLong
       val start = nl + 1
-      require(len >= 0 && start + len < s.length && s.charAt(start + len) == '\n',
+      require(len >= 0 && start.toLong + len < s.length &&
+          s.charAt((start + len).toInt) == '\n',
         s"container $cid: record $id (declared $len) overruns the " +
           "container or is missing its terminator")
-      out += WarcRecord(cid, id, len.toLong, off.toLong,
-        md5hex(s.substring(start, start + len)))
-      off = start + len + 1
+      val end = (start + len).toInt // < s.length, proven above
+      out += WarcRecord(cid, id, len, off.toLong,
+        md5hex(s.substring(start, end)))
+      off = end + 1
     }
     out.result()
   }

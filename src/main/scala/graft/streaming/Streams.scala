@@ -117,6 +117,18 @@ object Streams {
     *    singleton per stray. Since the batch is sorted, strays can only
     *    precede the events that touch the open session, so the buffer is
     *    complete when the batch ends and its session is closed then.
+    *  - the batch-equivalence guarantee for strays covers ONE buffered
+    *    chain: if a SECOND beyond-contract chain starts, the first is
+    *    flushed to the output immediately (it can no longer grow — the
+    *    batch is sorted), and a still-later event that drags the open
+    *    session's start into gap range of that already-emitted chain
+    *    cannot recall it; batch semantics would have merged them. That
+    *    residual divergence needs TWO independent contract violations in
+    *    one micro-batch (two distinct > gap-early chains) plus a third
+    *    event bridging one of them — accepted and pinned by
+    *    StreamingSpec rather than buffering all closed chains to batch
+    *    end, which would make stray memory unbounded under a
+    *    pathological feed instead of O(1).
     */
   private[graft] def foldBatch(
       sorted: IndexedSeq[(Long, Double)],

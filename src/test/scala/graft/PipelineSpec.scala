@@ -127,5 +127,11 @@ class PipelineSpec extends AnyFunSuite {
     // truncated container (payload cut short) fails too
     intercept[IllegalArgumentException](
       walkContainer(3L, rec(5L, "full payload").dropRight(3)))
+    // a declared length near Int.MaxValue must fail the REQUIRE (Long
+    // bounds math), not overflow start+len and throw StringIndexOOB
+    intercept[IllegalArgumentException](
+      walkContainer(4L, s"REC 5 ${Int.MaxValue - 2}\nxx\n"))
+    intercept[IllegalArgumentException](
+      walkContainer(5L, s"REC 5 ${Long.MaxValue - 2}\nxx\n"))
   }
 }
