@@ -232,7 +232,14 @@ object Bench {
         // t19 (chunk array self-scan), t07b (3-pattern regex scrub),
         // p11 (bounded container build + declared-size walk)
         "t18_markup_extract", "t19_repeated_span_strip",
-        "t07b_pii_breadth", "p11_warc_ingest")
+        "t07b_pii_breadth", "p11_warc_ingest",
+        // ... and the round-14 additions: t20 (6 unrolled full-batch
+        // gradient rounds — the model-training cost profile), t21
+        // (suffix explode + broadcast blocklist intersect), c27 (LM score
+        // + rank thresholds + broadcast bucket assign), d23 (cross-corpus
+        // sign-LSH + bounded buckets + exact-cosine verify)
+        "t20_classifier_train", "t21_blocklist_filter",
+        "c27_perplexity_buckets", "d23_semantic_decontam")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

@@ -104,6 +104,54 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** c27's engine — CCNet-style perplexity bucketing (Wenzek et al. 2020
+    * §4.3): score every doc with the c13 unigram LM, then split each
+    * LANGUAGE into head / middle / tail thirds by score — the actual
+    * CCNet filter decision (keep head+middle, drop or down-weight tail).
+    *
+    * Thresholds are DISCRETE order statistics (the rank-⌈n/3⌉ and
+    * rank-⌈2n/3⌉ (avg_nll, doc_id) pairs per language), NOT interpolated
+    * percentiles: Spark's `percentile` interpolates lo + (hi−lo)·frac
+    * while DuckDB's quantile_cont computes lo·(1−frac) + hi·frac — they
+    * differ in the last ulp on doubles (measured, r14), and a 1-ulp
+    * threshold drift flips boundary docs. Rank pairs compare exactly:
+    * bucket = head iff (avg_nll, doc_id) ≤ threshold pair, ties broken by
+    * doc_id, so the assignment is bit-deterministic on both engines.
+    *
+    * Scale shape: one token-keyed shuffle builds the LM (c13's), one
+    * doc-keyed agg scores, one per-lang agg computes the two threshold
+    * pairs (|langs| rows of output), and assignment is a BROADCAST join +
+    * map-side comparison — no window over an unsharded language
+    * partition. The threshold agg buffers a language's scores via
+    * sort_array(collect_list) for contract exactness; at 100 TB you'd
+    * swap exactly that one aggregate for approx_percentile (mergeable
+    * sketch, bounded state) or a reservoir sample — CCNet itself
+    * computes thresholds on a sample — and keep every other stage.
+    */
+  def perplexityBuckets(docsDf: DataFrame): DataFrame = {
+    val scores = unigramLmScore(docsDf)
+      .join(docsDf.select(col("doc_id"), col("lang")), "doc_id")
+      .localCheckpoint(true)
+    val thr = scores.groupBy("lang")
+      .agg(
+        sort_array(collect_list(struct(col("avg_nll"), col("doc_id"))))
+          .as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("lang"),
+        element_at(col("sv"), expr("cast((n + 2) div 3 as int)")).as("t1"),
+        element_at(col("sv"), expr("cast((2 * n + 2) div 3 as int)")).as("t2"))
+    scores.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        when(col("avg_nll") < col("t1.avg_nll") ||
+            (col("avg_nll") === col("t1.avg_nll") &&
+              col("doc_id") <= col("t1.doc_id")), "head")
+          .when(col("avg_nll") < col("t2.avg_nll") ||
+            (col("avg_nll") === col("t2.avg_nll") &&
+              col("doc_id") <= col("t2.doc_id")), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   /** The fixed 3-term retrieval query the c11/s12 contract runs — one
     * definition so the sparse arm of the hybrid fusion can never drift
     * from the standalone BM25 ranking.
@@ -985,6 +1033,54 @@ object Corpus {
              |  SELECT piece, wt FROM wts WHERE len(piece) > 1
              |  ORDER BY wt DESC, piece LIMIT 300)
              |ORDER BY piece""".stripMargin),
+    ),
+    // CCNet perplexity buckets — see [[perplexityBuckets]] for the design
+    // narrative (c13 LM scores → per-lang rank-based head/middle/tail,
+    // discrete order-statistic thresholds because interpolated
+    // percentiles differ by 1 ulp between engines, broadcast assignment).
+    // The oracle computes the SAME rank pairs via ROW_NUMBER (windows are
+    // fine at oracle scale; the Spark side uses the agg+broadcast shape).
+    QuerySpec(
+      "c27_perplexity_buckets",
+      (s, d) => perplexityBuckets(Tables(s, d, "documents")),
+      Some {
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+           |stats AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM counts),
+           |lm AS (
+           |  SELECT tok,
+           |    ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE)) AS logp
+           |  FROM counts, stats),
+           |sc AS (
+           |  SELECT doc_id,
+           |    (0.0 - ${Exact.sqlSum("logp")}) / CAST(COUNT(*) AS DOUBLE)
+           |      AS avg_nll
+           |  FROM toks JOIN lm USING (tok) GROUP BY doc_id),
+           |scores AS (
+           |  SELECT s.doc_id, d.lang, s.avg_nll
+           |  FROM sc s JOIN documents d USING (doc_id)),
+           |r AS (
+           |  SELECT lang, avg_nll, doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |      ORDER BY avg_nll, doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY lang) AS n
+           |  FROM scores),
+           |t1 AS (SELECT lang, avg_nll AS t1n, doc_id AS t1i FROM r
+           |  WHERE rn = (n + 2) // 3),
+           |t2 AS (SELECT lang, avg_nll AS t2n, doc_id AS t2i FROM r
+           |  WHERE rn = (2 * n + 2) // 3)
+           |SELECT s.doc_id, s.lang, s.avg_nll,
+           |  CASE
+           |    WHEN s.avg_nll < t1n OR (s.avg_nll = t1n AND s.doc_id <= t1i)
+           |      THEN 'head'
+           |    WHEN s.avg_nll < t2n OR (s.avg_nll = t2n AND s.doc_id <= t2i)
+           |      THEN 'middle'
+           |    ELSE 'tail' END AS ppl_bucket
+           |FROM scores s JOIN t1 USING (lang) JOIN t2 USING (lang)
+           |ORDER BY s.doc_id""".stripMargin
+      },
     ),
   )
 

@@ -610,6 +610,59 @@ object Similarity {
   def embeddingNearDup(e: DataFrame, nTables: Int, nBits: Int, cap: Int): DataFrame =
     nearDupPairs(perturbedCorpus(e), nTables, nBits, cap)
 
+  /** d23's engine — CROSS-corpus embedding near-dup (semantic
+    * decontamination): given a corpus tagged `is_new` (false = train,
+    * true = benchmark), emit every (train, bench) pair whose exact cosine
+    * clears `threshold`, with candidates from the same sign-LSH banding +
+    * bounded hot-bucket guard as s03 — but restricted ROW-LOCALLY to
+    * pairs touching a benchmark vector via
+    * [[Dedup.bucketCandidatesIncremental]] (the d10/d20 incremental
+    * contract): train×train pairs are discarded inside the explode,
+    * before anything shuffles, so the cost scales with the BENCHMARK,
+    * never train². Embeddings move only per surviving candidate; the
+    * bucket shuffle carries (tbl, code, tagged id) only. Same-side
+    * benchmark pairs are dropped by the flag inequality after the
+    * re-attach.
+    */
+  def crossCorpusEmbeddingNearDup(corpus: DataFrame, nTables: Int,
+      nBits: Int, cap: Int, threshold: Double): DataFrame = {
+    val coded = corpus.select(
+      col("vec_id").as("doc_id"), col("is_new"),
+      posexplode(array((0 until nTables).map(t =>
+        lshCode(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "code")))
+    val cand = Dedup.bucketCandidatesIncremental(coded, Seq("tbl", "code"), cap)
+    cand
+      .join(corpus.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("is_new").as("a_new")), "a_id")
+      .join(corpus.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("is_new").as("b_new")), "b_id")
+      .filter(col("a_new") =!= col("b_new"))
+      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= threshold)
+      .select(
+        when(col("a_new"), col("b_id")).otherwise(col("a_id")).as("train_id"),
+        when(col("a_new"), col("a_id")).otherwise(col("b_id")).as("bench_id"),
+        col("cos"))
+  }
+
+  /** d23's planted corpus: embeddings ∪ a benchmark side (every 23rd
+    * vector — d20's rhythm — re-embedded through the deterministic
+    * "paraphrase" drift v·0.95 + 0.02, id +5M) built in ONE scan via the
+    * explode pattern.
+    */
+  def decontamCorpus(e: DataFrame): DataFrame = {
+    val self = struct(col("vec_id"), col("embedding"), lit(false).as("is_new"))
+    val bench = struct((col("vec_id") + 5000000L).as("vec_id"),
+      transform(col("embedding"),
+        v => (v.cast(DoubleType) * 0.95 + 0.02).cast("float")).as("embedding"),
+      lit(true).as("is_new"))
+    e.select(col("vec_id"), col("embedding"))
+      .select(explode(when(col("vec_id") % 23 === 0,
+        array(self, bench)).otherwise(array(self))).as("r"))
+      .select(col("r.vec_id").as("vec_id"),
+        col("r.embedding").as("embedding"), col("r.is_new").as("is_new"))
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     // Exact brute-force top-5 cosine neighbors for 10 query vectors.
     QuerySpec(
@@ -791,6 +844,28 @@ object Similarity {
       // the SAME hot-bucket guard (codes above cap dropped whole), bucket
       // self-join, exact cosine verify
       Some(s03OracleSql),
+    ),
+    // SEMANTIC decontamination — the embedding-side half of the
+    // benchmark-contamination story: d09 catches verbatim 8-gram overlap,
+    // d20 catches lexical near-paraphrase (MinHash on word 3-grams), but
+    // a benchmark item REWRITTEN in different words shares no shingles at
+    // all and sails through both — while its embedding barely moves.
+    // This query runs d20's cross-corpus contract through s03's cosine
+    // machinery: benchmark = every 23rd vector pushed through a
+    // deterministic embedding drift (v·0.95 + 0.02 — a paraphrase-sized
+    // cosine shift, not s03's near-identity), candidates restricted
+    // row-locally to bench-touching pairs (ingest-proportional, never
+    // train²), exact-cosine verified at 0.98. DedupSpec plants a
+    // same-meaning/different-words pair and asserts d20's lexical pass
+    // provably misses it while this query catches it.
+    QuerySpec(
+      "d23_semantic_decontam",
+      (s, d) => crossCorpusEmbeddingNearDup(decontamCorpus(emb(s, d)),
+          nTables = 4, nBits = 10, cap = 100, threshold = 0.98)
+        .select(col("train_id"),
+          (col("bench_id") - 5000000L).as("bench_src"), col("cos"))
+        .orderBy("train_id", "bench_src"),
+      Some(d23OracleSql),
     ),
     // SEMANTIC dedup — the apply step over embeddings: cluster the s03
     // cosine-near-dup pairs (min-label CC, the d08/d11 machinery reused
@@ -1441,6 +1516,44 @@ object Similarity {
   /** s03's full SQL oracle, shared with s06 (which nests it as the pairs
     * CTE of the survivor computation).
     */
+  /** d23's oracle: union corpus (train + drifted bench), sign-LSH codes,
+    * the SAME hot-bucket guard, bucket join restricted to cross-corpus
+    * pairs (bench ids sort above all train ids, so a<b ∧ flags differ ⇒
+    * a = train), exact cosine verify at 0.98.
+    */
+  private lazy val d23OracleSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding, FALSE AS is_new FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 5000000,
+       |    list_transform(embedding,
+       |      v -> CAST(CAST(v AS DOUBLE) * 0.95 + 0.02 AS FLOAT)),
+       |    TRUE
+       |  FROM embeddings WHERE vec_id % 23 = 0),
+       |${duckHypCte(4, 10)},
+       |proj AS MATERIALIZED (
+       |  SELECT vec_id, embedding, is_new, tbl,
+       |    ${duckProjs("embedding")} AS projs
+       |  FROM corpus CROSS JOIN hyp),
+       |coded AS MATERIALIZED (
+       |  SELECT vec_id, embedding, is_new, tbl, ${duckCode("projs", 10)} AS code
+       |  FROM proj),
+       |hot AS (
+       |  SELECT tbl, code FROM coded GROUP BY tbl, code
+       |  HAVING COUNT(*) > 100),
+       |pruned AS MATERIALIZED (
+       |  SELECT c.* FROM coded c ANTI JOIN hot h USING (tbl, code)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, a.embedding AS a_emb,
+       |    b.vec_id AS b_id, b.embedding AS b_emb
+       |  FROM pruned a JOIN pruned b USING (tbl, code)
+       |  WHERE a.vec_id < b.vec_id AND a.is_new != b.is_new)
+       |SELECT a_id AS train_id, b_id - 5000000 AS bench_src,
+       |  ${duckCos("a_emb", "b_emb")} AS cos
+       |FROM cand
+       |WHERE ${duckCos("a_emb", "b_emb")} >= 0.98
+       |ORDER BY train_id, bench_src""".stripMargin
+
   private lazy val s03OracleSql: String =
     s"""WITH corpus AS (
        |  SELECT vec_id, embedding FROM embeddings

@@ -1128,8 +1128,12 @@ object TextOps {
     // every 5th doc — whatever the doc's length mod 3, at least one of
     // the appended chunks duplicates another, so the strip provably
     // fires (TextOpsSpec pins plant recall + the clean-doc identity).
-    // Pure per-row array HOFs over the tokens — O(chunks^2) per doc with
-    // ~40-word docs, scan speed at 100 TB, zero shuffle before the sort.
+    // Pure per-row array HOFs over the tokens — O(chunks log chunks) per
+    // doc since the r14 sort-based rewrite (the r13 array_position form
+    // was quadratic and would cliff on 1k-word web docs — see
+    // [[repeatedSpanStrip]]), scan speed at 100 TB, zero shuffle before
+    // the sort. The oracle keeps the quadratic list_position spelling:
+    // same output, and DuckDB only runs it at oracle scales.
     QuerySpec(
       "t19_repeated_span_strip",
       (s, d) => repeatedSpanStrip(docs(s, d)),
@@ -1206,6 +1210,55 @@ object TextOps {
              |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g')) AS scrubbed_md5
              |FROM planted ORDER BY doc_id""".stripMargin),
     ),
+    // URL/domain blocklist filter — see [[blocklistFilter]] for the full
+    // design narrative (label-suffix match, one broadcast array row,
+    // per-row array_intersect, zero corpus shuffle; PlanSpec-gated).
+    // `rule` reports the lexicographically smallest matching suffix
+    // (deterministic), NULL on kept docs — keep-on-no-match is the
+    // `NOT blocked` predicate downstream filters apply.
+    QuerySpec(
+      "t21_blocklist_filter",
+      (s, d) => blocklistFilter(docs(s, d), Seq(
+        "site7.example", "site13.example",
+        "ads.site3.example", "media.site6.example")),
+      Some(s"WITH ${graft.queries.Dedup.duckUrlCanonCtes},\n" +
+        """h AS (SELECT doc_id,
+          |  regexp_extract(canonical_url, '^https://([^/]+)', 1) AS bh
+          |  FROM canon),
+          |hosts AS (SELECT doc_id,
+          |  CASE CAST(doc_id % 4 AS INT)
+          |    WHEN 1 THEN 'ads.' || bh
+          |    WHEN 2 THEN 'cdn.media.' || bh
+          |    ELSE bh END AS host
+          |  FROM h),
+          |sfx AS (SELECT doc_id, host, string_split(host, '.') AS labels
+          |  FROM hosts),
+          |sx2 AS (SELECT doc_id, host,
+          |  list_transform(range(1, len(labels) + 1),
+          |    i -> array_to_string(labels[i:], '.')) AS suffixes
+          |  FROM sfx),
+          |mt AS (SELECT doc_id, host,
+          |  list_intersect(suffixes, ['ads.site3.example',
+          |    'media.site6.example', 'site13.example', 'site7.example'])
+          |    AS matched
+          |  FROM sx2)
+          |SELECT doc_id, host, len(matched) > 0 AS blocked,
+          |  list_min(matched) AS rule
+          |FROM mt ORDER BY doc_id""".stripMargin),
+    ),
+    // Distributed quality-classifier TRAINING — see [[classifierTrain]]
+    // for the full design narrative (hashed features, algebraic sigmoid,
+    // decimal-exact full-batch rounds, broadcast model serve). The oracle
+    // unrolls the three fixed gradient rounds in chained CTEs — the
+    // s04-Lloyd pattern applied to model fitting. EdgeSpec asserts the
+    // trained weights SEPARATE the planted classes (every positive
+    // margin above every negative), i.e. the training actually learns,
+    // not just reproduces.
+    QuerySpec(
+      "t20_classifier_train",
+      (s, d) => classifierTrain(docs(s, d)),
+      Some(t20OracleSql(6, 800.0)),
+    ),
   )
 
   /** t18's engine — ONE definition for the contract query and the
@@ -1254,25 +1307,42 @@ object TextOps {
       concat(col("text"),
         lit(" zq1 zq2 zq3 zq1 zq2 zq3 zq1 zq2 zq3")))
       .otherwise(col("text"))
-    val toks = split(planted, " ")
-    val nChunks = floor((size(toks) + lit(2)) / lit(3)).cast("int")
+    // `toks` is materialized as a column BEFORE the chunk lambda slices
+    // it: `slice(split(...), ...)` inside the transform re-evaluates the
+    // split per CHUNK — O(words²) on 1k-word docs (the r14 long-doc probe
+    // found it: 81 s → 6 s at 20k×1k-word docs once hoisted).
+    val nChunks = floor((size(col("toks")) + lit(2)) / lit(3)).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1),
-      j => concat_ws(" ", slice(toks, j * 3 + 1, lit(3))))
-    // Materialize the chunk array BEFORE the first-occurrence filter:
-    // referencing the `chunks` transform expression inside the filter
-    // lambda would re-BUILD the whole array per array_position probe
-    // (measured 30.8 s -> ~1 s at sf1 for this exact query).
-    in.select(col("doc_id"), chunks.as("chunks"))
+      j => concat_ws(" ", slice(col("toks"), j * 3 + 1, lit(3))))
+    // First-occurrence filter in O(chunks log chunks), not O(chunks²):
+    // sort (chunk, idx) pairs, keep each sorted run's head (the minimal
+    // index per distinct chunk — exactly array_position(chunks, c) ==
+    // j+1 semantics), then re-sort the kept indices to rebuild original
+    // order. The r13 shape probed one array_position scan PER chunk —
+    // fine at this corpus's ~40-word docs but quadratic on real 1k-word
+    // web docs (~350 chunks ≈ 6·10⁴ string-compare probes/doc; the r14
+    // long-doc ScaleProbe is what forced the rewrite). Each intermediate
+    // array is materialized as a column BEFORE a lambda self-references
+    // it (the r13 t19 lesson: referencing an unmaterialized transform
+    // inside a lambda re-builds the whole array per probe).
+    in.select(col("doc_id"), split(planted, " ").as("toks"))
+      .select(col("doc_id"), chunks.as("chunks"))
       .select(col("doc_id"), col("chunks"),
-        filter(col("chunks"), (c, j) =>
-          array_position(col("chunks"), c) === (j + 1).cast(LongType))
-          .as("kept"))
+        array_sort(transform(col("chunks"),
+          (c, j) => struct(c.as("c"), j.as("j")))).as("sorted"))
+      .select(col("doc_id"), col("chunks"),
+        array_sort(filter(transform(col("sorted"), (x, i) =>
+          when(i === 0 ||
+              x.getField("c") =!= element_at(col("sorted"), i).getField("c"),
+            x.getField("j")).otherwise(lit(-1))),
+          v => v =!= -1)).as("kept_idx"))
       .select(
         col("doc_id"),
         size(col("chunks")).cast(LongType).as("n_chunks"),
-        (size(col("chunks")) - size(col("kept"))).cast(LongType)
+        (size(col("chunks")) - size(col("kept_idx"))).cast(LongType)
           .as("n_dupes"),
-        md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
+        md5(concat_ws(" ", transform(col("kept_idx"),
+          j => element_at(col("chunks"), j + 1)))).as("cleaned_md5"))
       .orderBy("doc_id")
   }
 
@@ -1312,6 +1382,247 @@ object TextOps {
         md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
           phoneRe, "<PHONE>"), ipRe, "<IP>"), idRe, "<ID>"))
           .as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** t20's oracle: the `rounds` gradient rounds UNROLLED in chained CTEs
+    * (seed residual → g1/w1 → m2/r2/g2/w2 → … → final margins), mirroring
+    * the fixed round count in the contract query. Every sum goes through
+    * [[graft.engine.Exact.sqlSum]]'s VARCHAR-hopped decimal path and the
+    * sigmoid is the same algebraic expression tree as the Spark side, so
+    * the whole training trajectory is bit-identical.
+    */
+  private[graft] def t20OracleSql(rounds: Int, lr: Double): String = {
+    import graft.engine.{DuckHash, Exact}
+    val head =
+      s"""WITH docs2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0 THEN text || ' $t20Markers'
+         |         ELSE text END AS text,
+         |    CAST(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+         |  FROM documents),
+         |tk AS (SELECT doc_id, y, string_split(text, ' ') AS toks FROM docs2),
+         |fc0 AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |    CAST(${DuckHash.fnv("feat")} % 262144 AS BIGINT) AS fid,
+         |    COUNT(*) AS c
+         |  FROM (
+         |    SELECT doc_id, y, unnest(list_concat(toks,
+         |      list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i+1]))) AS feat
+         |    FROM tk)
+         |  GROUP BY doc_id, y, fid),
+         |nfeats AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS nf
+         |  FROM fc0 GROUP BY doc_id),
+         |fc AS MATERIALIZED (
+         |  SELECT f.doc_id, y, fid, CAST(c AS DOUBLE) / nf AS x
+         |  FROM (SELECT * FROM fc0 UNION ALL
+         |        SELECT doc_id, y, -1 AS fid, 1 AS c FROM docs2) f
+         |  JOIN nfeats USING (doc_id)),
+         |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM documents),
+         |r1 AS (SELECT doc_id, 0.5 - y AS r FROM docs2)""".stripMargin
+    val body = (1 to rounds).map { k =>
+      val g =
+        s"""g$k AS (SELECT fid, s / nn AS g FROM (
+           |  SELECT fid, ${Exact.sqlSum("r * x")} AS s
+           |  FROM fc JOIN r$k USING (doc_id) GROUP BY fid)
+           |  CROSS JOIN nd)""".stripMargin
+      val w = if (k == 1)
+        s"w1 AS (SELECT fid, 0.0 - $lr * g AS w FROM g1)"
+      else
+        s"w$k AS (SELECT fid, w - $lr * g AS w FROM w${k - 1} JOIN g$k USING (fid))"
+      val next = if (k < rounds)
+        s""",
+           |m${k + 1} AS (SELECT doc_id, y, ${Exact.sqlSum("w * x")} AS m
+           |  FROM fc JOIN w$k USING (fid) GROUP BY doc_id, y),
+           |r${k + 1} AS (SELECT doc_id,
+           |  0.5 + m / (2.0 * (1.0 + abs(m))) - y AS r FROM m${k + 1})""".stripMargin
+      else ""
+      s",\n$g,\n$w$next"
+    }.mkString
+    val tail =
+      s""",
+         |mf AS (SELECT doc_id, y, ${Exact.sqlSum("w * x")} AS m
+         |  FROM fc JOIN w$rounds USING (fid) GROUP BY doc_id, y),
+         |thr AS (SELECT (
+         |    ${Exact.sqlSum("CASE WHEN y = 1.0 THEN m END")}
+         |      / SUM(CASE WHEN y = 1.0 THEN 1.0 ELSE 0.0 END)
+         |    + ${Exact.sqlSum("CASE WHEN y = 0.0 THEN m END")}
+         |      / SUM(CASE WHEN y = 0.0 THEN 1.0 ELSE 0.0 END)
+         |  ) / 2.0 AS t FROM mf)
+         |SELECT doc_id, CAST(y AS BIGINT) AS label, m AS margin,
+         |  m > t AS pred
+         |FROM mf CROSS JOIN thr ORDER BY doc_id""".stripMargin
+    head + body + tail
+  }
+
+  /** t21's engine — UT1-style URL/domain blocklist filtering with
+    * label-suffix match semantics: a host is blocked iff ANY of its
+    * label-suffixes (`ads.site3.example` → `ads.site3.example`,
+    * `site3.example`, `example`) appears in the blocklist — so a rule on
+    * the registrable domain blocks every subdomain, while a rule on one
+    * subdomain leaves its siblings alone. This is the first filter a
+    * production crawl pipeline runs (UT1/adult/ads lists), and the one
+    * thing it must never do is regex-per-rule-per-row.
+    *
+    * Scale shape: the suffix explosion is a per-row `transform` bounded
+    * by the host's label count (≤ ~6 on real hosts), and the blocklist —
+    * bounded by definition (UT1 is a few hundred thousand rows; here a
+    * planted handful) — arrives as ONE collected array row through a
+    * broadcast nested-loop join, so matching is a per-row
+    * `array_intersect` (hash-set semantics) at scan speed: zero corpus
+    * shuffle before the presentation sort, gated in PlanSpec. At UT1
+    * scale the single array row stays a few MB — still broadcastable; if
+    * a list ever outgrew that, the same query degrades gracefully to an
+    * exploded-suffix broadcast hash join keyed on the rule string.
+    *
+    * Hosts extend the d13/c19 URL fixture with planted subdomain depth
+    * (doc_id%4==1 → `ads.`, ==2 → `cdn.media.`) so suffix-match has real
+    * work to do: rule `site7.example` must catch all three shapes, rule
+    * `ads.site3.example` must catch ONLY the ads subdomain, and
+    * `media.site6.example` only the cdn.media variant (an inner suffix —
+    * site6, because the `cdn.media.` variant rides doc_id%4==2, i.e. even
+    * ids, and siteK needs doc_id%50==K: an odd K never co-occurs with it).
+    */
+  def blocklistFilter(in: DataFrame, rules: Seq[String]): DataFrame = {
+    val s = in.sparkSession
+    import s.implicits._
+    val baseHost = regexp_extract(
+      Dedup.canonicalUrl(Dedup.syntheticUrl), "^https://([^/]+)", 1)
+    val v = col("doc_id") % 4
+    val host = when(v === 1, concat(lit("ads."), baseHost))
+      .when(v === 2, concat(lit("cdn.media."), baseHost))
+      .otherwise(baseHost)
+    val ruleRow = broadcast(rules.toDF("rule")
+      .agg(sort_array(collect_list(col("rule"))).as("rules")))
+    in.select(col("doc_id"), host.as("host"))
+      .crossJoin(ruleRow)
+      .select(col("doc_id"), col("host"), col("rules"),
+        split(col("host"), "\\.").as("labels"))
+      .select(col("doc_id"), col("host"), col("rules"),
+        transform(sequence(lit(0), size(col("labels")) - 1),
+          i => concat_ws(".", slice(col("labels"), i + 1, size(col("labels")))))
+          .as("suffixes"))
+      .select(col("doc_id"), col("host"),
+        array_intersect(col("suffixes"), col("rules")).as("matched"))
+      .select(col("doc_id"), col("host"),
+        (size(col("matched")) > 0).as("blocked"),
+        array_min(col("matched")).as("rule"))
+      .orderBy("doc_id")
+  }
+
+  /** t20's engine — DISTRIBUTED training of the t13-shaped linear quality
+    * classifier (the FineWeb-Edu/DCLM loop: train a cheap linear model on
+    * labeled seed data, serve it as a scan-speed filter). Labels are
+    * planted (every 9th doc gets twelve marker "quality vocabulary" tokens
+    * appended and y=1), features are t13's hashed unigrams+bigrams
+    * bucketed to `buckets` ids (the hashing trick — the model is ≤ 2^18
+    * rows by construction, broadcastable at ANY corpus size), and the
+    * optimizer is `rounds` FULL-BATCH gradient steps on logistic-style
+    * loss with the algebraic sigmoid σ(x) = 0.5 + x / (2·(1+|x|))
+    * (Elliott's rational sigmoid): only +,·,/,abs — every op IEEE
+    * correctly rounded, so residuals are bit-identical across engines,
+    * where exp() would drift in the last ulp between libm builds. The
+    * fixed round count and decimal-exact sums (margins AND gradients both
+    * through [[graft.engine.Exact.dsum]]) make the whole training
+    * trajectory partitioning-invariant and SQL-unrollable — the s04-Lloyd
+    * / c26-EM contract shape applied to model fitting.
+    *
+    * Scale shape: the corpus is tokenized ONCE into the checkpointed
+    * (doc, fid, c) frame; each round is (a) one narrow doc_id-keyed
+    * shuffle of that frame against the residuals (the X^T·r transpose
+    * product — the honest cost of full-batch GD; int/double rows, text
+    * never moves) and (b) one margin pass where the weight table joins
+    * BROADCAST (the serve path: round k+1's margin computation IS t13's
+    * inference shape with learned weights instead of hash weights —
+    * that's also the query's final output, so "train then re-serve
+    * through t13" is literally the last stage of the plan). Per-round
+    * frames are localCheckpoint'ed (the d08 loop discipline).
+    */
+  // lazy: referenced from t20OracleSql during the `specs` val's object
+  // initialization, which runs BEFORE this declaration — a plain val
+  // would still be null there and the oracle would plant " null"
+  private[graft] lazy val t20Markers: String =
+    (1 to 12).map(i => s"qy$i").mkString(" ")
+
+  def classifierTrain(in: DataFrame, rounds: Int = 6, lr: Double = 800.0,
+      buckets: Int = 262144): DataFrame = {
+    import graft.engine.Exact
+    val planted = when(col("doc_id") % 9 === 0,
+      concat(col("text"), lit(" " + t20Markers))).otherwise(col("text"))
+    val y = when(col("doc_id") % 9 === 0, 1.0).otherwise(0.0)
+    val base = in.select(col("doc_id"), planted.as("text"), y.as("y"))
+    // (doc, fid, c): hashed feature counts. Features are LENGTH-NORMALIZED
+    // (x = c / n_feats, the t13 serve shape) so margins compare across doc
+    // lengths — with raw counts the margin tracks length, not class (the
+    // r14 first cut measured exactly that), and a BIAS feature (fid = −1,
+    // x = 1/n_feats) absorbs the 1-in-9 class imbalance.
+    val fc0 = base
+      .select(col("doc_id"), col("y"),
+        explode(classifierFeats(col("text"))).as("feat"))
+      .select(col("doc_id"), col("y"),
+        pmod(ghash.fnv1a64(col("feat")), lit(buckets.toLong)).as("fid"))
+      .groupBy("doc_id", "y", "fid")
+      .agg(count(lit(1)).as("c"))
+      // checkpointed: consumed by BOTH the nf aggregate and the bias
+      // union below — without it the tokenize+hash text scan runs twice
+      .localCheckpoint(true)
+    val nf = fc0.groupBy("doc_id")
+      .agg(sum(col("c")).cast(DoubleType).as("nf"))
+    val fc = fc0
+      .unionByName(base.select(col("doc_id"), col("y"),
+        lit(-1L).as("fid"), lit(1L).as("c")))
+      .join(nf, "doc_id")
+      .select(col("doc_id"), col("y"), col("fid"),
+        (col("c").cast(DoubleType) / col("nf")).as("x"))
+      .localCheckpoint(true)
+    // corpus size as a broadcast 1-row frame (the c05 pattern), never a
+    // driver-side count: gradients are mean-normalized so the learning
+    // rate is corpus-size-invariant.
+    val nRow = broadcast(base.agg(count(lit(1)).cast(DoubleType).as("n")))
+    def margins(w: DataFrame): DataFrame =
+      fc.join(broadcast(w), "fid")
+        .groupBy("doc_id", "y")
+        .agg(Exact.dsum(col("w") * col("x")).as("m"))
+    def sigma(m: Column): Column =
+      lit(0.5) + m / (lit(2.0) * (lit(1.0) + abs(m)))
+    // round 1: w = 0 → all margins exactly 0 → residual is 0.5 − y
+    var resid = base.select(col("doc_id"), (lit(0.5) - col("y")).as("r"))
+    var w: DataFrame = null
+    for (round <- 1 to rounds) {
+      val grad = fc.join(resid, "doc_id")
+        .groupBy("fid")
+        .agg(Exact.dsum(col("r") * col("x")).as("gsum"))
+        .crossJoin(nRow)
+        .select(col("fid"), (col("gsum") / col("n")).as("g"))
+      // 0.0 - x, not unary minus: both engines then produce +0.0 on a
+      // zero gradient (negate would yield -0.0 and break the bit compare)
+      w = (if (w == null)
+             grad.select(col("fid"), (lit(0.0) - lit(lr) * col("g")).as("w"))
+           else
+             w.join(grad, "fid")
+               .select(col("fid"), (col("w") - lit(lr) * col("g")).as("w")))
+        .localCheckpoint(true)
+      if (round < rounds)
+        resid = margins(w)
+          .select(col("doc_id"), (sigma(col("m")) - col("y")).as("r"))
+    }
+    // Final serve + evaluation: margins under the trained weights, with
+    // the operating point at the midpoint of the class-mean margins (the
+    // calibrated model keeps ALL margins below zero under 1-in-9
+    // imbalance — thresholding at 0 would be the r14 first-cut mistake;
+    // real pipelines pick the threshold from labeled-set score stats the
+    // same way, cf. FineWeb-Edu's percentile cut).
+    val mf = margins(w).localCheckpoint(true)
+    val thr = broadcast(mf.agg(
+      ((Exact.dsum(when(col("y") === 1.0, col("m"))) /
+          sum(when(col("y") === 1.0, 1.0))) +
+        (Exact.dsum(when(col("y") === 0.0, col("m"))) /
+          sum(when(col("y") === 0.0, 1.0)))).as("s2"))
+      .select((col("s2") / 2.0).as("thr")))
+    mf.crossJoin(thr)
+      .select(col("doc_id"), col("y").cast(LongType).as("label"),
+        col("m").as("margin"), (col("m") > col("thr")).as("pred"))
       .orderBy("doc_id")
   }
 

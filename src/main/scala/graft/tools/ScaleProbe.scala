@@ -1158,6 +1158,149 @@ object ScaleProbe {
         s""""sec":$tP11,"p11_ok":${p11N == n && p11Bad == 0 &&
           p11BadStart == 0}}""")
     }
+
+    // ---- t20 probe: classifier training at n docs ----
+    // The full 6-round trajectory must stay CLASS-SEPARATING as the
+    // corpus grows (gradients are mean-normalized, so the learning rate
+    // is corpus-size-invariant by design — this is the check), and the
+    // midpoint threshold must classify every doc.
+    locally {
+      val (t20Stats, tT20) = time {
+        val out = graft.queries.TextOps.classifierTrain(
+          base.select(col("doc_id"), col("text"))).localCheckpoint(true)
+        val minPos = out.filter(col("label") === 1L)
+          .agg(min(col("margin"))).head().getDouble(0)
+        val maxNeg = out.filter(col("label") === 0L)
+          .agg(max(col("margin"))).head().getDouble(0)
+        val miscls = out.filter(col("pred") =!=
+          (col("label") === 1L)).count()
+        (out.count(), minPos, maxNeg, miscls)
+      }
+      val (t20N, t20MinPos, t20MaxNeg, t20Miscls) = t20Stats
+      println(s"""{"probe":"t20","docs":$n,"scored":$t20N,""" +
+        s""""min_pos":$t20MinPos,"max_neg":$t20MaxNeg,""" +
+        s""""misclassified":$t20Miscls,"sec":$tT20,""" +
+        s""""t20_ok":${t20N == n && t20MinPos > t20MaxNeg &&
+          t20Miscls == 0}}""")
+    }
+
+    // ---- t21 probe: blocklist suffix-match at n docs ----
+    // Every blocked/kept decision is a pure function of doc_id — the
+    // probe recomputes the expectation independently and demands zero
+    // divergence (rule shadowing or suffix off-by-one shows instantly).
+    locally {
+      val (t21Stats, tT21) = time {
+        val out = graft.queries.TextOps.blocklistFilter(
+          base.select(col("doc_id")), Seq(
+            "site7.example", "site13.example",
+            "ads.site3.example", "media.site6.example"))
+          .localCheckpoint(true)
+        val k = col("doc_id") % 50
+        val v = col("doc_id") % 4
+        val want = (k === 7) || (k === 13) ||
+          (k === 3 && v === 1) || (k === 6 && v === 2)
+        (out.count(), out.filter(col("blocked") =!= want).count(),
+          out.filter(col("blocked")).count())
+      }
+      val (t21N, t21Bad, t21Blocked) = t21Stats
+      println(s"""{"probe":"t21","docs":$n,"decided":$t21N,""" +
+        s""""divergences":$t21Bad,"blocked":$t21Blocked,"sec":$tT21,""" +
+        s""""t21_ok":${t21N == n && t21Bad == 0 && t21Blocked > 0}}""")
+    }
+
+    // ---- c27 probe: perplexity buckets at n docs ----
+    // Rank-threshold accounting must stay EXACT at scale (head=⌈n/3⌉,
+    // middle=⌈2n/3⌉−⌈n/3⌉ per language) and the buckets must order by
+    // quality: mean NLL strictly increasing head → middle → tail.
+    locally {
+      val (c27Stats, tC27) = time {
+        val out = graft.queries.Corpus.perplexityBuckets(
+          base.select(col("doc_id"), col("text"), col("lang")))
+          .localCheckpoint(true)
+        val sizes = out.groupBy("lang", "ppl_bucket").count()
+          .join(out.groupBy("lang").agg(count(lit(1)).as("nl")), "lang")
+          .withColumn("want",
+            when(col("ppl_bucket") === "head", expr("(nl + 2) div 3"))
+              .when(col("ppl_bucket") === "middle",
+                expr("(2 * nl + 2) div 3 - (nl + 2) div 3"))
+              .otherwise(expr("nl - (2 * nl + 2) div 3")))
+        val badSizes = sizes.filter(col("count") =!= col("want")).count()
+        val means = out.groupBy("lang").pivot("ppl_bucket",
+          Seq("head", "middle", "tail")).agg(avg(col("avg_nll")))
+        val badOrder = means.filter(!(col("head") < col("middle") &&
+          col("middle") < col("tail"))).count()
+        (out.count(), badSizes, badOrder)
+      }
+      val (c27N, c27BadSizes, c27BadOrder) = c27Stats
+      println(s"""{"probe":"c27","docs":$n,"bucketed":$c27N,""" +
+        s""""bad_tertile_sizes":$c27BadSizes,"bad_nll_order":$c27BadOrder,""" +
+        s""""sec":$tC27,"c27_ok":${c27N == n && c27BadSizes == 0 &&
+          c27BadOrder == 0}}""")
+    }
+
+    // ---- d23 probe: cross-corpus semantic decontamination at n train ----
+    // vectors. Bench = every 100th vector through the paraphrase drift;
+    // candidates must stay bench-proportional (the incremental guard) and
+    // recall the plants at the production code width (nBits=16).
+    locally {
+      val (d23Stats, tD23) = time {
+        val train = baseEmb.withColumn("is_new", lit(false))
+        val bench = baseEmb.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 1000000000L).as("vec_id"),
+            transform(col("embedding"),
+              v => (v.cast("double") * 0.95 + 0.02).cast("float"))
+              .as("embedding"),
+            lit(true).as("is_new"))
+        val pairs = graft.queries.Similarity.crossCorpusEmbeddingNearDup(
+          train.unionByName(bench), nTables = 2, nBits = 16, cap = 100,
+          threshold = 0.98).localCheckpoint(true)
+        val found = pairs
+          .filter(col("bench_id") === col("train_id") + 1000000000L).count()
+        (pairs.count(), found)
+      }
+      val (d23Pairs, d23Found) = d23Stats
+      val d23Planted = n / 100
+      println(s"""{"probe":"d23","train":$n,"bench":$d23Planted,""" +
+        s""""pairs":$d23Pairs,"planted_found":$d23Found,"sec":$tD23,""" +
+        s""""d23_ok":${d23Found >= (d23Planted * 90) / 100}}""")
+    }
+
+    // ---- t19long probe: repeated-span strip on 1k-WORD docs ----
+    // Real web docs run 1k+ words ≈ 350 chunks — the scale the r13
+    // array_position shape (O(chunks²) string probes per doc) would cliff
+    // on, and what forced the r14 sort-based linear rewrite. Docs are the
+    // generator's text repeated 25× with a unique per-segment marker (so
+    // chunks stay mostly distinct — the realistic case, not the all-dup
+    // degenerate one); invariants are t19's own: every planted doc (the
+    // engine's internal %5 marker append) strips ≥1 span, every unplanted
+    // zero-dup doc round-trips exactly.
+    locally {
+      val nLong = math.min(n, 200000L)
+      val longDocs = base.filter(col("doc_id") < nLong)
+        .select(col("doc_id"),
+          concat_ws(" ", flatten(transform(sequence(lit(0), lit(24)),
+            i => array(col("text"), concat(lit("seg"), i.cast("string"))))))
+            .as("text"))
+        .localCheckpoint(true)
+      val (t19LStats, tT19L) = time {
+        val out = graft.queries.TextOps.repeatedSpanStrip(
+          longDocs.select(col("doc_id"), col("text"))).localCheckpoint(true)
+        val orig = longDocs.select(col("doc_id"), md5(col("text")).as("om"),
+          size(split(col("text"), " ")).as("nw"))
+        val j = out.join(orig, "doc_id")
+        (out.count(),
+          j.filter(col("doc_id") % 5 === 0 && col("n_dupes") < 1).count(),
+          j.filter(col("doc_id") % 5 =!= 0 && col("n_dupes") === 0 &&
+            col("cleaned_md5") =!= col("om")).count(),
+          j.agg(avg(col("n_chunks"))).head().getDouble(0))
+      }
+      val (t19LN, t19LPlantMiss, t19LIdBreak, t19LAvgChunks) = t19LStats
+      println(s"""{"probe":"t19long","docs":$nLong,"stripped":$t19LN,""" +
+        s""""plants_missed":$t19LPlantMiss,"identity_breaks":$t19LIdBreak,""" +
+        s""""avg_chunks":$t19LAvgChunks,"sec":$tT19L,""" +
+        s""""t19long_ok":${t19LN == nLong && t19LPlantMiss == 0 &&
+          t19LIdBreak == 0}}""")
+    }
     spark.stop()
   }
 }

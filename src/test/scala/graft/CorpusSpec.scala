@@ -366,4 +366,32 @@ class CorpusSpec extends AnyFunSuite {
       if (planted.nonEmpty) assert(dup > 1.0, src)
     }
   }
+
+  test("c27: gibberish docs land in the tail bucket, per language") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 9 normal docs per lang from a tiny shared vocabulary + 1 noisy doc
+    // of singleton tokens (maximal add-one-smoothed NLL) — CCNet's actual
+    // filter decision is exactly "noisy docs land in tail"
+    val normal = for {
+      (lang, off) <- Seq(("en", 0L), ("de", 100L))
+      i <- 0 until 9
+    } yield (off + i, s"the cat sat on the mat again and again word$i", lang)
+    val noisy = Seq((50L, "zxq1 zxq2 zxq3 zxq4 zxq5", "en"),
+      (150L, "vbn1 vbn2 vbn3 vbn4 vbn5", "de"))
+    val df = (normal ++ noisy).toDF("doc_id", "text", "lang")
+    val out = Corpus.perplexityBuckets(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(3))).toMap
+    assert(out(50L) == (("en", "tail")))
+    assert(out(150L) == (("de", "tail")))
+    // tertile accounting: 10 docs per lang → 4 head / 3 middle / 3 tail
+    val sizes = Corpus.perplexityBuckets(df).groupBy("lang", "ppl_bucket")
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (l <- Seq("en", "de")) {
+      assert(sizes((l, "head")) == 4L, l)
+      assert(sizes((l, "middle")) == 3L, l)
+      assert(sizes((l, "tail")) == 3L, l)
+    }
+  }
 }

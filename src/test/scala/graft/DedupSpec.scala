@@ -493,4 +493,32 @@ class DedupSpec extends AnyFunSuite {
     val kept = verdicts.filter(col("keep")).count()
     assert(kept == 3, s"banner survivors: $kept")
   }
+
+  test("d23 catches an embedding-near paraphrase that lexical d20 provably misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the same statement twice with ZERO shared vocabulary — no common
+    // word 3-gram exists, so MinHash-on-shingles CANNOT pair them...
+    val train = Seq((1L,
+      "the quick brown fox jumps over the lazy dog near the quiet river"))
+      .toDF("doc_id", "text")
+    val bench = Seq((5000001L,
+      "a fast auburn vulpine leaps above an idle canine beside a calm stream"))
+      .toDF("doc_id", "text")
+    val lexical = Dedup.incrementalLshPairs(train, bench,
+      k = 32, bands = 8, cap = 100, threshold = 0.3)
+    assert(lexical.count() == 0, "lexical decontamination must miss a paraphrase")
+    // ...while their embeddings barely move: d23's semantic pass pairs them
+    val e1 = Array.tabulate(64)(i => math.sin(i * 0.7 + 1.0).toFloat)
+    val para = e1.map(v => (v * 0.99f) + 0.005f) // paraphrase-sized drift
+    val decoys = Seq(10L, 11L, 12L).map(id =>
+      (id, Array.tabulate(64)(i => math.cos(i * 1.3 + id).toFloat), false))
+    val corpus = (Seq((1L, e1, false), (5000001L, para, true)) ++ decoys)
+      .toDF("vec_id", "embedding", "is_new")
+    val got = graft.queries.Similarity.crossCorpusEmbeddingNearDup(
+      corpus, nTables = 4, nBits = 10, cap = 100, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 5000001L)),
+      s"semantic pass must pair exactly the paraphrase: ${got.toSeq}")
+  }
 }

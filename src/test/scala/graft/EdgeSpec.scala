@@ -386,4 +386,54 @@ class EdgeSpec extends AnyFunSuite {
         s"doc $id (residue ${id % 10}): got ($ph,$ip,$sid) want $want")
     }
   }
+
+  test("t21: suffix-match blocks subdomains downward, never parents upward") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // direct engine call on pinned doc_ids (the host is a pure function of
+    // doc_id): each case exercises one suffix-match law
+    val out = graft.queries.TextOps.blocklistFilter(
+      Seq(3L, 6L, 7L, 53L, 56L, 57L).toDF("doc_id"),
+      Seq("site7.example", "site13.example",
+        "ads.site3.example", "media.site6.example"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), Option(r.getString(3)))).toMap
+    // registrable-domain rule blocks the bare host AND its subdomains
+    assert(out(7L) == (("site7.example", true, Some("site7.example"))))
+    assert(out(57L) == (("ads.site7.example", true, Some("site7.example"))))
+    // a subdomain rule blocks only that subdomain...
+    assert(out(53L) == (("ads.site3.example", true, Some("ads.site3.example"))))
+    // ...and must NOT block the parent (the law naive substring-match breaks)
+    assert(out(3L) == (("site3.example", false, None)))
+    // an inner label-suffix matches a deeper host
+    assert(out(6L) == (("cdn.media.site6.example", true, Some("media.site6.example"))))
+    assert(out(56L) == (("site6.example", false, None)))
+    // contract-level invariant at sf: a reported rule is always a true
+    // label-suffix of its host; kept docs carry no rule
+    val full = Registry.byName("t21_blocklist_filter").run(spark, sf).collect()
+    full.foreach { r =>
+      val (host, blocked, rule) =
+        (r.getString(1), r.getBoolean(2), Option(r.getString(3)))
+      assert(blocked == rule.isDefined, s"$host")
+      rule.foreach(x => assert(host == x || host.endsWith("." + x), s"$host $x"))
+    }
+  }
+
+  test("t20: training separates the planted classes; midpoint classifies all") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("t20_classifier_train").run(spark, sf).cache()
+    val nPos = out.filter(col("label") === 1L).count()
+    assert(nPos > 0 && nPos < out.count())
+    // the trained weights must SEPARATE the classes: every positive margin
+    // above every negative margin (not just on average)
+    val minPos = out.filter(col("label") === 1L)
+      .agg(min(col("margin"))).head().getDouble(0)
+    val maxNeg = out.filter(col("label") === 0L)
+      .agg(max(col("margin"))).head().getDouble(0)
+    assert(minPos > maxNeg,
+      s"class margins overlap: min_pos=$minPos max_neg=$maxNeg")
+    // ...and the midpoint operating threshold then classifies everything
+    assert(out.filter(col("pred") =!= (col("label") === 1L)).count() == 0)
+    out.unpersist()
+  }
 }

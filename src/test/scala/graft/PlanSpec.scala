@@ -218,6 +218,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t21 blocklist match stays scan-side — broadcast rules, no corpus shuffle") {
+    val p = plan("t21_blocklist_filter")
+    // the bounded rule array arrives via broadcast...
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // ...and the corpus never hash-shuffles before the presentation sort
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("c27 bucket assignment joins the per-lang thresholds broadcast") {
+    val p = plan("c27_perplexity_buckets")
+    // the |langs|-row threshold frame must attach via BroadcastHashJoin —
+    // a sort-merge here would shuffle the whole scored corpus by lang
+    // (and a window over lang would sort an unsharded language partition)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("p11 shuffles only the bounded container build — one exchange, then map-side walk") {
     val p = plan("p11_warc_ingest")
     val n = "Arguments: hashpartitioning".r.findAllIn(p).size
