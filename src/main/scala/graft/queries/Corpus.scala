@@ -152,6 +152,35 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** c27's production-scale threshold path (the c13 full/truncated
+    * pattern): per-lang tertile CUTS from `percentile_approx` — a
+    * mergeable t-digest sketch with bounded per-group state, so no
+    * language ever buffers its full score list — then the same broadcast
+    * assignment. Buckets are approximate ONLY at the tertile boundaries
+    * (sketch error moves the cut by a few ranks); CorpusSpec pins
+    * agreement with [[perplexityBuckets]] on the shared corpus and that
+    * the head/middle/tail NLL ordering survives. This is the variant a
+    * 100 TB run deploys; the exact path is the oracle-gated contract.
+    */
+  def perplexityBucketsApprox(docsDf: DataFrame,
+      accuracy: Int = 10000): DataFrame = {
+    val scores = unigramLmScore(docsDf)
+      .join(docsDf.select(col("doc_id"), col("lang")), "doc_id")
+      .localCheckpoint(true)
+    val thr = scores.groupBy("lang")
+      .agg(percentile_approx(col("avg_nll"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("cuts"))
+      .select(col("lang"),
+        element_at(col("cuts"), 1).as("c1"),
+        element_at(col("cuts"), 2).as("c2"))
+    scores.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        when(col("avg_nll") <= col("c1"), "head")
+          .when(col("avg_nll") <= col("c2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   /** The fixed 3-term retrieval query the c11/s12 contract runs — one
     * definition so the sparse arm of the hybrid fusion can never drift
     * from the standalone BM25 ranking.

@@ -394,4 +394,21 @@ class CorpusSpec extends AnyFunSuite {
       assert(sizes((l, "tail")) == 3L, l)
     }
   }
+
+  test("c27: the approx-sketch scale path tracks the exact buckets") {
+    import org.apache.spark.sql.functions._
+    val in = docs.select(col("doc_id"), col("text"), col("lang"))
+    val exact = Corpus.perplexityBuckets(in)
+      .select(col("doc_id"), col("ppl_bucket").as("b_exact"))
+    val approx = Corpus.perplexityBucketsApprox(in)
+      .select(col("doc_id"), col("ppl_bucket").as("b_approx"))
+    val j = exact.join(approx, "doc_id").cache()
+    val n = j.count()
+    val agree = j.filter(col("b_exact") === col("b_approx")).count()
+    // sketch error only moves the tertile CUTS by a few ranks, so
+    // disagreement is confined to boundary docs
+    assert(agree.toDouble / n >= 0.95,
+      s"approx path agrees on $agree/$n docs")
+    j.unpersist()
+  }
 }
