@@ -53,6 +53,17 @@ object Exact {
   def sqlSum(expr: String): String =
     s"CAST(CAST(SUM(CAST(CAST(($expr) AS VARCHAR) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
 
+  /** [[sqlSum]] with DECIMAL(18,10) per-term quantization — value-identical
+    * whenever every term is below 10^8 in magnitude (rounding to scale 10
+    * is width-independent; the SUM accumulator widens to (38,10) in DuckDB
+    * regardless), but ~6× faster: the (38,10) form parses every term into
+    * decimal128, which dominated t20's 13-pass sf1 oracle (53 s vs 9 s per
+    * corpus pass, measured r14). Use ONLY where the term bound is proven —
+    * an overflowing cast fails loudly, never silently.
+    */
+  def sqlSumNarrow(expr: String): String =
+    s"CAST(CAST(SUM(CAST(CAST(($expr) AS VARCHAR) AS DECIMAL(18,10))) AS VARCHAR) AS DOUBLE)"
+
   /** Spark-SQL-side text of the same exact sum (for spark.sql queries).
     * Spark's own double↔decimal casts are already string-mediated, so no
     * VARCHAR hops are needed on this side.

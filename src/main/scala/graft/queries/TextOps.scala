@@ -1388,9 +1388,12 @@ object TextOps {
   /** t20's oracle: the `rounds` gradient rounds UNROLLED in chained CTEs
     * (seed residual → g1/w1 → m2/r2/g2/w2 → … → final margins), mirroring
     * the fixed round count in the contract query. Every sum goes through
-    * [[graft.engine.Exact.sqlSum]]'s VARCHAR-hopped decimal path and the
-    * sigmoid is the same algebraic expression tree as the Spark side, so
-    * the whole training trajectory is bit-identical.
+    * [[graft.engine.Exact.sqlSumNarrow]]'s VARCHAR-hopped decimal path
+    * (terms here are bounded by the max |margin| ≈ 4, far under the 10^8
+    * width bound — and the narrow form is what keeps 13 corpus passes
+    * under the sf1 oracle cap) and the sigmoid is the same algebraic
+    * expression tree as the Spark side, so the whole training trajectory
+    * is bit-identical.
     */
   private[graft] def t20OracleSql(rounds: Int, lr: Double): String = {
     import graft.engine.{DuckHash, Exact}
@@ -1424,7 +1427,7 @@ object TextOps {
     val body = (1 to rounds).map { k =>
       val g =
         s"""g$k AS (SELECT fid, s / nn AS g FROM (
-           |  SELECT fid, ${Exact.sqlSum("r * x")} AS s
+           |  SELECT fid, ${Exact.sqlSumNarrow("r * x")} AS s
            |  FROM fc JOIN r$k USING (doc_id) GROUP BY fid)
            |  CROSS JOIN nd)""".stripMargin
       val w = if (k == 1)
@@ -1433,7 +1436,7 @@ object TextOps {
         s"w$k AS (SELECT fid, w - $lr * g AS w FROM w${k - 1} JOIN g$k USING (fid))"
       val next = if (k < rounds)
         s""",
-           |m${k + 1} AS (SELECT doc_id, y, ${Exact.sqlSum("w * x")} AS m
+           |m${k + 1} AS (SELECT doc_id, y, ${Exact.sqlSumNarrow("w * x")} AS m
            |  FROM fc JOIN w$k USING (fid) GROUP BY doc_id, y),
            |r${k + 1} AS (SELECT doc_id,
            |  0.5 + m / (2.0 * (1.0 + abs(m))) - y AS r FROM m${k + 1})""".stripMargin
@@ -1442,12 +1445,12 @@ object TextOps {
     }.mkString
     val tail =
       s""",
-         |mf AS (SELECT doc_id, y, ${Exact.sqlSum("w * x")} AS m
+         |mf AS (SELECT doc_id, y, ${Exact.sqlSumNarrow("w * x")} AS m
          |  FROM fc JOIN w$rounds USING (fid) GROUP BY doc_id, y),
          |thr AS (SELECT (
-         |    ${Exact.sqlSum("CASE WHEN y = 1.0 THEN m END")}
+         |    ${Exact.sqlSumNarrow("CASE WHEN y = 1.0 THEN m END")}
          |      / SUM(CASE WHEN y = 1.0 THEN 1.0 ELSE 0.0 END)
-         |    + ${Exact.sqlSum("CASE WHEN y = 0.0 THEN m END")}
+         |    + ${Exact.sqlSumNarrow("CASE WHEN y = 0.0 THEN m END")}
          |      / SUM(CASE WHEN y = 0.0 THEN 1.0 ELSE 0.0 END)
          |  ) / 2.0 AS t FROM mf)
          |SELECT doc_id, CAST(y AS BIGINT) AS label, m AS margin,
