@@ -239,7 +239,11 @@ object Bench {
         // + rank thresholds + broadcast bucket assign), d23 (cross-corpus
         // sign-LSH + bounded buckets + exact-cosine verify)
         "t20_classifier_train", "t21_blocklist_filter",
-        "c27_perplexity_buckets", "d23_semantic_decontam")
+        "c27_perplexity_buckets", "d23_semantic_decontam",
+        // ... and the round-15 additions: t20b (sample-trained model +
+        // one corpus-wide broadcast serve — the deployable twin of t20),
+        // c28 (tokenizer fertility under the pinned c18a merge chain)
+        "t20b_classifier_sampled", "c28_tokenizer_fertility")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

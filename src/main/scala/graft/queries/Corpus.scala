@@ -1519,6 +1519,63 @@ object Corpus {
     encodeStatsFrom(tw, types)
   }
 
+  /** c28's engine — the tokenizer-fertility eval table: chars/token and
+    * tokens/word PER LANGUAGE under the pinned c18a merge chain — the
+    * standard tokenizer-eval table every multilingual training report
+    * carries (how well does ONE tokenizer serve EACH language). The
+    * synthetic corpus shares a single vocabulary across lang labels, so
+    * MORPHOLOGY IS PLANTED (the d12-banner way — identical deterministic
+    * expressions on both engines): each language appends its own
+    * derivational suffix to every token. de "ung" = 3 symbols the chain
+    * never merges (the agglutinative end); fr "re" / es "an" = 2 chars
+    * the chain fuses into ONE symbol (morphology the tokenizer has
+    * learned); zh "i" = 1 extra symbol; en = bare (the vocabulary the
+    * merges were picked from). That gives the fertility table a known
+    * partial order, pinned in CorpusSpec: tokens_per_word rises with the
+    * suffix's POST-MERGE symbol count (en < zh/es/fr < de) and de's
+    * 1-char-per-symbol suffix dilutes chars_per_token below every other
+    * language's.
+    *
+    * Scale shape: c18a's — one corpus tokenize into (lang, word) counts
+    * (checkpointed: feeds the type table AND the stats join), the merge
+    * fold over the DISTINCT type table (dictionary-sized), one join
+    * back, |langs|-row output.
+    */
+  def tokenizerFertility(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val suf = when(col("lang") === "de", "ung")
+      .when(col("lang") === "fr", "re")
+      .when(col("lang") === "es", "an")
+      .when(col("lang") === "zh", "i")
+      .otherwise("")
+    val lw = docs
+      .select(col("lang"), suf.as("suf"),
+        explode(split(col("text"), " ")).as("w0"))
+      .filter(length(col("w0")) > 0)
+      .select(col("lang"), concat(col("w0"), col("suf")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    var types = lw.select(col("w")).distinct()
+      .select(col("w"), charSyms.as("syms"))
+    merges.foreach { case (l, r) =>
+      types = types.select(col("w"), applyMerge(l, r))
+    }
+    val perType = types.select(col("w"),
+      size(col("syms")).cast(LongType).as("n_toks"),
+      length(col("w")).cast(LongType).as("n_chars"))
+    lw.join(perType, "w")
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_toks")).as("n_tokens"),
+        sum(col("n") * col("n_chars")).as("sum_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("tokens_per_word"),
+        (col("sum_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** The per-(source, word) occurrence counts — c18's one corpus-sized
     * tokenize+shuffle, shared by the trained and pinned encode paths.
     */

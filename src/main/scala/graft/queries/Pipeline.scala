@@ -59,7 +59,12 @@ object Pipeline {
       // `start + len` to negative and slip past into charAt.
       val len = parts(2).toLong
       val start = nl + 1
-      require(len >= 0 && start.toLong + len < s.length &&
+      // len is bounded BEFORE it enters the sum: with len < s.length
+      // (an Int), start.toLong + len < 2^32 — no Long wrap is possible,
+      // closing the len == Long.MaxValue hole where the wrapped sum
+      // (negative) passed `< s.length` and charAt happened to land on
+      // this header's own '\n'.
+      require(len >= 0 && len < s.length && start.toLong + len < s.length &&
           s.charAt((start + len).toInt) == '\n',
         s"container $cid: record $id (declared $len) overruns the " +
           "container or is missing its terminator")

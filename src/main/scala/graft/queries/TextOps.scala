@@ -1257,7 +1257,17 @@ object TextOps {
     QuerySpec(
       "t20_classifier_train",
       (s, d) => classifierTrain(docs(s, d)),
-      Some(t20OracleSql(6, 800.0)),
+      Some(t20OracleSql(T20Rounds, T20Lr)),
+    ),
+    // t20's DEPLOYABLE twin — train on the deterministic md5 sample,
+    // serve corpus-wide (the FineWeb-Edu/DCLM deployment shape; the c27
+    // exact/approx pairing applied to model fitting). See
+    // [[classifierTrainSampled]]. EdgeSpec pins corpus-wide class
+    // separation AND per-doc prediction agreement with full-batch t20.
+    QuerySpec(
+      "t20b_classifier_sampled",
+      (s, d) => classifierTrainSampled(docs(s, d)),
+      Some(t20bOracleSql(T20Rounds, T20Lr)),
     ),
   )
 
@@ -1331,10 +1341,17 @@ object TextOps {
         array_sort(transform(col("chunks"),
           (c, j) => struct(c.as("c"), j.as("j")))).as("sorted"))
       .select(col("doc_id"), col("chunks"),
+        // Structural guard, not short-circuit: element_at is 1-based and
+        // index 0 is a runtime error, so the i==0 case takes its own
+        // branch and the comparison arm clamps with greatest(i, 1) —
+        // correctness no longer depends on Or short-circuit evaluation
+        // order in interpreted HOF lambdas.
         array_sort(filter(transform(col("sorted"), (x, i) =>
-          when(i === 0 ||
-              x.getField("c") =!= element_at(col("sorted"), i).getField("c"),
-            x.getField("j")).otherwise(lit(-1))),
+          when(i === 0, x.getField("j"))
+            .otherwise(when(
+              x.getField("c") =!=
+                element_at(col("sorted"), greatest(i, lit(1))).getField("c"),
+              x.getField("j")).otherwise(lit(-1)))),
           v => v =!= -1)).as("kept_idx"))
       .select(
         col("doc_id"),
@@ -1459,6 +1476,88 @@ object TextOps {
     head + body + tail
   }
 
+  /** t20b's oracle — [[t20OracleSql]] with the training CTEs restricted
+    * to the deterministic md5 sample (fcs/nd/r1 filter on in_sample) and
+    * the serve/threshold split: margins over ALL docs under the
+    * sample-trained weights, threshold from the sample's class means.
+    * Same decimal-exact trajectory, so still bit-identical to Spark.
+    */
+  private[graft] def t20bOracleSql(rounds: Int, lr: Double): String = {
+    import graft.engine.{DuckHash, Exact}
+    val head =
+      s"""WITH docs0 AS (
+         |  SELECT doc_id, text,
+         |    substring(md5(text), 1, 1) IN ('0','1','2','3') AS in_sample
+         |  FROM documents),
+         |docs2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0 THEN text || ' $t20Markers'
+         |         ELSE text END AS text,
+         |    CAST(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y,
+         |    in_sample
+         |  FROM docs0),
+         |tk AS (SELECT doc_id, y, in_sample, string_split(text, ' ') AS toks
+         |  FROM docs2),
+         |fc0 AS MATERIALIZED (
+         |  SELECT doc_id, y, in_sample,
+         |    CAST(${DuckHash.fnv("feat")} % 262144 AS BIGINT) AS fid,
+         |    COUNT(*) AS c
+         |  FROM (
+         |    SELECT doc_id, y, in_sample, unnest(list_concat(toks,
+         |      list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i+1]))) AS feat
+         |    FROM tk)
+         |  GROUP BY doc_id, y, in_sample, fid),
+         |nfeats AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS nf
+         |  FROM fc0 GROUP BY doc_id),
+         |fc AS MATERIALIZED (
+         |  SELECT f.doc_id, y, in_sample, fid, CAST(c AS DOUBLE) / nf AS x
+         |  FROM (SELECT * FROM fc0 UNION ALL
+         |        SELECT doc_id, y, in_sample, -1 AS fid, 1 AS c FROM docs2) f
+         |  JOIN nfeats USING (doc_id)),
+         |fcs AS MATERIALIZED (
+         |  SELECT doc_id, y, fid, x FROM fc WHERE in_sample),
+         |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn
+         |  FROM docs2 WHERE in_sample),
+         |r1 AS (SELECT doc_id, 0.5 - y AS r FROM docs2 WHERE in_sample)"""
+        .stripMargin
+    val body = (1 to rounds).map { k =>
+      val g =
+        s"""g$k AS (SELECT fid, s / nn AS g FROM (
+           |  SELECT fid, ${Exact.sqlSumNarrow("r * x")} AS s
+           |  FROM fcs JOIN r$k USING (doc_id) GROUP BY fid)
+           |  CROSS JOIN nd)""".stripMargin
+      val w = if (k == 1)
+        s"w1 AS (SELECT fid, 0.0 - $lr * g AS w FROM g1)"
+      else
+        s"w$k AS (SELECT fid, w - $lr * g AS w FROM w${k - 1} JOIN g$k USING (fid))"
+      val next = if (k < rounds)
+        s""",
+           |m${k + 1} AS (SELECT doc_id, y, ${Exact.sqlSumNarrow("w * x")} AS m
+           |  FROM fcs JOIN w$k USING (fid) GROUP BY doc_id, y),
+           |r${k + 1} AS (SELECT doc_id,
+           |  0.5 + m / (2.0 * (1.0 + abs(m))) - y AS r FROM m${k + 1})"""
+          .stripMargin
+      else ""
+      s",\n$g,\n$w$next"
+    }.mkString
+    val tail =
+      s""",
+         |mf AS (SELECT doc_id, y, in_sample,
+         |    ${Exact.sqlSumNarrow("w * x")} AS m
+         |  FROM fc JOIN w$rounds USING (fid) GROUP BY doc_id, y, in_sample),
+         |thr AS (SELECT (
+         |    ${Exact.sqlSumNarrow("CASE WHEN y = 1.0 THEN m END")}
+         |      / SUM(CASE WHEN y = 1.0 THEN 1.0 ELSE 0.0 END)
+         |    + ${Exact.sqlSumNarrow("CASE WHEN y = 0.0 THEN m END")}
+         |      / SUM(CASE WHEN y = 0.0 THEN 1.0 ELSE 0.0 END)
+         |  ) / 2.0 AS t FROM mf WHERE in_sample)
+         |SELECT doc_id, in_sample, CAST(y AS BIGINT) AS label, m AS margin,
+         |  m > t AS pred
+         |FROM mf CROSS JOIN thr ORDER BY doc_id""".stripMargin
+    head + body + tail
+  }
+
   /** t21's engine — UT1-style URL/domain blocklist filtering with
     * label-suffix match semantics: a host is blocked iff ANY of its
     * label-suffixes (`ads.site3.example` → `ads.site3.example`,
@@ -1547,9 +1646,15 @@ object TextOps {
   // would still be null there and the oracle would plant " null"
   private[graft] lazy val t20Markers: String =
     (1 to 12).map(i => s"qy$i").mkString(" ")
+  // Shared between the engine defaults and the oracle builder call — ONE
+  // definition so changing either cannot silently break Spark/oracle
+  // bit-parity (the r14 ADVICE item). lazy for the same object-init
+  // ordering reason as t20Markers.
+  private[graft] lazy val T20Rounds: Int = 6
+  private[graft] lazy val T20Lr: Double = 800.0
 
-  def classifierTrain(in: DataFrame, rounds: Int = 6, lr: Double = 800.0,
-      buckets: Int = 262144): DataFrame = {
+  def classifierTrain(in: DataFrame, rounds: Int = T20Rounds,
+      lr: Double = T20Lr, buckets: Int = 262144): DataFrame = {
     import graft.engine.Exact
     val planted = when(col("doc_id") % 9 === 0,
       concat(col("text"), lit(" " + t20Markers))).otherwise(col("text"))
@@ -1579,21 +1684,74 @@ object TextOps {
       .select(col("doc_id"), col("y"), col("fid"),
         (col("c").cast(DoubleType) / col("nf")).as("x"))
       .localCheckpoint(true)
-    // corpus size as a broadcast 1-row frame (the c05 pattern), never a
-    // driver-side count: gradients are mean-normalized so the learning
-    // rate is corpus-size-invariant.
-    val nRow = broadcast(base.agg(count(lit(1)).cast(DoubleType).as("n")))
-    def margins(w: DataFrame): DataFrame =
-      fc.join(broadcast(w), "fid")
-        .groupBy("doc_id", "y")
-        .agg(Exact.dsum(col("w") * col("x")).as("m"))
-    def sigma(m: Column): Column =
-      lit(0.5) + m / (lit(2.0) * (lit(1.0) + abs(m)))
+    val w = t20TrainLoop(fc, base.select(col("doc_id"), col("y")), rounds, lr)
+    // Final serve + evaluation: margins under the trained weights, with
+    // the operating point at the midpoint of the class-mean margins (the
+    // calibrated model keeps ALL margins below zero under 1-in-9
+    // imbalance — thresholding at 0 would be the r14 first-cut mistake;
+    // real pipelines pick the threshold from labeled-set score stats the
+    // same way, cf. FineWeb-Edu's percentile cut).
+    val mf = t20Margins(fc, w).localCheckpoint(true)
+    val thr = broadcast(mf.agg(t20ThrSum.as("s2"))
+      .select((col("s2") / 2.0).as("thr")))
+    mf.crossJoin(thr)
+      .select(col("doc_id"), col("y").cast(LongType).as("label"),
+        col("m").as("margin"), (col("m") > col("thr")).as("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** The Elliott rational sigmoid σ(x) = 0.5 + x/(2(1+|x|)) — only IEEE
+    * correctly-rounded ops, bit-identical across engines where exp()
+    * would drift (the t20 contract note).
+    */
+  private def t20Sigma(m: Column): Column =
+    lit(0.5) + m / (lit(2.0) * (lit(1.0) + abs(m)))
+
+  /** Margin pass: ONE broadcast join of the ≤2^18-row model against the
+    * feature frame — t13's inference shape. `extra` carries pass-through
+    * grouping columns (t20b's in_sample flag); doc-functional, so adding
+    * them never changes the groups.
+    */
+  private def t20Margins(fc: DataFrame, w: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
+    import graft.engine.Exact
+    fc.join(broadcast(w), "fid")
+      .groupBy((Seq("doc_id", "y") ++ extra).map(col): _*)
+      .agg(Exact.dsum(col("w") * col("x")).as("m"))
+  }
+
+  /** Midpoint-of-class-mean-margins operating threshold (×2, caller
+    * divides): decimal-exact sums so the threshold is
+    * partitioning-invariant like everything else in the trajectory.
+    */
+  private def t20ThrSum: Column = {
+    import graft.engine.Exact
+    (Exact.dsum(when(col("y") === 1.0, col("m"))) /
+        sum(when(col("y") === 1.0, 1.0))) +
+      (Exact.dsum(when(col("y") === 0.0, col("m"))) /
+        sum(when(col("y") === 0.0, 1.0)))
+  }
+
+  /** The t20 training loop proper — `rounds` full-batch decimal-exact GD
+    * steps over a (doc_id, y, fid, x) feature frame; returns the final
+    * checkpointed (fid, w) model. Extracted so the deployable sampled
+    * path ([[classifierTrainSampled]]) trains through the IDENTICAL code
+    * as the exact full-batch contract ([[classifierTrain]]) — they differ
+    * only in which docs feed the loop.
+    */
+  private def t20TrainLoop(fcTrain: DataFrame, trainDocs: DataFrame,
+      rounds: Int, lr: Double): DataFrame = {
+    import graft.engine.Exact
+    // training-set size as a broadcast 1-row frame (the c05 pattern),
+    // never a driver-side count: gradients are mean-normalized so the
+    // learning rate is training-set-size-invariant (measured at r14:
+    // same class-margin gap from 500 docs to 1M).
+    val nRow = broadcast(trainDocs.agg(count(lit(1)).cast(DoubleType).as("n")))
     // round 1: w = 0 → all margins exactly 0 → residual is 0.5 − y
-    var resid = base.select(col("doc_id"), (lit(0.5) - col("y")).as("r"))
+    var resid = trainDocs.select(col("doc_id"), (lit(0.5) - col("y")).as("r"))
     var w: DataFrame = null
     for (round <- 1 to rounds) {
-      val grad = fc.join(resid, "doc_id")
+      val grad = fcTrain.join(resid, "doc_id")
         .groupBy("fid")
         .agg(Exact.dsum(col("r") * col("x")).as("gsum"))
         .crossJoin(nRow)
@@ -1607,24 +1765,81 @@ object TextOps {
                .select(col("fid"), (col("w") - lit(lr) * col("g")).as("w")))
         .localCheckpoint(true)
       if (round < rounds)
-        resid = margins(w)
-          .select(col("doc_id"), (sigma(col("m")) - col("y")).as("r"))
+        resid = t20Margins(fcTrain, w)
+          .select(col("doc_id"), (t20Sigma(col("m")) - col("y")).as("r"))
     }
-    // Final serve + evaluation: margins under the trained weights, with
-    // the operating point at the midpoint of the class-mean margins (the
-    // calibrated model keeps ALL margins below zero under 1-in-9
-    // imbalance — thresholding at 0 would be the r14 first-cut mistake;
-    // real pipelines pick the threshold from labeled-set score stats the
-    // same way, cf. FineWeb-Edu's percentile cut).
-    val mf = margins(w).localCheckpoint(true)
-    val thr = broadcast(mf.agg(
-      ((Exact.dsum(when(col("y") === 1.0, col("m"))) /
-          sum(when(col("y") === 1.0, 1.0))) +
-        (Exact.dsum(when(col("y") === 0.0, col("m"))) /
-          sum(when(col("y") === 0.0, 1.0)))).as("s2"))
+    w
+  }
+
+  /** t20b's engine — the DEPLOYABLE twin of [[classifierTrain]] (the c27
+    * exact/approx pairing applied to model fitting). The exact full-batch
+    * contract trains on the whole corpus — 2·rounds+1 corpus passes,
+    * which is the wrong shape at 100 TB, where real pipelines
+    * (FineWeb-Edu, DCLM) train on a BOUNDED labeled set and serve
+    * corpus-wide. Here the labeled set is a deterministic content-hash
+    * sample (c01's pattern — md5 first hex digit in 0..3, 1/4 of docs,
+    * drawn from the ORIGINAL text before any label-dependent plant, so
+    * the sample is what a crawler would hand an annotator), the training
+    * loop is the IDENTICAL 6-round decimal-exact code as t20
+    * ([[t20TrainLoop]]), and the serve is ONE corpus-wide broadcast-join
+    * margin pass — t13's inference shape. The operating threshold comes
+    * from the LABELED SAMPLE's class-mean margins (corpus-wide label
+    * stats don't exist in deployment — you only have labels where you
+    * sampled).
+    *
+    * Scale shape vs t20: the corpus is still tokenized once (the serve
+    * pass needs every doc's features anyway), but all 2·rounds training
+    * shuffles run over the bounded sample only; at a fixed-size labeled
+    * set the training cost is CONSTANT in corpus size and the whole query
+    * is one scan + one broadcast join. The deterministic 25% sample here
+    * (rather than a fixed count) is what keeps the contract
+    * SQL-expressible — EdgeSpec pins that the sampled model still
+    * separates the planted classes corpus-wide and agrees with full-batch
+    * t20 on every prediction.
+    */
+  def classifierTrainSampled(in: DataFrame, rounds: Int = T20Rounds,
+      lr: Double = T20Lr, buckets: Int = 262144): DataFrame = {
+    import graft.engine.Exact
+    // sample membership hashes the PRE-PLANT text: label-independent
+    val inSample = substring(md5(col("text")), 1, 1)
+      .isin("0", "1", "2", "3")
+    val planted = when(col("doc_id") % 9 === 0,
+      concat(col("text"), lit(" " + t20Markers))).otherwise(col("text"))
+    val y = when(col("doc_id") % 9 === 0, 1.0).otherwise(0.0)
+    val base = in.select(col("doc_id"), planted.as("text"), y.as("y"),
+      inSample.as("in_sample"))
+    val fc0 = base
+      .select(col("doc_id"), col("y"), col("in_sample"),
+        explode(classifierFeats(col("text"))).as("feat"))
+      .select(col("doc_id"), col("y"), col("in_sample"),
+        pmod(ghash.fnv1a64(col("feat")), lit(buckets.toLong)).as("fid"))
+      .groupBy("doc_id", "y", "in_sample", "fid")
+      .agg(count(lit(1)).as("c"))
+      // checkpointed: consumed by BOTH the nf aggregate and the bias
+      // union below — without it the tokenize+hash text scan runs twice
+      .localCheckpoint(true)
+    val nf = fc0.groupBy("doc_id")
+      .agg(sum(col("c")).cast(DoubleType).as("nf"))
+    val fc = fc0
+      .unionByName(base.select(col("doc_id"), col("y"), col("in_sample"),
+        lit(-1L).as("fid"), lit(1L).as("c")))
+      .join(nf, "doc_id")
+      .select(col("doc_id"), col("y"), col("in_sample"), col("fid"),
+        (col("c").cast(DoubleType) / col("nf")).as("x"))
+      .localCheckpoint(true)
+    val fcs = fc.filter(col("in_sample"))
+      .select(col("doc_id"), col("y"), col("fid"), col("x"))
+    val w = t20TrainLoop(fcs,
+      base.filter(col("in_sample")).select(col("doc_id"), col("y")),
+      rounds, lr)
+    // corpus-wide serve under the sample-trained model; threshold from
+    // the labeled sample only
+    val mf = t20Margins(fc, w, Seq("in_sample")).localCheckpoint(true)
+    val thr = broadcast(mf.filter(col("in_sample")).agg(t20ThrSum.as("s2"))
       .select((col("s2") / 2.0).as("thr")))
     mf.crossJoin(thr)
-      .select(col("doc_id"), col("y").cast(LongType).as("label"),
+      .select(col("doc_id"), col("in_sample"),
+        col("y").cast(LongType).as("label"),
         col("m").as("margin"), (col("m") > col("thr")).as("pred"))
       .orderBy("doc_id")
   }

@@ -436,4 +436,29 @@ class EdgeSpec extends AnyFunSuite {
     assert(out.filter(col("pred") =!= (col("label") === 1L)).count() == 0)
     out.unpersist()
   }
+
+  test("t20b: sample-trained model separates corpus-wide and agrees with t20") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("t20b_classifier_sampled").run(spark, sf).cache()
+    // the sample is a strict, non-empty subset containing both classes
+    val nSamp = out.filter(col("in_sample")).count()
+    assert(nSamp > 0 && nSamp < out.count())
+    assert(out.filter(col("in_sample") && col("label") === 1L).count() > 0)
+    // the model trained on the 25% labeled sample must still separate the
+    // planted classes on the WHOLE corpus (deployable-path contract)...
+    val minPos = out.filter(col("label") === 1L)
+      .agg(min(col("margin"))).head().getDouble(0)
+    val maxNeg = out.filter(col("label") === 0L)
+      .agg(max(col("margin"))).head().getDouble(0)
+    assert(minPos > maxNeg,
+      s"sampled-model class margins overlap: min_pos=$minPos max_neg=$maxNeg")
+    // ...classify everything with the sample-derived threshold...
+    assert(out.filter(col("pred") =!= (col("label") === 1L)).count() == 0)
+    // ...and AGREE with the exact full-batch contract on every doc
+    val full = Registry.byName("t20_classifier_train").run(spark, sf)
+      .select(col("doc_id"), col("pred").as("pred_full"))
+    assert(out.join(full, "doc_id")
+      .filter(col("pred") =!= col("pred_full")).count() == 0)
+    out.unpersist()
+  }
 }

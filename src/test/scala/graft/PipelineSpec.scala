@@ -133,5 +133,11 @@ class PipelineSpec extends AnyFunSuite {
       walkContainer(4L, s"REC 5 ${Int.MaxValue - 2}\nxx\n"))
     intercept[IllegalArgumentException](
       walkContainer(5L, s"REC 5 ${Long.MaxValue - 2}\nxx\n"))
+    // exactly Long.MaxValue: start+len wraps to Long.MinValue+nl, which
+    // passes `< s.length` (negative) and (start+len).toInt lands on the
+    // header's own '\n' — the one value the old bounds let through to a
+    // StringIndexOutOfBounds; the len < s.length bound catches it first
+    intercept[IllegalArgumentException](
+      walkContainer(6L, s"REC 5 ${Long.MaxValue}\nxx\n"))
   }
 }
