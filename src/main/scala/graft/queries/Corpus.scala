@@ -819,6 +819,39 @@ object Corpus {
               |    AS chars_per_token
               |FROM agg ORDER BY source""".stripMargin),
     ),
+    // Tokenizer fertility per language under the pinned c18a merge chain
+    // — see [[tokenizerFertility]] for the planted-morphology design and
+    // the CorpusSpec-pinned fertility ordering.
+    QuerySpec(
+      "c28_tokenizer_fertility",
+      (s, d) => tokenizerFertility(Tables(s, d, "documents"), FixedMerges),
+      Some(s"""WITH toks AS (
+              |  SELECT lang, u.w AS w0,
+              |    CASE lang WHEN 'de' THEN 'ung' WHEN 'fr' THEN 're'
+              |              WHEN 'es' THEN 'an' WHEN 'zh' THEN 'i'
+              |              ELSE '' END AS suf
+              |  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+              |  WHERE len(u.w) > 0),
+              |lw AS (
+              |  SELECT lang, w0 || suf AS w, COUNT(*) AS n
+              |  FROM toks GROUP BY lang, w),
+              |enc AS (
+              |  SELECT w, len($FixedMergesReplaceSql) AS n_toks,
+              |    len(w) AS n_chars
+              |  FROM (SELECT DISTINCT w FROM lw)),
+              |agg AS (
+              |  SELECT lang,
+              |    CAST(SUM(n) AS BIGINT) AS n_words,
+              |    CAST(SUM(n * n_toks) AS BIGINT) AS n_tokens,
+              |    CAST(SUM(n * n_chars) AS BIGINT) AS sum_chars
+              |  FROM lw JOIN enc USING (w) GROUP BY lang)
+              |SELECT lang, n_words, n_tokens,
+              |  CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+              |    AS tokens_per_word,
+              |  CAST(sum_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              |    AS chars_per_token
+              |FROM agg ORDER BY lang""".stripMargin),
+    ),
     // Per-domain curation report — the blocklist-candidate surface every
     // web-scale pipeline maintains: for each canonical URL host (the
     // d13 fixture + canonicalizer, shared expression), doc volume, token

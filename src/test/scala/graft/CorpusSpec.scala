@@ -411,4 +411,27 @@ class CorpusSpec extends AnyFunSuite {
       s"approx path agrees on $agree/$n docs")
     j.unpersist()
   }
+
+  test("c28: fertility ordering matches the planted language morphology") {
+    import org.apache.spark.sql.functions._
+    val out = Corpus.tokenizerFertility(docs, Corpus.FixedMerges)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    def tpw(l: String) = out(l)._1
+    def cpt(l: String) = out(l)._2
+    // tokens_per_word rises with the suffix's POST-MERGE symbol count:
+    // en (+0) < zh "i" / es "an"→1 / fr "re"→1 (+1 each) < de "ung" (+3)
+    for (l <- Seq("zh", "es", "fr")) {
+      assert(tpw("en") < tpw(l), s"en=${tpw("en")} $l=${tpw(l)}")
+      assert(tpw(l) < tpw("de"), s"$l=${tpw(l)} de=${tpw("de")}")
+    }
+    // de's 1-char-per-symbol suffix dilutes chars_per_token below every
+    // other language...
+    for (l <- Seq("en", "zh", "es", "fr"))
+      assert(cpt("de") < cpt(l), s"de=${cpt("de")} $l=${cpt(l)}")
+    // ...while the MERGED 2-char suffixes (fr "re", es "an" — morphology
+    // the tokenizer learned) push chars_per_token ABOVE bare en
+    for (l <- Seq("es", "fr"))
+      assert(cpt(l) > cpt("en"), s"$l=${cpt(l)} en=${cpt("en")}")
+  }
 }
