@@ -362,6 +362,16 @@ object Similarity {
        |    CAST(2 ** (list_position(list_transform($projs, p -> abs(p)),
        |      list_sort(list_transform($projs, p -> abs(p)))[$rank]) - 1) AS BIGINT))""".stripMargin
 
+  /** Replica of [[probeCode12Of]]: XOR the rank-1 and rank-2 flips onto
+    * the primary; a value tie makes both list_positions resolve to the
+    * same first occurrence and the double XOR cancels — identically to
+    * the Spark side.
+    */
+  private def duckProbe12(projs: String, nBits: Int): String =
+    s"""xor(${duckProbe(projs, nBits, 1)},
+       |    CAST(2 ** (list_position(list_transform($projs, p -> abs(p)),
+       |      list_sort(list_transform($projs, p -> abs(p)))[2]) - 1) AS BIGINT))""".stripMargin
+
   /** Sign-random-projection bucket code: `nBits` hyperplanes whose ±1
     * weights come from a deterministic integer mix of (table, bit, dim).
     * Pure column expressions — codegen'd, no UDF.
@@ -439,6 +449,26 @@ object Similarity {
     val idx = array_position(absArr, element_at(array_sort(absArr), rank)) // 1-based
     codeOf(projs, nBits)
       .bitwiseXOR(pow(lit(2.0), (idx - 1).cast(DoubleType)).cast("int"))
+  }
+
+  /** Combined multi-probe code: flip the rank-1 AND rank-2 lowest-margin
+    * bits TOGETHER (the {1,2} perturbation set of classic multi-probe LSH,
+    * Lv et al. 2007) — the cheapest probe that catches 2-bit
+    * disagreements, which single-bit probes provably cannot (measured:
+    * the post-T=4 recall plateau in SimilaritySpec's d23 test is entirely
+    * ≥2-bit misses). Under a rank-1/rank-2 VALUE tie both positions
+    * resolve to the same first occurrence and the double XOR cancels back
+    * to the primary code — a harmless duplicate the caller's
+    * array_distinct removes; the DuckDB replica cancels identically.
+    */
+  def probeCode12Of(projs: Column, nBits: Int): Column = {
+    val absArr = transform(projs, p => abs(p))
+    val sorted = array_sort(absArr)
+    val i1 = array_position(absArr, element_at(sorted, 1))
+    val i2 = array_position(absArr, element_at(sorted, 2))
+    codeOf(projs, nBits)
+      .bitwiseXOR(pow(lit(2.0), (i1 - 1).cast(DoubleType)).cast("int"))
+      .bitwiseXOR(pow(lit(2.0), (i2 - 1).cast(DoubleType)).cast("int"))
   }
 
   /** Sign-LSH approximate top-k: index every corpus vector under its primary
@@ -625,11 +655,38 @@ object Similarity {
     * re-attach.
     */
   def crossCorpusEmbeddingNearDup(corpus: DataFrame, nTables: Int,
-      nBits: Int, cap: Int, threshold: Double): DataFrame = {
-    val coded = corpus.select(
+      nBits: Int, cap: Int, threshold: Double,
+      benchProbes: Int = 0): DataFrame = {
+    // benchProbes > 0 = BENCHMARK-SIDE multi-probe (s02's T-probe trick,
+    // r14 verdict ask #2): bench vectors additionally probe the codes
+    // with their `benchProbes` lowest-margin bits flipped — the flips a
+    // paraphrase-drifted original is most likely to differ in. The
+    // recall lever costs ONLY bench-side rows (|bench|·probes extra
+    // bucket entries): the train side still indexes under its primary
+    // code alone, so train-side cost is unchanged at any corpus size.
+    // Probe codes derive from the SAME materialized projection array as
+    // the primary (the r13 lambda-materialization rule); array_distinct
+    // keeps bucket occupancy counts well-defined when a probe ties.
+    val proj = corpus.select(
       col("vec_id").as("doc_id"), col("is_new"),
       posexplode(array((0 until nTables).map(t =>
-        lshCode(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "code")))
+        lshProjs(col("embedding"), t, nBits)): _*)).as(Seq("tbl", "projs")))
+    val primary = codeOf(col("projs"), nBits)
+    val codes =
+      if (benchProbes <= 0) array(primary)
+      else {
+        // probe set: the primary, `benchProbes` single-bit lowest-margin
+        // flips, and — from T=2 up — the {1,2} pair flip (the only way
+        // to reach a 2-bit disagreement; single-bit probes plateau)
+        val probes =
+          (1 to benchProbes).map(r => probeCodeOf(col("projs"), nBits, r)) ++
+            (if (benchProbes >= 2)
+               Seq(probeCode12Of(col("projs"), nBits)) else Nil)
+        when(col("is_new"), array_distinct(array(primary +: probes: _*)))
+          .otherwise(array(primary))
+      }
+    val coded = proj.select(col("doc_id"), col("is_new"), col("tbl"),
+      explode(codes).as("code"))
     val cand = Dedup.bucketCandidatesIncremental(coded, Seq("tbl", "code"), cap)
     cand
       .join(corpus.select(col("vec_id").as("a_id"),
@@ -861,7 +918,8 @@ object Similarity {
     QuerySpec(
       "d23_semantic_decontam",
       (s, d) => crossCorpusEmbeddingNearDup(decontamCorpus(emb(s, d)),
-          nTables = 4, nBits = 10, cap = 100, threshold = 0.98)
+          nTables = 4, nBits = 10, cap = 100, threshold = 0.98,
+          benchProbes = 2)
         .select(col("train_id"),
           (col("bench_id") - 5000000L).as("bench_src"), col("cos"))
         .orderBy("train_id", "bench_src"),
@@ -1536,8 +1594,16 @@ object Similarity {
        |    ${duckProjs("embedding")} AS projs
        |  FROM corpus CROSS JOIN hyp),
        |coded AS MATERIALIZED (
-       |  SELECT vec_id, embedding, is_new, tbl, ${duckCode("projs", 10)} AS code
-       |  FROM proj),
+       |  SELECT vec_id, embedding, is_new, tbl, u.code AS code
+       |  FROM (
+       |    SELECT vec_id, embedding, is_new, tbl,
+       |      CASE WHEN is_new
+       |        THEN list_distinct([${duckCode("projs", 10)},
+       |          ${duckProbe("projs", 10, 1)},
+       |          ${duckProbe("projs", 10, 2)},
+       |          ${duckProbe12("projs", 10)}])
+       |        ELSE [${duckCode("projs", 10)}] END AS cs
+       |    FROM proj) c, UNNEST(c.cs) AS u(code)),
        |hot AS (
        |  SELECT tbl, code FROM coded GROUP BY tbl, code
        |  HAVING COUNT(*) > 100),

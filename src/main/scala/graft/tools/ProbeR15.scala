@@ -1,0 +1,200 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 scale probes (one JSONL line per section, the ScaleProbe
+  * format — append output to dev/scaleprobe_r15.jsonl):
+  *
+  *   runMain graft.tools.ProbeR15 <section> [n]
+  *
+  * Sections:
+  *   - `d23`      (n=1M default): the r14 d23 probe under bench-side
+  *     multi-probe ({1},{2},{1,2} lowest-margin flips) — recall gate
+  *     raised 90% → 99% (r14 primary-only measured 96.0%).
+  *   - `c27skew`  (n=1M): one language at 99% of the corpus — quantifies
+  *     where the exact path's single-task per-language score buffer
+  *     falls over and that the percentile_approx path holds flat.
+  *   - `p01chain` (n=10M): the full publish chain (plant → line-dedup →
+  *     Gopher gate → exact dedup → manifest) at n short docs AND at
+  *     n/10, asserting the wall scales ~linearly (every 10× so far has
+  *     exposed exactly one quadratic: d05 r10, t19 r13+r14).
+  *   - `t18t19long` (n=1M): markup extraction and repeated-span strip
+  *     on 1M × 1k-word docs (the r14 t19long probe 5× bigger).
+  *
+  * Run with SPARK_DRIVER_MEM=48g (build.sbt forwards it to -Xmx).
+  */
+object ProbeR15 {
+  def main(args: Array[String]): Unit = {
+    val section = args.headOption.getOrElse("d23")
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors().toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def gen(n: Long): DataFrame = spark.read.format("graft-gen")
+      .option("rows", n.toString).option("parts", "64").load()
+      .select(col("doc_id"), col("text"), col("lang"))
+
+    section match {
+      case "d23" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        val baseEmb = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            ((pmod(xxhash64(col("id"), i), lit(2001)) - 1000)
+              .cast("double") / 1000.0).cast("float")).as("embedding"))
+        val (stats, t) = time {
+          val train = baseEmb.withColumn("is_new", lit(false))
+          val bench = baseEmb.filter(col("vec_id") % 100 === 0)
+            .select((col("vec_id") + 1000000000L).as("vec_id"),
+              transform(col("embedding"),
+                v => (v.cast("double") * 0.95 + 0.02).cast("float"))
+                .as("embedding"),
+              lit(true).as("is_new"))
+          val pairs = graft.queries.Similarity.crossCorpusEmbeddingNearDup(
+            train.unionByName(bench), nTables = 2, nBits = 16, cap = 100,
+            threshold = 0.98, benchProbes = 2).localCheckpoint(true)
+          val found = pairs
+            .filter(col("bench_id") === col("train_id") + 1000000000L).count()
+          (pairs.count(), found)
+        }
+        val (pairsN, found) = stats
+        val planted = n / 100
+        println(s"""{"probe":"d23","train":$n,"bench":$planted,""" +
+          s""""pairs":$pairsN,"planted_found":$found,"sec":$t,""" +
+          s""""d23_ok":${found >= (planted * 99) / 100}}""")
+
+      case "c27skew" =>
+        // one language at 99%: the exact path buffers THAT language's
+        // full (avg_nll, doc_id) list in a single aggregation task; the
+        // approx path keeps bounded sketch state per language. Walk n
+        // up in doublings from the given base to quantify both walls.
+        val n0 = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        for (n <- Seq(n0, n0 * 2, n0 * 4)) {
+          val docs = gen(n).select(col("doc_id"), col("text"),
+            when(col("doc_id") % 100 === 0, col("lang"))
+              .otherwise(lit("en")).as("lang"))
+            .localCheckpoint(true)
+          val exact = try {
+            val (cnt, tE) = time {
+              graft.queries.Corpus.perplexityBuckets(docs).count()
+            }
+            s""""exact_rows":$cnt,"exact_sec":$tE"""
+          } catch {
+            case e: Throwable =>
+              s""""exact_error":"${e.getClass.getSimpleName}""""
+          }
+          val (aCnt, tA) = time {
+            graft.queries.Corpus.perplexityBucketsApprox(docs).count()
+          }
+          println(s"""{"probe":"c27skew","docs":$n,"en_share":0.99,""" +
+            s"""$exact,"approx_rows":$aCnt,"approx_sec":$tA,""" +
+            s""""c27skew_ok":${aCnt == n}}""")
+          docs.unpersist()
+        }
+
+      case "p01chain" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(10000000L)
+        import graft.queries.{Dedup, TextOps}
+        def chain(nDocs: Long): (Long, Double) = {
+          // generator tokens carry no English stopwords and 1/9 of docs
+          // sit under Gopher's 20-word floor, so a stopword-bearing
+          // prose prefix makes the quality gate a real FUNNEL here
+          // (most docs pass, short ones still drop) instead of a
+          // drop-everything wall
+          val planted = gen(nDocs).select(col("doc_id"),
+            concat(lit("src"), pmod(col("doc_id"), lit(4)).cast("string"))
+              .as("source"),
+            graft.queries.LineDedup.plantText(col("doc_id"),
+              concat(lit("the quick data of the stream is here "),
+                col("text"))).as("text"))
+          time {
+            val cleaned = Dedup.lineKeep(planted.select("doc_id", "text"))
+              .groupBy("doc_id")
+              .agg(graft.queries.LineDedup.keptTextAgg.as("text"))
+              .join(planted.select("doc_id", "source"), "doc_id")
+            val Seq(nw, mwl, nst, rep) = TextOps.Gopher.signals(col("text"))
+            val scored = cleaned
+              .withColumn("n_words", nw)
+              .withColumn("mwl", mwl)
+              .withColumn("n_stop", nst)
+              .withColumn("rep", rep)
+              .filter(TextOps.Gopher.keep(
+                col("n_words"), col("mwl"), col("n_stop"), col("rep")))
+            val keeper = scored
+              .groupBy(md5(col("text")).as("digest"))
+              .agg(min(col("doc_id")).as("doc_id"))
+            scored.join(keeper, Seq("doc_id"))
+              .select(col("doc_id"), col("source"), col("n_words"),
+                md5(col("text")).as("text_md5"))
+              .count()
+          }
+        }
+        val (rowsSmall, tSmall) = chain(n / 10)
+        val (rowsBig, tBig) = chain(n)
+        val ratio = tBig / tSmall
+        println(s"""{"probe":"p01chain","docs":$n,"rows":$rowsBig,""" +
+          s""""rows_small":$rowsSmall,"sec":$tBig,"sec_small":$tSmall,""" +
+          s""""ratio_10x":$ratio,"p01chain_ok":${
+            rowsBig > 0 && ratio <= 15.0}}""")
+
+      case "t18t19long" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        val longDocs = gen(n)
+          .select(col("doc_id"), col("lang"),
+            concat_ws(" ", flatten(transform(sequence(lit(0), lit(24)),
+              i => array(col("text"), concat(lit("seg"), i.cast("string"))))))
+              .as("text"))
+          .localCheckpoint(true)
+        locally {
+          val (stats, t) = time {
+            val out = graft.queries.TextOps.markupExtract(
+              longDocs.select(col("doc_id"), col("text"), col("lang")))
+              .localCheckpoint(true)
+            val want = longDocs.select(col("doc_id"), md5(concat(
+              col("text"), lit(" more about "), col("lang"),
+              lit(" topics see related "), col("doc_id").cast("string"),
+              lit(" here"))).as("want"))
+            (out.count(),
+              out.filter(col("n_kept") =!= 2).count(),
+              out.join(want, "doc_id")
+                .filter(col("extracted_md5") =!= col("want")).count())
+          }
+          val (nOut, badKeep, mismatch) = stats
+          println(s"""{"probe":"t18long","docs":$n,"extracted":$nOut,""" +
+            s""""bad_keeps":$badKeep,"md5_mismatches":$mismatch,"sec":$t,""" +
+            s""""t18long_ok":${nOut == n && badKeep == 0 && mismatch == 0}}""")
+        }
+        locally {
+          val (stats, t) = time {
+            val out = graft.queries.TextOps.repeatedSpanStrip(
+              longDocs.select(col("doc_id"), col("text")))
+              .localCheckpoint(true)
+            val orig = longDocs.select(col("doc_id"),
+              md5(col("text")).as("om"))
+            val j = out.join(orig, "doc_id")
+            (out.count(),
+              j.filter(col("doc_id") % 5 === 0 && col("n_dupes") < 1).count(),
+              j.filter(col("doc_id") % 5 =!= 0 && col("n_dupes") === 0 &&
+                col("cleaned_md5") =!= col("om")).count(),
+              j.agg(avg(col("n_chunks"))).head().getDouble(0))
+          }
+          val (nOut, plantMiss, idBreak, avgChunks) = stats
+          println(s"""{"probe":"t19long","docs":$n,"stripped":$nOut,""" +
+            s""""plants_missed":$plantMiss,"identity_breaks":$idBreak,""" +
+            s""""avg_chunks":$avgChunks,"sec":$t,""" +
+            s""""t19long_ok":${nOut == n && plantMiss == 0 && idBreak == 0}}""")
+        }
+
+      case other =>
+        println(s"""{"probe":"$other","error":"unknown section"}""")
+    }
+    spark.stop()
+  }
+}

@@ -1253,16 +1253,18 @@ object ScaleProbe {
             lit(true).as("is_new"))
         val pairs = graft.queries.Similarity.crossCorpusEmbeddingNearDup(
           train.unionByName(bench), nTables = 2, nBits = 16, cap = 100,
-          threshold = 0.98).localCheckpoint(true)
+          threshold = 0.98, benchProbes = 2).localCheckpoint(true)
         val found = pairs
           .filter(col("bench_id") === col("train_id") + 1000000000L).count()
         (pairs.count(), found)
       }
       val (d23Pairs, d23Found) = d23Stats
       val d23Planted = n / 100
+      // r15: bench-side multi-probe ({1},{2},{1,2} lowest-margin flips)
+      // raised the recall gate 90% -> 99% (r14 primary-only measured 96%)
       println(s"""{"probe":"d23","train":$n,"bench":$d23Planted,""" +
         s""""pairs":$d23Pairs,"planted_found":$d23Found,"sec":$tD23,""" +
-        s""""d23_ok":${d23Found >= (d23Planted * 90) / 100}}""")
+        s""""d23_ok":${d23Found >= (d23Planted * 99) / 100}}""")
     }
 
     // ---- t19long probe: repeated-span strip on 1k-WORD docs ----

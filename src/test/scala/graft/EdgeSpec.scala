@@ -387,6 +387,58 @@ class EdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("t07b: overlapping/adjacent PII resolves by phone→IP→ID precedence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc_id % 10 == 9 → the engine's own residue plant appends nothing,
+    // so these crafted texts pass through verbatim. Each case makes the
+    // scrub ORDER observable: the earlier pattern consumes characters the
+    // later one needed, so any reordering changes the md5.
+    val cases = Seq(
+      // phone's tail digits ARE the IP's first octet's prefix: phone
+      // (no \b in its regex) fires first mid-string → "1.2.3.<PHONE>";
+      // IP-first would have yielded "<IP>-789-0123"
+      (9L, "1.2.3.456-789-0123"),
+      // IP's last octet heads the ID candidate: IP fires (before ID in
+      // the chain) → "<IP>-12-3456"; ID-first would yield "123.45.67.<ID>"
+      (19L, "123.45.67.890-12-3456"),
+      // ID's tail digits head a phone-shaped run: phone fires FIRST →
+      // "123-45-6<PHONE>", destroying the ID match entirely
+      (29L, "123-45-6789-012-3456"),
+      // adjacency control: all three patterns disjoint → all scrub
+      (39L, "call 555-123-4567 at 9.8.7.6 ref 111-22-3333"),
+    )
+    val out = graft.queries.TextOps.piiBreadth(
+      cases.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // independent single-node reference: the SAME documented order,
+    // applied with plain Java regex — pins the engine to the contract
+    val phoneRe = "(\\+1 )?(\\(\\d{3}\\) |\\d{3}[- ])\\d{3}[- ]\\d{4}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val idRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    def refScrub(s: String): String = s
+      .replaceAll(phoneRe, "<PHONE>")
+      .replaceAll(ipRe, "<IP>")
+      .replaceAll(idRe, "<ID>")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((id, text) <- cases)
+      assert(out(id)._4 == md5hex(refScrub(text)),
+        s"doc $id: scrub diverged from the pinned order on '$text'")
+    // the count columns are PER-PATTERN (computed independently on the
+    // raw text), so overlapping candidates each count even though the
+    // scrub lets only the higher-precedence one fire
+    assert(out(9L) ==
+      ((1L, 1L, 0L, md5hex("1.2.3.<PHONE>"))), s"${out(9L)}")
+    assert(out(19L)._4 == md5hex("<IP>-12-3456"))
+    assert(out(29L)._4 == md5hex("123-45-6<PHONE>"))
+    assert(out(39L)._1 == 1L && out(39L)._2 == 1L && out(39L)._3 == 1L)
+    assert(out(39L)._4 ==
+      md5hex("call <PHONE> at <IP> ref <ID>"))
+  }
+
   test("t21: suffix-match blocks subdomains downward, never parents upward") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -409,4 +409,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == expected,
       s"fused ranking diverged:\n got ${out.toSeq}\n exp $expected")
   }
+
+  test("d23 bench-side multi-probe lifts planted recall at production width") {
+    import org.apache.spark.sql.functions._
+    // the 1M-probe production config (2 tables, 16-bit codes): buckets
+    // are near-singletons, so a paraphrase-drifted bench vector finds its
+    // source ONLY if all 16 sign bits agree in some table — the regime
+    // where primary-only recall visibly drops and the two lowest-margin
+    // flips (exactly the bits drift is most likely to have crossed)
+    // buy it back, at |bench|-proportional cost only.
+    val e = graft.engine.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val train = e.withColumn("is_new", lit(false))
+    val bench = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 5000000L).as("vec_id"),
+        transform(col("embedding"),
+          v => (v.cast("double") * 0.95 + 0.02).cast("float"))
+          .as("embedding"),
+        lit(true).as("is_new"))
+    val corpus = train.unionByName(bench).localCheckpoint(true)
+    val planted = bench.count()
+    def recall(probes: Int): Long =
+      graft.queries.Similarity.crossCorpusEmbeddingNearDup(corpus,
+          nTables = 2, nBits = 16, cap = 100, threshold = 0.98,
+          benchProbes = probes)
+        .filter(col("bench_id") === col("train_id") + 5000000L)
+        .count()
+    val r0 = recall(0)
+    val r2 = recall(2)
+    val r4 = recall(4)
+    info(s"planted=$planted primary-only=$r0 probed2=$r2 probed4=$r4")
+    assert(r2 > r0, s"multi-probe must lift recall: $r0 -> $r2 of $planted")
+    assert(r4 >= r2, s"more probes must not lose pairs: $r2 -> $r4")
+    assert(r2 >= (planted * 85) / 100,
+      s"probed recall $r2/$planted below 85%")
+  }
 }
