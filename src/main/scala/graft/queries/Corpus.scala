@@ -375,8 +375,13 @@ object Corpus {
         val tokens = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val df = tokens.select("doc_id", "token").distinct()
-          .groupBy("token").agg(count(lit(1)).as("df"))
+        // df derives from tf (one row per (doc,token) already) — the
+        // standard tf-idf identity. The plan still carries TWO text scans,
+        // and that is the OPTIMAL shape (r15 ScanAudit): Catalyst pushes
+        // the final doc_id<10 through the join into the tf branch (so that
+        // scan reads ~10 docs), while the df branch must read the full
+        // corpus for corpus-wide document frequencies.
+        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
         tf.join(df, "token")
           .crossJoin(broadcast(nDocs))
           .withColumn("tf_idf",
@@ -600,10 +605,14 @@ object Corpus {
     QuerySpec(
       "c12_mixing_weights",
       (s, d) => {
+        // |sources|-row frame consumed twice (totals + join): checkpoint —
+        // the d21 pattern — so the corpus text is scanned ONCE, not per
+        // consumer (r15 ScanAudit found the double scan)
         val bySrc = Tables(s, d, "documents")
           .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+          .localCheckpoint(true)
         val tot = broadcast(bySrc.agg(
           sum(col("n_tokens")).as("tot_tokens"),
           count(lit(1)).as("n_sources")))
@@ -872,6 +881,11 @@ object Corpus {
               "^https://([^/]+)", 1).as("host"),
             md5(col("text")).as("digest"),
             size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+          // narrow per-doc frame consumed by THREE aggregations below:
+          // checkpoint (the d21 pattern) so text is scanned once, not 3×
+          // (r15 ScanAudit) — ~60 B/doc materialized vs two extra full
+          // corpus scans at 100 TB
+          .localCheckpoint(true)
         val digs = base.groupBy("digest").agg(count(lit(1)).as("nd"))
         val topLang = base.groupBy("host", "lang")
           .agg(count(lit(1)).as("nl"))

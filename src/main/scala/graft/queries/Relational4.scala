@@ -280,6 +280,11 @@ object Relational4 {
           .groupBy(col("l_suppkey").as("supplier_no"))
           .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("total_revenue"))
+          // the revenue view feeds both the join and its own MAX; it is
+          // supplier-sized, so checkpoint (the d21 pattern) = one lineitem
+          // scan instead of two (r15 ScanAudit) — DuckDB's CTE
+          // materialization does the same thing
+          .localCheckpoint(true)
         val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
         Tables(s, d, "supplier")
           .join(rev, col("s_suppkey") === col("supplier_no"))
