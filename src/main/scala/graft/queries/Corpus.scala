@@ -861,6 +861,37 @@ object Corpus {
               |    AS chars_per_token
               |FROM agg ORDER BY lang""".stripMargin),
     ),
+    // Temperature-scaled multilingual mixing — see [[temperatureMix]]:
+    // q_l ∝ p_l^α per language (the XLM-R balancing rule), at α = 1/2 and
+    // 1/4 because IEEE sqrt is correctly rounded in BOTH engines while
+    // pow/exp/ln are libm-build-dependent (the c05 no-log precedent —
+    // α=0.3 would differ in the last ulp across engines).
+    QuerySpec(
+      "c29_temperature_mix",
+      (s, d) => temperatureMix(Tables(s, d, "documents")),
+      Some(s"""WITH by_lang AS (
+              |  SELECT lang, COUNT(*) AS n_docs,
+              |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY lang),
+              |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM by_lang),
+              |shares AS (
+              |  SELECT lang, n_docs, n_tokens,
+              |    CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS token_share,
+              |    sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS r_half,
+              |    sqrt(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)))
+              |      AS r_quarter
+              |  FROM by_lang, tot),
+              |norms AS (
+              |  SELECT ${Exact.sqlSum("r_half")} AS s_half,
+              |    ${Exact.sqlSum("r_quarter")} AS s_quarter
+              |  FROM shares)
+              |SELECT lang, n_docs, n_tokens, token_share,
+              |  r_half / s_half AS q_half,
+              |  (r_half / s_half) / token_share AS w_half,
+              |  r_quarter / s_quarter AS q_quarter,
+              |  (r_quarter / s_quarter) / token_share AS w_quarter
+              |FROM shares, norms ORDER BY lang""".stripMargin),
+    ),
     // Per-domain curation report — the blocklist-candidate surface every
     // web-scale pipeline maintains: for each canonical URL host (the
     // d13 fixture + canonicalizer, shared expression), doc volume, token
@@ -1620,6 +1651,52 @@ object Corpus {
           .as("tokens_per_word"),
         (col("sum_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
           .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  /** c29's engine — temperature-scaled multilingual sampling weights
+    * (Conneau et al. 2020 "Unsupervised Cross-lingual Representation
+    * Learning at Scale" §3: q_l = p_l^α / Σ_j p_j^α, the balancing rule
+    * every multilingual pretraining mix uses; w_l = q_l / p_l is the
+    * up/down-sampling multiplier a sampler applies to language l, and
+    * also its expected epoch count under an unchanged token budget).
+    *
+    * α is exposed at 1/2 and 1/4 (T=2 and T=4) rather than the customary
+    * 0.3: p^(1/2) and p^(1/4) are sqrt chains, and IEEE-754 sqrt is
+    * correctly rounded in both Spark and DuckDB, so the outputs are
+    * bit-identical cross-engine. pow(p, 0.3) routes through libm
+    * (exp/ln) and differs in the last ulp between builds — the c05
+    * no-log precedent. The Σ p^α normalizers go through the decimal-
+    * exact accumulator so they are partitioning-invariant.
+    *
+    * Scale shape: ONE corpus pass (lang-keyed partial+final agg, |langs|
+    * rows of state), checkpointed; everything downstream operates on the
+    * |langs|-row frame with 1-row broadcast totals. 100 TB cost = one
+    * scan, one narrow shuffle.
+    */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val byLang = docs
+      .select(col("lang"), size(split(col("text"), " ")).cast(LongType).as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .localCheckpoint(true)
+    val tot = broadcast(byLang.agg(sum(col("n_tokens")).as("tot")))
+    val shares = byLang.crossJoin(tot)
+      .withColumn("token_share",
+        col("n_tokens").cast(DoubleType) / col("tot").cast(DoubleType))
+      .withColumn("r_half", sqrt(col("token_share")))
+      .withColumn("r_quarter", sqrt(sqrt(col("token_share"))))
+      .localCheckpoint(true) // |langs| rows, consumed by norms + output
+    val norms = broadcast(shares.agg(
+      Exact.dsum(col("r_half")).as("s_half"),
+      Exact.dsum(col("r_quarter")).as("s_quarter")))
+    shares.crossJoin(norms)
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("token_share"),
+        (col("r_half") / col("s_half")).as("q_half"),
+        ((col("r_half") / col("s_half")) / col("token_share")).as("w_half"),
+        (col("r_quarter") / col("s_quarter")).as("q_quarter"),
+        ((col("r_quarter") / col("s_quarter")) / col("token_share"))
+          .as("w_quarter"))
       .orderBy("lang")
   }
 

@@ -434,4 +434,43 @@ class CorpusSpec extends AnyFunSuite {
     for (l <- Seq("es", "fr"))
       assert(cpt(l) > cpt("en"), s"$l=${cpt(l)} en=${cpt("en")}")
   }
+
+  test("c29: temperature flattening — minority langs upsample, majority downsamples") {
+    import spark.implicits._
+    // planted 100:10:1 token skew across three languages
+    val skewed = (
+      (0L until 100L).map(i => (i, Seq.fill(10)("tok").mkString(" "), "big")) ++
+      (100L until 110L).map(i => (i, Seq.fill(10)("tok").mkString(" "), "mid")) ++
+      Seq((110L, Seq.fill(10)("tok").mkString(" "), "rare"))
+    ).toDF("doc_id", "text", "lang")
+    val out = Corpus.temperatureMix(skewed).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+         r.getDouble(6), r.getDouble(7))).toMap
+    val (pBig, qBigH, wBigH, qBigQ, wBigQ) = out("big")
+    val (pRare, qRareH, wRareH, qRareQ, wRareQ) = out("rare")
+    // sampling distributions normalize exactly (decimal-exact Σ)
+    val sumQH = out.values.map(_._2).sum
+    val sumQQ = out.values.map(_._4).sum
+    // 1e-9: the normalizer is the decimal-scale-10 exact sum, so Σq
+    // reconstructs 1 up to the per-term quantization, not the ulp
+    assert(math.abs(sumQH - 1.0) < 1e-9 && math.abs(sumQQ - 1.0) < 1e-9)
+    // the flattening law: the majority language downsamples (w<1), the
+    // minority upsamples (w>1), at both temperatures
+    assert(wBigH < 1.0 && wBigQ < 1.0, s"big w: $wBigH $wBigQ")
+    assert(wRareH > 1.0 && wRareQ > 1.0, s"rare w: $wRareH $wRareQ")
+    // α=1/4 is FLATTER than α=1/2: rarer lang gets a bigger boost, the
+    // majority a bigger cut
+    assert(wRareQ > wRareH, s"rare: quarter=$wRareQ half=$wRareH")
+    assert(wBigQ < wBigH, s"big: quarter=$wBigQ half=$wBigH")
+    // q preserves the raw ORDER (flattens, never inverts)
+    assert(qBigH > qRareH && qBigQ > qRareQ)
+    // closed form at α=1/2: q = sqrt(p)/Σsqrt(p) — spot-check one value
+    // (1e-9: the engine's normalizer quantizes each term at decimal
+    // scale 10, the double reference here does not)
+    val ps = out.values.map(_._1)
+    val norm = ps.map(math.sqrt).sum
+    assert(math.abs(qRareH - math.sqrt(pRare) / norm) < 1e-9)
+    assert(math.abs(pBig - 100.0 / 111.0) < 1e-12)
+  }
 }
