@@ -1246,6 +1246,57 @@ object TextOps {
           |  list_min(matched) AS rule
           |FROM mt ORDER BY doc_id""".stripMargin),
     ),
+    // Host-prior quality filtering — see [[hostPriorFilter]]: blend each
+    // doc's classifier score with its host's mean score, so borderline
+    // docs on consistently-good hosts are rescued and polished docs on
+    // spam hosts are sunk (the domain-level quality propagation step of
+    // web-curation pipelines). Oracle reuses t13's proven score chain +
+    // the d13 URL canonicalization CTEs.
+    QuerySpec(
+      "t22_host_prior_filter",
+      (s, d) => hostPriorFilter(docs(s, d)),
+      Some {
+        import graft.engine.{DuckHash, Exact}
+        s"WITH ${graft.queries.Dedup.duckUrlCanonCtes},\n" +
+          s"""tk AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ft AS (
+             |  SELECT doc_id, list_concat(toks,
+             |    list_transform(range(1, len(toks)),
+             |      i -> toks[i] || ' ' || toks[i+1])) AS feats
+             |  FROM tk),
+             |ws AS (
+             |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+             |    list_transform(${DuckHash.mixChain("feats")},
+             |      v -> CAST(CAST(CAST(${DuckHash.signed("v")} AS DOUBLE)
+             |                     / 9.223372036854775808e18 AS VARCHAR)
+             |                AS DECIMAL(38,10))) AS wd
+             |  FROM ft),
+             |scored AS (
+             |  SELECT doc_id,
+             |    CAST(CAST(list_reduce(list_prepend(0::DECIMAL(38,10), wd),
+             |           (a, b) -> a + b) AS VARCHAR) AS DOUBLE)
+             |      / CAST(n_feats AS DOUBLE) AS score
+             |  FROM ws),
+             |based AS (
+             |  SELECT s.doc_id,
+             |    regexp_extract(c.canonical_url, '^https://([^/]+)', 1) AS host,
+             |    s.score
+             |  FROM scored s JOIN canon c USING (doc_id)),
+             |prior AS (
+             |  SELECT host,
+             |    ${Exact.sqlSum("score")} / CAST(COUNT(*) AS DOUBLE)
+             |      AS host_prior
+             |  FROM based GROUP BY host)
+             |SELECT b.doc_id, b.host, b.score, p.host_prior,
+             |  0.5 * b.score + 0.5 * p.host_prior AS combined,
+             |  (0.5 * b.score + 0.5 * p.host_prior) > 0.0 AS keep,
+             |  ((0.5 * b.score + 0.5 * p.host_prior) > 0.0) <> (b.score > 0.0)
+             |    AS flipped
+             |FROM based b JOIN prior p USING (host)
+             |ORDER BY doc_id""".stripMargin
+      },
+    ),
     // Distributed quality-classifier TRAINING — see [[classifierTrain]]
     // for the full design narrative (hashed features, algebraic sigmoid,
     // decimal-exact full-batch rounds, broadcast model serve). The oracle
@@ -1610,6 +1661,50 @@ object TextOps {
       .select(col("doc_id"), col("host"),
         (size(col("matched")) > 0).as("blocked"),
         array_min(col("matched")).as("rule"))
+      .orderBy("doc_id")
+  }
+
+  /** t22's engine — host-prior quality filtering: the domain-level quality
+    * propagation step of web curation pipelines (a host whose documents
+    * consistently score well lends credit to its borderline pages;
+    * a spam host drags down its occasional polished page). Each doc's
+    * final decision blends its own t13 classifier score with its host's
+    * mean score: combined = 0.5·score + 0.5·host_prior, keep ⇔
+    * combined > 0 (0.5 is a power of two, and a two-term fp sum is
+    * exactly rounded — cross-engine bit-identical). `flipped` marks docs
+    * whose decision the prior changed (the operator's observable effect).
+    *
+    * Scale shape: scoring is map-side (t13's scan-speed serve), the host
+    * prior is ONE narrow shuffle over a (host, score) frame —
+    * checkpointed (the d21 pattern) so text is scanned once — and the
+    * prior join is SIZE-GATED like c13's model join: broadcast while the
+    * host table fits (`broadcastHostsMax`), shuffle-hash join on `host`
+    * past it (the open web is ~100M+ hosts — beyond any broadcast).
+    * Both paths value-identical (EdgeSpec pins it). The host prior's
+    * mean goes through the decimal-exact accumulator so it is
+    * partitioning-invariant.
+    */
+  def hostPriorFilter(in: DataFrame,
+      broadcastHostsMax: Long = 1L << 20): DataFrame = {
+    import graft.engine.Exact
+    val base = in.select(col("doc_id"),
+        regexp_extract(Dedup.canonicalUrl(Dedup.syntheticUrl),
+          "^https://([^/]+)", 1).as("host"),
+        classifierScore(col("text")).as("score"))
+      .localCheckpoint(true) // narrow per-doc frame, consumed twice
+    val prior = base.groupBy("host")
+      .agg((Exact.dsum(col("score")) / count(lit(1)).cast(DoubleType))
+        .as("host_prior"))
+      .localCheckpoint(true)
+    val joined =
+      if (prior.count() <= broadcastHostsMax) base.join(broadcast(prior), "host")
+      else base.join(prior, "host")
+    joined
+      .select(col("doc_id"), col("host"), col("score"), col("host_prior"),
+        (lit(0.5) * col("score") + lit(0.5) * col("host_prior"))
+          .as("combined"))
+      .withColumn("keep", col("combined") > 0.0)
+      .withColumn("flipped", col("keep") =!= (col("score") > 0.0))
       .orderBy("doc_id")
   }
 

@@ -439,6 +439,35 @@ class EdgeSpec extends AnyFunSuite {
       md5hex("call <PHONE> at <IP> ref <ID>"))
   }
 
+  test("t22: host prior is the exact per-host mean; broadcast/shuffle paths agree; flips exist") {
+    val docs = graft.engine.Tables(spark, sf, "documents")
+    val viaBroadcast = graft.queries.TextOps.hostPriorFilter(docs).collect()
+    val viaShuffle = graft.queries.TextOps
+      .hostPriorFilter(docs, broadcastHostsMax = 0).collect()
+    assert(viaBroadcast.length == viaShuffle.length && viaBroadcast.nonEmpty)
+    viaBroadcast.zip(viaShuffle).foreach { case (a, b) =>
+      assert(a == b, s"path divergence at doc ${a.getLong(0)}")
+    }
+    val rows = viaBroadcast.map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getBoolean(5), r.getBoolean(6)))
+    // every doc of a host carries the same prior, and the prior is the
+    // host's mean score (1e-9: engine sums via decimal scale 10, the
+    // driver reference here in plain double)
+    rows.groupBy(_._2).foreach { case (host, hs) =>
+      assert(hs.map(_._4).distinct.length == 1, s"prior differs within $host")
+      val mean = hs.map(_._3).sum / hs.length
+      assert(math.abs(hs.head._4 - mean) < 1e-9, s"$host prior vs mean")
+    }
+    // the blend and both flags are definitional, bit-exact
+    rows.foreach { case (id, _, score, prior, combined, keep, flipped) =>
+      assert(combined == 0.5 * score + 0.5 * prior, s"doc $id combined")
+      assert(keep == (combined > 0.0) && flipped == (keep != (score > 0.0)))
+    }
+    // the prior actually CHANGES decisions on this corpus (rescues/sinks)
+    assert(rows.count(_._7) > 0, "no doc flipped — prior is inert")
+  }
+
   test("t21: suffix-match blocks subdomains downward, never parents upward") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
