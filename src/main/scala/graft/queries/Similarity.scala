@@ -720,6 +720,141 @@ object Similarity {
         col("r.embedding").as("embedding"), col("r.is_new").as("is_new"))
   }
 
+  // ---- s14: PCA projection ------------------------------------------
+  // Shared constants (engine default AND oracle builder — hoisted per the
+  // r14 lazy-val lesson so the two sides cannot drift).
+  private[graft] val S14Dim = 64
+  private[graft] val S14K = 4
+  private[graft] val S14Rounds = 24
+
+  /** Quantize a double at decimal scale 10, exactly as Spark's
+    * double→DECIMAL(38,10) cast (shortest-string, HALF_UP) and DuckDB's
+    * VARCHAR-hopped cast do — the driver-side leg of the [[graft.engine.Exact]]
+    * mechanism, so eigen math done on the driver reproduces the oracle's
+    * CTE arithmetic bit-for-bit.
+    */
+  private def decQ(d: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(d).setScale(10, java.math.RoundingMode.HALF_UP)
+
+  /** Partitioning-invariant decimal-exact sum of already-computed double
+    * terms; mirrors Exact.dsum / Exact.sqlSumNarrow at scale 10.
+    */
+  private def decSum(ts: Iterable[Double]): Double =
+    ts.foldLeft(java.math.BigDecimal.ZERO)((a, t) => a.add(decQ(t))).doubleValue
+
+  /** s14's fit: per-dim mean and covariance (both decimal-exact Spark
+    * aggregations — a 2-pass fit, the canonical PCA dataflow), then top-`k`
+    * eigenpairs by POWER ITERATION with deflation on the collected 64×64
+    * matrix. The collects are bounded by construction (64 and 64² values —
+    * the BPE-argmax precedent), never corpus-sized. Every driver-side
+    * operation (multiply, subtract, divide, sqrt = IEEE exactly rounded;
+    * sums = [[decSum]]) matches the oracle's unrolled CTE chain term for
+    * term, so the eigenvectors — and therefore the projections — are
+    * bit-identical cross-engine (the t20 unrolled-rounds pattern applied
+    * to eigendecomposition).
+    *
+    * Start vector is the constant 1/8 = 1/√64 (exactly representable);
+    * `rounds` is FIXED — parity needs identical arithmetic, not
+    * convergence tests. Sign convention: flip so the largest-|component|
+    * coordinate (ties → smallest index) is positive. Deflation uses the
+    * UNFLIPPED vector (vvᵀ is sign-invariant) — the oracle does the same.
+    */
+  private[graft] def pcaFit(e: DataFrame, dim: Int = S14Dim, k: Int = S14K,
+      rounds: Int = S14Rounds): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val xv = e.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("i", "v")))
+    val muRows = xv.groupBy("i")
+      .agg((graft.engine.Exact.dsum(col("v")) /
+        count(lit(1)).cast(DoubleType)).as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mu = Array.tabulate(dim)(muRows)
+    val muLit = array(mu.map(lit(_)): _*)
+    // centered frame built map-side from the scan (no mean join needed —
+    // mu is a literal); the self-join on vec_id expands to n·d² product
+    // rows which partial aggregation absorbs to d² per partition.
+    val xc = e.select(col("vec_id"),
+        posexplode(zip_with(col("embedding").cast("array<double>"), muLit,
+          (x, m) => x - m)).as(Seq("i", "xc")))
+    val n = lit(e.count().toDouble)
+    val cRows = xc.join(xc.select(col("vec_id"),
+          col("i").as("j"), col("xc").as("yc")), "vec_id")
+      .groupBy("i", "j")
+      .agg((graft.engine.Exact.dsum(col("xc") * col("yc")) / n).as("cv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val c = Array.tabulate(dim, dim)((i, j) => cRows((i, j)))
+    val c0 = Array.tabulate(dim, dim)((i, j) => c(i)(j))
+    // phase 1: deflated power iteration — drives each vector toward a
+    // DISTINCT leading direction. On a densely-spaced (Marchenko-Pastur-
+    // like) spectrum a fixed round count cannot also deliver strict
+    // orthogonality, so that is enforced structurally in phase 2.
+    val vs = Array.ofDim[Array[Double]](k)
+    for (comp <- 0 until k) {
+      var v = Array.fill(dim)(0.125)
+      for (_ <- 1 to rounds) {
+        val w = Array.tabulate(dim)(i => decSum((0 until dim).map(j => c(i)(j) * v(j))))
+        val norm = math.sqrt(decSum(w.map(x => x * x)))
+        v = w.map(_ / norm)
+      }
+      val m = Array.tabulate(dim)(i => decSum((0 until dim).map(j => c(i)(j) * v(j))))
+      val lam = decSum((0 until dim).map(i => v(i) * m(i)))
+      for (i <- 0 until dim; j <- 0 until dim)
+        c(i)(j) = c(i)(j) - (lam * v(i)) * v(j)
+      vs(comp) = v
+    }
+    // phase 2: one Gram-Schmidt pass — orthogonality BY CONSTRUCTION
+    // (up to the decimal quantization, ~1e-7), spectrum-independent.
+    val gs = Array.ofDim[Array[Double]](k)
+    for (comp <- 0 until k) {
+      var u = vs(comp)
+      for (j <- 0 until comp) {
+        val d = decSum((0 until dim).map(i => u(i) * gs(j)(i)))
+        u = Array.tabulate(dim)(i => u(i) - (d * gs(j)(i)))
+      }
+      val norm = math.sqrt(decSum(u.map(x => x * x)))
+      gs(comp) = u.map(_ / norm)
+    }
+    // reported λ_k = gᵀ C₀ g, the Rayleigh quotient on the ORIGINAL
+    // covariance — definitionally the variance of the data projected on
+    // g_k (SimilaritySpec pins projection variance == λ).
+    val evecs = Array.ofDim[Array[Double]](k)
+    val lambdas = Array.ofDim[Double](k)
+    for (comp <- 0 until k) {
+      val g = gs(comp)
+      val m = Array.tabulate(dim)(i => decSum((0 until dim).map(j => c0(i)(j) * g(j))))
+      lambdas(comp) = decSum((0 until dim).map(i => g(i) * m(i)))
+      val kmax = (0 until dim).maxBy(i => (math.abs(g(i)), -i))
+      evecs(comp) = if (g(kmax) < 0) g.map(x => -x) else g
+    }
+    (mu, evecs, lambdas)
+  }
+
+  /** s14's engine — project every embedding onto the top-k principal
+    * components (the standard dimension-reduction step in front of
+    * PQ/IVF indexes: Jégou et al.'s OPQ lineage starts from exactly this
+    * rotation). Serving is MAP-SIDE: μ and the eigenvectors are literals
+    * folded into the scan, each projection a decimal-exact fold over the
+    * centered vector (the t13 accumulator shape) — scan-speed at 100 TB.
+    * The fit is two corpus passes + the projection pass (PCA's canonical
+    * 3-scan dataflow; ScanAudit-whitelisted).
+    */
+  def pcaProject(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (mu, evecs, _) = pcaFit(e)
+    val accT = DecimalType(27, 10)
+    val wT = DecimalType(11, 10)
+    val muLit = array(mu.map(lit(_)): _*)
+    val xcArr = zip_with(col("embedding").cast("array<double>"), muLit,
+      (x, m) => x - m)
+    def proj(ev: Array[Double]): Column = {
+      val terms = zip_with(xcArr, array(ev.map(lit(_)): _*), (a, b) => a * b)
+      aggregate(terms, lit(0).cast(accT),
+        (acc, t) => (acc + t.cast(wT)).cast(accT)).cast(DoubleType)
+    }
+    e.select(col("vec_id") +:
+      evecs.zipWithIndex.map { case (ev, i) => proj(ev).as(s"p${i + 1}") }: _*)
+      .orderBy("vec_id")
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     // Exact brute-force top-5 cosine neighbors for 10 query vectors.
     QuerySpec(
@@ -1439,7 +1574,119 @@ object Similarity {
               |ORDER BY rrf DESC, COALESCE(s.doc_id, de.doc_id)
               |LIMIT 10""".stripMargin),
     ),
+    // PCA projection — see [[pcaProject]]/[[pcaFit]]. The oracle unrolls
+    // the ENTIRE fit (decimal-exact mean + covariance, then 24 power-
+    // iteration rounds × 4 deflated components) in generated CTEs — the
+    // t20 unrolled-rounds pattern applied to eigendecomposition — so the
+    // per-vector projections are compared bit-for-bit, not approximately.
+    QuerySpec(
+      "s14_pca_project",
+      (s, d) => pcaProject(emb(s, d)),
+      Some(s14OracleSql(S14Dim, S14K, S14Rounds)),
+    ),
   )
+
+  /** s14's oracle: the full PCA fit+transform as one generated DuckDB
+    * query — mean and covariance through the narrow decimal-exact
+    * accumulator (every term bounded ≪ 10⁸), then `rounds` power-iteration
+    * steps per component with deflation, unrolled as chained MATERIALIZED
+    * CTEs (without MATERIALIZED DuckDB would inline each round into the
+    * next and the 24-round chain would blow up exponentially). Every
+    * arithmetic step mirrors [[pcaFit]]'s driver loop term for term —
+    * same quantization, same association, same sign rule — so the final
+    * projections hash-match exactly.
+    */
+  private def s14OracleSql(dim: Int, k: Int, rounds: Int): String = {
+    // Every decimal-quantized term goes through a sub-quantum flush:
+    // DuckDB's VARCHAR→DECIMAL cast mis-rounds values below 1e-11 (it
+    // rounds UP whenever the leading significant digit is ≥5, regardless
+    // of its position — 6e-12 → 1E-10 where HALF_UP gives 0; measured,
+    // r15). Under correct HALF_UP every |t| < 1e-11 rounds to 0 anyway,
+    // so the flush is semantically the IDENTITY — it only routes around
+    // the DuckDB bug. The Spark side rounds correctly and needs nothing.
+    def sqlSumNarrow(expr: String): String = graft.engine.Exact
+      .sqlSumNarrow(s"CASE WHEN abs($expr) < 1e-11 THEN 0.0 ELSE ($expr) END")
+    val sb = new StringBuilder
+    sb ++= s"""WITH xv AS MATERIALIZED (
+              |  SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS v
+              |  FROM embeddings, UNNEST(range(0, $dim)) AS t(i)),
+              |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+              |mu AS MATERIALIZED (
+              |  SELECT i, ${sqlSumNarrow("v")} / (SELECT n FROM nn) AS mu
+              |  FROM xv GROUP BY i),
+              |xc AS MATERIALIZED (
+              |  SELECT x.vec_id, x.i, x.v - m.mu AS xc
+              |  FROM xv x JOIN mu m USING (i)),
+              |cm0 AS MATERIALIZED (
+              |  SELECT a.i AS i, b.i AS j,
+              |    ${sqlSumNarrow("a.xc * b.xc")} / (SELECT n FROM nn) AS cv
+              |  FROM xc a JOIN xc b USING (vec_id) GROUP BY a.i, b.i),
+              |""".stripMargin
+    for (comp <- 0 until k) {
+      sb ++= s"v${comp}_0 AS (SELECT i, 0.125 AS v " +
+        s"FROM UNNEST(range(0, $dim)) AS t(i)),\n"
+      for (r <- 1 to rounds) {
+        sb ++= s"""w${comp}_$r AS MATERIALIZED (
+                  |  SELECT c.i, ${sqlSumNarrow("c.cv * v.v")} AS w
+                  |  FROM cm$comp c JOIN v${comp}_${r - 1} v ON c.j = v.i
+                  |  GROUP BY c.i),
+                  |v${comp}_$r AS MATERIALIZED (
+                  |  SELECT i, w / (SELECT sqrt(${sqlSumNarrow("w * w")})
+                  |    FROM w${comp}_$r) AS v
+                  |  FROM w${comp}_$r),
+                  |""".stripMargin
+      }
+      if (comp < k - 1)
+        sb ++= s"""m$comp AS MATERIALIZED (
+                  |  SELECT c.i, ${sqlSumNarrow("c.cv * v.v")} AS w
+                  |  FROM cm$comp c JOIN v${comp}_$rounds v ON c.j = v.i
+                  |  GROUP BY c.i),
+                  |l$comp AS (SELECT ${sqlSumNarrow("v.v * m.w")} AS lam
+                  |  FROM v${comp}_$rounds v JOIN m$comp m USING (i)),
+                  |cm${comp + 1} AS MATERIALIZED (
+                  |  SELECT c.i, c.j,
+                  |    c.cv - ((SELECT lam FROM l$comp) * va.v) * vb.v AS cv
+                  |  FROM cm$comp c JOIN v${comp}_$rounds va ON va.i = c.i
+                  |    JOIN v${comp}_$rounds vb ON vb.i = c.j),
+                  |""".stripMargin
+    }
+    // modified Gram-Schmidt over the deflated iterates (orthogonality by
+    // construction — each d is computed on the ALREADY-UPDATED u, exactly
+    // as the driver loop does), then the sign flip per convention.
+    for (comp <- 0 until k) {
+      sb ++= s"u${comp}_0 AS (SELECT i, v FROM v${comp}_$rounds),\n"
+      for (j <- 0 until comp) {
+        sb ++= s"""d${comp}_$j AS (SELECT ${sqlSumNarrow("u.v * g.v")} AS d
+                  |  FROM u${comp}_$j u JOIN g$j g USING (i)),
+                  |u${comp}_${j + 1} AS MATERIALIZED (
+                  |  SELECT u.i, u.v - ((SELECT d FROM d${comp}_$j) * g.v) AS v
+                  |  FROM u${comp}_$j u JOIN g$j g USING (i)),
+                  |""".stripMargin
+      }
+      sb ++= s"""g$comp AS MATERIALIZED (
+                |  SELECT i, v / (SELECT sqrt(${sqlSumNarrow("v * v")})
+                |    FROM u${comp}_$comp) AS v
+                |  FROM u${comp}_$comp),
+                |e$comp AS MATERIALIZED (
+                |  SELECT i, v * (CASE WHEN (SELECT v FROM g$comp
+                |      ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+                |    THEN -1.0 ELSE 1.0 END) AS v
+                |  FROM g$comp),
+                |""".stripMargin
+    }
+    val joins = (0 until k)
+      .map(c => s"JOIN e$c ON e$c.i = x.i").mkString(" ")
+    val ps = (0 until k)
+      .map(c => s"    ${sqlSumNarrow(s"x.xc * e$c.v")} AS p${c + 1}")
+      .mkString(",\n")
+    sb ++= s"""proj AS (
+              |  SELECT x.vec_id,
+              |$ps
+              |  FROM xc x $joins GROUP BY x.vec_id)
+              |SELECT vec_id, ${(1 to k).map("p" + _).mkString(", ")}
+              |FROM proj ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
 
   /** One DuckDB Lloyd step: assign to `prev`'s centroids (cosine argmax,
     * cell tie-break), recompute decimal-exact means — mirrors one

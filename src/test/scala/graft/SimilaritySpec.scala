@@ -444,4 +444,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 >= (planted * 85) / 100,
       s"probed recall $r2/$planted below 85%")
   }
+
+  test("s14 PCA: eigen laws hold and projections match an independent double reference") {
+    import graft.queries.Similarity
+    val e = graft.engine.Tables(spark, sf, "embeddings")
+    val (mu, evecs, lambdas) = Similarity.pcaFit(e)
+    val dim = mu.length
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // unit length + pairwise orthogonality (deflation enforces it to the
+    // extent the 24 rounds converged; the decimal-quantized norm leaves
+    // a ~1e-7 unit-length residual on late components whose pre-norm
+    // magnitudes are small — 1e-5/1e-4 are the honest bounds)
+    for (v <- evecs) assert(math.abs(dot(v, v) - 1.0) < 1e-5)
+    for (i <- evecs.indices; j <- 0 until i)
+      assert(math.abs(dot(evecs(i), evecs(j))) < 1e-4, s"e$i . e$j")
+    // descending positive spectrum (covariance is PSD)
+    for (i <- 1 until lambdas.length)
+      assert(lambdas(i - 1) >= lambdas(i) && lambdas(i) > 0, lambdas.toSeq)
+    // independent single-node reference: center with mu, project in plain
+    // double — the engine's decimal-quantized path must agree to ~1e-6
+    val raw = e.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val proj = Similarity.pcaProject(e).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getDouble).toArray).toMap
+    var varSum = 0.0
+    for ((id, x) <- raw) {
+      val xc = x.zip(mu).map { case (a, m) => a - m }
+      for (k <- 0 until 4) {
+        val ref = dot(xc, evecs(k))
+        assert(math.abs(proj(id)(k) - ref) < 1e-6, s"vec $id comp $k")
+      }
+      varSum += dot(xc, xc)
+    }
+    // captured variance: Rayleigh quotients sum to at most total variance,
+    // and the top-4 capture a nontrivial share of this 64-dim cloud
+    val n = raw.length.toDouble
+    val captured = lambdas.sum / (varSum / n)
+    assert(captured > 0.05 && captured <= 1.0 + 1e-9, s"captured=$captured")
+    // per-component sample variance of the projections equals λ (the
+    // Rayleigh quotient of the fitted direction)
+    for (k <- 0 until 4) {
+      val vs = raw.map { case (id, _) => proj(id)(k) }
+      val m = vs.sum / n
+      val sv = vs.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(sv - lambdas(k)) < 1e-6 * math.max(1.0, lambdas(k)),
+        s"comp $k: sample var $sv vs lambda ${lambdas(k)}")
+    }
+  }
 }
