@@ -243,7 +243,12 @@ object Bench {
         // ... and the round-15 additions: t20b (sample-trained model +
         // one corpus-wide broadcast serve — the deployable twin of t20),
         // c28 (tokenizer fertility under the pinned c18a merge chain)
-        "t20b_classifier_sampled", "c28_tokenizer_fertility")
+        "t20b_classifier_sampled", "c28_tokenizer_fertility",
+        // ... plus the second r15 wave: t22 (map-side scoring + host-keyed
+        // prior + size-gated join-back), s14 (two decimal-exact fit passes
+        // incl. the n·d² covariance fan-out + map-side projection serve),
+        // c29 (one lang-keyed agg — scan-bound)
+        "t22_host_prior_filter", "s14_pca_project", "c29_temperature_mix")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

@@ -192,6 +192,55 @@ object ProbeR15 {
             s""""t19long_ok":${nOut == n && plantMiss == 0 && idBreak == 0}}""")
         }
 
+      case "newops15" =>
+        // the second r15 wave at 200k then 1M (house rule: 200k before 1M)
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        for (nn <- Seq(n / 5, n)) {
+          val e = spark.range(nn).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)), i =>
+              ((pmod(xxhash64(col("id"), i), lit(2001)) - 1000)
+                .cast("double") / 1000.0).cast("float")).as("embedding"))
+            .localCheckpoint(true)
+          val (s14stats, tS) = time {
+            val p = graft.queries.Similarity.pcaProject(e)
+            p.agg(count(lit(1)),
+              sum(when(isnan(col("p1")) || isnan(col("p4")), 1L)
+                .otherwise(0L)),
+              avg(abs(col("p1"))), avg(abs(col("p4")))).head()
+          }
+          println(s"""{"probe":"s14","vectors":$nn,""" +
+            s""""rows":${s14stats.getLong(0)},"nans":${s14stats.getLong(1)},""" +
+            s""""mean_abs_p1":${s14stats.getDouble(2)},""" +
+            s""""mean_abs_p4":${s14stats.getDouble(3)},"sec":$tS,""" +
+            s""""s14_ok":${s14stats.getLong(0) == nn &&
+              s14stats.getLong(1) == 0L &&
+              s14stats.getDouble(2) > s14stats.getDouble(3)}}""")
+          e.unpersist()
+
+          val docs = gen(nn).localCheckpoint(true)
+          val (t22stats, tT) = time {
+            val out = graft.queries.TextOps.hostPriorFilter(
+              docs.select(col("doc_id"), col("text")))
+            out.agg(count(lit(1)),
+              sum(when(col("flipped"), 1L).otherwise(0L)),
+              countDistinct(col("host"))).head()
+          }
+          println(s"""{"probe":"t22","docs":$nn,""" +
+            s""""rows":${t22stats.getLong(0)},""" +
+            s""""flipped":${t22stats.getLong(1)},""" +
+            s""""hosts":${t22stats.getLong(2)},"sec":$tT,""" +
+            s""""t22_ok":${t22stats.getLong(0) == nn}}""")
+
+          val (c29stats, tC) = time {
+            val rows = graft.queries.Corpus.temperatureMix(docs).collect()
+            (rows.length, rows.map(_.getDouble(4)).sum)
+          }
+          println(s"""{"probe":"c29","docs":$nn,"langs":${c29stats._1},""" +
+            s""""sum_q_half":${c29stats._2},"sec":$tC,""" +
+            s""""c29_ok":${math.abs(c29stats._2 - 1.0) < 1e-9}}""")
+          docs.unpersist()
+        }
+
       case other =>
         println(s"""{"probe":"$other","error":"unknown section"}""")
     }

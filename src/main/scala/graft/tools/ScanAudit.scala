@@ -73,6 +73,11 @@ object ScanAudit {
     // tf branch carries the PUSHED doc_id<10 filter (reads ~10 docs); the
     // df branch must read the full corpus — different slices, optimal plan
     "c05_tf_idf" -> Map("documents" -> "pruned tf branch (pushed filter) vs full df branch"),
+    // PCA's canonical fit+transform dataflow: mean pass, covariance pass,
+    // projection pass — the fit passes cannot merge (covariance needs the
+    // completed mean), and the intermediates are corpus-sized only in the
+    // final (output) pass
+    "s14_pca_project" -> Map("embeddings" -> "mean pass + covariance pass + projection pass"),
   )
 
   def main(args: Array[String]): Unit = {
