@@ -271,6 +271,54 @@ object TextOps {
     sumDec.cast(DoubleType) / size(feats).cast(DoubleType)
   }
 
+  /** t23's threshold grid — string decimal literals shared verbatim by
+    * the Spark side (parsed) and the oracle text (spliced): the hoisted-
+    * constant house rule, and both engines bind each literal to the same
+    * nearest double.
+    */
+  private[graft] val T23Grid: Seq[String] =
+    (-5 to 5).map(i => f"${i / 100.0}%.2f")
+
+  /** t23's engine — classifier threshold calibration: keep-rate,
+    * precision and recall of the t13 score against the Gopher rule-based
+    * labels at each grid threshold — the tuning table a pipeline produces
+    * before picking its quality cutoff (FineWeb-Edu's "choose τ by
+    * inspecting the keep-rate/precision trade-off" step).
+    *
+    * Scale shape: ONE corpus pass extracts (score, label) — both
+    * map-side expressions — into a checkpointed narrow frame; the grid
+    * cross join is a broadcast of 11 rows absorbed by partial
+    * aggregation (11 keys of state). 100 TB cost = one scan.
+    */
+  def thresholdSweep(in: DataFrame): DataFrame = {
+    val Seq(nw, mwl, nst, rep) = Gopher.signals(col("text"))
+    val base = in.select(col("doc_id"),
+        classifierScore(col("text")).as("score"),
+        Gopher.keep(nw, mwl, nst, rep).as("label"))
+      .localCheckpoint(true)
+    val s = in.sparkSession
+    import s.implicits._
+    val grid = broadcast(T23Grid.map(_.toDouble).toDF("threshold"))
+    base.crossJoin(grid)
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > col("threshold"), 1L).otherwise(0L))
+          .as("n_keep"),
+        sum(when(col("score") > col("threshold") && col("label"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("threshold"), col("n_keep"),
+        (col("n_keep").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("keep_rate"),
+        when(col("n_keep") > 0,
+          col("tp").cast(DoubleType) / col("n_keep").cast(DoubleType))
+          .as("prec"),
+        when(col("n_pos") > 0,
+          col("tp").cast(DoubleType) / col("n_pos").cast(DoubleType))
+          .as("recall"))
+      .orderBy("threshold")
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     // Token counting: whitespace tokens + distinct tokens + char length.
     QuerySpec(
@@ -646,6 +694,84 @@ object TextOps {
            |    AND (mean_word_len BETWEEN $MwlLo AND $MwlHi)
            |    AND n_stopwords >= $MinStops AND rep_ratio < $RepMax AS keep
            |FROM s ORDER BY doc_id""".stripMargin
+      },
+    ),
+    // Classifier threshold calibration — see [[thresholdSweep]]: the
+    // keep-rate / precision / recall table against the Gopher reference
+    // labels over a fixed threshold grid — the tuning table every
+    // pipeline produces before picking its quality cutoff.
+    QuerySpec(
+      "t23_threshold_sweep",
+      (s, d) => thresholdSweep(docs(s, d)),
+      Some {
+        import graft.engine.DuckHash
+        import Gopher._
+        s"""WITH tk AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |ft AS (
+           |  SELECT doc_id, list_concat(toks,
+           |    list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1])) AS feats
+           |  FROM tk),
+           |ws AS (
+           |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+           |    list_transform(${DuckHash.mixChain("feats")},
+           |      v -> CAST(CAST(CAST(${DuckHash.signed("v")} AS DOUBLE)
+           |                     / 9.223372036854775808e18 AS VARCHAR)
+           |                AS DECIMAL(38,10))) AS wd
+           |  FROM ft),
+           |scored AS (
+           |  SELECT doc_id,
+           |    CAST(CAST(list_reduce(list_prepend(0::DECIMAL(38,10), wd),
+           |           (a, b) -> a + b) AS VARCHAR) AS DOUBLE)
+           |      / CAST(n_feats AS DOUBLE) AS score
+           |  FROM ws),
+           |gt AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS toks
+           |  FROM documents),
+           |gg AS (
+           |  SELECT doc_id, text, toks,
+           |    list_transform(
+           |      range(1, CASE WHEN len(toks) - 2 > 1
+           |                    THEN len(toks) - 2 ELSE 1 END + 1),
+           |      i -> array_to_string(toks[i:i+2], ' ')) AS grams
+           |  FROM gt),
+           |sig AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS BIGINT) AS n_words,
+           |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+           |    CAST(len(list_filter(toks, x -> list_contains([$stopsSql], x)))
+           |      AS BIGINT) AS n_stopwords,
+           |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+           |      / CAST(len(grams) AS DOUBLE) AS rep_ratio
+           |  FROM gg),
+           |lab AS (
+           |  SELECT doc_id,
+           |    (n_words BETWEEN $MinWords AND $MaxWords)
+           |      AND (mean_word_len BETWEEN $MwlLo AND $MwlHi)
+           |      AND n_stopwords >= $MinStops AND rep_ratio < $RepMax AS label
+           |  FROM sig),
+           |base AS (
+           |  SELECT s.doc_id, s.score, l.label
+           |  FROM scored s JOIN lab l USING (doc_id)),
+           |grid AS (SELECT CAST(UNNEST([${T23Grid.mkString(", ")}]) AS DOUBLE)
+           |  AS threshold),
+           |agg AS (
+           |  SELECT threshold, COUNT(*) AS n_docs,
+           |    CAST(SUM(CASE WHEN score > threshold THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_keep,
+           |    CAST(SUM(CASE WHEN score > threshold AND label THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS tp,
+           |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           |  FROM base, grid GROUP BY threshold)
+           |SELECT threshold, n_keep,
+           |  CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate,
+           |  CASE WHEN n_keep > 0
+           |    THEN CAST(tp AS DOUBLE) / CAST(n_keep AS DOUBLE) END AS prec,
+           |  CASE WHEN n_pos > 0
+           |    THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS recall
+           |FROM agg ORDER BY threshold""".stripMargin
       },
     ),
     // Context-window chunking — how documents become model inputs: split

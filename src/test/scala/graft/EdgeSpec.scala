@@ -468,6 +468,31 @@ class EdgeSpec extends AnyFunSuite {
     assert(rows.count(_._7) > 0, "no doc flipped — prior is inert")
   }
 
+  test("t23: calibration laws — keep and recall fall monotonically along the grid") {
+    val out = graft.queries.TextOps.thresholdSweep(
+      graft.engine.Tables(spark, sf, "documents")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.length == graft.queries.TextOps.T23Grid.length)
+    assert(out.map(_._1).toSeq == out.map(_._1).sorted.toSeq)
+    // raising the threshold can only shed keeps (and with them recall)
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2, s"n_keep rose: $lo -> $hi")
+      for (rl <- lo._5; rh <- hi._5)
+        assert(rh <= rl, s"recall rose: $lo -> $hi")
+    }
+    out.foreach { case (t, nk, kr, p, r) =>
+      assert(kr >= 0.0 && kr <= 1.0)
+      p.foreach(x => assert(x >= 0.0 && x <= 1.0, s"prec at $t"))
+      r.foreach(x => assert(x >= 0.0 && x <= 1.0, s"recall at $t"))
+      assert(p.isDefined == (nk > 0))
+    }
+    // the grid actually discriminates on this corpus (scores straddle it)
+    assert(out.head._2 > out.last._2,
+      s"flat sweep: ${out.head._2} .. ${out.last._2}")
+  }
+
   test("t21: suffix-match blocks subdomains downward, never parents upward") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
