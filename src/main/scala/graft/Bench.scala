@@ -248,7 +248,11 @@ object Bench {
         // prior + size-gated join-back), s14 (two decimal-exact fit passes
         // incl. the n·d² covariance fan-out + map-side projection serve),
         // c29 (one lang-keyed agg — scan-bound)
-        "t22_host_prior_filter", "s14_pca_project", "c29_temperature_mix")
+        "t22_host_prior_filter", "s14_pca_project", "c29_temperature_mix",
+        // t23 (grid cross join absorbed by partial agg), s14b (single-
+        // pass Gram buffer — the deployable PCA fit, timed against s14's
+        // exact n·d² pass)
+        "t23_threshold_sweep", "s14b_pca_fast")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

@@ -782,6 +782,19 @@ object Similarity {
       .agg((graft.engine.Exact.dsum(col("xc") * col("yc")) / n).as("cv"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     val c = Array.tabulate(dim, dim)((i, j) => cRows((i, j)))
+    val (evecs, lambdas) = pcaEigen(c, dim, k, rounds)
+    (mu, evecs, lambdas)
+  }
+
+  /** The eigen stage shared by the exact (s14) and deployable (s14b)
+    * fits: deflated power iteration + one modified Gram-Schmidt pass +
+    * Rayleigh quotients on the original matrix + the sign convention.
+    * Deterministic given `cIn` (decimal-quantized sums, IEEE-exact
+    * everything else); `cIn` is not mutated.
+    */
+  private[graft] def pcaEigen(cIn: Array[Array[Double]], dim: Int, k: Int,
+      rounds: Int): (Array[Array[Double]], Array[Double]) = {
+    val c = Array.tabulate(dim, dim)((i, j) => cIn(i)(j))
     val c0 = Array.tabulate(dim, dim)((i, j) => c(i)(j))
     // phase 1: deflated power iteration — drives each vector toward a
     // DISTINCT leading direction. On a densely-spaced (Marchenko-Pastur-
@@ -825,7 +838,7 @@ object Similarity {
       val kmax = (0 until dim).maxBy(i => (math.abs(g(i)), -i))
       evecs(comp) = if (g(kmax) < 0) g.map(x => -x) else g
     }
-    (mu, evecs, lambdas)
+    (evecs, lambdas)
   }
 
   /** s14's engine — project every embedding onto the top-k principal
@@ -838,8 +851,16 @@ object Similarity {
     * 3-scan dataflow; ScanAudit-whitelisted).
     */
   def pcaProject(e: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val (mu, evecs, _) = pcaFit(e)
+    pcaProjected(e, mu, evecs)
+  }
+
+  /** The shared serving stage: map-side decimal-exact fold projection
+    * with μ and the eigenvectors as literals (the t13 accumulator shape).
+    */
+  private def pcaProjected(e: DataFrame, mu: Array[Double],
+      evecs: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val accT = DecimalType(27, 10)
     val wT = DecimalType(11, 10)
     val muLit = array(mu.map(lit(_)): _*)
@@ -853,6 +874,36 @@ object Similarity {
     e.select(col("vec_id") +:
       evecs.zipWithIndex.map { case (ev, i) => proj(ev).as(s"p${i + 1}") }: _*)
       .orderBy("vec_id")
+  }
+
+  /** s14b's engine — the DEPLOYABLE PCA twin (the c27 exact/approx
+    * pairing): ONE corpus pass through [[graft.functions.GramAgg]]
+    * accumulates count, per-dim sums, and upper-triangle raw moments in
+    * a single ≈17 KB buffer per map partition (the treeAggregate shape
+    * Spark ML's RowMatrix uses), then C = M/n − μμᵀ on the driver and
+    * the SAME eigen + serving machinery as s14. At 1M×64f the exact
+    * path's n·d² exploded covariance costs 470 s; this pass is
+    * scan-speed. fp accumulation is partition-order-dependent ⇒
+    * rows-only contract, with subspace quality pinned against the exact
+    * path by SimilaritySpec (captured variance on the EXACT covariance,
+    * fast basis vs exact basis).
+    */
+  def pcaProjectFast(e: DataFrame, dim: Int = S14Dim, k: Int = S14K,
+      rounds: Int = S14Rounds): DataFrame = {
+    val buf = e.agg(graft.functions.GramAgg.gram(col("embedding"), dim))
+      .head().getSeq[Double](0)
+    val n = buf(0)
+    val mu = Array.tabulate(dim)(i => buf(1 + i) / n)
+    val c = Array.ofDim[Double](dim, dim)
+    var p = 1 + dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = buf(p) / n - mu(i) * mu(j)
+      c(i)(j) = v
+      c(j)(i) = v
+      p += 1
+    }
+    val (evecs, _) = pcaEigen(c, dim, k, rounds)
+    pcaProjected(e, mu, evecs)
   }
 
   val specs: Vector[QuerySpec] = Vector(
@@ -1583,6 +1634,15 @@ object Similarity {
       "s14_pca_project",
       (s, d) => pcaProject(emb(s, d)),
       Some(s14OracleSql(S14Dim, S14K, S14Rounds)),
+    ),
+    // The deployable single-pass twin — see [[pcaProjectFast]]. fp Gram
+    // accumulation is partition-order-dependent, so: rows-only contract
+    // (the c17/c18/c26 precedent), subspace quality spec-pinned against
+    // the oracled exact path s14.
+    QuerySpec(
+      "s14b_pca_fast",
+      (s, d) => pcaProjectFast(emb(s, d)),
+      None,
     ),
   )
 

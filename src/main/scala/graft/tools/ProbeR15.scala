@@ -241,6 +241,29 @@ object ProbeR15 {
           docs.unpersist()
         }
 
+      case "s14fast" =>
+        // the deployable Gram-buffer fit at the same sizes as the exact
+        // probe — the number that justifies the twin's existence
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        for (nn <- Seq(n / 5, n)) {
+          val e = spark.range(nn).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)), i =>
+              ((pmod(xxhash64(col("id"), i), lit(2001)) - 1000)
+                .cast("double") / 1000.0).cast("float")).as("embedding"))
+            .localCheckpoint(true)
+          val (stats, t) = time {
+            val p = graft.queries.Similarity.pcaProjectFast(e)
+            p.agg(count(lit(1)),
+              sum(when(isnan(col("p1")) || isnan(col("p4")), 1L)
+                .otherwise(0L))).head()
+          }
+          println(s"""{"probe":"s14fast","vectors":$nn,""" +
+            s""""rows":${stats.getLong(0)},"nans":${stats.getLong(1)},""" +
+            s""""sec":$t,"s14fast_ok":${stats.getLong(0) == nn &&
+              stats.getLong(1) == 0L}}""")
+          e.unpersist()
+        }
+
       case other =>
         println(s"""{"probe":"$other","error":"unknown section"}""")
     }

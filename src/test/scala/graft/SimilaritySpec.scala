@@ -492,4 +492,29 @@ class SimilaritySpec extends AnyFunSuite {
         s"comp $k: sample var $sv vs lambda ${lambdas(k)}")
     }
   }
+
+  test("s14b: the single-pass fast fit captures the exact fit's variance") {
+    import graft.queries.Similarity
+    val e = graft.engine.Tables(spark, sf, "embeddings")
+    val (_, _, lamX) = Similarity.pcaFit(e)
+    val out = Similarity.pcaProjectFast(e).collect()
+      .map(r => (1 to 4).map(r.getDouble).toArray)
+    assert(out.length == e.count() && out.forall(_.forall(v => !v.isNaN)))
+    val n = out.length.toDouble
+    // captured variance of the fast basis, measured on the DATA itself
+    // (= Rayleigh quotients on the exact sample covariance), must track
+    // the exact fit's spectrum — the subspace-quality metric that is
+    // robust even when individual eigenvectors rotate freely inside a
+    // near-degenerate spectral cluster
+    val capturedFast = (0 until 4).map { k =>
+      val vs = out.map(_(k))
+      val m = vs.sum / n
+      vs.map(x => (x - m) * (x - m)).sum / n
+    }.sum
+    val capturedExact = lamX.sum
+    assert(capturedFast >= 0.98 * capturedExact,
+      s"fast captured $capturedFast vs exact $capturedExact")
+    assert(capturedFast <= capturedExact * 1.02,
+      s"fast captured $capturedFast exceeds exact $capturedExact by >2%")
+  }
 }
