@@ -252,7 +252,14 @@ object Bench {
         // t23 (grid cross join absorbed by partial agg), s14b (single-
         // pass Gram buffer — the deployable PCA fit, timed against s14's
         // exact n·d² pass)
-        "t23_threshold_sweep", "s14b_pca_fast")
+        "t23_threshold_sweep", "s14b_pca_fast",
+        // ... and the third r15 wave: p12 (explode fan-out collapsed by a
+        // struct-max partial agg — the window-free CDC merge), p13 (two
+        // chained bounded aggs over one pinned scan), s16 (128-accumulator
+        // stats pass + map-only encode), c30 (tokenize + dictionary
+        // checkpoint + broadcast membership join)
+        "p12_latest_wins_merge", "p13_zone_map_prune", "s16_sq8_quantize",
+        "c30_vocab_coverage", "c31_vocab_growth")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

@@ -293,6 +293,120 @@ object Corpus {
       .orderBy("source", "shard", "bin")
   }
 
+  /** c30's engine — vocabulary coverage / OOV rate per language: the
+    * tokenizer-eval companion to c28's fertility table. A vocab trained
+    * on one language serves others with elevated out-of-vocabulary rates;
+    * this measures it as token-level and type-level OOV per language
+    * against the corpus's bare-form vocabulary.
+    *
+    * The synthetic corpus shares ONE 31-type vocabulary across lang
+    * labels, so OOV structure is PLANTED (the c28 morphology move, made
+    * GRADED): language l suffixes exactly the words whose content-hash
+    * bucket `fnv1a64("c30|"+w) mod 10` falls below k_l (en 0, zh 2,
+    * es 4, fr 6, de 8). Buckets are nested by construction — k grows ⇒
+    * the suffixed-type set strictly grows — so OOV rates obey a known
+    * monotone law (en=0 ≤ zh ≤ es ≤ fr ≤ de, pinned in CorpusSpec)
+    * rather than an eyeballed value. Membership is computed HONESTLY
+    * (left join against the bare vocab), not assumed from the plant:
+    * a suffixed form that happened to collide with a bare word would
+    * count as covered, and the join is what a user runs against a real
+    * tokenizer's vocab table.
+    *
+    * Scale shape: one corpus tokenize into the (lang, type) count frame
+    * (localCheckpoint — dictionary-sized, it feeds both the vocab
+    * derivation and the coverage rollup, the c18a pattern), vocab =
+    * distinct bare types (broadcastable at any corpus size a tokenizer
+    * vocab can reach), one broadcast membership join, |langs|-row output.
+    * Occurrence-level text never shuffles twice.
+    */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    import graft.functions.ghash
+    val lw0 = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w0"))
+      .filter(length(col("w0")) > 0)
+      .groupBy("lang", "w0").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val thr = when(col("lang") === "de", 8L).when(col("lang") === "fr", 6L)
+      .when(col("lang") === "es", 4L).when(col("lang") === "zh", 2L)
+      .otherwise(0L)
+    val suf = when(col("lang") === "de", "ung").when(col("lang") === "fr", "re")
+      .when(col("lang") === "es", "an").when(col("lang") === "zh", "i")
+      .otherwise("")
+    val h = pmod(ghash.fnv1a64(concat(lit("c30|"), col("w0"))), lit(10L))
+    val mapped = lw0
+      .select(col("lang"),
+        when(h < thr, concat(col("w0"), suf)).otherwise(col("w0")).as("w"),
+        col("n"))
+      .groupBy("lang", "w").agg(sum(col("n")).as("n"))
+    val vocab = lw0.select(col("w0").as("w")).distinct()
+      .withColumn("in_vocab", lit(true))
+    mapped.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+          .as("oov_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_types"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        col("oov_tokens"), col("oov_types"),
+        (col("oov_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("oov_token_rate"),
+        (col("oov_types").cast(DoubleType) / col("n_types").cast(DoubleType))
+          .as("oov_type_rate"))
+      .orderBy("lang")
+  }
+
+  /** c31's engine — vocabulary growth (the Heaps-law curve): distinct
+    * types and total tokens accumulated at the 10/25/50/100 % corpus
+    * prefixes (by doc_id — ingestion order), the table a corpus report
+    * uses to show whether the vocabulary is saturating or still growing
+    * linearly (a proxy for how much NEW content further crawling buys).
+    *
+    * Scale shape — the reason for the first-seen trick: the naive form
+    * recomputes COUNT(DISTINCT) over each prefix (4 corpus scans, 4
+    * token shuffles). Instead: a type first contributes to the prefix
+    * that first CONTAINS it, so ONE (type → min doc_id) aggregation
+    * (dictionary-sized output) plus a per-doc token count pass yields
+    * every prefix's numbers; the cumulative step runs over the 4-row
+    * bucket frame (bounded window by construction). Prefix cutoffs are
+    * integer arithmetic on max(doc_id) — identical literals both engines.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = docs.agg(max(col("doc_id")).as("mx"))
+    def bucket(c: Column): Column =
+      when(c * 100 <= col("mx") * 10, 10L)
+        .when(c * 100 <= col("mx") * 25, 25L)
+        .when(c * 100 <= col("mx") * 50, 50L)
+        .otherwise(100L)
+    val docsB = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("nt"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucket(col("doc_id")).as("pct"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val typesB = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucket(col("fd")).as("pct"))
+      .agg(count(lit(1)).as("n_types"))
+    // 4-row frame: cumulative sums over the bucket spine (bounded window)
+    val w = Window.orderBy("pct").rowsBetween(Window.unboundedPreceding, 0)
+    docsB.join(typesB, Seq("pct"), "left")
+      .select(col("pct"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"))
+      .select(col("pct"),
+        sum(col("n_docs")).over(w).as("docs_cum"),
+        sum(col("n_tokens")).over(w).as("tokens_cum"),
+        sum(col("n_types")).over(w).as("types_cum"))
+      .select(col("pct"), col("docs_cum"), col("tokens_cum"), col("types_cum"),
+        (col("types_cum").cast(DoubleType) / col("tokens_cum").cast(DoubleType))
+          .as("ttr"))
+      .orderBy("pct")
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     // Deterministic content-hash sampling — THE way to sample 100 TB
     // reproducibly: no RNG state, stable under retries/repartitioning,
@@ -1188,6 +1302,90 @@ object Corpus {
            |FROM scores s JOIN t1 USING (lang) JOIN t2 USING (lang)
            |ORDER BY s.doc_id""".stripMargin
       },
+    ),
+    // Vocabulary coverage / OOV per language — see [[vocabCoverage]] for
+    // the graded hash-bucket plant (nested suffixed-type sets ⇒ monotone
+    // OOV law) and the honest broadcast membership join.
+    QuerySpec(
+      "c30_vocab_coverage",
+      (s, d) => vocabCoverage(Tables(s, d, "documents")),
+      Some {
+        import graft.engine.DuckHash
+        val h = s"((${DuckHash.signed(DuckHash.fnv("'c30|' || w0"))} % 10) " +
+          "+ 10) % 10"
+        s"""WITH t AS (
+           |  SELECT lang, u.w AS w0
+           |  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+           |  WHERE len(u.w) > 0),
+           |lw AS (SELECT lang, w0, COUNT(*) AS n FROM t GROUP BY lang, w0),
+           |e AS (
+           |  SELECT lang, w0, n,
+           |    CASE lang WHEN 'de' THEN 8 WHEN 'fr' THEN 6 WHEN 'es' THEN 4
+           |              WHEN 'zh' THEN 2 ELSE 0 END AS thr,
+           |    CASE lang WHEN 'de' THEN 'ung' WHEN 'fr' THEN 're'
+           |              WHEN 'es' THEN 'an' WHEN 'zh' THEN 'i'
+           |              ELSE '' END AS suf,
+           |    $h AS hb
+           |  FROM lw),
+           |m AS (
+           |  SELECT lang, CASE WHEN hb < thr THEN w0 || suf ELSE w0 END AS w,
+           |    CAST(SUM(n) AS BIGINT) AS n
+           |  FROM e GROUP BY 1, 2),
+           |v AS (SELECT DISTINCT w0 AS w FROM lw),
+           |j AS (
+           |  SELECT m.lang, m.w, m.n, v.w IS NOT NULL AS in_vocab
+           |  FROM m LEFT JOIN v ON m.w = v.w)
+           |SELECT lang,
+           |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+           |  COUNT(*) AS n_types,
+           |  CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE n END) AS BIGINT)
+           |    AS oov_tokens,
+           |  CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+           |    AS oov_types,
+           |  CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE n END) AS DOUBLE)
+           |    / CAST(SUM(n) AS DOUBLE) AS oov_token_rate,
+           |  CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS oov_type_rate
+           |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+      },
+    ),
+    // Vocabulary growth / Heaps curve — see [[vocabGrowth]]: first-seen
+    // bucketing replaces 4 prefix-distinct rescans with ONE dictionary
+    // aggregation; cumulative step over the 4-row bucket spine.
+    QuerySpec(
+      "c31_vocab_growth",
+      (s, d) => vocabGrowth(Tables(s, d, "documents")),
+      Some("""WITH b AS (SELECT MAX(doc_id) AS mx FROM documents),
+             |db AS (
+             |  SELECT CASE WHEN doc_id * 100 <= mx * 10 THEN 10
+             |              WHEN doc_id * 100 <= mx * 25 THEN 25
+             |              WHEN doc_id * 100 <= mx * 50 THEN 50
+             |              ELSE 100 END AS pct,
+             |    COUNT(*) AS n_docs,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents, b GROUP BY 1),
+             |fs AS (
+             |  SELECT u.w AS w, MIN(doc_id) AS fd
+             |  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+             |  WHERE len(u.w) > 0 GROUP BY u.w),
+             |tb AS (
+             |  SELECT CASE WHEN fd * 100 <= mx * 10 THEN 10
+             |              WHEN fd * 100 <= mx * 25 THEN 25
+             |              WHEN fd * 100 <= mx * 50 THEN 50
+             |              ELSE 100 END AS pct,
+             |    COUNT(*) AS n_types
+             |  FROM fs, b GROUP BY 1)
+             |SELECT CAST(db.pct AS BIGINT) AS pct,
+             |  CAST(SUM(db.n_docs) OVER cum AS BIGINT) AS docs_cum,
+             |  CAST(SUM(db.n_tokens) OVER cum AS BIGINT) AS tokens_cum,
+             |  CAST(SUM(COALESCE(tb.n_types, 0)) OVER cum AS BIGINT)
+             |    AS types_cum,
+             |  CAST(SUM(COALESCE(tb.n_types, 0)) OVER cum AS DOUBLE)
+             |    / CAST(SUM(db.n_tokens) OVER cum AS DOUBLE) AS ttr
+             |FROM db LEFT JOIN tb ON db.pct = tb.pct
+             |WINDOW cum AS (ORDER BY db.pct
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY pct""".stripMargin),
     ),
   )
 

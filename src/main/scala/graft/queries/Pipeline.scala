@@ -129,6 +129,58 @@ object Pipeline {
     keeps.unionByName(merges).orderBy("shard")
   }
 
+  /** p12's engine — ONE definition shared by the contract query and the
+    * ProbeR15 section. Input needs (doc_id, text); synthesizes the
+    * deterministic revision fan-out and collapses it latest-wins. See the
+    * p12 QuerySpec comment for the design narrative (struct-max partial
+    * agg, not a window).
+    */
+  def latestWinsMerge(docs: DataFrame): DataFrame = {
+    val revs = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L))))
+          .as("rev"))
+      .select(col("doc_id"), col("rev"),
+        pmod(col("rev") * 7919L + col("doc_id"), lit(10007L)).as("ts"),
+        md5(concat(col("text"), lit("|"), col("rev").cast("string")))
+          .as("digest"))
+    revs
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_revs"),
+        max(struct(col("ts"), col("rev"), col("digest"))).as("latest"))
+      .select(col("doc_id"), col("n_revs"),
+        col("latest.rev").as("latest_rev"),
+        col("latest.ts").as("latest_ts"),
+        col("latest.digest").as("latest_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** p13's engine — ONE definition shared by the contract query and the
+    * ProbeR15 section. Input needs (shard, tsu, value) — the caller maps
+    * its table to the zone grain. See the p13 QuerySpec comment for the
+    * design narrative (zone maps + middle-third window verdict).
+    */
+  def zoneMapPrune(ev: DataFrame): DataFrame = {
+    val zones = ev.groupBy("shard").agg(
+      count(lit(1)).as("n_rows"),
+      min(col("tsu")).as("min_ts"), max(col("tsu")).as("max_ts"),
+      min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .localCheckpoint(true)
+    // global bounds FROM the zone frame (|shards| rows), not a second
+    // corpus scan — min(min) = min, and the checkpoint pins the one
+    // scan that both the manifest rows and the bounds derive from
+    val bounds = zones.agg(
+      min(col("min_ts")).as("gmin"), max(col("max_ts")).as("gmax"))
+    zones.crossJoin(broadcast(bounds))
+      .withColumn("win_lo", expr("gmin + (gmax - gmin) div 3"))
+      .withColumn("win_hi", expr("gmin + (2 * (gmax - gmin)) div 3"))
+      .select(col("shard"), col("n_rows"), col("min_ts"), col("max_ts"),
+        col("min_value"), col("max_value"), col("win_lo"), col("win_hi"),
+        (col("max_ts") < col("win_lo") || col("min_ts") >= col("win_hi"))
+          .as("skip"))
+      .orderBy("shard")
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     QuerySpec(
       "p01_publish_manifest",
@@ -794,6 +846,79 @@ object Pipeline {
              |    AS BIGINT) AS rec_off,
              |  md5(text) AS payload_md5
              |FROM r ORDER BY rec_doc_id""".stripMargin),
+    ),
+    // Latest-wins snapshot merge — the CDC/upsert primitive every
+    // incrementally-refreshed corpus needs: a new crawl delivers multiple
+    // revisions of the same key (URL/doc), and the publishable view keeps
+    // ONE row per key, the most recent fetch. The revision frame is
+    // synthesized deterministically (the d12-banner way — identical
+    // expressions on both engines): doc_id%3+1 revisions each with
+    // fetch_ts = (rev·7919 + doc_id) mod 10007, distinct WITHIN a key
+    // because 10007 is prime and 7919·Δrev ≢ 0 (mod 10007) for Δrev∈{1,2}
+    // — so "latest" is well-defined with no tie-break needed, though the
+    // struct carries rev second to pin one anyway (the q44 lesson).
+    //
+    // Scale shape — the reason this op exists: latest-wins at 100 TB is
+    // ONE key-partitioned shuffle with map-side combine, because
+    // max(struct(ts, rev, digest)) is an ordinary mergeable aggregate.
+    // The tempting ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC)
+    // form computes the identical answer but SORTS every group — a full
+    // corpus sort-exchange vs a partial-agg that collapses each map task
+    // to one row per key before anything moves. Text never shuffles:
+    // only (key, ts, rev, 32-byte digest) leaves the scan.
+    QuerySpec(
+      "p12_latest_wins_merge",
+      (s, d) => latestWinsMerge(Tables(s, d, "documents")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, u.rev AS rev,
+             |    (u.rev * 7919 + doc_id) % 10007 AS ts,
+             |    md5(text || '|' || CAST(u.rev AS VARCHAR)) AS digest
+             |  FROM documents, UNNEST(range(0, doc_id % 3 + 1)) AS u(rev))
+             |SELECT doc_id, COUNT(*) AS n_revs,
+             |  arg_max(rev, ts) AS latest_rev,
+             |  CAST(MAX(ts) AS BIGINT) AS latest_ts,
+             |  arg_max(digest, ts) AS latest_md5
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+    // Zone-map pruning manifest — the file-skipping layer every 100 TB
+    // store lives on: per "file" (event_id div 256 — the write-order
+    // shard a sequential ingest produces; events' ts correlates 0.99998
+    // with event_id, exactly like a real append-only log), the min/max
+    // stats a reader consults, plus the skip verdict for a pinned
+    // time-window predicate (the middle third of the global ts range,
+    // bounds derived in INTEGER microseconds so both engines compute the
+    // same literals). The payoff row is `skip`: a shard whose [min_ts,
+    // max_ts] lies outside the window never gets its pages read — this is
+    // what parquet row-group stats + partition pruning do mechanically,
+    // surfaced as a first-class manifest so a pipeline can AUDIT its
+    // skippability (a corpus re-sharded by content hash has corr≈0 and
+    // skips nothing — the manifest is how you see that before paying for
+    // it at scale).
+    //
+    // Scale shape: one scan → per-shard partial agg (6 accumulators,
+    // mergeable), a 1-row global-bounds agg broadcast into the verdict —
+    // no joins on data, nothing quadratic, output = |shards| rows.
+    QuerySpec(
+      "p13_zone_map_prune",
+      (s, d) => zoneMapPrune(Tables(s, d, "events").select(
+        expr("event_id div 256").as("shard"),
+        expr(EventsOps.TsUsSql).as("tsu"),
+        col("value"))),
+      Some("""WITH e AS (
+             |  SELECT event_id // 256 AS shard, epoch_us(ts) AS tsu, value
+             |  FROM events),
+             |z AS (
+             |  SELECT shard, COUNT(*) AS n_rows,
+             |    MIN(tsu) AS min_ts, MAX(tsu) AS max_ts,
+             |    MIN(value) AS min_value, MAX(value) AS max_value
+             |  FROM e GROUP BY shard),
+             |b AS (SELECT MIN(tsu) AS gmin, MAX(tsu) AS gmax FROM e)
+             |SELECT shard, n_rows, min_ts, max_ts, min_value, max_value,
+             |  gmin + (gmax - gmin) // 3 AS win_lo,
+             |  gmin + (2 * (gmax - gmin)) // 3 AS win_hi,
+             |  (max_ts < gmin + (gmax - gmin) // 3
+             |    OR min_ts >= gmin + (2 * (gmax - gmin)) // 3) AS skip
+             |FROM z, b ORDER BY shard""".stripMargin),
     ),
   )
 }

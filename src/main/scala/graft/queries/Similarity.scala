@@ -906,6 +906,101 @@ object Similarity {
     pcaProjected(e, mu, evecs)
   }
 
+  /** s16's engine — int8 scalar quantization (SQ8) of the embedding
+    * corpus: per-dimension global [min, max] (one scan, 2·dim mergeable
+    * accumulators — NO shuffle of vectors), broadcast into a map-only
+    * encode pass `code_i = floor((x_i − mn_i)/(mx_i − mn_i)·255)`. This
+    * is the index-compression layer every production vector store ships
+    * (FAISS `SQ8`, Lucene/HNSW int8): 4 bytes/dim → 1, so a 100 TB float
+    * corpus serves from 25 TB with distance error bounded by half a
+    * quantization step per dim — and unlike PQ (s08) it needs no
+    * codebook training, making it the default first rung on the
+    * compression ladder.
+    *
+    * Cross-engine exactness: min/max pick existing values (no fp
+    * accumulation ⇒ partition-invariant); the encode arithmetic is a
+    * fixed IEEE expression evaluated in the same order by both engines;
+    * no clamp is needed because GLOBAL bounds make (x−mn)/(mx−mn) ∈
+    * [0,1] exactly (IEEE division is monotone), so floor lands in
+    * 0..255 with 255 exactly at x = mx. The reconstruction SSE is the
+    * [[ddot]]/`list_sum` sequential-fold pairing. Degenerate dims
+    * (mx = mn) encode as 0 and reconstruct at mn, contributing 0 error —
+    * guarded identically in both engines.
+    */
+  def sq8Quantize(e: DataFrame, dim: Int = S14Dim): DataFrame = {
+    val v = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val statAggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col("v"), i + 1)).as(s"mn$i"),
+      max(element_at(col("v"), i + 1)).as(s"mx$i")))
+    val stats = v.agg(statAggs.head, statAggs.tail: _*)
+      .select(
+        array((0 until dim).map(i => col(s"mn$i")): _*).as("mns"),
+        array((0 until dim).map(i => col(s"mx$i")): _*).as("mxs"))
+    val withCodes = v.crossJoin(broadcast(stats))
+      .withColumn("codes", transform(col("v"), (x, i) => {
+        val mn = element_at(col("mns"), i + 1)
+        val mx = element_at(col("mxs"), i + 1)
+        when(mx === mn, lit(0L))
+          .otherwise(floor((x - mn) / (mx - mn) * 255.0))
+      }))
+    val sse = aggregate(
+      zip_with(col("v"),
+        zip_with(col("codes"),
+          zip_with(col("mns"), col("mxs"), (a, b) => struct(a.as("mn"), b.as("mx"))),
+          (c, s) => struct(c.as("c"), s.getField("mn").as("mn"), s.getField("mx").as("mx"))),
+        (x, s) => {
+          val deq = s.getField("mn") +
+            s.getField("c").cast(DoubleType) / 255.0 *
+              (s.getField("mx") - s.getField("mn"))
+          (x - deq) * (x - deq)
+        }),
+      lit(0.0), (acc, x) => acc + x)
+    withCodes
+      .select(col("vec_id"),
+        element_at(col("codes"), 1).as("code_first"),
+        element_at(col("codes"), dim).as("code_last"),
+        md5(concat_ws(",", transform(col("codes"), _.cast("string"))))
+          .as("code_md5"),
+        sse.as("sse"),
+        (sse / dim.toDouble).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  /** s16's oracle — the same per-dim bounds (dim explicit MIN/MAX pairs,
+    * packed into list literals) and the same fixed-order encode/SSE
+    * expressions via list_zip/list_sum.
+    */
+  private def sq8OracleSql(dim: Int): String = {
+    val mins = (1 to dim).map(i => s"MIN(v[$i])").mkString(",\n|    ")
+    val maxs = (1 to dim).map(i => s"MAX(v[$i])").mkString(",\n|    ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT [$mins] AS mns,
+       |    [$maxs] AS mxs
+       |  FROM v),
+       |q AS (
+       |  SELECT vec_id, v, mns, mxs,
+       |    list_transform(list_zip(v, mns, mxs),
+       |      p -> CASE WHEN p[3] = p[2] THEN 0
+       |                ELSE CAST(floor((p[1] - p[2]) / (p[3] - p[2]) * 255.0)
+       |                     AS BIGINT) END) AS codes
+       |  FROM v, s)
+       |SELECT vec_id, codes[1] AS code_first, codes[$dim] AS code_last,
+       |  md5(array_to_string(codes, ',')) AS code_md5,
+       |  list_sum(list_transform(list_zip(v, codes, mns, mxs),
+       |    p -> (p[1] - (p[3] + CAST(p[2] AS DOUBLE) / 255.0 * (p[4] - p[3])))
+       |       * (p[1] - (p[3] + CAST(p[2] AS DOUBLE) / 255.0 * (p[4] - p[3])))))
+       |    AS sse,
+       |  list_sum(list_transform(list_zip(v, codes, mns, mxs),
+       |    p -> (p[1] - (p[3] + CAST(p[2] AS DOUBLE) / 255.0 * (p[4] - p[3])))
+       |       * (p[1] - (p[3] + CAST(p[2] AS DOUBLE) / 255.0 * (p[4] - p[3])))))
+       |    / $dim.0 AS mse
+       |FROM q ORDER BY vec_id""".stripMargin
+  }
+
   val specs: Vector[QuerySpec] = Vector(
     // Exact brute-force top-5 cosine neighbors for 10 query vectors.
     QuerySpec(
@@ -1643,6 +1738,16 @@ object Similarity {
       "s14b_pca_fast",
       (s, d) => pcaProjectFast(emb(s, d)),
       None,
+    ),
+    // Int8 scalar quantization — see [[sq8Quantize]]: per-dim global
+    // bounds (one mergeable-agg scan, no vector shuffle), map-only
+    // encode, exact per-vector code digest + reconstruction SSE on both
+    // engines (global bounds ⇒ no clamp needed; min/max pick values, so
+    // the stats are partition-invariant unlike s14b's fp Gram sums).
+    QuerySpec(
+      "s16_sq8_quantize",
+      (s, d) => sq8Quantize(emb(s, d)),
+      Some(sq8OracleSql(S14Dim)),
     ),
   )
 

@@ -241,6 +241,105 @@ object ProbeR15 {
           docs.unpersist()
         }
 
+      case "newops15c" =>
+        // the third r15 wave at 200k then 1M (house rule: 200k before 1M).
+        // Optional third arg selects one op (p12|c30|p13|s16): the first
+        // full-sweep run measured s16 at 207 s/1M purely because three
+        // other ops' checkpointed 1M frames were still resident in the
+        // same JVM (unpersist is async) — standalone it is 18 s. Probe
+        // ops in separate JVMs when the number matters.
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        val onlyOp = args.lift(2)
+        def want(op: String): Boolean = onlyOp.forall(_ == op)
+        for (nn <- Seq(n / 5, n)) {
+          if (want("p12") || want("c30")) {
+          val docs = gen(nn).localCheckpoint(true)
+          if (want("p12")) {
+          val (p12stats, tP) = time {
+            val out = graft.queries.Pipeline.latestWinsMerge(
+              docs.select(col("doc_id"), col("text")))
+            out.agg(count(lit(1)), sum(col("n_revs"))).head()
+          }
+          println(s"""{"probe":"p12","docs":$nn,""" +
+            s""""rows":${p12stats.getLong(0)},""" +
+            s""""revs":${p12stats.getLong(1)},"sec":$tP,""" +
+            s""""p12_ok":${p12stats.getLong(0) == nn}}""")
+          }
+
+          if (want("c30")) {
+          val (c30stats, tC) = time {
+            val rows = graft.queries.Corpus.vocabCoverage(
+              docs.select(col("doc_id"), col("text"), col("lang"))).collect()
+            val byLang = rows.map(r => r.getString(0) -> r.getDouble(5)).toMap
+            (rows.length, byLang)
+          }
+          val mono = Seq("en", "zh", "es", "fr", "de").map(c30stats._2)
+          println(s"""{"probe":"c30","docs":$nn,"langs":${c30stats._1},""" +
+            s""""rates":[${mono.mkString(",")}],"sec":$tC,""" +
+            s""""c30_ok":${mono == mono.sorted && mono.head == 0.0}}""")
+          }
+          docs.unpersist()
+          }
+
+          if (want("c31")) {
+          val docs31 = gen(nn).localCheckpoint(true)
+          val (c31stats, tG) = time {
+            val rows = graft.queries.Corpus.vocabGrowth(
+              docs31.select(col("doc_id"), col("text"))).collect()
+            (rows.length, rows.map(_.getDouble(4)).toSeq,
+              rows.last.getLong(2))
+          }
+          println(s"""{"probe":"c31","docs":$nn,"rows":${c31stats._1},""" +
+            s""""ttr":[${c31stats._2.mkString(",")}],""" +
+            s""""tokens":${c31stats._3},"sec":$tG,""" +
+            s""""c31_ok":${c31stats._1 == 4 &&
+              c31stats._2 == c31stats._2.sorted.reverse}}""")
+          docs31.unpersist()
+          }
+
+          if (want("p13")) {
+          // events-like frame: ts correlated with id (append-order ingest)
+          val ev = spark.range(nn).select(
+            expr("id div 4096").as("shard"),
+            (lit(1700000000000000L) + col("id") * 1000L +
+              pmod(xxhash64(col("id")), lit(997))).as("tsu"),
+            (pmod(xxhash64(col("id"), lit(1)), lit(50000)).cast("double")
+              / 100.0).as("value")).localCheckpoint(true)
+          val (p13stats, tZ) = time {
+            val out = graft.queries.Pipeline.zoneMapPrune(ev)
+            out.agg(count(lit(1)),
+              sum(when(col("skip"), 1L).otherwise(0L)),
+              sum(col("n_rows"))).head()
+          }
+          println(s"""{"probe":"p13","rows":$nn,""" +
+            s""""shards":${p13stats.getLong(0)},""" +
+            s""""skipped":${p13stats.getLong(1)},"sec":$tZ,""" +
+            s""""p13_ok":${p13stats.getLong(2) == nn &&
+              p13stats.getLong(1) > 0}}""")
+          ev.unpersist()
+          }
+
+          if (want("s16")) {
+          val e = spark.range(nn).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)), i =>
+              ((pmod(xxhash64(col("id"), i), lit(2001)) - 1000)
+                .cast("double") / 1000.0).cast("float")).as("embedding"))
+            .localCheckpoint(true)
+          val (s16stats, tQ) = time {
+            val out = graft.queries.Similarity.sq8Quantize(e)
+            out.agg(count(lit(1)), max(col("sse")),
+              sum(when(col("code_first") < 0 || col("code_first") > 255,
+                1L).otherwise(0L))).head()
+          }
+          println(s"""{"probe":"s16","vectors":$nn,""" +
+            s""""rows":${s16stats.getLong(0)},""" +
+            s""""max_sse":${s16stats.getDouble(1)},"sec":$tQ,""" +
+            s""""s16_ok":${s16stats.getLong(0) == nn &&
+              s16stats.getLong(2) == 0L}}""")
+          e.unpersist()
+          }
+        }
+
       case "s14fast" =>
         // the deployable Gram-buffer fit at the same sizes as the exact
         // probe — the number that justifies the twin's existence

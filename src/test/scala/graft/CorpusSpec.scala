@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions._
+
 import graft.engine.Tables
 import graft.queries.Corpus
 
@@ -472,5 +474,65 @@ class CorpusSpec extends AnyFunSuite {
     val norm = ps.map(math.sqrt).sum
     assert(math.abs(qRareH - math.sqrt(pRare) / norm) < 1e-9)
     assert(math.abs(pBig - 100.0 / 111.0) < 1e-12)
+  }
+
+  test("c30: OOV rates obey the nested-bucket monotone law; en fully covered") {
+    val sf = SharedSpark.sf
+    val out = Registry.byName("c30_vocab_coverage").run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    // en's threshold is 0 ⇒ nothing suffixed ⇒ exact zero OOV — the
+    // trained-on language serves itself perfectly
+    assert(out("en") == ((0L, 0L, 0.0, 0.0)), out("en"))
+    // hash buckets are NESTED (k grows ⇒ suffixed-type superset), so both
+    // the type and token OOV rates must rise strictly along
+    // en < zh < es < fr < de — a law of the construction, not a tuning
+    val order = Seq("en", "zh", "es", "fr", "de")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(out(a)._2 < out(b)._2, s"oov_types: $a !< $b")
+      assert(out(a)._3 < out(b)._3, s"oov_token_rate: $a !< $b")
+    }
+    // membership was COMPUTED, not assumed: every suffixed form the plant
+    // produces must actually be absent from the bare vocab, i.e. the
+    // honest join agrees with the plant's own accounting of what it
+    // suffixed (recomputed here occurrence-exactly)
+    import graft.functions.ghash
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val thr = when(col("lang") === "de", 8L).when(col("lang") === "fr", 6L)
+      .when(col("lang") === "es", 4L).when(col("lang") === "zh", 2L)
+      .otherwise(0L)
+    val planted = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w0"))
+      .filter(length(col("w0")) > 0)
+      .filter(pmod(ghash.fnv1a64(concat(lit("c30|"), col("w0"))),
+        lit(10L)) < thr)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    order.tail.foreach { l =>
+      assert(out(l)._1 == planted(l),
+        s"$l: join says ${out(l)._1} OOV tokens, plant produced ${planted(l)}")
+    }
+  }
+
+  test("c31: growth curve is cumulative-monotone and terminal row is the whole corpus") {
+    val rows = Registry.byName("c31_vocab_growth").run(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 25L, 50L, 100L))
+    // cumulative columns strictly grow in docs/tokens, weakly in types
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) < b.getLong(1) && a.getLong(2) < b.getLong(2))
+      assert(a.getLong(3) <= b.getLong(3))
+      // Heaps: the type/token ratio FALLS as the corpus grows (types
+      // saturate, tokens don't) — the law the curve exists to show
+      assert(a.getDouble(4) > b.getDouble(4),
+        s"ttr must fall: ${a.getDouble(4)} !> ${b.getDouble(4)}")
+    }
+    // terminal row = whole corpus, recomputed directly
+    val last = rows.last
+    val truth = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    assert(last.getLong(3) == truth)
+    assert(last.getLong(1) == docs.count())
   }
 }

@@ -140,4 +140,60 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       walkContainer(6L, s"REC 5 ${Long.MaxValue}\nxx\n"))
   }
+
+  test("p12 latest-wins agg equals the window form; one row per key") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Registry.byName("p12_latest_wins_merge").run(spark, sf)
+    // one surviving row per key, and the revision count is the plant's
+    assert(out.count() == docs.count())
+    out.collect().foreach { r =>
+      val (id, nRevs, rev, ts) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nRevs == id % 3 + 1, s"doc $id")
+      assert(ts == (rev * 7919 + id) % 10007, s"doc $id: ts/rev inconsistent")
+    }
+    // the scale claim: max(struct(...)) computes the SAME answer as the
+    // ROW_NUMBER() OVER (ORDER BY ts DESC) form it replaces — equivalence
+    // proven here so the engine is free to ship the partial-agg shape
+    import org.apache.spark.sql.expressions.Window
+    val revs = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("rev"))
+      .select(col("doc_id"), col("rev"),
+        pmod(col("rev") * 7919L + col("doc_id"), lit(10007L)).as("ts"),
+        md5(concat(col("text"), lit("|"), col("rev").cast("string")))
+          .as("digest"))
+    val win = revs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("ts").desc, col("rev").desc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("rev").as("latest_rev"),
+        col("ts").as("latest_ts"), col("digest").as("latest_md5"))
+    assert(out.select("doc_id", "latest_rev", "latest_ts", "latest_md5")
+      .exceptAll(win).isEmpty && win.exceptAll(
+        out.select("doc_id", "latest_rev", "latest_ts", "latest_md5")).isEmpty)
+  }
+
+  test("p13 zone-map pruning is sound: no in-window row lives in a skipped shard") {
+    val out = Registry.byName("p13_zone_map_prune").run(spark, sf).collect()
+    assert(out.exists(_.getBoolean(8)) && out.exists(!_.getBoolean(8)),
+      "window must make some shards skippable and keep others (corr plant)")
+    val (lo, hi) = (out.head.getLong(6), out.head.getLong(7))
+    // brute-force ground truth: rows actually inside the window, per shard
+    val truth = spark.read.parquet(s"$sf/events.parquet")
+      .select(expr("event_id div 256").as("shard"),
+        expr(graft.queries.EventsOps.TsUsSql).as("tsu"))
+      .filter(col("tsu") >= lo && col("tsu") < hi)
+      .groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (shard, skip) = (r.getLong(0), r.getBoolean(8))
+      if (skip)
+        assert(truth.getOrElse(shard, 0L) == 0L,
+          s"shard $shard skipped but holds in-window rows — pruning lost data")
+    }
+    // and the reverse sanity: every in-window row is inside a kept shard
+    val kept = out.filterNot(_.getBoolean(8)).map(_.getLong(0)).toSet
+    assert(truth.keys.forall(kept.contains), "in-window rows outside kept shards")
+  }
 }

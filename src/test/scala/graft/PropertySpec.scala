@@ -206,13 +206,15 @@ class PropertySpec extends AnyFunSuite {
     val nameRe = "^[a-z][0-9]{2}[a-z]?_[a-z0-9_]+$"
     assert(names.forall(_.matches(nameRe)),
       names.filterNot(_.matches(nameRe)).mkString(","))
-    // rows-only queries are the three tokenizer-training ops BY DESIGN
-    // (chained re-segmentation state SQL can't carry; each carries an
-    // independent-reference parity spec instead) — any new oracle-less
-    // query must be a deliberate decision, not an omission
+    // rows-only queries are the three tokenizer-training ops (chained
+    // re-segmentation state SQL can't carry; each carries an
+    // independent-reference parity spec) and s14b's fp-Gram PCA twin
+    // (partition-order-dependent accumulation; subspace quality is
+    // spec-pinned against the oracled exact s14) BY DESIGN — any new
+    // oracle-less query must be a deliberate decision, not an omission
     val rowsOnly = specs.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(rowsOnly == Set("c17_bpe_merges", "c18_bpe_encode",
-      "c26_unigram_lm_train"),
+      "c26_unigram_lm_train", "s14b_pca_fast"),
       s"unexpected rows-only queries: $rowsOnly")
     assert(Registry.headline.nonEmpty)
   }

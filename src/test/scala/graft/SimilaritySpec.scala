@@ -517,4 +517,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capturedFast <= capturedExact * 1.02,
       s"fast captured $capturedFast exceeds exact $capturedExact by >2%")
   }
+
+  test("s16 SQ8: codes in range, error bounded by one step per dim, degenerate dim safe") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    val out = Registry.byName("s16_sq8_quantize").run(spark, sf).collect()
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(out.length == e.count())
+    // per-dim global bounds, recomputed here as ground truth
+    val dim = 64
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col("embedding"), i + 1).cast(DoubleType)),
+      max(element_at(col("embedding"), i + 1).cast(DoubleType))))
+    val st = e.agg(aggs.head, aggs.tail: _*).head()
+    val steps = (0 until dim).map { i =>
+      (st.getDouble(2 * i + 1) - st.getDouble(2 * i)) / 255.0
+    }
+    // floor-quantization's worst case is ONE step per dim (not half —
+    // there's no rounding), so sse < Σ stepᵢ² is a hard law of the encode
+    val sseBound = steps.map(s => s * s).sum
+    out.foreach { r =>
+      val (cf, cl, sse) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      assert(cf >= 0 && cf <= 255 && cl >= 0 && cl <= 255, r)
+      assert(sse >= 0.0 && sse < sseBound, s"sse $sse >= bound $sseBound")
+      assert(r.getDouble(5) == sse / dim)
+    }
+    // a constant dimension (mx == mn) must encode 0 and reconstruct
+    // exactly — the guard the synthetic corpus never exercises
+    import spark.implicits._
+    val degen = Seq(
+      (1L, Array(1.0f, 5.0f, 0.25f)),
+      (2L, Array(1.0f, -3.0f, 0.25f)),
+      (3L, Array(1.0f, 0.0f, 0.25f))).toDF("vec_id", "embedding")
+    val dg = graft.queries.Similarity.sq8Quantize(degen, dim = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    dg.values.foreach { r =>
+      assert(r.getLong(1) == 0L, "constant dim 1 must encode 0")
+    }
+    // dims 1 and 3 are constant ⇒ exact reconstruction (zero error, no
+    // NaN from the 0-span guard); dim 2 spans [-3, 5]: its endpoints are
+    // exact grid points (codes 0 and 255), the interior value 0.0 is not
+    val step2 = 8.0 / 255.0
+    assert(dg(1L).getDouble(4) == 0.0 && dg(2L).getDouble(4) == 0.0,
+      "endpoint vectors must reconstruct exactly")
+    assert(dg(3L).getDouble(4) > 0.0 && dg(3L).getDouble(4) < step2 * step2,
+      s"interior value error ${dg(3L).getDouble(4)} outside (0, step²)")
+  }
 }
