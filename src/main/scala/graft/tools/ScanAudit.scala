@@ -78,6 +78,34 @@ object ScanAudit {
     // completed mean), and the intermediates are corpus-sized only in the
     // final (output) pass
     "s14_pca_project" -> Map("embeddings" -> "mean pass + covariance pass + projection pass"),
+    // SQ8's canonical two-pass shape: the per-dim bounds must complete
+    // before any row can encode; the stats pass reads only the vector
+    // column and collapses map-side to one 128-value row
+    "s16_sq8_quantize" -> Map("embeddings" -> "per-dim bounds pass + encode pass"),
+    // doc-grain token counts vs exploded type table — sharing them would
+    // materialize occurrence-level state (the c22/t15 re-scan precedent)
+    "c31_vocab_growth" -> Map("documents" -> "per-doc token-count pass + first-seen type pass"),
+    // --- surfaced by the r15 AQE-pin fix: EventsOps' ev() calls
+    // GraftSession.tune() (AQE back on) as a side effect, and an
+    // AdaptiveSparkPlanExec hides its subtree from collect — so every
+    // query AFTER the first e-query had audited as zero scans and the
+    // s/m/p groups were never actually audited. All 15 newly visible
+    // duplicates adjudicated below; none is a mergeable re-read ---
+    "e13_anomaly_zscore" -> Map("events" -> "per-type stats pass + row scoring pass (z-score needs completed moments)"),
+    "s01_ann_brute" -> Map("embeddings" -> "query slice (pushed vec_id filter) vs corpus scan"),
+    "s02_ann_lsh" -> Map("embeddings" -> "query slice vs bucketed corpus"),
+    "s03_embedding_neardup" -> Map("embeddings" -> "planted perturbed-corpus union branches (the plant IS a second read)"),
+    "s05_label_centroid_score" -> Map("embeddings" -> "centroid fit pass + scoring pass"),
+    "s08_pq_adc" -> Map("embeddings" -> "codebook train pass + encode pass + query slice"),
+    "s09_range_search" -> Map("embeddings" -> "broadcast query rows vs corpus scan"),
+    "s10_knn_graph" -> Map("embeddings" -> "query-set read vs corpus read"),
+    "s12_hybrid_rrf" -> Map("embeddings" -> "dense-arm query slice vs corpus"),
+    "s13_knn_graph_scaled" -> Map("embeddings" -> "query-set read vs corpus read"),
+    "d23_semantic_decontam" -> Map("embeddings" -> "train/bench roles of the planted union"),
+    "p01_publish_manifest" -> Map("documents" -> "stage-chain prefix; AQE exchange reuse collapses it at runtime (measured at sf1 — see p01 comment)"),
+    "p02_corpus_card" -> Map("documents" -> "corpus-global digest pass + per-source rollup"),
+    "p04_incremental_publish" -> Map("documents" -> "old-snapshot vs new-batch slices + rebuild branches"),
+    "p05_stage_funnel" -> Map("documents" -> "funnel re-derives each stage BY DESIGN (it audits the chain)"),
   )
 
   def main(args: Array[String]): Unit = {
@@ -96,9 +124,21 @@ object ScanAudit {
 
     var flagged = 0
     var unexplained = 0
-    val names = Registry.specs.map(_.name)
+    // optional second arg: comma-separated name prefixes (dev bisection)
+    val names = args.lift(1) match {
+      case Some(p) =>
+        val ps = p.split(",")
+        Registry.specs.map(_.name).filter(n => ps.exists(n.startsWith))
+      case None => Registry.specs.map(_.name)
+    }
     names.foreach { n =>
       try {
+        // re-pin per query: some query engines call GraftSession.tune()
+        // (AQE back on) as a side effect, and an AdaptiveSparkPlanExec
+        // HIDES its subtree from collect — every query after the first
+        // such call would audit as "zero scans" (found r15: the full-run
+        // audit was blind to the s/m/p groups, which run after EventsOps)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         val df = Registry.byName(n).run(spark, dir)
         val plan: SparkPlan = df.queryExecution.executedPlan
         val scans = plan.collectWithSubqueries {
