@@ -241,6 +241,38 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly the container-build exchange, got $n:\n$p")
   }
 
+  test("p12 latest-wins is ONE partial agg — no Window, one key exchange") {
+    val p = plan("p12_latest_wins_merge")
+    // the whole point of the struct-max form: a window would sort every
+    // group; the agg shape shuffles once with map-side combine
+    assert(!p.contains("Window"), p)
+    val n = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly the doc_id group exchange, got $n:\n$p")
+  }
+
+  test("p13 zone verdict attaches the 1-row bounds via broadcast, no hash shuffle") {
+    val p = plan("p13_zone_map_prune")
+    // zones are checkpointed before this plan; the bounds agg is global
+    // (single-partition) and re-enters via broadcast — a hashpartitioning
+    // here would mean the zone frame is being re-shuffled for a 1-row join
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("s16 encode pass is map-only: stats broadcast, corpus never hash-shuffles") {
+    val p = plan("s16_sq8_quantize")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the stats pass is a global agg (single-partition exchange); the
+    // encode pass must not hash-shuffle vectors anywhere
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("c30 vocab membership joins broadcast — the vocab never sort-merges") {
+    val p = plan("c30_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("e15 range join decomposes to a hash join on chunks — never a nested loop") {
     val p = plan("e15_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
