@@ -259,7 +259,12 @@ object Bench {
         // stats pass + map-only encode), c30 (tokenize + dictionary
         // checkpoint + broadcast membership join)
         "p12_latest_wins_merge", "p13_zone_map_prune", "s16_sq8_quantize",
-        "c30_vocab_coverage", "c31_vocab_growth")
+        "c30_vocab_coverage", "c31_vocab_growth",
+        // s17 (s11's graph + CC + keeper argmin - the full SemDeDup
+        // mask), p14 (two bucketed writes + exchange-free SMJ)
+        "s17_semantic_survivors", "p14_bucketed_join",
+        // t24 (one scored scan + 24-group agg - scan-bound drift report)
+        "t24_score_drift")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

@@ -129,6 +129,30 @@ object Pipeline {
     keeps.unionByName(merges).orderBy("shard")
   }
 
+  /** Bucketed managed-table write shared by p14 and its probe. A managed
+    * table's LOCATION outlives the in-memory catalog: a previous JVM's
+    * warehouse dir makes saveAsTable fail with LOCATION_ALREADY_EXISTS
+    * even under mode(overwrite) (the catalog has no table to overwrite),
+    * so an orphaned location — on disk but unknown to THIS session's
+    * catalog — is cleared before writing.
+    */
+  private[graft] def bucketedWrite(s: org.apache.spark.sql.SparkSession,
+      name: String, df: DataFrame): Unit = {
+    if (!s.catalog.tableExists(name)) {
+      val wh = java.net.URI
+        .create(s.conf.get("spark.sql.warehouse.dir")).getPath
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val loc = new java.io.File(wh, name)
+      if (loc.exists()) rm(loc)
+    }
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable(name)
+  }
+
   /** p12's engine — ONE definition shared by the contract query and the
     * ProbeR15 section. Input needs (doc_id, text); synthesizes the
     * deterministic revision fan-out and collapses it latest-wins. See the
@@ -919,6 +943,48 @@ object Pipeline {
              |  (max_ts < gmin + (gmax - gmin) // 3
              |    OR min_ts >= gmin + (2 * (gmax - gmin)) // 3) AS skip
              |FROM z, b ORDER BY shard""".stripMargin),
+    ),
+    // Bucketed co-located join — the layout that PRE-PAYS the shuffle:
+    // both sides are written `bucketBy(8, doc_id)` + `sortBy(doc_id)`
+    // (Spark's bucketed parquet tables), so the subsequent join reads
+    // co-located, pre-sorted buckets and plans as a SortMergeJoin with
+    // ZERO exchanges — at 100 TB, every repeated join/group on the
+    // bucket key after the one-time bucketed write moves no data at all
+    // (the standard fact-table layout decision; PlanSpec pins exactly
+    // one exchange in the whole plan, the lang rollup, and none at the
+    // join). The `merge` hint keeps the demonstration honest at test SFs
+    // where the small side would otherwise broadcast — broadcast is the
+    // better plan for a SMALL side; bucketing is the answer when BOTH
+    // sides are corpus-scale, which is the case the layout exists for.
+    // The oracle recomputes the rollup straight from the source table,
+    // so a bucketing bug that drops/duplicates rows (not just a slow
+    // plan) reds the row.
+    QuerySpec(
+      "p14_bucketed_join",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        bucketedWrite(s, "p14_meta",
+          docs.select(col("doc_id"), col("lang"), col("source")))
+        bucketedWrite(s, "p14_stats",
+          docs.filter(col("n_chars") >= 100)
+            .select(col("doc_id"),
+              size(split(col("text"), " ")).cast(LongType).as("nt"),
+              md5(col("text")).as("digest")))
+        s.table("p14_meta")
+          .join(s.table("p14_stats").hint("merge"), "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+            md5(concat_ws(",", sort_array(collect_list(col("digest")))))
+              .as("digests_md5"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             |    AS n_tokens,
+             |  md5(array_to_string(list_sort(list(md5(text))), ','))
+             |    AS digests_md5
+             |FROM documents WHERE n_chars >= 100
+             |GROUP BY lang ORDER BY lang""".stripMargin),
     ),
   )
 }

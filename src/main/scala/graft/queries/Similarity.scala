@@ -906,6 +906,52 @@ object Similarity {
     pcaProjected(e, mu, evecs)
   }
 
+  /** The s11/s17 shared graph stage: s10's capped kNN graph restricted to
+    * MUTUAL edges (both endpoints rank each other — the symmetrization
+    * that kills hub artifacts), then d08's connected components. Returns
+    * (id, label) — one row per vector that belongs to a mutual cluster.
+    */
+  private[graft] def mutualComponents(e: DataFrame,
+      nBits: Int = 8): DataFrame = {
+    val g = knnGraph(e.select(col("vec_id"), col("embedding")),
+      nTables = 4, nBits = nBits, k = 3, cap = 1000)
+    // mutual edge: the unordered pair appears in both directions
+    val mutual = g.select(
+        least(col("q_id"), col("neighbor_id")).as("a_id"),
+        greatest(col("q_id"), col("neighbor_id")).as("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 2)
+      .select("a_id", "b_id")
+    Dedup.connectedComponents(mutual)
+  }
+
+  /** s17's engine — SemDeDup survivors (Abbas et al. 2023): the keep-mask
+    * that CONSUMES s11's semantic clusters. Every vector outside a mutual
+    * cluster keeps itself; inside a cluster exactly ONE member survives —
+    * min vec_id, the d01/d21 survivor convention (deterministic, and at
+    * 100 TB it means the keep decision needs no quality join; swapping in
+    * a quality-argmax is one max(struct) away, the d21 shape). This is
+    * the final artifact a semantic-dedup pipeline actually ships: a
+    * per-row keep mask a trainer's reader applies as a filter. The
+    * contract default nBits=8 matches s11's oracle; a deployment passes
+    * [[scaledBits]] (the s13-vs-s10 precedent — the probe measures that
+    * configuration).
+    *
+    * Scale shape: s11's bounded graph + CC over 16-byte edge rows, one
+    * cluster-keyed min, then narrow joins back to the id column — vectors
+    * themselves never enter any join.
+    */
+  def semanticSurvivors(e: DataFrame, nBits: Int = 8): DataFrame = {
+    val comp = mutualComponents(e, nBits).withColumnRenamed("id", "vec_id")
+    val keepers = comp.groupBy("label").agg(min(col("vec_id")).as("keeper"))
+    e.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .join(keepers, Seq("label"), "left")
+      .select(col("vec_id"), col("label").as("cluster"),
+        (col("label").isNull || col("vec_id") === col("keeper")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** s16's engine — int8 scalar quantization (SQ8) of the embedding
     * corpus: per-dimension global [min, max] (one scan, 2·dim mergeable
     * accumulators — NO shuffle of vectors), broadcast into a map-only
@@ -1607,23 +1653,13 @@ object Similarity {
     // rows — the corpus vectors never enter the loop.
     QuerySpec(
       "s11_semantic_clusters",
-      (s, d) => {
-        val g = knnGraph(emb(s, d).select(col("vec_id"), col("embedding")),
-          nTables = 4, nBits = 8, k = 3, cap = 1000)
-        // mutual edge: the unordered pair appears in both directions
-        val mutual = g.select(
-            least(col("q_id"), col("neighbor_id")).as("a_id"),
-            greatest(col("q_id"), col("neighbor_id")).as("b_id"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
-          .filter(col("c") === 2)
-          .select("a_id", "b_id")
-        Dedup.connectedComponents(mutual)
+      (s, d) =>
+        mutualComponents(emb(s, d))
           .groupBy(col("label").as("cluster"))
           .agg(count(lit(1)).as("n_members"),
             md5(concat_ws(",", sort_array(collect_list(col("id")))))
               .as("members_md5"))
-          .orderBy("cluster")
-      },
+          .orderBy("cluster"),
       Some(s"""WITH RECURSIVE $knnGraphOracleCtes,
               |mutual AS (
               |  SELECT LEAST(q_id, neighbor_id) AS a_id,
@@ -1748,6 +1784,37 @@ object Similarity {
       "s16_sq8_quantize",
       (s, d) => sq8Quantize(emb(s, d)),
       Some(sq8OracleSql(S14Dim)),
+    ),
+    // SemDeDup survivors — see [[semanticSurvivors]]: the keep-mask over
+    // s11's mutual clusters (singletons keep themselves, one survivor per
+    // cluster). Oracle: s11's recursive-CC CTEs + a keeper argmin.
+    QuerySpec(
+      "s17_semantic_survivors",
+      (s, d) => semanticSurvivors(emb(s, d)),
+      Some(s"""WITH RECURSIVE $knnGraphOracleCtes,
+              |mutual AS (
+              |  SELECT LEAST(q_id, neighbor_id) AS a_id,
+              |         GREATEST(q_id, neighbor_id) AS b_id
+              |  FROM ranked WHERE rank <= 3
+              |  GROUP BY 1, 2 HAVING COUNT(*) = 2),
+              |sym AS MATERIALIZED (
+              |  SELECT a_id AS src, b_id AS dst FROM mutual
+              |  UNION ALL SELECT b_id, a_id FROM mutual),
+              |reach AS (
+              |  SELECT src AS id, src AS label FROM sym
+              |  UNION
+              |  SELECT e.dst AS id, r.label
+              |  FROM reach r JOIN sym e ON e.src = r.id),
+              |comp AS (SELECT id, MIN(label) AS component FROM reach
+              |         GROUP BY id),
+              |keepers AS (SELECT component, MIN(id) AS keeper FROM comp
+              |            GROUP BY component)
+              |SELECT emb.vec_id, c.component AS cluster,
+              |  (c.component IS NULL OR emb.vec_id = k.keeper) AS keep
+              |FROM embeddings emb
+              |LEFT JOIN comp c ON emb.vec_id = c.id
+              |LEFT JOIN keepers k ON c.component = k.component
+              |ORDER BY emb.vec_id""".stripMargin),
     ),
   )
 

@@ -248,6 +248,34 @@ object TextOps {
   private[graft] def classifierNFeats(text: Column): Column =
     size(classifierFeats(text)).cast(LongType)
 
+  /** t13's score chain as DuckDB CTEs ending in
+    * `sc(doc_id, n_feats, score)` — ONE oracle-side definition shared by
+    * t13 and every oracle that consumes the classifier score (c32).
+    */
+  private def t13ScoreCtes: String = {
+    import graft.engine.DuckHash
+    s"""tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ft AS (
+       |  SELECT doc_id, list_concat(toks,
+       |    list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS feats
+       |  FROM tk),
+       |ws AS (
+       |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+       |    list_transform(${DuckHash.mixChain("feats")},
+       |      v -> CAST(CAST(CAST(${DuckHash.signed("v")} AS DOUBLE)
+       |                     / 9.223372036854775808e18 AS VARCHAR)
+       |                AS DECIMAL(38,10))) AS wd
+       |  FROM ft),
+       |sc AS (
+       |  SELECT doc_id, n_feats,
+       |    CAST(CAST(list_reduce(list_prepend(0::DECIMAL(38,10), wd),
+       |           (a, b) -> a + b) AS VARCHAR) AS DOUBLE)
+       |      / CAST(n_feats AS DOUBLE) AS score
+       |  FROM ws)""".stripMargin
+  }
+
   /** t13's linear score — ONE definition shared by the contract query and
     * the PropertySpec partitioning-invariance gate.
     *
@@ -317,6 +345,48 @@ object TextOps {
           col("tp").cast(DoubleType) / col("n_pos").cast(DoubleType))
           .as("recall"))
       .orderBy("threshold")
+  }
+
+  /** t24's engine — quality-score distribution drift between two corpus
+    * snapshots: the monitoring table a pipeline checks at every refresh
+    * (did the new crawl's quality profile move?). Scores are t13's (the
+    * ONE shared scorer), snapshots are the even/odd doc_id halves (the
+    * d14 old/new convention), bins are the T23 grid edges reused as
+    * cut points (12 bins: below the grid, one per edge step, above).
+    * Output per bin: counts + shares per snapshot and the L1 term
+    * |share_a − share_b|; Σ l1_term over the 12-row table is total
+    * variation distance ×2 — the drift statistic, kept as per-bin terms
+    * so the report shows WHERE the distribution moved. All arithmetic
+    * is comparisons, integer counts, and single divisions — no
+    * transcendentals (the PSI/KL form needs ln and is libm-unsafe; L1
+    * carries the same signal exactly).
+    *
+    * Scale shape: ONE corpus pass (map-side score + fold-count bin
+    * assignment), a ≤24-group aggregation, broadcast totals. 100 TB
+    * cost = one scan.
+    */
+  def scoreDrift(in: DataFrame): DataFrame = {
+    val bin = T23Grid.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(col("score") >= lit(t.toDouble), 1L).otherwise(0L)
+    }
+    val scored = in
+      .select(col("doc_id"), classifierScore(col("text")).as("score"))
+      .select(
+        when(pmod(col("doc_id"), lit(2L)) === 0, "a").otherwise("b")
+          .as("snap"),
+        bin.as("bin"))
+    val byBin = scored.groupBy("bin").agg(
+      sum(when(col("snap") === "a", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("snap") === "b", 1L).otherwise(0L)).as("n_b"))
+    val tot = byBin.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    byBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        (col("n_a").cast(DoubleType) / col("ta").cast(DoubleType))
+          .as("share_a"),
+        (col("n_b").cast(DoubleType) / col("tb").cast(DoubleType))
+          .as("share_b"))
+      .withColumn("l1_term", abs(col("share_a") - col("share_b")))
+      .orderBy("bin")
   }
 
   val specs: Vector[QuerySpec] = Vector(
@@ -774,6 +844,40 @@ object TextOps {
            |FROM agg ORDER BY threshold""".stripMargin
       },
     ),
+    // Quality-score distribution drift — see [[scoreDrift]]: t13 scores,
+    // even/odd snapshot halves, T23-grid bin edges, per-bin L1 terms
+    // (exact — the PSI/KL form needs ln and is libm-unsafe cross-engine).
+    QuerySpec(
+      "t24_score_drift",
+      (s, d) => scoreDrift(docs(s, d)),
+      Some {
+        val binExpr = T23Grid
+          .map(t => s"CASE WHEN score >= $t THEN 1 ELSE 0 END")
+          .mkString("\n|      + ")
+        s"""WITH $t13ScoreCtes,
+           |b AS (
+           |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+           |    CAST($binExpr AS BIGINT) AS bin
+           |  FROM sc),
+           |bb AS (
+           |  SELECT bin,
+           |    CAST(SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_a,
+           |    CAST(SUM(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_b
+           |  FROM b GROUP BY bin),
+           |t AS (
+           |  SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+           |    CAST(SUM(n_b) AS BIGINT) AS tb
+           |  FROM bb)
+           |SELECT bin, n_a, n_b,
+           |  CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS share_a,
+           |  CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_b,
+           |  abs(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+           |    - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) AS l1_term
+           |FROM bb, t ORDER BY bin""".stripMargin
+      },
+    ),
     // Context-window chunking — how documents become model inputs: split
     // each doc into 64-token windows with stride 48 (16-token overlap so
     // no boundary context is lost), emitting one row per chunk with its
@@ -1107,31 +1211,9 @@ object TextOps {
             classifierScore(col("text")).as("score"))
           .withColumn("keep", col("score") > 0.0)
           .orderBy("doc_id"),
-      Some {
-        import graft.engine.DuckHash
-        s"""WITH tk AS (
-           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-           |ft AS (
-           |  SELECT doc_id, list_concat(toks,
-           |    list_transform(range(1, len(toks)),
-           |      i -> toks[i] || ' ' || toks[i+1])) AS feats
-           |  FROM tk),
-           |ws AS (
-           |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
-           |    list_transform(${DuckHash.mixChain("feats")},
-           |      v -> CAST(CAST(CAST(${DuckHash.signed("v")} AS DOUBLE)
-           |                     / 9.223372036854775808e18 AS VARCHAR)
-           |                AS DECIMAL(38,10))) AS wd
-           |  FROM ft)
-           |SELECT doc_id, n_feats,
-           |  CAST(CAST(list_reduce(list_prepend(0::DECIMAL(38,10), wd),
-           |         (a, b) -> a + b) AS VARCHAR) AS DOUBLE)
-           |    / CAST(n_feats AS DOUBLE) AS score,
-           |  CAST(CAST(list_reduce(list_prepend(0::DECIMAL(38,10), wd),
-           |         (a, b) -> a + b) AS VARCHAR) AS DOUBLE)
-           |    / CAST(n_feats AS DOUBLE) > 0.0 AS keep
-           |FROM ws ORDER BY doc_id""".stripMargin
-      },
+      Some(s"""WITH $t13ScoreCtes
+              |SELECT doc_id, n_feats, score, score > 0.0 AS keep
+              |FROM sc ORDER BY doc_id""".stripMargin),
     ),
     // Code-vs-prose routing — the pretraining split every mixed crawl
     // needs before tokenization (code gets its own tokenizer budget,

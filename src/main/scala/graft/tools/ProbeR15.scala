@@ -319,6 +319,47 @@ object ProbeR15 {
           ev.unpersist()
           }
 
+          if (want("s17")) {
+          val e17 = spark.range(nn).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)), i =>
+              ((pmod(xxhash64(col("id"), i), lit(2001)) - 1000)
+                .cast("double") / 1000.0).cast("float")).as("embedding"))
+            .localCheckpoint(true)
+          val (s17stats, tM) = time {
+            val out = graft.queries.Similarity.semanticSurvivors(e17,
+              nBits = graft.queries.Similarity.scaledBits(nn))
+            out.agg(count(lit(1)),
+              sum(when(col("keep"), 1L).otherwise(0L)),
+              count(col("cluster"))).head()
+          }
+          println(s"""{"probe":"s17","vectors":$nn,""" +
+            s""""rows":${s17stats.getLong(0)},""" +
+            s""""kept":${s17stats.getLong(1)},""" +
+            s""""clustered":${s17stats.getLong(2)},"sec":$tM,""" +
+            s""""s17_ok":${s17stats.getLong(0) == nn &&
+              s17stats.getLong(1) <= nn}}""")
+          e17.unpersist()
+          }
+
+          if (want("p14")) {
+          val docs14 = gen(nn).localCheckpoint(true)
+          val (p14stats, tB) = time {
+            graft.queries.Pipeline.bucketedWrite(spark, "probe_p14_meta",
+              docs14.select(col("doc_id"), col("lang")))
+            graft.queries.Pipeline.bucketedWrite(spark, "probe_p14_stats",
+              docs14.select(col("doc_id"),
+                length(col("text")).cast("long").as("nc")))
+            spark.table("probe_p14_meta")
+              .join(spark.table("probe_p14_stats").hint("merge"), "doc_id")
+              .groupBy("lang").agg(count(lit(1)), sum(col("nc")))
+              .collect().map(_.getLong(1)).sum
+          }
+          println(s"""{"probe":"p14","docs":$nn,""" +
+            s""""joined":$p14stats,"sec":$tB,""" +
+            s""""p14_ok":${p14stats == nn}}""")
+          docs14.unpersist()
+          }
+
           if (want("s16")) {
           val e = spark.range(nn).select(col("id").as("vec_id"),
             transform(sequence(lit(0), lit(63)), i =>

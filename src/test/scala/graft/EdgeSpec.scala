@@ -567,4 +567,32 @@ class EdgeSpec extends AnyFunSuite {
       .filter(col("pred") =!= col("pred_full")).count() == 0)
     out.unpersist()
   }
+
+  test("t24 drift laws: bins partition the corpus, shares normalize, plant moves L1") {
+    val sf = SharedSpark.sf
+    val docs = Tables(spark, sf, "documents")
+    val out = Registry.byName("t24_score_drift").run(spark, sf).collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    // bins partition: every doc lands in exactly one (bin, snap) cell
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == docs.count())
+    // shares normalize per snapshot and the L1 term is what it claims
+    val (sa, sb) = (out.map(_.getDouble(3)).sum, out.map(_.getDouble(4)).sum)
+    assert(math.abs(sa - 1.0) < 1e-12 && math.abs(sb - 1.0) < 1e-12)
+    out.foreach { r =>
+      assert(r.getDouble(5) == math.abs(r.getDouble(3) - r.getDouble(4)), r)
+    }
+    val baseL1 = out.map(_.getDouble(5)).sum
+    // planted drift: degrade snapshot B (odd docs) by appending junk
+    // tokens that dilute the score toward the hash-mean — total L1 must
+    // move well above the even/odd sampling noise of the intact corpus
+    import graft.queries.TextOps
+    val degraded = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2L)) === 1,
+        concat(col("text"), lit(" zzdrift zzdrift zzdrift zzdrift")))
+        .otherwise(col("text")).as("text"))
+    val plantedL1 = TextOps.scoreDrift(degraded).collect()
+      .map(_.getDouble(5)).sum
+    assert(plantedL1 > 2 * baseL1,
+      s"planted drift $plantedL1 not above baseline $baseL1")
+  }
 }

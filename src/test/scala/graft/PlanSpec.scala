@@ -273,6 +273,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("p14 bucketed join: zero exchanges at the join — only the rollup shuffles") {
+    val p = plan("p14_bucketed_join")
+    // both sides are bucketed on doc_id, so the SMJ must consume the
+    // buckets' co-location: the ONLY exchange in the plan is the lang
+    // rollup after the join
+    assert(p.contains("SortMergeJoin"), p)
+    val n = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected only the lang-rollup exchange, got $n:\n$p")
+  }
+
   test("e15 range join decomposes to a hash join on chunks — never a nested loop") {
     val p = plan("e15_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

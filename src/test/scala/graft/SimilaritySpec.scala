@@ -563,4 +563,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dg(3L).getDouble(4) > 0.0 && dg(3L).getDouble(4) < step2 * step2,
       s"interior value error ${dg(3L).getDouble(4)} outside (0, step²)")
   }
+
+  test("s17 keep-mask laws: one survivor per cluster, singletons all kept, s11-consistent") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("s17_semantic_survivors").run(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getBoolean(2)))
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(out.length == e.count(), "one mask row per vector")
+    // singletons (no cluster) are always kept
+    assert(out.filter(_._2.isEmpty).forall(_._3), "singleton must keep itself")
+    // every cluster keeps EXACTLY one member, and it is the min id
+    out.filter(_._2.nonEmpty).groupBy(_._2.get).foreach { case (c, ms) =>
+      val kept = ms.filter(_._3).map(_._1)
+      assert(kept.length == 1, s"cluster $c kept ${kept.length} members")
+      assert(kept.head == ms.map(_._1).min, s"cluster $c survivor not min id")
+    }
+    // the mask's cluster memberships are EXACTLY s11's clusters
+    val s11 = Registry.byName("s11_semantic_clusters").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mine = out.filter(_._2.nonEmpty).groupBy(_._2.get)
+      .map { case (c, ms) => c -> ms.length.toLong }
+    assert(mine == s11, s"cluster sizes diverge: $mine vs $s11")
+  }
 }
