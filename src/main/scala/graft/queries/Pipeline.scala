@@ -159,8 +159,15 @@ object Pipeline {
     * p12 QuerySpec comment for the design narrative (struct-max partial
     * agg, not a window).
     */
-  def latestWinsMerge(docs: DataFrame): DataFrame = {
-    val revs = docs
+  def latestWinsMerge(docs: DataFrame): DataFrame =
+    latestWinsAgg(revisionFrame(docs)).orderBy("doc_id")
+
+  /** p12's deterministic revision fan-out — ONE definition shared by the
+    * batch merge, the streaming twin ([[graft.streaming.Streams]]
+    * latestWins), and the probe.
+    */
+  private[graft] def revisionFrame(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L))))
           .as("rev"))
@@ -168,6 +175,12 @@ object Pipeline {
         pmod(col("rev") * 7919L + col("doc_id"), lit(10007L)).as("ts"),
         md5(concat(col("text"), lit("|"), col("rev").cast("string")))
           .as("digest"))
+
+  /** The latest-wins collapse itself — a MERGEABLE aggregate, which is
+    * what makes the identical code both the batch operator and a
+    * streaming stateful aggregation (the window form streams not at all).
+    */
+  private[graft] def latestWinsAgg(revs: DataFrame): DataFrame =
     revs
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_revs"),
@@ -176,8 +189,6 @@ object Pipeline {
         col("latest.rev").as("latest_rev"),
         col("latest.ts").as("latest_ts"),
         col("latest.digest").as("latest_md5"))
-      .orderBy("doc_id")
-  }
 
   /** p13's engine — ONE definition shared by the contract query and the
     * ProbeR15 section. Input needs (shard, tsu, value) — the caller maps

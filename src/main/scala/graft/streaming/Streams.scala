@@ -237,6 +237,22 @@ object Streams {
       .select(col("digest"), col("doc_id"))
   }
 
+  /** Streaming latest-wins merge — the streaming half of batch p12, and
+    * the REASON p12 is an aggregate: `max(struct(ts, rev, digest))` is
+    * mergeable, so the EXACT batch operator doubles as a streaming
+    * stateful aggregation (one state row per key, updated as revisions
+    * arrive) — the CDC-ingest upsert view a pipeline maintains live.
+    * The ROW_NUMBER window form p12 rejected has no streaming equivalent
+    * at all. Revision fan-out and collapse are Pipeline.revisionFrame/
+    * latestWinsAgg — one implementation, so the streaming==batch parity
+    * spec proves the operator, not a re-derivation of it.
+    */
+  def latestWins(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Pipeline
+    Pipeline.latestWinsAgg(Pipeline.revisionFrame(
+      readDocs(spark, dir).select(col("doc_id"), col("text"))))
+  }
+
   /** Streaming anomaly scoring — the streaming half of batch e13: each
     * incoming event is z-scored against a STATIC per-type model (mean/σ
     * from the decimal-exact q35 moments over the reference corpus) via a

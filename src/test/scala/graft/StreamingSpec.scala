@@ -27,6 +27,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming latest-wins state equals batch p12 (mergeable agg IS the stream op)") {
+    val q = Streams.latestWins(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_p12")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_p12").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      val batch = Registry.byName("p12_latest_wins_merge").run(spark, sf)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("Misra-Gries sketch runs in a streaming aggregation and keeps its guarantee") {
     // the sketch's mergeable ≤k-counter buffer is exactly the state shape
     // streaming aggregation needs — the SAME aggregator runs batch (e11)
