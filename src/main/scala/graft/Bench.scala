@@ -59,8 +59,34 @@ object Bench {
         s.asScala.find(_.startsWith("VmRSS:"))
           .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
       } catch { case _: Throwable => -1L }
+    // (system busy jiffies, this JVM's jiffies). Loadavg is the wrong quiet
+    // signal for a bench: it decays over a minute (a heavy query of OURS
+    // keeps it high through the next three queries) and it counts our own
+    // 32 threads. What actually inflates a measurement is OTHER processes'
+    // CPU during the run — measured directly as (system busy Δ) − (self Δ)
+    // across the run, in average cores. The r15 driver artifact overstated
+    // the headline 4.5× with loadavg-only stamps; this makes quietness a
+    // per-run measured fact instead of a forensic read.
+    def cpuTicks(): (Long, Long) =
+      try {
+        val cpu = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L)
+        val busy = cpu.sum - idle
+        val st = Files.readString(Paths.get("/proc/self/stat"))
+        val f = st.substring(st.lastIndexOf(')') + 2).split(" ")
+        (busy, f(11).toLong + f(12).toLong) // utime + stime
+      } catch { case _: Throwable => (-1L, -1L) }
     case class RunStamp(sec: Double, loadBefore: Double, loadAfter: Double,
-        rssAfterMb: Long)
+        rssAfterMb: Long, otherCores: Double)
+    // Quiet = other processes averaged under max(1, cpus/8) cores during
+    // the run, OR under half a core-second absolute (sub-0.1 s runs see
+    // jiffy-granularity noise; that little foreign work can't inflate
+    // anything). USER_HZ is 100 on Linux.
+    val quietCeil = math.max(1.0, cpus.toDouble / 8)
+    def isQuiet(r: RunStamp): Boolean =
+      r.otherCores >= 0 &&
+        (r.otherCores <= quietCeil || r.otherCores * r.sec <= 0.5)
     // min of two runs: the first run of a query pays one-off codegen/JIT
     // costs that say nothing about per-row throughput. BOTH raw runs are
     // kept and emitted (`*_runs` fields) so machine interference is visible
@@ -72,14 +98,18 @@ object Bench {
     // lone spike, and the raw triple + load stamps prove which run was hit.
     def runPair(spec: QuerySpec, dir: String, tag: String): (String, Seq[RunStamp]) = {
       def one(): RunStamp = {
-        val lb = loadAvg()
+        val lb = loadAvg(); val (b0, s0) = cpuTicks()
         val sec = time {
           try spec.run(spark, dir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $tag${spec.name} failed: ${e.getMessage}")
           }
         }
-        RunStamp(sec, lb, loadAvg(), rssMb())
+        val (b1, s1) = cpuTicks()
+        val other =
+          if (b0 < 0 || b1 < 0 || sec <= 0) -1.0
+          else math.max(0.0, ((b1 - b0) - (s1 - s0)).toDouble / (sec * 100.0))
+        RunStamp(sec, lb, loadAvg(), rssMb(), other)
       }
       var runs = Seq(one(), one())
       // Second tie-break trigger (r11 ADVICE): if interference inflates
@@ -97,6 +127,20 @@ object Bench {
             f"loads ${runs.map(_.loadAfter).mkString(", ")} — taking a third run")
         runs = runs :+ one()
       }
+      // Load-gated retries (r15 VERDICT item 1): min-of-N saturates when
+      // co-load persists across all N runs — the r15 driver artifact read
+      // 4.5× the quiet truth with every run interfered. Retry until ONE
+      // run executes with other-process CPU under the quiet ceiling (then
+      // the min is a quiet-qualified number by construction), capped at 5
+      // total runs: if no quiet window existed, the emitted quiet=false +
+      // otherCores stamps prove it in one glance instead of overstating
+      // silently. On a quiet machine this adds zero runs.
+      while (!runs.exists(isQuiet) && runs.size < 5) {
+        System.err.println(
+          f"[bench] $tag${spec.name}: no quiet run yet " +
+            f"(otherCores ${runs.map(r => f"${r.otherCores}%.1f").mkString(", ")}) — retrying")
+        runs = runs :+ one()
+      }
       spec.name -> runs
     }
     def minsJson(rs: Seq[(String, Seq[RunStamp])]): String =
@@ -108,9 +152,25 @@ object Bench {
     def stampsJson(rs: Seq[(String, Seq[RunStamp])]): String =
       rs.map { case (k, v) =>
         "\"" + k + "\":" + v.map(r =>
-          s"[${r.loadBefore},${r.loadAfter},${r.rssAfterMb}]")
+          f"[${r.loadBefore},${r.loadAfter},${r.rssAfterMb},${r.otherCores}%.2f]")
           .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    // Quiet qualification per query: true iff at least one run executed
+    // with other-process CPU under the ceiling. Once a quiet run exists,
+    // min-of-all-runs is a valid measurement (interference only ever
+    // SLOWS a run, so a faster unquiet run is better evidence, not an
+    // artifact); quietTotal is therefore the subtotal over quiet-
+    // qualified queries — equal to `value` on a quiet machine, and the
+    // unquiet queries are enumerable from queries_quiet when it isn't.
+    // The headline is load-qualified by construction, not by forensic
+    // stamp-reading (r15 VERDICT item 1).
+    def quietJson(rs: Seq[(String, Seq[RunStamp])]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v.exists(isQuiet) }
+        .mkString("{", ",", "}")
+    def quietTotal(rs: Seq[(String, Seq[RunStamp])]): Double =
+      rs.collect { case (_, v) if v.exists(isQuiet) => v.map(_.sec).min }.sum
+    def unquietCount(rs: Seq[(String, Seq[RunStamp])]): Int =
+      rs.count { case (_, v) => !v.exists(isQuiet) }
     val results = Registry.headline.map(spec => runPair(spec, sfDir, ""))
     val qs = minsJson(results)
     val total = results.map(_._2.map(_.sec).min).sum
@@ -269,10 +329,13 @@ object Bench {
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)
       val q1stamps = stampsJson(r1 ++ rExt)
+      val q1quiet = quietJson(r1 ++ rExt)
       val sf1Tot = r1.map(_._2.map(_.sec).min).sum
       val extTot = rExt.map(_._2.map(_.sec).min).sum
+      val sf1QTot = quietTotal(r1); val extQTot = quietTotal(rExt)
+      val sf1Unq = unquietCount(r1 ++ rExt)
       val mins = (r1 ++ rExt).map { case (k, v) => k -> v.map(_.sec).min }
-      (s""","sf1_total":$sf1Tot,"sf1_ext_total":$extTot,"sf1_queries":$q1,"sf1_queries_runs":$q1runs,"sf1_queries_stamps":$q1stamps,"sf1_dir":"$sf1Dir"""",
+      (s""","sf1_total":$sf1Tot,"sf1_quiet_total":$sf1QTot,"sf1_ext_total":$extTot,"sf1_ext_quiet_total":$extQTot,"sf1_unquiet_count":$sf1Unq,"sf1_queries":$q1,"sf1_queries_runs":$q1runs,"sf1_queries_stamps":$q1stamps,"sf1_queries_quiet":$q1quiet,"sf1_dir":"$sf1Dir"""",
         Some((sf1Tot, extTot, mins)))
     } else ("", None)
     // HLL-only distinct count: q39's contract output folds in an exact
@@ -318,7 +381,7 @@ object Bench {
     val duck1 =
       if (sf1.isEmpty) ""","sf1":"skipped (no data)""""
       else duckTotal(sf1Dir).map(v => s""","sf1_duckdb_total":$v""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":${runsJson(results)},"queries_stamps":${stampsJson(results)},"sf":"$sfDir","hll_only":$hll,"note":"$note"$duck$sf1$duck1}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","quiet_total":${quietTotal(results)},"unquiet_count":${unquietCount(results)},"queries":$qs,"queries_runs":${runsJson(results)},"queries_stamps":${stampsJson(results)},"queries_quiet":${quietJson(results)},"sf":"$sfDir","hll_only":$hll,"note":"$note"$duck$sf1$duck1}"""
     println(line)
     // The same line, file-based: the driver harvests the stdout tail, where
     // the JSON rides behind sbt's "[info] " prefix and a tail window that
@@ -358,7 +421,7 @@ object Bench {
       s""","sf1_slowest":{$top}"""
     }.getOrElse("")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","hll_only":$hll$duck$sf1Fields$duck1$slow5,"full":"bench_out.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","quiet_total":${quietTotal(results)},"unquiet_count":${unquietCount(results)},"queries":$qs,"sf":"$sfDir","hll_only":$hll$duck$sf1Fields$duck1$slow5,"full":"bench_out.json"}"""
     // Emit the compact line AFTER spark.stop() and through the raw file
     // descriptor, as the process's genuinely last stdout bytes: the r12
     // driver tail showed the line arriving prefixed "[info] " (sbt logger

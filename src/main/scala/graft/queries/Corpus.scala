@@ -379,9 +379,13 @@ object Corpus {
         .when(c * 100 <= col("mx") * 25, 25L)
         .when(c * 100 <= col("mx") * 50, 50L)
         .otherwise(100L)
+    // non-empty tokens only, matching n_types' grain and companion c30's
+    // n_tokens (r15 ADVICE: the unfiltered split counted empty strings
+    // from consecutive spaces, so ttr mixed grains on multi-space text)
     val docsB = docs
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast(LongType).as("nt"))
+        size(filter(split(col("text"), " "),
+          w => length(w) > 0)).cast(LongType).as("nt"))
       .crossJoin(broadcast(bounds))
       .groupBy(bucket(col("doc_id")).as("pct"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
@@ -1362,7 +1366,8 @@ object Corpus {
              |              WHEN doc_id * 100 <= mx * 50 THEN 50
              |              ELSE 100 END AS pct,
              |    COUNT(*) AS n_docs,
-             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |    CAST(SUM(len(list_filter(string_split(text, ' '),
+             |      w -> len(w) > 0))) AS BIGINT) AS n_tokens
              |  FROM documents, b GROUP BY 1),
              |fs AS (
              |  SELECT u.w AS w, MIN(doc_id) AS fd

@@ -25,12 +25,15 @@ import graft.engine.{Exact, Tables}
   */
 object EventsOps {
 
-  private def ev(s: SparkSession, d: String): DataFrame = {
-    // tune() is idempotent and Tables reads lazily, so AQE etc. land even
-    // when the caller's session was built without GraftSession
-    graft.engine.GraftSession.tune(s)
+  // Conf-read-only by design (r15 VERDICT item 7): this used to call the
+  // session tuner per query "so AQE lands even on a bare session",
+  // which mutated GLOBAL session conf from inside a query path and made
+  // every conf-pinning caller order-dependent (it blinded ScanAudit for
+  // five rounds — an e-query flipped AQE back on mid-sweep). Session
+  // tuning is an ENTRY-POINT responsibility (Verify/Bench/SparkEntry/
+  // Streams all tune); query engines only read.
+  private def ev(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "events")
-  }
 
   private val GapUs = 1800000000L // 30 min
   private val HourUs = 3600000000L

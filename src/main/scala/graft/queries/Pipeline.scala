@@ -138,20 +138,32 @@ object Pipeline {
     */
   private[graft] def bucketedWrite(s: org.apache.spark.sql.SparkSession,
       name: String, df: DataFrame): Unit = {
-    if (!s.catalog.tableExists(name)) {
-      val wh = java.net.URI
-        .create(s.conf.get("spark.sql.warehouse.dir")).getPath
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      val loc = new java.io.File(wh, name)
-      if (loc.exists()) rm(loc)
-    }
+    // Catalog-first drop (clears table + location through the right code
+    // path), then clear only a still-ORPHANED location — on disk but
+    // unknown to THIS session's catalog — via the Hadoop FileSystem,
+    // which handles non-file schemes and URI-encoded/space-containing
+    // warehouse paths that raw java.io/URI.create would mangle (r15
+    // ADVICE). The caller passes per-data-dir table names, so the delete
+    // can never hit another run's live table.
+    s.sql(s"DROP TABLE IF EXISTS `$name`")
+    try {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    } catch { case _: Throwable => () }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(8, "doc_id").sortBy("doc_id")
       .saveAsTable(name)
   }
+
+  /** Per-data-dir managed-table suffix: two runs over different scale dirs
+    * (or Verify + a probe sharing a warehouse) must not race on one table
+    * name (r15 ADVICE — p14's fixed names were non-reentrant).
+    */
+  private[graft] def dirTag(d: String): String =
+    (scala.util.hashing.MurmurHash3.stringHash(
+      new java.io.File(d).getAbsolutePath) & 0x7fffffff).toHexString
 
   /** p12's engine — ONE definition shared by the contract query and the
     * ProbeR15 section. Input needs (doc_id, text); synthesizes the
@@ -974,15 +986,18 @@ object Pipeline {
       "p14_bucketed_join",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        bucketedWrite(s, "p14_meta",
+        // table names carry the data-dir hash: concurrent runs over
+        // different scale dirs never collide in a shared warehouse
+        val (meta, stats) = (s"p14_meta_${dirTag(d)}", s"p14_stats_${dirTag(d)}")
+        bucketedWrite(s, meta,
           docs.select(col("doc_id"), col("lang"), col("source")))
-        bucketedWrite(s, "p14_stats",
+        bucketedWrite(s, stats,
           docs.filter(col("n_chars") >= 100)
             .select(col("doc_id"),
               size(split(col("text"), " ")).cast(LongType).as("nt"),
               md5(col("text")).as("digest")))
-        s.table("p14_meta")
-          .join(s.table("p14_stats").hint("merge"), "doc_id")
+        s.table(meta)
+          .join(s.table(stats).hint("merge"), "doc_id")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
             md5(concat_ws(",", sort_array(collect_list(col("digest")))))

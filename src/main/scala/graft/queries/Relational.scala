@@ -194,8 +194,10 @@ object Relational {
     QuerySpec(
       "q09_show_tables",
       (s, d) => {
-        val s2 = s.newSession() // fresh catalog; runtime confs do not carry over
-        graft.engine.GraftSession.tune(s2) // ns-as-long for the events table
+        // fresh catalog; runtime confs do not carry over — and none are
+        // needed: SHOW TABLES touches no data, so the child session stays
+        // untuned (query paths are conf-read-only, r15 VERDICT item 7)
+        val s2 = s.newSession()
         Tables.registerAll(s2, d)
         s2.sql("SHOW TABLES").select(col("tableName").as("table_name")).orderBy("table_name")
       },

@@ -250,7 +250,7 @@ object TextOps {
 
   /** t13's score chain as DuckDB CTEs ending in
     * `sc(doc_id, n_feats, score)` — ONE oracle-side definition shared by
-    * t13 and every oracle that consumes the classifier score (c32).
+    * t13 and every oracle that consumes the classifier score (t23, t24).
     */
   private def t13ScoreCtes: String = {
     import graft.engine.DuckHash

@@ -133,12 +133,15 @@ object ScanAudit {
     }
     names.foreach { n =>
       try {
-        // re-pin per query: some query engines call GraftSession.tune()
-        // (AQE back on) as a side effect, and an AdaptiveSparkPlanExec
-        // HIDES its subtree from collect — every query after the first
-        // such call would audit as "zero scans" (found r15: the full-run
-        // audit was blind to the s/m/p groups, which run after EventsOps)
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        // No per-query conf re-pin needed since r16: query paths are
+        // conf-read-only (GraftSession.tune callers are entry points +
+        // tools only — HygieneSpec grep-gates it). The r15 blinder was
+        // EventsOps.ev() flipping AQE back on mid-sweep, which made an
+        // AdaptiveSparkPlanExec HIDE its subtree from collect; the
+        // assertion below turns any regression into a loud failure
+        // instead of a silently blind audit.
+        assert(spark.conf.get("spark.sql.adaptive.enabled") == "false",
+          s"AQE was re-enabled before $n — a query path mutated session conf")
         val df = Registry.byName(n).run(spark, dir)
         val plan: SparkPlan = df.queryExecution.executedPlan
         val scans = plan.collectWithSubqueries {
