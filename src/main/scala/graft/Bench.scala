@@ -324,7 +324,15 @@ object Bench {
         // mask), p14 (two bucketed writes + exchange-free SMJ)
         "s17_semantic_survivors", "p14_bucketed_join",
         // t24 (one scored scan + 24-group agg - scan-bound drift report)
-        "t24_score_drift")
+        "t24_score_drift",
+        // ... and the round-16 additions: c32 (trigram-keyed model shuffle
+        // + size-gated scoring join — the KenLM-shaped filter; the widest
+        // n-gram model in the suite), c33 (c32 scores + the c27 tertile
+        // decision layer)
+        "c32_kneser_ney_score", "c33_kn_perplexity_buckets",
+        // s17b (s17's graph+CC at corpus-scaled code width — the
+        // deployed configuration, now oracled)
+        "s17b_survivors_scaled")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

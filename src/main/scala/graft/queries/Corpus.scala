@@ -128,9 +128,28 @@ object Corpus {
     * sketch, bounded state) or a reservoir sample — CCNet itself
     * computes thresholds on a sample — and keep every other stage.
     */
-  def perplexityBuckets(docsDf: DataFrame): DataFrame = {
-    val scores = unigramLmScore(docsDf)
-      .join(docsDf.select(col("doc_id"), col("lang")), "doc_id")
+  def perplexityBuckets(docsDf: DataFrame): DataFrame =
+    tertileBuckets(unigramLmScore(docsDf)
+      .join(docsDf.select(col("doc_id"), col("lang")), "doc_id"))
+
+  /** c33's engine — the SAME CCNet tertile decision re-run on the c32
+    * Kneser–Ney trigram scores (r15 VERDICT item 2's "c27 rebucketed on
+    * KN scores"): the bucketing machinery is scorer-agnostic, so the
+    * upgrade from a unigram to the KenLM-shaped filter is exactly a
+    * scorer swap — which is the operational point of factoring the
+    * pipeline this way.
+    */
+  def knPerplexityBuckets(docsDf: DataFrame): DataFrame =
+    tertileBuckets(knTrigramScore(docsDf)
+      .select(col("doc_id"), col("avg_nll"))
+      .join(docsDf.select(col("doc_id"), col("lang")), "doc_id"))
+
+  /** The per-language head/middle/tail assignment shared by c27 and c33
+    * — input is any (doc_id, lang, avg_nll) score frame.
+    */
+  private def tertileBuckets(scoresDf: DataFrame): DataFrame = {
+    val scores = scoresDf
+      .select(col("doc_id"), col("lang"), col("avg_nll"))
       .localCheckpoint(true)
     val thr = scores.groupBy("lang")
       .agg(
@@ -410,6 +429,74 @@ object Corpus {
           .as("ttr"))
       .orderBy("pct")
   }
+
+  /** c32's score chain as DuckDB CTEs ending in
+    * `sc(doc_id, n_trigrams, avg_nll)` — ONE oracle-side definition
+    * shared by c32 and c33 (the t13ScoreCtes pattern). The lm expression
+    * is the SAME IEEE tree as [[knTrigramModel]]'s Column tree: fully
+    * parenthesized so both parsers build identical ASTs, the 0.75
+    * discount an independent literal on both sides (exactly
+    * representable: 3/4), rational ratios until the final ln.
+    */
+  private def knScoreCtes: String =
+    s"""tt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |tgl AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+       |    i -> {'u': ts[i], 'v': ts[i+1], 'w': ts[i+2]})) AS t
+       |  FROM tt),
+       |tg AS (SELECT doc_id, t.u AS u, t.v AS v, t.w AS w FROM tgl),
+       |tc AS (SELECT u, v, w, COUNT(*) AS c3 FROM tg GROUP BY u, v, w),
+       |ctx AS (SELECT u, v, SUM(c3) AS cuv, COUNT(*) AS tuv
+       |  FROM tc GROUP BY u, v),
+       |vw AS (SELECT v, w, COUNT(*) AS nvw FROM tc GROUP BY v, w),
+       |vctx AS (SELECT v, SUM(nvw) AS nv, COUNT(*) AS tv
+       |  FROM vw GROUP BY v),
+       |wc AS (SELECT w, COUNT(*) AS nw FROM vw GROUP BY w),
+       |tot AS (SELECT COUNT(*) AS nb FROM vw),
+       |lm AS (
+       |  SELECT tc.u, tc.v, tc.w,
+       |    ln((CAST(c3 AS DOUBLE) - 0.75) / CAST(cuv AS DOUBLE)
+       |       + 0.75 * CAST(tuv AS DOUBLE) / CAST(cuv AS DOUBLE)
+       |         * ((CAST(nvw AS DOUBLE) - 0.75) / CAST(nv AS DOUBLE)
+       |            + 0.75 * CAST(tv AS DOUBLE) / CAST(nv AS DOUBLE)
+       |              * (CAST(nw AS DOUBLE) / CAST(nb AS DOUBLE)))) AS logp
+       |  FROM tc JOIN ctx USING (u, v) JOIN vw USING (v, w)
+       |    JOIN vctx USING (v) JOIN wc USING (w), tot),
+       |sc AS (
+       |  SELECT doc_id, COUNT(*) AS n_trigrams,
+       |    (0.0 - ${Exact.sqlSum("logp")}) / CAST(COUNT(*) AS DOUBLE)
+       |      AS avg_nll
+       |  FROM tg JOIN lm USING (u, v, w) GROUP BY doc_id)""".stripMargin
+
+  /** The per-language tertile assignment as oracle SQL, reading an
+    * in-scope `sc(doc_id, …, avg_nll)` CTE — shared by c27 and c33 so
+    * the decision layer can never drift between scorers. Rank pairs via
+    * ROW_NUMBER (windows are fine at oracle scale; the Spark side uses
+    * the agg+broadcast shape in [[tertileBuckets]]).
+    */
+  private def tertileOracleTail: String =
+    """scores AS (
+      |  SELECT s.doc_id, d.lang, s.avg_nll
+      |  FROM sc s JOIN documents d USING (doc_id)),
+      |r AS (
+      |  SELECT lang, avg_nll, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY avg_nll, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM scores),
+      |t1 AS (SELECT lang, avg_nll AS t1n, doc_id AS t1i FROM r
+      |  WHERE rn = (n + 2) // 3),
+      |t2 AS (SELECT lang, avg_nll AS t2n, doc_id AS t2i FROM r
+      |  WHERE rn = (2 * n + 2) // 3)
+      |SELECT s.doc_id, s.lang, s.avg_nll,
+      |  CASE
+      |    WHEN s.avg_nll < t1n OR (s.avg_nll = t1n AND s.doc_id <= t1i)
+      |      THEN 'head'
+      |    WHEN s.avg_nll < t2n OR (s.avg_nll = t2n AND s.doc_id <= t2i)
+      |      THEN 'middle'
+      |    ELSE 'tail' END AS ppl_bucket
+      |FROM scores s JOIN t1 USING (lang) JOIN t2 USING (lang)
+      |ORDER BY s.doc_id""".stripMargin
 
   val specs: Vector[QuerySpec] = Vector(
     // Deterministic content-hash sampling — THE way to sample 100 TB
@@ -1283,28 +1370,32 @@ object Corpus {
            |    (0.0 - ${Exact.sqlSum("logp")}) / CAST(COUNT(*) AS DOUBLE)
            |      AS avg_nll
            |  FROM toks JOIN lm USING (tok) GROUP BY doc_id),
-           |scores AS (
-           |  SELECT s.doc_id, d.lang, s.avg_nll
-           |  FROM sc s JOIN documents d USING (doc_id)),
-           |r AS (
-           |  SELECT lang, avg_nll, doc_id,
-           |    ROW_NUMBER() OVER (PARTITION BY lang
-           |      ORDER BY avg_nll, doc_id) AS rn,
-           |    COUNT(*) OVER (PARTITION BY lang) AS n
-           |  FROM scores),
-           |t1 AS (SELECT lang, avg_nll AS t1n, doc_id AS t1i FROM r
-           |  WHERE rn = (n + 2) // 3),
-           |t2 AS (SELECT lang, avg_nll AS t2n, doc_id AS t2i FROM r
-           |  WHERE rn = (2 * n + 2) // 3)
-           |SELECT s.doc_id, s.lang, s.avg_nll,
-           |  CASE
-           |    WHEN s.avg_nll < t1n OR (s.avg_nll = t1n AND s.doc_id <= t1i)
-           |      THEN 'head'
-           |    WHEN s.avg_nll < t2n OR (s.avg_nll = t2n AND s.doc_id <= t2i)
-           |      THEN 'middle'
-           |    ELSE 'tail' END AS ppl_bucket
-           |FROM scores s JOIN t1 USING (lang) JOIN t2 USING (lang)
-           |ORDER BY s.doc_id""".stripMargin
+           |$tertileOracleTail""".stripMargin
+      },
+    ),
+    // Interpolated Kneser–Ney trigram LM perplexity — see
+    // [[knTrigramScore]] / [[knTrigramModel]] for the design narrative
+    // (continuation counts, D=0.75 absolute discount, every KN statistic
+    // a rollup of the one trigram-keyed count, size-gated scoring join).
+    QuerySpec(
+      "c32_kneser_ney_score",
+      (s, d) => knTrigramScore(Tables(s, d, "documents")),
+      Some {
+        s"""WITH $knScoreCtes
+           |SELECT doc_id, n_trigrams, avg_nll FROM sc
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
+    // CCNet tertile buckets on the c32 KN scores — see
+    // [[knPerplexityBuckets]]: c27's decision layer with the scorer
+    // swapped, sharing the threshold machinery on both engine and
+    // oracle sides.
+    QuerySpec(
+      "c33_kn_perplexity_buckets",
+      (s, d) => knPerplexityBuckets(Tables(s, d, "documents")),
+      Some {
+        s"""WITH $knScoreCtes,
+           |$tertileOracleTail""".stripMargin
       },
     ),
     // Vocabulary coverage / OOV per language — see [[vocabCoverage]] for
@@ -1621,6 +1712,103 @@ object Corpus {
     joined
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
+        ((lit(0.0) - Exact.dsum(col("logp"))) /
+          count(lit(1)).cast(DoubleType)).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** c32's map-side trigram stream: the token array zipped with its own
+    * two tails (the c22 bigram move, one order up) — no window, no
+    * self-join; a doc with fewer than 3 tokens yields empty slices and
+    * drops out at the explode. Unfiltered split (the repo's token
+    * convention, Corpus.scala c13/c22).
+    */
+  private[graft] def knTrigramStream(docs: DataFrame): DataFrame = {
+    val ts = split(col("text"), " ")
+    val n2 = greatest(size(ts) - 2, lit(0))
+    docs.select(col("doc_id"),
+        explode(zip_with(
+          zip_with(slice(ts, lit(1), n2), slice(ts, lit(2), n2),
+            (a, b) => struct(a.as("u"), b.as("v"))),
+          slice(ts, lit(3), n2),
+          (p, c) => struct(p.getField("u").as("u"),
+            p.getField("v").as("v"), c.as("w")))).as("t"))
+      .select(col("doc_id"), col("t.u").as("u"), col("t.v").as("v"),
+        col("t.w").as("w"))
+  }
+
+  /** Interpolated Kneser–Ney trigram probabilities from the trigram TYPE
+    * table `tc(u, v, w, c3)` — every KN statistic is a rollup of `tc`
+    * (dictionary-sized), never a second corpus pass:
+    *
+    *   p(w|u,v) = (c(uvw) − D)/c(uv·) + D·N1+(uv·)/c(uv·) · p(w|v)
+    *   p(w|v)   = (N1+(·vw) − D)/N1+(·v·) + D·N1+(v·)/N1+(·v·) · p_cont(w)
+    *   p_cont(w) = N1+(·w) / N1+(··)
+    *
+    * with absolute discount D = 0.75 (the Chen–Goodman default) at both
+    * orders. The continuation counts are the KN signature: a word's
+    * lower-order mass is how many DISTINCT contexts it follows, not how
+    * often it occurs — "Francisco" is frequent but follows only "San",
+    * so its backoff mass stays small where a raw-frequency backoff (c22's
+    * JM unigram floor) overrates it. Trained on the corpus being scored
+    * (the c13/c22 closed-vocabulary convention), every scored trigram has
+    * c3 ≥ 1 and every backoff count ≥ 1, so all three terms are strictly
+    * positive and no max(·,0)/OOV path is needed; each order sums to
+    * exactly 1 over the continuation vocabulary (CorpusSpec pins it).
+    * All arithmetic is the same IEEE expression tree as the oracle SQL —
+    * count ratios and the discount are rational until the final ln.
+    */
+  private[graft] def knTrigramModel(tc: DataFrame): DataFrame = {
+    val D = 0.75
+    val ctx = tc.groupBy("u", "v")
+      .agg(sum(col("c3")).as("cuv"), count(lit(1)).as("tuv"))
+    val vw = tc.groupBy("v", "w").agg(count(lit(1)).as("nvw"))
+      .localCheckpoint(true)
+    val vctx = vw.groupBy("v")
+      .agg(sum(col("nvw")).as("nv"), count(lit(1)).as("tv"))
+    val wc = vw.groupBy("w").agg(count(lit(1)).as("nw"))
+    val tot = broadcast(vw.agg(count(lit(1)).as("nb")))
+    val p1 = col("nw").cast(DoubleType) / col("nb").cast(DoubleType)
+    val p2 = (col("nvw").cast(DoubleType) - lit(D)) /
+        col("nv").cast(DoubleType) +
+      lit(D) * col("tv").cast(DoubleType) / col("nv").cast(DoubleType) * p1
+    val p3 = (col("c3").cast(DoubleType) - lit(D)) /
+        col("cuv").cast(DoubleType) +
+      lit(D) * col("tuv").cast(DoubleType) / col("cuv").cast(DoubleType) * p2
+    tc.join(ctx, Seq("u", "v")).join(vw, Seq("v", "w"))
+      .join(vctx, Seq("v")).join(wc, Seq("w"))
+      .crossJoin(tot)
+      .select(col("u"), col("v"), col("w"), p3.as("p"))
+  }
+
+  /** Interpolated Kneser–Ney trigram LM perplexity scoring — the KenLM-
+    * shaped filter CCNet/RedPajama actually run, one order up from c22's
+    * JM bigram (r15 VERDICT item 2). Each doc is scored by mean NLL per
+    * trigram position; docs with < 3 tokens drop out (inner-join
+    * semantics, same contract both engines).
+    *
+    * Scale shape: trigram extraction is MAP-SIDE, the model is ONE
+    * trigram-keyed count shuffle plus dictionary-sized rollups (see
+    * [[knTrigramModel]]), and the scoring join is size-gated like
+    * c13/c22's — broadcast under `broadcastTypesMax` trigram types,
+    * shuffle hash join past it (an open web-scale trigram table is far
+    * beyond any broadcast). The per-doc sum is decimal-exact.
+    */
+  def knTrigramScore(docs: DataFrame,
+      broadcastTypesMax: Long = 4L << 20): DataFrame = {
+    val tg = knTrigramStream(docs)
+    val tc = tg.groupBy("u", "v", "w").agg(count(lit(1)).as("c3"))
+      .localCheckpoint(true)
+    val nTypes = tc.count()
+    val lm = knTrigramModel(tc).select(col("u"), col("v"), col("w"),
+      log(col("p")).as("logp"))
+    val joined =
+      if (nTypes <= broadcastTypesMax)
+        tg.join(broadcast(lm), Seq("u", "v", "w"))
+      else tg.join(lm, Seq("u", "v", "w"))
+    joined
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
         ((lit(0.0) - Exact.dsum(col("logp"))) /
           count(lit(1)).cast(DoubleType)).as("avg_nll"))
       .orderBy("doc_id")

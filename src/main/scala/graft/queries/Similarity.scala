@@ -1792,31 +1792,56 @@ object Similarity {
       "s17_semantic_survivors",
       (s, d) => semanticSurvivors(emb(s, d)),
       Some(s"""WITH RECURSIVE $knnGraphOracleCtes,
-              |mutual AS (
-              |  SELECT LEAST(q_id, neighbor_id) AS a_id,
-              |         GREATEST(q_id, neighbor_id) AS b_id
-              |  FROM ranked WHERE rank <= 3
-              |  GROUP BY 1, 2 HAVING COUNT(*) = 2),
-              |sym AS MATERIALIZED (
-              |  SELECT a_id AS src, b_id AS dst FROM mutual
-              |  UNION ALL SELECT b_id, a_id FROM mutual),
-              |reach AS (
-              |  SELECT src AS id, src AS label FROM sym
-              |  UNION
-              |  SELECT e.dst AS id, r.label
-              |  FROM reach r JOIN sym e ON e.src = r.id),
-              |comp AS (SELECT id, MIN(label) AS component FROM reach
-              |         GROUP BY id),
-              |keepers AS (SELECT component, MIN(id) AS keeper FROM comp
-              |            GROUP BY component)
-              |SELECT emb.vec_id, c.component AS cluster,
-              |  (c.component IS NULL OR emb.vec_id = k.keeper) AS keep
-              |FROM embeddings emb
-              |LEFT JOIN comp c ON emb.vec_id = c.id
-              |LEFT JOIN keepers k ON c.component = k.component
-              |ORDER BY emb.vec_id""".stripMargin),
+              |$survivorsOracleTail""".stripMargin),
+    ),
+    // SemDeDup survivors AT DEPLOYMENT WIDTH (r15 VERDICT item 3): the
+    // SAME keep-mask with the code width sized to the corpus by
+    // [[scaledBits]] — the configuration the 1M probe times and a 100 TB
+    // run ships is now itself hash-verified, not just the pinned-width
+    // contract (the s13-vs-s10 lesson applied to s17). Oracle: the
+    // COUNT-derived dynamic-width graph CTEs + the identical survivor
+    // tail.
+    QuerySpec(
+      "s17b_survivors_scaled",
+      (s, d) => {
+        val e = emb(s, d)
+        semanticSurvivors(e, scaledBits(e.count()))
+      },
+      Some(s"""WITH RECURSIVE $knnGraphScaledOracleCtes,
+              |$survivorsOracleTail""".stripMargin),
     ),
   )
+
+  /** The mutual-edge → connected-components → keeper-argmin survivor
+    * tail, reading an in-scope `ranked(q_id, neighbor_id, cos, rank)`
+    * CTE — ONE definition shared by s17 (pinned width) and s17b
+    * (deployment width) so the keep semantics can never drift between
+    * the two configurations.
+    */
+  private def survivorsOracleTail: String =
+    """mutual AS (
+      |  SELECT LEAST(q_id, neighbor_id) AS a_id,
+      |         GREATEST(q_id, neighbor_id) AS b_id
+      |  FROM ranked WHERE rank <= 3
+      |  GROUP BY 1, 2 HAVING COUNT(*) = 2),
+      |sym AS MATERIALIZED (
+      |  SELECT a_id AS src, b_id AS dst FROM mutual
+      |  UNION ALL SELECT b_id, a_id FROM mutual),
+      |reach AS (
+      |  SELECT src AS id, src AS label FROM sym
+      |  UNION
+      |  SELECT e.dst AS id, r.label
+      |  FROM reach r JOIN sym e ON e.src = r.id),
+      |comp AS (SELECT id, MIN(label) AS component FROM reach
+      |         GROUP BY id),
+      |keepers AS (SELECT component, MIN(id) AS keeper FROM comp
+      |            GROUP BY component)
+      |SELECT emb.vec_id, c.component AS cluster,
+      |  (c.component IS NULL OR emb.vec_id = k.keeper) AS keep
+      |FROM embeddings emb
+      |LEFT JOIN comp c ON emb.vec_id = c.id
+      |LEFT JOIN keepers k ON c.component = k.component
+      |ORDER BY emb.vec_id""".stripMargin
 
   /** s14's oracle: the full PCA fit+transform as one generated DuckDB
     * query — mean and covariance through the narrow decimal-exact

@@ -414,6 +414,91 @@ class CorpusSpec extends AnyFunSuite {
     j.unpersist()
   }
 
+  test("c32: each KN order sums to exactly 1 over the continuation vocabulary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A corpus where context (a, b) precedes EVERY continuation-vocab
+    // word: each doc is one trigram "a b <w>", so the trigram stream's
+    // distinct w set == the continuation vocabulary and Σ_w p(w|a,b) must
+    // be EXACTLY 1 — interpolated KN's defining normalization (the
+    // discount mass D·N1+/c redistributed through the lower orders comes
+    // back out as exactly what the max-terms gave up). One duplicate doc
+    // varies the counts so the law isn't an artifact of uniform c3=1.
+    val corpus = Seq("a b x1", "a b x2", "a b x3", "a b a", "a b b",
+      "a b x1").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val tc = Corpus.knTrigramStream(corpus)
+      .groupBy("u", "v", "w").agg(count(lit(1)).as("c3"))
+    val model = Corpus.knTrigramModel(tc)
+    val total = model.filter(col("u") === "a" && col("v") === "b")
+      .agg(sum(col("p"))).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-12, s"Σ p(w|a,b) = $total")
+    // and every probability is strictly positive (closed vocabulary —
+    // no max(·,0) clamp is ever needed)
+    assert(model.filter(col("p") <= 0.0).count() == 0)
+  }
+
+  test("c32: trigram-breaking recombination — KN discrimination beats c22's bigram") {
+    import spark.implicits._
+    // Two fluent templates sharing vocabulary, plus a RECOMBINED probe
+    // whose every BIGRAM is corpus-frequent but whose middle trigrams are
+    // novel — the failure mode a bigram filter is blind to and the reason
+    // CCNet runs a higher-order model. The gap (recombined NLL − fluent
+    // NLL) must be positive for KN and LARGER than c22's bigram gap.
+    val t1 = "the cat sat on the mat"
+    val t2 = "the dog sat in the hut"
+    val probeFluent = (200L, t1)
+    val probeRecomb = (201L, "the cat sat in the hut")
+    val corpus = ((1L to 50L).map(i => (i, t1)) ++
+      (101L to 150L).map(i => (i, t2)) :+ probeFluent :+ probeRecomb)
+      .toDF("doc_id", "text")
+    def gap(scores: Map[Long, Double]): Double = scores(201L) - scores(200L)
+    val kn = Corpus.knTrigramScore(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bg = Corpus.bigramLmScore(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(gap(kn) > 0, s"KN must penalize the recombination: ${gap(kn)}")
+    assert(gap(kn) > gap(bg),
+      s"KN gap ${gap(kn)} must beat bigram gap ${gap(bg)}")
+    // docs with < 3 tokens contribute no trigram positions and drop out
+    val tiny = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    assert(Corpus.knTrigramScore(tiny).collect().map(_.getLong(0)).toSet
+      == Set(1L))
+  }
+
+  test("c32: broadcast and shuffle-join paths are value-identical") {
+    val viaBroadcast = Corpus.knTrigramScore(docs).collect()
+    val viaShuffle = Corpus.knTrigramScore(docs, broadcastTypesMax = 0).collect()
+    assert(viaBroadcast.length == viaShuffle.length)
+    viaBroadcast.zip(viaShuffle).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getLong(1) == b.getLong(1))
+      assert(a.getDouble(2) == b.getDouble(2), s"doc ${a.getLong(0)}")
+    }
+  }
+
+  test("c33: KN buckets keep the tertile accounting and re-rank vs c27") {
+    import org.apache.spark.sql.functions._
+    // same decision layer ⇒ same per-lang tertile sizes as c27 on the
+    // real corpus; and the scorer swap must actually MOVE some docs
+    // across buckets (if it never did, the higher-order model would be
+    // decision-irrelevant and c33 pointless)
+    val kn = Corpus.knPerplexityBuckets(docs).cache()
+    val sizes27 = Corpus.perplexityBuckets(docs)
+      .groupBy("lang", "ppl_bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sizes33 = kn.groupBy("lang", "ppl_bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sizes33 == sizes27,
+      "tertile accounting is scorer-invariant by construction")
+    val moved = kn.select(col("doc_id"), col("ppl_bucket").as("b33"))
+      .join(Corpus.perplexityBuckets(docs)
+        .select(col("doc_id"), col("ppl_bucket").as("b27")), "doc_id")
+      .filter(col("b33") =!= col("b27")).count()
+    assert(moved > 0, "KN scores must re-rank at least one doc")
+    kn.unpersist()
+  }
+
   test("c28: fertility ordering matches the planted language morphology") {
     import org.apache.spark.sql.functions._
     val out = Corpus.tokenizerFertility(docs, Corpus.FixedMerges)

@@ -586,4 +586,35 @@ class SimilaritySpec extends AnyFunSuite {
       .map { case (c, ms) => c -> ms.length.toLong }
     assert(mine == s11, s"cluster sizes diverge: $mine vs $s11")
   }
+
+  test("s17b deployment-width survivors: width lockstep at rule boundaries, same keep laws") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Similarity.scaledBits
+    // The oracle derives nb in SQL as MIN(b) over range(4,17) with
+    // (16 << b) >= n — replicate that predicate here and pin it to the
+    // Scala rule AT THE BOUNDARIES, where an off-by-one (>= vs >) or a
+    // float log2 would pick different widths on the two engines and the
+    // whole graph would silently diverge.
+    def sqlRule(n: Long): Int =
+      (4 to 16).find(b => (16L << b) >= n).getOrElse(16)
+    for (b <- 4 to 16; n <- Seq((16L << b) - 1, 16L << b, (16L << b) + 1))
+      assert(scaledBits(n) == sqlRule(n), s"n=$n")
+    // the deployed configuration obeys the same keep-mask laws as s17
+    val out = Registry.byName("s17b_survivors_scaled").run(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getBoolean(2)))
+    assert(out.filter(_._2.isEmpty).forall(_._3), "singleton must keep itself")
+    out.filter(_._2.nonEmpty).groupBy(_._2.get).foreach { case (c, ms) =>
+      val kept = ms.filter(_._3).map(_._1)
+      assert(kept.length == 1 && kept.head == ms.map(_._1).min, s"cluster $c")
+    }
+    // and it IS semanticSurvivors at the corpus-derived width — the rule
+    // is applied outside the pipeline, nothing else may drift (s13's law)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val direct = graft.queries.Similarity
+      .semanticSurvivors(e, scaledBits(e.count())).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getBoolean(2))).toSet
+    assert(out.toSet == direct)
+  }
 }
