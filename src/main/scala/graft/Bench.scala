@@ -331,8 +331,9 @@ object Bench {
         // decision layer)
         "c32_kneser_ney_score", "c33_kn_perplexity_buckets",
         // s17b (s17's graph+CC at corpus-scaled code width — the
-        // deployed configuration, now oracled)
-        "s17b_survivors_scaled")
+        // deployed configuration, now oracled), p15 (manifest + delta
+        // mergeable rollup — the per-append zone upsert)
+        "s17b_survivors_scaled", "p15_zone_map_incremental")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

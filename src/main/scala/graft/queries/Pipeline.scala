@@ -264,6 +264,27 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** p13's full-rebuild zone manifest as oracle SQL — ONE definition
+    * shared by p13 and p15: the incremental path's contract IS that it
+    * equals the rebuild on the same data.
+    */
+  private def zoneOracleSql: String =
+    """WITH e AS (
+      |  SELECT event_id // 256 AS shard, epoch_us(ts) AS tsu, value
+      |  FROM events),
+      |z AS (
+      |  SELECT shard, COUNT(*) AS n_rows,
+      |    MIN(tsu) AS min_ts, MAX(tsu) AS max_ts,
+      |    MIN(value) AS min_value, MAX(value) AS max_value
+      |  FROM e GROUP BY shard),
+      |b AS (SELECT MIN(tsu) AS gmin, MAX(tsu) AS gmax FROM e)
+      |SELECT shard, n_rows, min_ts, max_ts, min_value, max_value,
+      |  gmin + (gmax - gmin) // 3 AS win_lo,
+      |  gmin + (2 * (gmax - gmin)) // 3 AS win_hi,
+      |  (max_ts < gmin + (gmax - gmin) // 3
+      |    OR min_ts >= gmin + (2 * (gmax - gmin)) // 3) AS skip
+      |FROM z, b ORDER BY shard""".stripMargin
+
   val specs: Vector[QuerySpec] = Vector(
     QuerySpec(
       "p01_publish_manifest",
@@ -987,21 +1008,38 @@ object Pipeline {
         expr("event_id div 256").as("shard"),
         expr(EventsOps.TsUsSql).as("tsu"),
         col("value"))),
-      Some("""WITH e AS (
-             |  SELECT event_id // 256 AS shard, epoch_us(ts) AS tsu, value
-             |  FROM events),
-             |z AS (
-             |  SELECT shard, COUNT(*) AS n_rows,
-             |    MIN(tsu) AS min_ts, MAX(tsu) AS max_ts,
-             |    MIN(value) AS min_value, MAX(value) AS max_value
-             |  FROM e GROUP BY shard),
-             |b AS (SELECT MIN(tsu) AS gmin, MAX(tsu) AS gmax FROM e)
-             |SELECT shard, n_rows, min_ts, max_ts, min_value, max_value,
-             |  gmin + (gmax - gmin) // 3 AS win_lo,
-             |  gmin + (2 * (gmax - gmin)) // 3 AS win_hi,
-             |  (max_ts < gmin + (gmax - gmin) // 3
-             |    OR min_ts >= gmin + (2 * (gmax - gmin)) // 3) AS skip
-             |FROM z, b ORDER BY shard""".stripMargin),
+      Some(zoneOracleSql),
+    ),
+    // Incremental zone-map maintenance — see [[zoneMapMerge]]: the base
+    // MANIFEST (zone-grain rows, simulating what p13 persisted — here
+    // derived from the first ~80% of event_ids) absorbs the appended
+    // rows' delta stats through one zone-grain mergeable rollup; the
+    // base data is never rescanned at row grain in the merge itself.
+    // The oracle is p13's FULL-REBUILD SQL over the whole table —
+    // passing means incremental == rebuild exactly (the d10
+    // incremental-equivalence pattern, here a theorem: the stats are
+    // mergeable and base/delta partition the rows). The streaming twin
+    // (Streams.zoneStats) runs the SAME zoneStats aggregation as a
+    // stateful stream; StreamingSpec pins streaming == batch.
+    QuerySpec(
+      "p15_zone_map_incremental",
+      (s, d) => {
+        val ev = Tables(s, d, "events").select(
+          expr("event_id div 256").as("shard"),
+          expr(EventsOps.TsUsSql).as("tsu"),
+          col("value"), col("event_id"))
+        // bounded driver collect by construction: ONE max over event_id,
+        // needed as a pushdown-able literal for the append cutoff (a
+        // crossJoin'd scalar would block partition pruning of the slices)
+        val mx = ev.agg(max(col("event_id"))).head.getLong(0)
+        val cut = mx * 4 / 5
+        val base = ev.filter(col("event_id") <= cut)
+          .select("shard", "tsu", "value")
+        val delta = ev.filter(col("event_id") > cut)
+          .select("shard", "tsu", "value")
+        zoneMapMerge(zoneStats(base).localCheckpoint(true), delta)
+      },
+      Some(zoneOracleSql),
     ),
     // Bucketed co-located join — the layout that PRE-PAYS the shuffle:
     // both sides are written `bucketBy(8, doc_id)` + `sortBy(doc_id)`

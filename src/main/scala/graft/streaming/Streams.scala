@@ -253,6 +253,22 @@ object Streams {
       readDocs(spark, dir).select(col("doc_id"), col("text"))))
   }
 
+  /** Streaming zone-map maintenance — the streaming half of batch
+    * p13/p15: [[graft.queries.Pipeline]] zoneStats is a MERGEABLE
+    * per-shard aggregation (count, min/max ts, min/max value), so the
+    * identical code runs as a stateful streaming aggregation over the
+    * ingest stream — each appended micro-batch merges into the standing
+    * per-shard state exactly the way p15's batch zoneMapMerge folds a
+    * delta into the stored manifest. One implementation for both halves
+    * (the latestWins discipline); StreamingSpec pins streaming == batch
+    * zone rows.
+    */
+  def zoneStats(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Pipeline.zoneStats(
+      readEvents(spark, dir).select(
+        expr("event_id div 256").as("shard"),
+        col("ts_us").as("tsu"), col("value")))
+
   /** Streaming anomaly scoring — the streaming half of batch e13: each
     * incoming event is z-scored against a STATIC per-type model (mean/σ
     * from the decimal-exact q35 moments over the reference corpus) via a

@@ -106,6 +106,8 @@ object ScanAudit {
     "p02_corpus_card" -> Map("documents" -> "corpus-global digest pass + per-source rollup"),
     "p04_incremental_publish" -> Map("documents" -> "old-snapshot vs new-batch slices + rebuild branches"),
     "p05_stage_funnel" -> Map("documents" -> "funnel re-derives each stage BY DESIGN (it audits the chain)"),
+    // --- r16 additions ---
+    "p15_zone_map_incremental" -> Map("events" -> "base-manifest vs appended-delta role slices (+1 bounded max scan for the cutoff literal) — the incremental contract IS the split"),
   )
 
   def main(args: Array[String]): Unit = {

@@ -196,4 +196,27 @@ class PipelineSpec extends AnyFunSuite {
     val kept = out.filterNot(_.getBoolean(8)).map(_.getLong(0)).toSet
     assert(truth.keys.forall(kept.contains), "in-window rows outside kept shards")
   }
+
+  test("p15 incremental zone merge equals full rebuild at ANY append cutoff") {
+    // The oracle proves one cutoff (80%); mergeability guarantees ALL of
+    // them, including the empty-delta and empty-base edges — pin the
+    // theorem at 0%, 37%, and 100% so a future non-mergeable statistic
+    // (an avg, a last-value) can't sneak into zoneStats unnoticed.
+    import graft.queries.Pipeline
+    val ev = spark.read.parquet(s"$sf/events.parquet").select(
+      expr("event_id div 256").as("shard"),
+      expr(graft.queries.EventsOps.TsUsSql).as("tsu"),
+      col("value"), col("event_id"))
+    val mx = ev.agg(max(col("event_id"))).head.getLong(0)
+    val full = Pipeline.zoneMapPrune(ev.select("shard", "tsu", "value"))
+      .collect().map(_.toSeq).toSet
+    for (pct <- Seq(0L, 37L, 100L)) {
+      val cut = mx * pct / 100
+      val base = ev.filter(col("event_id") <= cut).select("shard", "tsu", "value")
+      val delta = ev.filter(col("event_id") > cut).select("shard", "tsu", "value")
+      val inc = Pipeline.zoneMapMerge(Pipeline.zoneStats(base), delta)
+        .collect().map(_.toSeq).toSet
+      assert(inc == full, s"cutoff $pct%: incremental != rebuild")
+    }
+  }
 }
