@@ -333,7 +333,10 @@ object Bench {
         // s17b (s17's graph+CC at corpus-scaled code width — the
         // deployed configuration, now oracled), p15 (manifest + delta
         // mergeable rollup — the per-append zone upsert)
-        "s17b_survivors_scaled", "p15_zone_map_incremental")
+        "s17b_survivors_scaled", "p15_zone_map_incremental",
+        // s18 (Lloyd + PQ train + one-pass cell+code index + routed ADC
+        // — the composed FAISS serve shape)
+        "s18_ivfpq_ann")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

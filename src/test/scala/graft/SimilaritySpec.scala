@@ -587,6 +587,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mine == s11, s"cluster sizes diverge: $mine vs $s11")
   }
 
+  test("s18 IVF-PQ: degenerates to flat ADC at nprobe=k; partial probing keeps recall") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    // Composition law: probing EVERY cell makes the routing a no-op, so
+    // the composed index must equal s08's flat ADC ranking EXACTLY —
+    // same codebooks, same LUT values, same shortlist, same rerank. This
+    // is the "recall >= flat ADC at equal scanned-row budget" claim at
+    // full budget, provable bit-for-bit.
+    val full = rows(Similarity.ivfPqAnn(e, k = 16, nprobe = 16, ivfIters = 3,
+      m = 4, subDim = 16, ksub = 8, pqIters = 2,
+      nQ = 5, shortlist = 32, topK = 5))
+    val flat = rows(Similarity.pqAdcAnn(e, m = 4, subDim = 16, ksub = 8,
+      iters = 2, nQ = 5, shortlist = 32, topK = 5))
+    assert(full == flat, "nprobe=k must reproduce flat ADC exactly")
+    // Partial probing (the contract's nprobe=4 of 16 — a 4x scan cut on
+    // the compressed rows): recall@5 against the flat-ADC result stays
+    // high, because a query's true neighbors concentrate in its nearest
+    // cells — the IVF premise
+    val routed = rows(Registry.byName("s18_ivfpq_ann").run(spark, sf))
+    val flatSets = flat.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val hit = routed.groupBy(_._1).map { case (q, rs) =>
+      rs.map(_._3).count(flatSets(q).contains)
+    }.sum
+    val total = flat.length
+    assert(hit.toDouble / total >= 0.6,
+      s"nprobe=4/16 recall vs flat ADC: $hit/$total")
+  }
+
   test("s17b deployment-width survivors: width lockstep at rule boundaries, same keep laws") {
     import org.apache.spark.sql.functions._
     import graft.queries.Similarity.scaledBits
