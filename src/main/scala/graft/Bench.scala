@@ -335,8 +335,10 @@ object Bench {
         // mergeable rollup — the per-append zone upsert)
         "s17b_survivors_scaled", "p15_zone_map_incremental",
         // s18 (Lloyd + PQ train + one-pass cell+code index + routed ADC
-        // — the composed FAISS serve shape)
-        "s18_ivfpq_ann")
+        // — the composed FAISS serve shape), t25/t26 (map-side signal
+        // scan + c13 model shuffle + two 1-row stat aggs — the ensemble
+        // decision layer and its calibration sweep)
+        "s18_ivfpq_ann", "t25_quality_ensemble", "t26_ensemble_sweep")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

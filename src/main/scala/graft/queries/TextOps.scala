@@ -324,9 +324,18 @@ object TextOps {
         classifierScore(col("text")).as("score"),
         Gopher.keep(nw, mwl, nst, rep).as("label"))
       .localCheckpoint(true)
-    val s = in.sparkSession
+    sweepTable(base, T23Grid)
+  }
+
+  /** The calibration-sweep tail shared by t23 (t13 scores) and t26 (the
+    * t25 ensemble): keep-rate / precision / recall per grid threshold
+    * over a checkpointed (doc_id, score, label) frame — 11 broadcast
+    * rows absorbed by partial aggregation, one pass.
+    */
+  private def sweepTable(base: DataFrame, gridLits: Seq[String]): DataFrame = {
+    val s = base.sparkSession
     import s.implicits._
-    val grid = broadcast(T23Grid.map(_.toDouble).toDF("threshold"))
+    val grid = broadcast(gridLits.map(_.toDouble).toDF("threshold"))
     base.crossJoin(grid)
       .groupBy("threshold")
       .agg(count(lit(1)).as("n_docs"),
@@ -388,6 +397,187 @@ object TextOps {
       .withColumn("l1_term", abs(col("share_a") - col("share_b")))
       .orderBy("bin")
   }
+
+  /** t25's oracle chain ending in
+    * `ensemble(doc_id, cls, lm_nll, rep_ratio, stop_frac, label, ens)` —
+    * shared by t25 and t26. Composes [[t13ScoreCtes]] (→ sc), the t09
+    * Gopher signal CTEs, c13's unigram-LM chain (u-prefixed names), the
+    * joined feature frame, decimal-exact mean/MAD normalization stats
+    * (two 1-row CTEs), and the fixed-order vote combination.
+    */
+  private def ensembleOracleCtes: String = {
+    import graft.engine.Exact
+    import Gopher._
+    s"""$t13ScoreCtes,
+       |gt AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |gg AS (
+       |  SELECT doc_id, text, toks,
+       |    list_transform(
+       |      range(1, CASE WHEN len(toks) - 2 > 1
+       |                    THEN len(toks) - 2 ELSE 1 END + 1),
+       |      i -> array_to_string(toks[i:i+2], ' ')) AS grams
+       |  FROM gt),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+       |    CAST(len(list_filter(toks, x -> list_contains([$stopsSql], x)))
+       |      AS BIGINT) AS n_stopwords,
+       |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+       |      / CAST(len(grams) AS DOUBLE) AS rep_ratio
+       |  FROM gg),
+       |utoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |ucounts AS (SELECT tok, COUNT(*) AS c FROM utoks GROUP BY tok),
+       |ustats AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM ucounts),
+       |ulm AS (
+       |  SELECT tok,
+       |    ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE)) AS logp
+       |  FROM ucounts, ustats),
+       |usc AS (
+       |  SELECT doc_id,
+       |    (0.0 - ${Exact.sqlSum("logp")}) / CAST(COUNT(*) AS DOUBLE)
+       |      AS lm_nll
+       |  FROM utoks JOIN ulm USING (tok) GROUP BY doc_id),
+       |feats AS (
+       |  SELECT s.doc_id, s.score AS cls, u.lm_nll, g.rep_ratio,
+       |    CAST(g.n_stopwords AS DOUBLE) / CAST(g.n_words AS DOUBLE)
+       |      AS stop_frac,
+       |    (g.n_words BETWEEN $MinWords AND $MaxWords)
+       |      AND (g.mean_word_len BETWEEN $MwlLo AND $MwlHi)
+       |      AND g.n_stopwords >= $MinStops AND g.rep_ratio < $RepMax
+       |      AS label
+       |  FROM sc s JOIN usc u USING (doc_id) JOIN sig g USING (doc_id)),
+       |st1 AS (
+       |  SELECT
+       |    ${Exact.sqlSum("cls")} / CAST(COUNT(*) AS DOUBLE) AS mu_c,
+       |    ${Exact.sqlSum("lm_nll")} / CAST(COUNT(*) AS DOUBLE) AS mu_l,
+       |    ${Exact.sqlSum("rep_ratio")} / CAST(COUNT(*) AS DOUBLE) AS mu_r,
+       |    ${Exact.sqlSum("stop_frac")} / CAST(COUNT(*) AS DOUBLE) AS mu_s
+       |  FROM feats),
+       |st2 AS (
+       |  SELECT
+       |    ${Exact.sqlSum("abs(cls - mu_c)")} / CAST(COUNT(*) AS DOUBLE)
+       |      AS mad_c,
+       |    ${Exact.sqlSum("abs(lm_nll - mu_l)")} / CAST(COUNT(*) AS DOUBLE)
+       |      AS mad_l,
+       |    ${Exact.sqlSum("abs(rep_ratio - mu_r)")} / CAST(COUNT(*) AS DOUBLE)
+       |      AS mad_r,
+       |    ${Exact.sqlSum("abs(stop_frac - mu_s)")} / CAST(COUNT(*) AS DOUBLE)
+       |      AS mad_s
+       |  FROM feats, st1),
+       |norm AS (
+       |  SELECT doc_id, cls, lm_nll, rep_ratio, stop_frac, label,
+       |    CASE WHEN mad_r = 0.0 THEN 0.0
+       |         ELSE (rep_ratio - mu_r) / mad_r END AS zr,
+       |    CASE WHEN mad_s = 0.0 THEN 0.0
+       |         ELSE (stop_frac - mu_s) / mad_s END AS zs,
+       |    CASE WHEN mad_l = 0.0 THEN 0.0
+       |         ELSE (lm_nll - mu_l) / mad_l END AS zl,
+       |    CASE WHEN mad_c = 0.0 THEN 0.0
+       |         ELSE (cls - mu_c) / mad_c END AS zc
+       |  FROM feats, st1, st2),
+       |ensemble AS (
+       |  SELECT doc_id, cls, lm_nll, rep_ratio, stop_frac, label,
+       |    ((0.0 - zr) + zs + (0.0 - zl) + zc) / 4.0 AS ens
+       |  FROM norm)""".stripMargin
+  }
+
+  /** t26's threshold grid — the T23 convention at the ensemble's
+    * z-score scale (the ensemble averages MAD-normalized votes, so its
+    * spread is ~unit, not t13's ~0.01): −2.5 … 2.5 step 0.5.
+    */
+  private[graft] val T26Grid: Seq[String] =
+    (-5 to 5).map(i => f"${i / 2.0}%.1f")
+
+  /** t25's signal + ensemble frame — ONE definition shared by the t25
+    * contract query, the t26 sweep, and EdgeSpec:
+    * (doc_id, cls, lm_nll, rep_ratio, stop_frac, label, ens).
+    *
+    * The ensemble is the DECISION layer over the pipeline's independent
+    * quality signals (r15 VERDICT item 6): the served classifier score
+    * (t13), the LM perplexity (c13's avg_nll), and the two continuous
+    * Gopher signals (3-gram repetition, stopword fraction) — each
+    * failure mode has a blind signal (an LM LOVES repeated boilerplate;
+    * a repetition rule passes unique-keyword stuffing) and the vote
+    * combination is what covers them (EdgeSpec proves it beats every
+    * single signal on planted failure classes). Calibration here is
+    * SCALE calibration: each signal is centered and normalized by its
+    * corpus mean absolute deviation — exactly computable cross-engine
+    * (abs/sub are exact, sums decimal-exact, divisions IEEE; a σ-based
+    * z-score would need sqrt of an fp variance and is the less robust
+    * statistic anyway), with directions fixed by the signal's semantics
+    * (low perplexity, low repetition, high stopword mass, high
+    * classifier score vote "keep"). The Gopher boolean is kept as the
+    * reference LABEL (t23's convention), not a vote — the sweep
+    * calibrates the ensemble against the rule battery. t22's host
+    * prior composes DOWNSTREAM of this score (it propagates any
+    * per-doc score to the host grain), so it stays a separate layer.
+    *
+    * Scale shape: one text scan extracts (cls, rep, stop, label) —
+    * all map-side; the LM adds c13's token-keyed model shuffle + the
+    * size-gated scoring join; normalization is two 1-row aggregates
+    * over the checkpointed narrow feature frame, broadcast back. At
+    * 100 TB: two corpus passes + a dictionary shuffle, and the
+    * decision itself is map-side.
+    */
+  private[graft] def ensembleFrame(in: DataFrame): DataFrame = {
+    import graft.engine.Exact
+    val Seq(nw, mwl, nst, rep) = Gopher.signals(col("text"))
+    val base = in.select(col("doc_id"),
+        classifierScore(col("text")).as("cls"),
+        rep.as("rep_ratio"),
+        (nst.cast(DoubleType) / nw.cast(DoubleType)).as("stop_frac"),
+        Gopher.keep(nw, mwl, nst, rep).as("label"))
+      .localCheckpoint(true)
+    val lm = graft.queries.Corpus.unigramLmScore(in)
+      .select(col("doc_id"), col("avg_nll").as("lm_nll"))
+    val feats = base.join(lm, "doc_id").localCheckpoint(true)
+    def mean(c: Column): Column =
+      Exact.dsum(c) / count(lit(1)).cast(DoubleType)
+    val mu = feats.agg(
+      mean(col("cls")).as("mu_c"), mean(col("lm_nll")).as("mu_l"),
+      mean(col("rep_ratio")).as("mu_r"), mean(col("stop_frac")).as("mu_s"))
+    val mad = feats.crossJoin(broadcast(mu)).agg(
+      mean(abs(col("cls") - col("mu_c"))).as("mad_c"),
+      mean(abs(col("lm_nll") - col("mu_l"))).as("mad_l"),
+      mean(abs(col("rep_ratio") - col("mu_r"))).as("mad_r"),
+      mean(abs(col("stop_frac") - col("mu_s"))).as("mad_s"))
+    def z(x: Column, m: Column, d: Column): Column =
+      when(d === 0.0, lit(0.0)).otherwise((x - m) / d)
+    feats.crossJoin(broadcast(mu.crossJoin(mad)))
+      .select(col("doc_id"), col("cls"), col("lm_nll"), col("rep_ratio"),
+        col("stop_frac"), col("label"),
+        z(col("rep_ratio"), col("mu_r"), col("mad_r")).as("zr"),
+        z(col("stop_frac"), col("mu_s"), col("mad_s")).as("zs"),
+        z(col("lm_nll"), col("mu_l"), col("mad_l")).as("zl"),
+        z(col("cls"), col("mu_c"), col("mad_c")).as("zc"))
+      .select(col("doc_id"), col("cls"), col("lm_nll"), col("rep_ratio"),
+        col("stop_frac"), col("label"),
+        (((lit(0.0) - col("zr")) + col("zs") + (lit(0.0) - col("zl")) +
+          col("zc")) / lit(4.0)).as("ens"))
+  }
+
+  /** t25's contract output — the per-doc ensemble decision artifact. */
+  def qualityEnsemble(in: DataFrame): DataFrame =
+    ensembleFrame(in)
+      .withColumn("keep", col("ens") > 0.0)
+      .orderBy("doc_id")
+
+  /** t26's engine — t23's calibration sweep generalized to the ensemble
+    * score: keep-rate / precision / recall against the Gopher reference
+    * labels over the z-scale grid.
+    */
+  def ensembleSweep(in: DataFrame): DataFrame =
+    sweepTable(
+      ensembleFrame(in)
+        .select(col("doc_id"), col("ens").as("score"), col("label"))
+        .localCheckpoint(true),
+      T26Grid)
 
   val specs: Vector[QuerySpec] = Vector(
     // Token counting: whitespace tokens + distinct tokens + char length.
@@ -1527,6 +1717,47 @@ object TextOps {
       "t20b_classifier_sampled",
       (s, d) => classifierTrainSampled(docs(s, d)),
       Some(t20bOracleSql(T20Rounds, T20Lr)),
+    ),
+    // Quality-ensemble keep decision — see [[ensembleFrame]]: the
+    // MAD-calibrated vote combination of t13 / c13 / the continuous
+    // Gopher signals, keep ⇔ ens > 0. EdgeSpec proves the coverage
+    // claim (each planted failure class blinds one signal; the ensemble
+    // separates all of them).
+    QuerySpec(
+      "t25_quality_ensemble",
+      (s, d) => qualityEnsemble(docs(s, d)),
+      Some {
+        s"""WITH $ensembleOracleCtes
+           |SELECT doc_id, cls, lm_nll, rep_ratio, stop_frac, label, ens,
+           |  ens > 0.0 AS keep
+           |FROM ensemble ORDER BY doc_id""".stripMargin
+      },
+    ),
+    // t23's calibration sweep generalized to the ensemble — see
+    // [[ensembleSweep]].
+    QuerySpec(
+      "t26_ensemble_sweep",
+      (s, d) => ensembleSweep(docs(s, d)),
+      Some {
+        s"""WITH $ensembleOracleCtes,
+           |grid AS (SELECT CAST(UNNEST([${T26Grid.mkString(", ")}]) AS DOUBLE)
+           |  AS threshold),
+           |agg AS (
+           |  SELECT threshold, COUNT(*) AS n_docs,
+           |    CAST(SUM(CASE WHEN ens > threshold THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_keep,
+           |    CAST(SUM(CASE WHEN ens > threshold AND label THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS tp,
+           |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           |  FROM ensemble, grid GROUP BY threshold)
+           |SELECT threshold, n_keep,
+           |  CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate,
+           |  CASE WHEN n_keep > 0
+           |    THEN CAST(tp AS DOUBLE) / CAST(n_keep AS DOUBLE) END AS prec,
+           |  CASE WHEN n_pos > 0
+           |    THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS recall
+           |FROM agg ORDER BY threshold""".stripMargin
+      },
     ),
   )
 

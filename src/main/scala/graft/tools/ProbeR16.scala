@@ -79,6 +79,21 @@ object ProbeR16 {
         println(s"""{"probe":"s18","n":$n,"k":$k,"nprobe":${math.max(4, k / 4)},""" +
           s""""train_n":$trainN,"rows":$out,"sec":$t,"s18_ok":${out == 25}}""")
 
+      case "t25" =>
+        // ensemble decision layer at corpus scale: one signal scan +
+        // c13's model shuffle + two 1-row stat aggs; asserts every doc
+        // gets a decision
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val docs = gen(n).localCheckpoint(true)
+        val (kept, t) = time {
+          val out = graft.queries.TextOps.qualityEnsemble(docs)
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("keep"), 1L).otherwise(0L)).as("k")).head
+          (out.getLong(0), out.getLong(1))
+        }
+        println(s"""{"probe":"t25","n":$n,"decided":${kept._1},""" +
+          s""""kept":${kept._2},"sec":$t,"t25_ok":${kept._1 == n}}""")
+
       case other =>
         System.err.println(s"unknown section: $other")
     }
