@@ -338,7 +338,11 @@ object Bench {
         // — the composed FAISS serve shape), t25/t26 (map-side signal
         // scan + c13 model shuffle + two 1-row stat aggs — the ensemble
         // decision layer and its calibration sweep)
-        "s18_ivfpq_ann", "t25_quality_ensemble", "t26_ensemble_sweep")
+        "s18_ivfpq_ann", "t25_quality_ensemble", "t26_ensemble_sweep",
+        // s19 (residual-encoded IVFPQ — adds the residual pass + the
+        // per-(query,cell) qc scalar to s18's shape), c34 (c33's chain
+        // + token-count join + cell rollup)
+        "s19_ivfpq_residual", "c34_kn_mixing_manifest")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

@@ -144,6 +144,34 @@ object Corpus {
       .select(col("doc_id"), col("avg_nll"))
       .join(docsDf.select(col("doc_id"), col("lang")), "doc_id"))
 
+  /** c34's engine — the CCNet output manifest: per (lang, ppl_bucket)
+    * document/token accounting over the c33 KN buckets, with each
+    * cell's token share within its language — the table that drives
+    * the actual mixing decision (keep head+middle, down-weight tail,
+    * rebalance languages; Wenzek et al. 2020 §4.3's deliverable).
+    *
+    * Scale shape: c33's chain + ONE doc-keyed token-count join and a
+    * ≤|langs|·3-cell rollup; the share join runs on the cell frame
+    * (|langs| rows), never on docs. Tokens are the non-empty-split
+    * convention (c30/c31's grain).
+    */
+  def knMixingManifest(docs: DataFrame): DataFrame = {
+    val buckets = knPerplexityBuckets(docs)
+    val toks = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "),
+        w => length(w) > 0)).cast(LongType).as("nt"))
+    val cells = buckets.join(toks, "doc_id")
+      .groupBy("lang", "ppl_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .localCheckpoint(true)
+    val langTot = cells.groupBy("lang").agg(sum(col("n_tokens")).as("lang_tokens"))
+    cells.join(broadcast(langTot), "lang")
+      .select(col("lang"), col("ppl_bucket"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast(DoubleType) / col("lang_tokens").cast(DoubleType))
+          .as("token_share"))
+      .orderBy("lang", "ppl_bucket")
+  }
+
   /** The per-language head/middle/tail assignment shared by c27 and c33
     * — input is any (doc_id, lang, avg_nll) score frame.
     */
@@ -474,7 +502,11 @@ object Corpus {
     * ROW_NUMBER (windows are fine at oracle scale; the Spark side uses
     * the agg+broadcast shape in [[tertileBuckets]]).
     */
-  private def tertileOracleTail: String =
+  /** The bucket-assignment CTEs alone, ending in
+    * `bucketed(doc_id, lang, avg_nll, ppl_bucket)` — c34 consumes the
+    * buckets as a relation rather than as final output.
+    */
+  private def tertileBucketCtes: String =
     """scores AS (
       |  SELECT s.doc_id, d.lang, s.avg_nll
       |  FROM sc s JOIN documents d USING (doc_id)),
@@ -487,16 +519,21 @@ object Corpus {
       |t1 AS (SELECT lang, avg_nll AS t1n, doc_id AS t1i FROM r
       |  WHERE rn = (n + 2) // 3),
       |t2 AS (SELECT lang, avg_nll AS t2n, doc_id AS t2i FROM r
-      |  WHERE rn = (2 * n + 2) // 3)
-      |SELECT s.doc_id, s.lang, s.avg_nll,
-      |  CASE
-      |    WHEN s.avg_nll < t1n OR (s.avg_nll = t1n AND s.doc_id <= t1i)
-      |      THEN 'head'
-      |    WHEN s.avg_nll < t2n OR (s.avg_nll = t2n AND s.doc_id <= t2i)
-      |      THEN 'middle'
-      |    ELSE 'tail' END AS ppl_bucket
-      |FROM scores s JOIN t1 USING (lang) JOIN t2 USING (lang)
-      |ORDER BY s.doc_id""".stripMargin
+      |  WHERE rn = (2 * n + 2) // 3),
+      |bucketed AS (
+      |  SELECT s.doc_id, s.lang, s.avg_nll,
+      |    CASE
+      |      WHEN s.avg_nll < t1n OR (s.avg_nll = t1n AND s.doc_id <= t1i)
+      |        THEN 'head'
+      |      WHEN s.avg_nll < t2n OR (s.avg_nll = t2n AND s.doc_id <= t2i)
+      |        THEN 'middle'
+      |      ELSE 'tail' END AS ppl_bucket
+      |  FROM scores s JOIN t1 USING (lang) JOIN t2 USING (lang))""".stripMargin
+
+  private def tertileOracleTail: String =
+    s"""$tertileBucketCtes
+       |SELECT doc_id, lang, avg_nll, ppl_bucket FROM bucketed
+       |ORDER BY doc_id""".stripMargin
 
   val specs: Vector[QuerySpec] = Vector(
     // Deterministic content-hash sampling — THE way to sample 100 TB
@@ -1396,6 +1433,33 @@ object Corpus {
       Some {
         s"""WITH $knScoreCtes,
            |$tertileOracleTail""".stripMargin
+      },
+    ),
+    // CCNet mixing manifest over the KN buckets — see
+    // [[knMixingManifest]].
+    QuerySpec(
+      "c34_kn_mixing_manifest",
+      (s, d) => knMixingManifest(Tables(s, d, "documents")),
+      Some {
+        s"""WITH $knScoreCtes,
+           |$tertileBucketCtes,
+           |tok AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      w -> len(w) > 0)) AS BIGINT) AS nt
+           |  FROM documents),
+           |cells AS (
+           |  SELECT lang, ppl_bucket, COUNT(*) AS n_docs,
+           |    CAST(SUM(nt) AS BIGINT) AS n_tokens
+           |  FROM bucketed JOIN tok USING (doc_id)
+           |  GROUP BY lang, ppl_bucket),
+           |lt AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+           |  FROM cells GROUP BY lang)
+           |SELECT c.lang, c.ppl_bucket, c.n_docs, c.n_tokens,
+           |  CAST(c.n_tokens AS DOUBLE) / CAST(l.lang_tokens AS DOUBLE)
+           |    AS token_share
+           |FROM cells c JOIN lt l USING (lang)
+           |ORDER BY c.lang, c.ppl_bucket""".stripMargin
       },
     ),
     // Vocabulary coverage / OOV per language — see [[vocabCoverage]] for

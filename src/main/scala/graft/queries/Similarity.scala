@@ -395,6 +395,102 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Residual IVF-PQ ANN — the ACTUAL FAISS `IVFPQ` encoding (s18 is
+    * `IVF,PQ` on raw vectors): each vector is PQ-encoded as its RESIDUAL
+    * r = x − c(x) against its assigned coarse centroid. Residuals
+    * concentrate near the origin (the coarse quantizer absorbed the
+    * between-cell variance), so the same m×ksub code budget spends its
+    * resolution on a much smaller ball — the reconstruction and
+    * therefore the ADC approximation is strictly finer at equal bytes
+    * (SimilaritySpec measures it: mean |adc − exact dot| below s18's).
+    *
+    * ADC with residuals under an inner-product score decomposes exactly:
+    * dot(q, c + r̂) = dot(q, c) + dot(q, r̂) — so the score is the
+    * per-(query, probed-cell) scalar `qc = dot(q, c)` (computed at probe
+    * time, nprobe scalars per query) plus the SAME m LUT lookups as
+    * s18, with the LUT built from RAW query subvectors against the
+    * RESIDUAL codebooks. The fold seeds at qc so both engines sum
+    * (((qc + l0) + l1) + l2) + l3 in lockstep.
+    */
+  def ivfPqResidualAnn(e: DataFrame, k: Int, nprobe: Int, ivfIters: Int,
+      m: Int, subDim: Int, ksub: Int, pqIters: Int,
+      nQ: Int, shortlist: Int, topK: Int): DataFrame = {
+    val centArr = ivfCentroids(e, k, ivfIters)
+    // assignment keeping BOTH the cell id and its centroid vector (the
+    // struct-argmax tiebreak never reaches cvec — cell is unique)
+    val assigned = e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("cents"), c =>
+          struct(
+            cosine(col("embedding"), c.getField("cvec")).as("cos"),
+            (-c.getField("cell")).as("neg_cell"),
+            c.getField("cell").as("cell"),
+            c.getField("cvec").as("cvec")))).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cell").as("cell"),
+        zip_with(col("embedding"), col("best.cvec"),
+          (x, c) => x.cast(DoubleType) - c).as("residual"))
+      .localCheckpoint(true)
+    val resFrame = assigned.select(col("vec_id"),
+      col("residual").as("embedding"))
+    val cb = pqCodebooks(resFrame, m, subDim, ksub, pqIters)
+    val cbRow = cb.agg(array_sort(collect_list(struct(col("sub"),
+      col("codes")))).as("cb"))
+    val index = assigned.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), col("cell"),
+        transform(sequence(lit(0), lit(m - 1)), si =>
+          array_min(transform(
+            element_at(col("cb"), si + 1).getField("codes"), c =>
+              struct(l2(subVec(col("residual"), si, subDim),
+                c.getField("cvec")).as("d"),
+                c.getField("code").as("code")))).getField("code")).as("codes"))
+      .localCheckpoint(true)
+    val q = e.filter(col("vec_id") < nQ)
+    // LUT from RAW query subvectors vs the residual codebooks
+    val qlut = q.crossJoin(broadcast(cbRow))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        transform(col("cb"), sc =>
+          transform(sequence(lit(0), lit(ksub - 1)), codeId => {
+            val hit = filter(sc.getField("codes"),
+              c => c.getField("code") === codeId)
+            when(size(hit) > 0,
+              ddot(subVec(col("embedding"), sc.getField("sub"), subDim),
+                element_at(hit, 1).getField("cvec")))
+              .otherwise(lit(Double.NegativeInfinity))
+          })).as("lut"))
+    // probes carry qc = dot(q, centroid) — the residual decomposition's
+    // per-cell scalar
+    val probes = q.crossJoin(broadcast(centArr))
+      .select(col("vec_id").as("q_id"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct(
+            (-cosine(col("embedding"), c.getField("cvec"))).as("neg_cos"),
+            c.getField("cell").as("cell"),
+            ddot(col("embedding"), c.getField("cvec")).as("qc")))),
+          1, nprobe)).as("pc"))
+      .select(col("q_id"), col("pc.cell").as("cell"), col("pc.qc").as("qc"))
+    val scored = probes.join(index, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qlut), "q_id")
+      .select(col("q_id"), col("q_emb"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), col("qc"), (acc, si) =>
+          acc + element_at(element_at(col("lut"), si + 1),
+            element_at(col("codes"), si + 1) + 1)).as("adc"))
+    val short = TopK.perKey(scored,
+      keys = Seq(col("q_id")),
+      order = Seq(col("adc").desc, col("vec_id")),
+      k = shortlist)
+    e.select(col("vec_id"), col("embedding").as("n_emb"))
+      .join(broadcast(short), "vec_id")
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc"),
+        cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("adc"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   // ---- DuckDB replicas of the sign-LSH pipeline (oracles for s02/s03) ----
 
   /** All `nBits` signed projections for table column `tbl` — mirrors
@@ -1554,6 +1650,62 @@ object Similarity {
            |$pqRerankOracleTail""".stripMargin
       },
     ),
+    // Residual IVF-PQ — see [[ivfPqResidualAnn]]: the actual FAISS IVFPQ
+    // encoding (PQ over residuals against the assigned coarse centroid;
+    // ADC decomposes exactly as dot(q,c) + LUT lookups). The oracle is
+    // s18's composition with a residual CTE spliced between the coarse
+    // assignment and the PQ chains (src = residuals, LUT qsrc = raw
+    // query subvectors) and the per-(query, cell) qc scalar seeding the
+    // ADC sum.
+    QuerySpec(
+      "s19_ivfpq_residual",
+      (s, d) => ivfPqResidualAnn(emb(s, d).select(col("vec_id"), col("embedding")),
+        k = 16, nprobe = 4, ivfIters = 3,
+        m = 4, subDim = 16, ksub = 8, pqIters = 2,
+        nQ = 5, shortlist = 32, topK = 5),
+      Some {
+        val dot = (a: String, b: String) =>
+          s"""list_sum(list_transform(list_zip($a, $b),
+             |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
+        s"""$lloydOracleCtes,
+           |idx0 AS MATERIALIZED (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c) t WHERE rn = 1),
+           |res AS MATERIALIZED (
+           |  SELECT i.vec_id, i.cell,
+           |    list_transform(list_zip(e.embedding, c.cvec),
+           |      p -> CAST(p[1] AS DOUBLE) - p[2]) AS embedding
+           |  FROM idx0 i JOIN e ON e.vec_id = i.vec_id
+           |  JOIN cent3 c ON c.cell = i.cell),
+           |${pqOracleSubCtes(4, 16, 8, 2, 5, src = "res",
+              qsrc = "embeddings").mkString(",\n")},
+           |probes AS (
+           |  SELECT q_id, cell, qc FROM (
+           |    SELECT e.vec_id AS q_id, c.cell,
+           |      ${dot("e.embedding", "c.cvec")} AS qc,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c WHERE e.vec_id < 5) t WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.q_id, i.vec_id,
+           |    p.qc + l0.lv + l1.lv + l2.lv + l3.lv AS adc
+           |  FROM probes p
+           |  JOIN res i USING (cell)
+           |  JOIN s0e e0 ON e0.vec_id = i.vec_id
+           |  JOIN s1e e1 ON e1.vec_id = i.vec_id
+           |  JOIN s2e e2 ON e2.vec_id = i.vec_id
+           |  JOIN s3e e3 ON e3.vec_id = i.vec_id
+           |  JOIN s0l l0 ON l0.code = e0.code AND l0.q_id = p.q_id
+           |  JOIN s1l l1 ON l1.code = e1.code AND l1.q_id = p.q_id
+           |  JOIN s2l l2 ON l2.code = e2.code AND l2.q_id = p.q_id
+           |  JOIN s3l l3 ON l3.code = e3.code AND l3.q_id = p.q_id
+           |  WHERE i.vec_id != p.q_id),
+           |$pqRerankOracleTail""".stripMargin
+      },
+    ),
     // Range (radius) search — the similarity-ball primitive top-k can't
     // express: EVERYTHING with cos >= tau per query, however many that
     // is (what a semantic-dedup threshold sweep or a recall audit asks
@@ -2045,7 +2197,8 @@ object Similarity {
     * for s18 — then [[pqRerankOracleTail]].
     */
   private def pqOracleSubCtes(m: Int, subDim: Int, ksub: Int, iters: Int,
-      nQ: Int): Seq[String] = {
+      nQ: Int, src: String = "embeddings",
+      qsrc: String = "embeddings"): Seq[String] = {
     import graft.engine.Exact
     def sl(s: Int) =
       s"list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}], x -> CAST(x AS DOUBLE))"
@@ -2057,9 +2210,17 @@ object Similarity {
          |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
     (0 until m).flatMap { s =>
       val v = s"s${s}v"
+      // when the LUT's query side differs from the train/encode source
+      // (s19: codebooks over RESIDUALS, LUT over RAW query subvectors),
+      // an extra q{s}v CTE carries the query subvectors
+      val qv = if (qsrc == src) v else s"q${s}v"
+      val qvCte =
+        if (qsrc == src) Seq.empty
+        else Seq(s"$qv AS (SELECT vec_id, ${sl(s)} AS svec FROM $qsrc)")
       Seq(
-        s"$v AS MATERIALIZED (SELECT vec_id, ${sl(s)} AS svec FROM embeddings)",
+        s"$v AS MATERIALIZED (SELECT vec_id, ${sl(s)} AS svec FROM $src)",
         s"s${s}c0 AS (SELECT vec_id AS code, svec AS cvec FROM $v WHERE vec_id < $ksub)") ++
+        qvCte ++
         (1 to iters).flatMap { n =>
           Seq(
             s"""s${s}a$n AS (
@@ -2085,7 +2246,7 @@ object Similarity {
            |    FROM $v v CROSS JOIN s${s}c$iters c) t WHERE rn = 1)""".stripMargin,
         s"""s${s}l AS MATERIALIZED (
            |  SELECT qv.vec_id AS q_id, c.code, ${dDot("qv.svec", "c.cvec")} AS lv
-           |  FROM $v qv CROSS JOIN s${s}c$iters c
+           |  FROM $qv qv CROSS JOIN s${s}c$iters c
            |  WHERE qv.vec_id < $nQ)""".stripMargin)
     }
   }

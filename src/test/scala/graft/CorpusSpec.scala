@@ -499,6 +499,21 @@ class CorpusSpec extends AnyFunSuite {
     kn.unpersist()
   }
 
+  test("c34: mixing manifest partitions the bucketed docs; shares normalize per lang") {
+    import org.apache.spark.sql.functions._
+    val cells = Corpus.knMixingManifest(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // doc accounting: every c33-bucketed doc lands in exactly one cell
+    val bucketed = Corpus.knPerplexityBuckets(docs).count()
+    assert(cells.map(_._3).sum == bucketed)
+    // token shares form a distribution per language
+    cells.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-12, lang)
+      assert(rows.map(_._2).toSet == Set("head", "middle", "tail"), lang)
+    }
+  }
+
   test("c28: fertility ordering matches the planted language morphology") {
     import org.apache.spark.sql.functions._
     val out = Corpus.tokenizerFertility(docs, Corpus.FixedMerges)

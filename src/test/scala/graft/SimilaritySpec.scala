@@ -620,6 +620,39 @@ class SimilaritySpec extends AnyFunSuite {
       s"nprobe=4/16 recall vs flat ADC: $hit/$total")
   }
 
+  test("s19 residual IVF-PQ: finer ADC than raw-vector s18 at equal code budget") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Similarity
+    val embMap = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // mean absolute ADC error vs the exact dot product over each op's
+    // shortlist — the residual encoding's whole claim is that the same
+    // m×ksub code budget reconstructs finer once the coarse quantizer
+    // has absorbed the between-cell variance
+    def adcErr(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val errs = rows.map { r =>
+        math.abs(r.getDouble(3) - dot(embMap(r.getLong(0)), embMap(r.getLong(2))))
+      }
+      errs.sum / errs.length
+    }
+    val e18 = adcErr(Registry.byName("s18_ivfpq_ann").run(spark, sf).collect())
+    val e19 = adcErr(Registry.byName("s19_ivfpq_residual").run(spark, sf).collect())
+    assert(e19 < e18,
+      s"residual ADC error $e19 must beat raw-PQ ADC error $e18")
+    // well-formed: 5 queries x 5 dense ranks, no self-neighbors
+    val out = Registry.byName("s19_ivfpq_residual").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 25)
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 5), s"query $q ranks")
+      assert(rs.forall(_._3 != q), s"query $q self-neighbor")
+    }
+  }
+
   test("s17b deployment-width survivors: width lockstep at rule boundaries, same keep laws") {
     import org.apache.spark.sql.functions._
     import graft.queries.Similarity.scaledBits
