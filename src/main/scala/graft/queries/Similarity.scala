@@ -414,8 +414,14 @@ object Similarity {
     */
   def ivfPqResidualAnn(e: DataFrame, k: Int, nprobe: Int, ivfIters: Int,
       m: Int, subDim: Int, ksub: Int, pqIters: Int,
-      nQ: Int, shortlist: Int, topK: Int): DataFrame = {
-    val centArr = ivfCentroids(e, k, ivfIters)
+      nQ: Int, shortlist: Int, topK: Int,
+      trainPred: Option[Column] = None): DataFrame = {
+    // sampled quantizer training (the ivfPqAnn knob): centroids fit on
+    // the sample; the residual codebooks fit on the SAMPLE's residuals
+    // (sliced from the corpus-wide assignment frame, which encoding
+    // needs anyway). Contract trains full (None).
+    val centArr = ivfCentroids(trainPred.map(e.filter).getOrElse(e),
+      k, ivfIters)
     // assignment keeping BOTH the cell id and its centroid vector (the
     // struct-argmax tiebreak never reaches cvec — cell is unique)
     val assigned = e.crossJoin(broadcast(centArr))
@@ -433,7 +439,8 @@ object Similarity {
       .localCheckpoint(true)
     val resFrame = assigned.select(col("vec_id"),
       col("residual").as("embedding"))
-    val cb = pqCodebooks(resFrame, m, subDim, ksub, pqIters)
+    val cb = pqCodebooks(trainPred.map(resFrame.filter).getOrElse(resFrame),
+      m, subDim, ksub, pqIters)
     val cbRow = cb.agg(array_sort(collect_list(struct(col("sub"),
       col("codes")))).as("cb"))
     val index = assigned.crossJoin(broadcast(cbRow))

@@ -94,6 +94,30 @@ object ProbeR16 {
         println(s"""{"probe":"t25","n":$n,"decided":${kept._1},""" +
           s""""kept":${kept._2},"sec":$t,"t25_ok":${kept._1 == n}}""")
 
+      case "s19" =>
+        // residual IVFPQ at corpus scale in the deployment shape:
+        // quantizers (coarse + residual codebooks) trained on a ~40·k
+        // prefix sample, assignment/encode/serve corpus-wide — the
+        // extra cost vs s18 is one residual zip per row + nprobe qc
+        // scalars per query
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val e = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            ((pmod(xxhash64(col("id"), i), lit(2001)) - 1000)
+              .cast("double") / 1000.0).cast("float")).as("embedding"))
+          .localCheckpoint(true)
+        val k = math.max(16, (math.sqrt(n.toDouble) / 4).toInt)
+        val trainN = math.min(n, 40L * k)
+        val (out, t) = time {
+          graft.queries.Similarity.ivfPqResidualAnn(e,
+            k = k, nprobe = math.max(4, k / 4), ivfIters = 3,
+            m = 4, subDim = 16, ksub = 8, pqIters = 2,
+            nQ = 5, shortlist = 32, topK = 5,
+            trainPred = Some(col("vec_id") < trainN)).count()
+        }
+        println(s"""{"probe":"s19","n":$n,"k":$k,"train_n":$trainN,""" +
+          s""""rows":$out,"sec":$t,"s19_ok":${out == 25}}""")
+
       case other =>
         System.err.println(s"unknown section: $other")
     }

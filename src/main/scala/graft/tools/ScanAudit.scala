@@ -108,6 +108,8 @@ object ScanAudit {
     "p05_stage_funnel" -> Map("documents" -> "funnel re-derives each stage BY DESIGN (it audits the chain)"),
     // --- r16 additions ---
     "p15_zone_map_incremental" -> Map("events" -> "base-manifest vs appended-delta role slices (+1 bounded max scan for the cutoff literal) — the incremental contract IS the split"),
+    "s18_ivfpq_ann" -> Map("embeddings" -> "corpus index pass vs query slice (LUT+probes) vs rerank re-attach — the s08 role split with IVF routing added"),
+    "s19_ivfpq_residual" -> Map("embeddings" -> "corpus assign+encode pass vs query slice vs rerank re-attach — s18's split on the residual encoding"),
   )
 
   def main(args: Array[String]): Unit = {
