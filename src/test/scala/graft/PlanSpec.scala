@@ -283,6 +283,39 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected only the lang-rollup exchange, got $n:\n$p")
   }
 
+  test("c32 KN scoring: model join broadcasts at test scale; no cartesian") {
+    val p = plan("c32_kneser_ney_score")
+    // trigram-type table under the gate => the scoring join broadcasts;
+    // past the gate it becomes a shuffle hash join (CorpusSpec pins
+    // value-identity of the two paths)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p15 incremental merge: verdict over the checkpointed merged manifest, no re-shuffle") {
+    val p = plan("p15_zone_map_incremental")
+    // the zone-grain merge rollup is materialized (checkpoint) before
+    // the verdict; the visible plan must be p13's shape — 1-row bounds
+    // via broadcast, never a hash shuffle of the zone frame
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("t25 ensemble decision: normalization stats re-enter via broadcast only") {
+    val p = plan("t25_quality_ensemble")
+    // feats are checkpointed; the visible plan is feats x 1-row stats —
+    // a hashpartitioning here would mean the corpus re-shuffles to meet
+    // two scalar rows
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("s18 routed ADC: query side prunes at the scan; no cartesian anywhere") {
+    val p = plan("s18_ivfpq_ann")
+    assert(p.contains("LessThan(vec_id,5"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e15 range join decomposes to a hash join on chunks — never a nested loop") {
     val p = plan("e15_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
