@@ -342,7 +342,10 @@ object Bench {
         // s19 (residual-encoded IVFPQ — adds the residual pass + the
         // per-(query,cell) qc scalar to s18's shape), c34 (c33's chain
         // + token-count join + cell rollup)
-        "s19_ivfpq_residual", "c34_kn_mixing_manifest")
+        "s19_ivfpq_residual", "c34_kn_mixing_manifest",
+        // t25b (the serve-configuration ensemble: bounded truncated-LM
+        // vote — the shape the streaming gate broadcasts)
+        "t25b_ensemble_serve")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

@@ -405,7 +405,65 @@ object TextOps {
     * joined feature frame, decimal-exact mean/MAD normalization stats
     * (two 1-row CTEs), and the fixed-order vote combination.
     */
-  private def ensembleOracleCtes: String = {
+  /** c13's full-model LM chain ending in `usc(doc_id, lm_nll)` — t25's
+    * LM vote.
+    */
+  private def fullLmOracleCtes: String = {
+    import graft.engine.Exact
+    s"""utoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |ucounts AS (SELECT tok, COUNT(*) AS c FROM utoks GROUP BY tok),
+       |ustats AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM ucounts),
+       |ulm AS (
+       |  SELECT tok,
+       |    ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE)) AS logp
+       |  FROM ucounts, ustats),
+       |usc AS (
+       |  SELECT doc_id,
+       |    (0.0 - ${Exact.sqlSum("logp")}) / CAST(COUNT(*) AS DOUBLE)
+       |      AS lm_nll
+       |  FROM utoks JOIN ulm USING (tok) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The truncated (top-[[T25bTopN]] + OOV) LM chain ending in
+    * `usc(doc_id, lm_nll)` — t25b's serve-model vote, mirroring
+    * [[graft.queries.Corpus.unigramLmScoreTruncated]] term for term.
+    */
+  private def truncLmOracleCtes: String = {
+    import graft.engine.Exact
+    s"""utoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |ucounts AS (SELECT tok, COUNT(*) AS c FROM utoks GROUP BY tok),
+       |ufull AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+       |  COUNT(*) AS v_full FROM ucounts),
+       |utop AS (SELECT tok, c FROM ucounts ORDER BY c DESC, tok
+       |  LIMIT $T25bTopN),
+       |utops AS (SELECT CAST(SUM(c) AS BIGINT) AS n_top,
+       |  COUNT(*) AS n_types FROM utop),
+       |ulm AS (
+       |  SELECT tok,
+       |    ln(CAST(c + 1 AS DOUBLE)
+       |       / CAST(n_total + n_types + 1 AS DOUBLE)) AS logp
+       |  FROM utop, ufull, utops),
+       |uoov AS (
+       |  SELECT ln((CAST(n_total - n_top AS DOUBLE)
+       |      / CAST(CASE WHEN v_full - n_types > 1
+       |              THEN v_full - n_types ELSE 1 END AS DOUBLE) + 1.0)
+       |    / CAST(n_total + n_types + 1 AS DOUBLE)) AS logp
+       |  FROM ufull, utops),
+       |usc AS (
+       |  SELECT doc_id,
+       |    (0.0 - ${Exact.sqlSum("COALESCE(l.logp, o.logp)")})
+       |      / CAST(COUNT(*) AS DOUBLE) AS lm_nll
+       |  FROM utoks t LEFT JOIN ulm l USING (tok), uoov o
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  private def ensembleOracleCtes: String = ensembleOracleCtesWith(fullLmOracleCtes)
+
+  private def ensembleOracleCtesWith(lmCtes: String): String = {
     import graft.engine.Exact
     import Gopher._
     s"""$t13ScoreCtes,
@@ -429,20 +487,7 @@ object TextOps {
        |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
        |      / CAST(len(grams) AS DOUBLE) AS rep_ratio
        |  FROM gg),
-       |utoks AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |  FROM documents),
-       |ucounts AS (SELECT tok, COUNT(*) AS c FROM utoks GROUP BY tok),
-       |ustats AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM ucounts),
-       |ulm AS (
-       |  SELECT tok,
-       |    ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE)) AS logp
-       |  FROM ucounts, ustats),
-       |usc AS (
-       |  SELECT doc_id,
-       |    (0.0 - ${Exact.sqlSum("logp")}) / CAST(COUNT(*) AS DOUBLE)
-       |      AS lm_nll
-       |  FROM utoks JOIN ulm USING (tok) GROUP BY doc_id),
+       |$lmCtes,
        |feats AS (
        |  SELECT s.doc_id, s.score AS cls, u.lm_nll, g.rep_ratio,
        |    CAST(g.n_stopwords AS DOUBLE) / CAST(g.n_words AS DOUBLE)
@@ -526,7 +571,19 @@ object TextOps {
     * decision itself is map-side.
     */
   private[graft] def ensembleFrame(in: DataFrame): DataFrame = {
-    import graft.engine.Exact
+    val feats = ensembleSignals(in,
+      graft.queries.Corpus.unigramLmScore(in)
+        .select(col("doc_id"), col("avg_nll").as("lm_nll")))
+    val (mu, mad) = ensembleStats(feats)
+    ensembleCombine(feats, mu, mad)
+  }
+
+  /** The per-doc signal frame (doc_id, cls, lm_nll, rep_ratio,
+    * stop_frac, label), checkpointed — the LM scorer is pluggable so
+    * t25 (full c13 model) and t25b (truncated serve model) share one
+    * definition.
+    */
+  private def ensembleSignals(in: DataFrame, lm: DataFrame): DataFrame = {
     val Seq(nw, mwl, nst, rep) = Gopher.signals(col("text"))
     val base = in.select(col("doc_id"),
         classifierScore(col("text")).as("cls"),
@@ -534,9 +591,14 @@ object TextOps {
         (nst.cast(DoubleType) / nw.cast(DoubleType)).as("stop_frac"),
         Gopher.keep(nw, mwl, nst, rep).as("label"))
       .localCheckpoint(true)
-    val lm = graft.queries.Corpus.unigramLmScore(in)
-      .select(col("doc_id"), col("avg_nll").as("lm_nll"))
-    val feats = base.join(lm, "doc_id").localCheckpoint(true)
+    base.join(lm, "doc_id").localCheckpoint(true)
+  }
+
+  /** The two 1-row normalization frames (means, MADs) over a signal
+    * frame — decimal-exact throughout.
+    */
+  private def ensembleStats(feats: DataFrame): (DataFrame, DataFrame) = {
+    import graft.engine.Exact
     def mean(c: Column): Column =
       Exact.dsum(c) / count(lit(1)).cast(DoubleType)
     val mu = feats.agg(
@@ -547,6 +609,11 @@ object TextOps {
       mean(abs(col("lm_nll") - col("mu_l"))).as("mad_l"),
       mean(abs(col("rep_ratio") - col("mu_r"))).as("mad_r"),
       mean(abs(col("stop_frac") - col("mu_s"))).as("mad_s"))
+    (mu, mad)
+  }
+
+  private def ensembleCombine(feats: DataFrame, mu: DataFrame,
+      mad: DataFrame): DataFrame = {
     def z(x: Column, m: Column, d: Column): Column =
       when(d === 0.0, lit(0.0)).otherwise((x - m) / d)
     feats.crossJoin(broadcast(mu.crossJoin(mad)))
@@ -560,6 +627,110 @@ object TextOps {
         col("stop_frac"), col("label"),
         (((lit(0.0) - col("zr")) + col("zs") + (lit(0.0) - col("zl")) +
           col("zc")) / lit(4.0)).as("ens"))
+  }
+
+  /** t25b's LM-side vocabulary bound (shared with its oracle text and
+    * the streaming gate's collected model).
+    */
+  private[graft] val T25bTopN = 64
+
+  /** t25b's engine — the ensemble at SERVE configuration: the LM vote
+    * comes from the BOUNDED truncated unigram model (top-[[T25bTopN]]
+    * types + one OOV entry — the c13-truncated scale path), which is
+    * the model a streaming gate can hold in memory. Everything else is
+    * t25's chain unchanged.
+    */
+  def qualityEnsembleServe(in: DataFrame): DataFrame = {
+    val feats = ensembleSignals(in,
+      graft.queries.Corpus.unigramLmScoreTruncated(in, T25bTopN)
+        .select(col("doc_id"), col("avg_nll").as("lm_nll")))
+    val (mu, mad) = ensembleStats(feats)
+    ensembleCombine(feats, mu, mad)
+      .withColumn("keep", col("ens") > 0.0)
+      .orderBy("doc_id")
+  }
+
+  /** The frozen serve-side model of the t25b ensemble: the bounded
+    * token→logp table, the OOV log-probability, and the normalization
+    * stats — what a streaming quality gate broadcasts (the KenLM-in-
+    * memory shape). Driver collects are bounded by construction:
+    * topN + 1 logps and 8 stat doubles.
+    */
+  case class EnsembleModel(logp: Map[String, Double], oovLogp: Double,
+      muC: Double, madC: Double, muL: Double, madL: Double,
+      muR: Double, madR: Double, muS: Double, madS: Double)
+
+  private[graft] def ensembleModel(ref: DataFrame): EnsembleModel = {
+    import graft.engine.Exact
+    val toks = ref.select(explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val top = counts.orderBy(col("c").desc, col("tok")).limit(T25bTopN)
+      .localCheckpoint(true)
+    val consts = counts.agg(sum(col("c")).as("n_total"),
+        count(lit(1)).as("v_full"))
+      .crossJoin(top.agg(sum(col("c")).as("n_top"),
+        count(lit(1)).as("n_types"))).head
+    val (nTotal, vFull, nTop, nTypes) = (consts.getLong(0),
+      consts.getLong(1), consts.getLong(2), consts.getLong(3))
+    val denom = (nTotal + nTypes + 1).toDouble
+    val logp = top.collect()
+      .map(r => r.getString(0) -> math.log((r.getLong(1) + 1).toDouble / denom))
+      .toMap
+    val oovTypes = math.max(vFull - nTypes, 1L)
+    val oovLogp = math.log(
+      ((nTotal - nTop).toDouble / oovTypes.toDouble + 1.0) / denom)
+    val feats = ensembleSignals(ref,
+      graft.queries.Corpus.unigramLmScoreTruncated(ref, T25bTopN)
+        .select(col("doc_id"), col("avg_nll").as("lm_nll")))
+    val (muDf, madDf) = ensembleStats(feats)
+    val mu = muDf.head; val mad = madDf.head
+    EnsembleModel(logp, oovLogp,
+      mu.getDouble(0), mad.getDouble(0), mu.getDouble(1), mad.getDouble(1),
+      mu.getDouble(2), mad.getDouble(2), mu.getDouble(3), mad.getDouble(3))
+  }
+
+  /** Map-side serve of the frozen ensemble model over a (doc_id, text)
+    * frame — batch or STREAMING alike (no joins, no aggregations: the
+    * LM is a broadcast map literal folded in decimal exactly like
+    * Exact.dsum, so the scores are bit-equal to the batch t25b chain).
+    */
+  private[graft] def ensembleServe(docs: DataFrame,
+      m: EnsembleModel): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // the classifierScore precision discipline: Add((38,10),(38,10))
+    // silently drops the 10th decimal digit under Spark's precision-
+    // loss rule; |logp| < 100 fits (12,10), acc (27,10) + (12,10) →
+    // (28,10) exact, cast back lossless. Scale-10 quantization is
+    // width-independent, so each term equals the batch chain's
+    // DECIMAL(38,10) quantization and the decimal sum is associative —
+    // bit-equal to Exact.dsum over the joined form.
+    val accT = DecimalType(27, 10)
+    val wT = DecimalType(12, 10)
+    val Seq(nw, mwl, nst, rep) = Gopher.signals(col("text"))
+    val mapLit = typedLit(m.logp)
+    val toks = split(col("text"), " ")
+    val lmNll = (lit(0.0) -
+      aggregate(toks, lit(0).cast(accT), (acc, t) =>
+        (acc + coalesce(element_at(mapLit, t), lit(m.oovLogp)).cast(wT))
+          .cast(accT))
+        .cast(DoubleType)) / size(toks).cast(DoubleType)
+    def z(x: Column, mu: Double, mad: Double): Column =
+      if (mad == 0.0) lit(0.0) else (x - lit(mu)) / lit(mad)
+    docs
+      .select(col("doc_id"),
+        classifierScore(col("text")).as("cls"),
+        lmNll.as("lm_nll"),
+        rep.as("rep_ratio"),
+        (nst.cast(DoubleType) / nw.cast(DoubleType)).as("stop_frac"),
+        Gopher.keep(nw, mwl, nst, rep).as("label"))
+      .select(col("doc_id"), col("cls"), col("lm_nll"), col("rep_ratio"),
+        col("stop_frac"), col("label"),
+        (((lit(0.0) - z(col("rep_ratio"), m.muR, m.madR)) +
+          z(col("stop_frac"), m.muS, m.madS) +
+          (lit(0.0) - z(col("lm_nll"), m.muL, m.madL)) +
+          z(col("cls"), m.muC, m.madC)) / lit(4.0)).as("ens"))
+      .withColumn("keep", col("ens") > 0.0)
   }
 
   /** t25's contract output — the per-doc ensemble decision artifact. */
@@ -1757,6 +1928,20 @@ object TextOps {
            |  CASE WHEN n_pos > 0
            |    THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS recall
            |FROM agg ORDER BY threshold""".stripMargin
+      },
+    ),
+    // The ensemble at SERVE configuration — see [[qualityEnsembleServe]]:
+    // the LM vote from the bounded truncated model (the gate a stream
+    // can hold in memory; Streams.ensembleGate broadcasts exactly this
+    // model and StreamingSpec pins bit-parity).
+    QuerySpec(
+      "t25b_ensemble_serve",
+      (s, d) => qualityEnsembleServe(docs(s, d)),
+      Some {
+        s"""WITH ${ensembleOracleCtesWith(truncLmOracleCtes)}
+           |SELECT doc_id, cls, lm_nll, rep_ratio, stop_frac, label, ens,
+           |  ens > 0.0 AS keep
+           |FROM ensemble ORDER BY doc_id""".stripMargin
       },
     ),
   )

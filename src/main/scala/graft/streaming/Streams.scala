@@ -269,6 +269,24 @@ object Streams {
         expr("event_id div 256").as("shard"),
         col("ts_us").as("tsu"), col("value")))
 
+  /** Streaming quality-ensemble gate — the streaming half of batch
+    * t25b: the frozen serve model (bounded token→logp map + OOV entry +
+    * normalization stats, [[graft.queries.TextOps.ensembleModel]] —
+    * the KenLM-in-memory shape) is collected once from the static
+    * reference corpus and served MAP-SIDE over the doc stream: no
+    * joins, no stateful aggregation, so the stream never shuffles and
+    * scales linearly with executors. The LM fold quantizes per token
+    * exactly like the batch chain's decimal sum, so StreamingSpec pins
+    * bit-parity with batch t25b, not approximate agreement.
+    */
+  def ensembleGate(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.queries.TextOps.ensembleModel(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")))
+    graft.queries.TextOps.ensembleServe(
+      readDocs(spark, dir).select(col("doc_id"), col("text")), model)
+  }
+
   /** Streaming anomaly scoring — the streaming half of batch e13: each
     * incoming event is z-scored against a STATIC per-type model (mean/σ
     * from the decimal-exact q35 moments over the reference corpus) via a

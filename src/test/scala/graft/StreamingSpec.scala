@@ -49,6 +49,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ensemble gate equals batch t25b bit-for-bit (frozen serve model)") {
+    val q = Streams.ensembleGate(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_t25b")
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("cls"), col("lm_nll"), col("rep_ratio"),
+          col("stop_frac"), col("ens"), col("keep"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+        .toMap
+      val streamed = key(spark.table("stream_t25b"))
+      val batch = key(Registry.byName("t25b_ensemble_serve").run(spark, sf))
+      assert(streamed == batch,
+        "map-side serve must reproduce the batch chain exactly")
+    } finally q.stop()
+  }
+
   test("streaming latest-wins state equals batch p12 (mergeable agg IS the stream op)") {
     val q = Streams.latestWins(spark, sf)
       .writeStream.outputMode("complete")
