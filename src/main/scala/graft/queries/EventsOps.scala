@@ -226,9 +226,13 @@ object EventsOps {
     QuerySpec(
       "e06_retention",
       (s, d) => {
+        // materialized once (narrow distinct frame): the self-join's two
+        // roles read the same blocks instead of scanning events twice —
+        // surfaced by the r16 ScanAudit once the AQE blinder fell
         val days = ev(s, d)
           .select(col("user_id"), expr(s"$TsUsSql div 86400000000L").as("day"))
           .distinct()
+          .localCheckpoint(true)
         val next = days.select(col("user_id").as("u2"), (col("day") - 1).as("day0"))
         days.join(next, col("user_id") === col("u2") && col("day") === col("day0"), "left_outer")
           .groupBy("day")
@@ -276,9 +280,12 @@ object EventsOps {
     QuerySpec(
       "e08_gap_fill",
       (s, d) => {
+        // materialized once (|hours| rows): both the spine bounds and the
+        // fill join read the tiny agg instead of re-scanning events
         val hourly = ev(s, d)
           .groupBy(expr(s"$TsUsSql div $HourUs").as("hour"))
           .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
         val bounds = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
         val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("hour"))
         val w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -732,8 +739,15 @@ object EventsOps {
     // the same form for uniformity. Negative-day behavior is pinned by a
     // pre-1970 row in EdgeSpec.
     def floorDiv7(e: String): Column = expr(s"(($e) - pmod($e, 7)) div 7")
-    val first = days.groupBy("user_id").agg(min(col("day")).as("d0"))
-    val active = days.join(first, "user_id")
+    // `first` is read by both the activity join and the cohort-size
+    // rollup; checkpointing it (|users| narrow rows) pins ONE events
+    // scan for the whole query — surfaced by the r16 ScanAudit once the
+    // AQE blinder fell. `days` itself is consumed once more for the
+    // join, so checkpoint it too: three scans become one.
+    val daysC = days.localCheckpoint(true)
+    val first = daysC.groupBy("user_id").agg(min(col("day")).as("d0"))
+      .localCheckpoint(true)
+    val active = daysC.join(first, "user_id")
       .select(floorDiv7("d0").as("cohort_week"),
         floorDiv7("day - d0").as("week_offset"),
         col("user_id"))

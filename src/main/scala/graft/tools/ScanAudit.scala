@@ -110,6 +110,10 @@ object ScanAudit {
     "p15_zone_map_incremental" -> Map("events" -> "base-manifest vs appended-delta role slices (+1 bounded max scan for the cutoff literal) — the incremental contract IS the split"),
     "s18_ivfpq_ann" -> Map("embeddings" -> "corpus index pass vs query slice (LUT+probes) vs rerank re-attach — the s08 role split with IVF routing added"),
     "s19_ivfpq_residual" -> Map("embeddings" -> "corpus assign+encode pass vs query slice vs rerank re-attach — s18's split on the residual encoding"),
+    // surfaced once the r16 tuning hoist un-blinded the e-group: the
+    // range join's two sides carry DIFFERENT pushed filters (chunked
+    // probe slice vs value scan) — a role split, not a mergeable re-read
+    "e15_range_join" -> Map("events" -> "probe-side chunk slice vs build-side value scan of the decomposed range join"),
   )
 
   def main(args: Array[String]): Unit = {
