@@ -344,8 +344,9 @@ object Bench {
         // + token-count join + cell rollup)
         "s19_ivfpq_residual", "c34_kn_mixing_manifest",
         // t25b (the serve-configuration ensemble: bounded truncated-LM
-        // vote — the shape the streaming gate broadcasts)
-        "t25b_ensemble_serve")
+        // vote — the shape the streaming gate broadcasts), c32b (the
+        // pruned-model KN serve — same chain, CASE'd max-term)
+        "t25b_ensemble_serve", "c32b_kn_pruned_score")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

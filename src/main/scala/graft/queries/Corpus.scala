@@ -210,9 +210,26 @@ object Corpus {
     * 100 TB run deploys; the exact path is the oracle-gated contract.
     */
   def perplexityBucketsApprox(docsDf: DataFrame,
-      accuracy: Int = 10000): DataFrame = {
-    val scores = unigramLmScore(docsDf)
-      .join(docsDf.select(col("doc_id"), col("lang")), "doc_id")
+      accuracy: Int = 10000): DataFrame =
+    tertileBucketsApprox(unigramLmScore(docsDf)
+      .join(docsDf.select(col("doc_id"), col("lang")), "doc_id"), accuracy)
+
+  /** c33's production-scale threshold path — the same percentile_approx
+    * tertile cuts over the c32 Kneser–Ney scores (the c27
+    * exact/approx pairing carried to the KN scorer; CorpusSpec pins
+    * agreement with the exact c33 buckets).
+    */
+  def knPerplexityBucketsApprox(docsDf: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    tertileBucketsApprox(knTrigramScore(docsDf)
+      .select(col("doc_id"), col("avg_nll"))
+      .join(docsDf.select(col("doc_id"), col("lang")), "doc_id"), accuracy)
+
+  /** The sketch-threshold assignment shared by the two approx paths. */
+  private def tertileBucketsApprox(scoresDf: DataFrame,
+      accuracy: Int): DataFrame = {
+    val scores = scoresDf
+      .select(col("doc_id"), col("lang"), col("avg_nll"))
       .localCheckpoint(true)
     val thr = scores.groupBy("lang")
       .agg(percentile_approx(col("avg_nll"),
@@ -466,7 +483,21 @@ object Corpus {
     * discount an independent literal on both sides (exactly
     * representable: 3/4), rational ratios until the final ln.
     */
-  private def knScoreCtes: String =
+  private def knScoreCtes: String = knScoreCtesPruned(1)
+
+  private def knScoreCtesPruned(minCount: Int): String = {
+    // the full-model and pruned-model lm expressions share the SAME
+    // max-term / backoff sub-texts, so c32 and c32b can never drift
+    val maxTerm = "(CAST(c3 AS DOUBLE) - 0.75) / CAST(cuv AS DOUBLE)"
+    val bo =
+      """0.75 * CAST(tuv AS DOUBLE) / CAST(cuv AS DOUBLE)
+        |         * ((CAST(nvw AS DOUBLE) - 0.75) / CAST(nv AS DOUBLE)
+        |            + 0.75 * CAST(tv AS DOUBLE) / CAST(nv AS DOUBLE)
+        |              * (CAST(nw AS DOUBLE) / CAST(nb AS DOUBLE)))""".stripMargin
+    val pExpr =
+      if (minCount <= 1) s"$maxTerm\n       + $bo"
+      else s"CASE WHEN c3 >= $minCount THEN $maxTerm\n       + $bo\n" +
+        s"         ELSE $bo END"
     s"""tt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |tgl AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
@@ -483,11 +514,7 @@ object Corpus {
        |tot AS (SELECT COUNT(*) AS nb FROM vw),
        |lm AS (
        |  SELECT tc.u, tc.v, tc.w,
-       |    ln((CAST(c3 AS DOUBLE) - 0.75) / CAST(cuv AS DOUBLE)
-       |       + 0.75 * CAST(tuv AS DOUBLE) / CAST(cuv AS DOUBLE)
-       |         * ((CAST(nvw AS DOUBLE) - 0.75) / CAST(nv AS DOUBLE)
-       |            + 0.75 * CAST(tv AS DOUBLE) / CAST(nv AS DOUBLE)
-       |              * (CAST(nw AS DOUBLE) / CAST(nb AS DOUBLE)))) AS logp
+       |    ln($pExpr) AS logp
        |  FROM tc JOIN ctx USING (u, v) JOIN vw USING (v, w)
        |    JOIN vctx USING (v) JOIN wc USING (w), tot),
        |sc AS (
@@ -495,6 +522,7 @@ object Corpus {
        |    (0.0 - ${Exact.sqlSum("logp")}) / CAST(COUNT(*) AS DOUBLE)
        |      AS avg_nll
        |  FROM tg JOIN lm USING (u, v, w) GROUP BY doc_id)""".stripMargin
+  }
 
   /** The per-language tertile assignment as oracle SQL, reading an
     * in-scope `sc(doc_id, …, avg_nll)` CTE — shared by c27 and c33 so
@@ -1423,6 +1451,22 @@ object Corpus {
            |ORDER BY doc_id""".stripMargin
       },
     ),
+    // Pruned-model KN scoring — see [[knTrigramModel]]'s minCount knob:
+    // trigram types below count 2 lose their max-term and score through
+    // the context's backoff mass (the KenLM pruning deployment knob —
+    // singleton n-grams dominate any web-scale model's row count, and
+    // dropping them is how a 100 TB-corpus model fits its serving
+    // budget). Statistics stay the full model's; CorpusSpec pins the
+    // NLL-monotonicity law (pruning can only raise a doc's NLL).
+    QuerySpec(
+      "c32b_kn_pruned_score",
+      (s, d) => knTrigramScore(Tables(s, d, "documents"), minCount = 2),
+      Some {
+        s"""WITH ${knScoreCtesPruned(2)}
+           |SELECT doc_id, n_trigrams, avg_nll FROM sc
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
     // CCNet tertile buckets on the c32 KN scores — see
     // [[knPerplexityBuckets]]: c27's decision layer with the scorer
     // swapped, sharing the threshold machinery on both engine and
@@ -1822,7 +1866,8 @@ object Corpus {
     * All arithmetic is the same IEEE expression tree as the oracle SQL —
     * count ratios and the discount are rational until the final ln.
     */
-  private[graft] def knTrigramModel(tc: DataFrame): DataFrame = {
+  private[graft] def knTrigramModel(tc: DataFrame,
+      minCount: Int = 1): DataFrame = {
     val D = 0.75
     val ctx = tc.groupBy("u", "v")
       .agg(sum(col("c3")).as("cuv"), count(lit(1)).as("tuv"))
@@ -1836,9 +1881,20 @@ object Corpus {
     val p2 = (col("nvw").cast(DoubleType) - lit(D)) /
         col("nv").cast(DoubleType) +
       lit(D) * col("tv").cast(DoubleType) / col("nv").cast(DoubleType) * p1
-    val p3 = (col("c3").cast(DoubleType) - lit(D)) /
-        col("cuv").cast(DoubleType) +
-      lit(D) * col("tuv").cast(DoubleType) / col("cuv").cast(DoubleType) * p2
+    // score-time pruning (c32b, the KenLM deployment knob): a trigram
+    // type below minCount loses its max-term and scores through the
+    // context's backoff mass alone — p = D·N1+(uv·)/c(uv·)·p(w|v) —
+    // while every statistic stays the FULL model's (the shipped model
+    // drops the pruned trigram rows; the lower orders are untouched).
+    // Pruned p < full p always ((c3 − D) > 0 at c3 ≥ 1), so per-doc
+    // NLL can only rise — CorpusSpec pins that law.
+    val bo = lit(D) * col("tuv").cast(DoubleType) /
+      col("cuv").cast(DoubleType) * p2
+    val maxTerm = (col("c3").cast(DoubleType) - lit(D)) /
+      col("cuv").cast(DoubleType)
+    val p3 =
+      if (minCount <= 1) maxTerm + bo
+      else when(col("c3") >= minCount, maxTerm + bo).otherwise(bo)
     tc.join(ctx, Seq("u", "v")).join(vw, Seq("v", "w"))
       .join(vctx, Seq("v")).join(wc, Seq("w"))
       .crossJoin(tot)
@@ -1859,12 +1915,12 @@ object Corpus {
     * beyond any broadcast). The per-doc sum is decimal-exact.
     */
   def knTrigramScore(docs: DataFrame,
-      broadcastTypesMax: Long = 4L << 20): DataFrame = {
+      broadcastTypesMax: Long = 4L << 20, minCount: Int = 1): DataFrame = {
     val tg = knTrigramStream(docs)
     val tc = tg.groupBy("u", "v", "w").agg(count(lit(1)).as("c3"))
       .localCheckpoint(true)
     val nTypes = tc.count()
-    val lm = knTrigramModel(tc).select(col("u"), col("v"), col("w"),
+    val lm = knTrigramModel(tc, minCount).select(col("u"), col("v"), col("w"),
       log(col("p")).as("logp"))
     val joined =
       if (nTypes <= broadcastTypesMax)

@@ -499,6 +499,39 @@ class CorpusSpec extends AnyFunSuite {
     kn.unpersist()
   }
 
+  test("c32b: pruning can only raise NLL; strict where singleton trigrams occur") {
+    import org.apache.spark.sql.functions._
+    val in = docs.select(col("doc_id"), col("text"))
+    val full = Corpus.knTrigramScore(in).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pruned = Corpus.knTrigramScore(in, minCount = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(full.keySet == pruned.keySet)
+    // the pruned probability of an affected trigram is strictly below
+    // the full one (the max-term (c3 − 0.75) > 0 at c3 >= 1), so a
+    // doc's mean NLL can only rise — and must rise somewhere, because
+    // singleton trigram types exist in any natural corpus
+    full.keys.foreach { d =>
+      assert(pruned(d) >= full(d), s"doc $d: pruning lowered NLL")
+    }
+    assert(full.keys.exists(d => pruned(d) > full(d)),
+      "no doc was affected — the plant lost its point")
+  }
+
+  test("c33: the approx-sketch scale path tracks the exact KN buckets") {
+    import org.apache.spark.sql.functions._
+    val in = docs.select(col("doc_id"), col("text"), col("lang"))
+    val exact = Corpus.knPerplexityBuckets(in)
+      .select(col("doc_id"), col("ppl_bucket").as("b_exact"))
+    val approx = Corpus.knPerplexityBucketsApprox(in)
+      .select(col("doc_id"), col("ppl_bucket").as("b_approx"))
+    val j = exact.join(approx, "doc_id").cache()
+    val n = j.count()
+    val agree = j.filter(col("b_exact") === col("b_approx")).count()
+    assert(agree.toDouble / n >= 0.95, s"approx path agrees on $agree/$n docs")
+    j.unpersist()
+  }
+
   test("c34: mixing manifest partitions the bucketed docs; shares normalize per lang") {
     import org.apache.spark.sql.functions._
     val cells = Corpus.knMixingManifest(docs).collect()
