@@ -45,48 +45,19 @@ object Bench {
       .format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // Machine-interference attribution: 1-min loadavg + JVM RSS bracketing
-    // every run. The r10 driver bench carried rows 17–23× the quiet numbers
-    // (e15 196 s vs 2 s) with nothing in the artifact to prove the machine
-    // (not the plan) was at fault — these stamps make that one glance.
-    def loadAvg(): Double =
-      try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    def rssMb(): Long =
-      try {
-        val s = Files.readAllLines(Paths.get("/proc/self/status"))
-        import scala.jdk.CollectionConverters._
-        s.asScala.find(_.startsWith("VmRSS:"))
-          .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
-      } catch { case _: Throwable => -1L }
-    // (system busy jiffies, this JVM's jiffies). Loadavg is the wrong quiet
-    // signal for a bench: it decays over a minute (a heavy query of OURS
-    // keeps it high through the next three queries) and it counts our own
-    // 32 threads. What actually inflates a measurement is OTHER processes'
-    // CPU during the run — measured directly as (system busy Δ) − (self Δ)
-    // across the run, in average cores. The r15 driver artifact overstated
-    // the headline 4.5× with loadavg-only stamps; this makes quietness a
-    // per-run measured fact instead of a forensic read.
-    def cpuTicks(): (Long, Long) =
-      try {
-        val cpu = Files.readAllLines(Paths.get("/proc/stat")).get(0)
-          .trim.split("\\s+").drop(1).map(_.toLong)
-        val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L)
-        val busy = cpu.sum - idle
-        val st = Files.readString(Paths.get("/proc/self/stat"))
-        val f = st.substring(st.lastIndexOf(')') + 2).split(" ")
-        (busy, f(11).toLong + f(12).toLong) // utime + stime
-      } catch { case _: Throwable => (-1L, -1L) }
-    case class RunStamp(sec: Double, loadBefore: Double, loadAfter: Double,
-        rssAfterMb: Long, otherCores: Double)
-    // Quiet = other processes averaged under max(1, cpus/8) cores during
-    // the run, OR under half a core-second absolute (sub-0.1 s runs see
-    // jiffy-granularity noise; that little foreign work can't inflate
-    // anything). USER_HZ is 100 on Linux.
+    // Machine-interference attribution: every run is bracketed by the
+    // BenchGate signals (foreign CPU cores, foreign disk MB/s, device busy
+    // fraction, loadavg, RSS). The r10 driver bench carried rows 17–23× the
+    // quiet numbers with nothing in the artifact to prove the machine (not
+    // the plan) was at fault; the r16 driver bench carried c20 at 33 s
+    // `quiet: true` because the CPU-only gate was blind to foreign DISK
+    // traffic. BenchGate measures both axes per run — see its Scaladoc for
+    // the full design; tools/IoLoadProbe validates the I/O axis against a
+    // deliberate dd co-load.
+    import BenchGate.{RunStamp, stampRun, isQuiet => gateQuiet, fmt2,
+      cpuMeasurable}
     val quietCeil = math.max(1.0, cpus.toDouble / 8)
-    def isQuiet(r: RunStamp): Boolean =
-      r.otherCores >= 0 &&
-        (r.otherCores <= quietCeil || r.otherCores * r.sec <= 0.5)
+    def isQuiet(r: RunStamp): Boolean = gateQuiet(r, quietCeil)
     // min of two runs: the first run of a query pays one-off codegen/JIT
     // costs that say nothing about per-row throughput. BOTH raw runs are
     // kept and emitted (`*_runs` fields) so machine interference is visible
@@ -97,19 +68,11 @@ object Bench {
     // get faster), a THIRD run breaks the tie: min-of-3 then can't be a
     // lone spike, and the raw triple + load stamps prove which run was hit.
     def runPair(spec: QuerySpec, dir: String, tag: String): (String, Seq[RunStamp]) = {
-      def one(): RunStamp = {
-        val lb = loadAvg(); val (b0, s0) = cpuTicks()
-        val sec = time {
-          try spec.run(spark, dir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $tag${spec.name} failed: ${e.getMessage}")
-          }
+      def one(): RunStamp = stampRun {
+        try spec.run(spark, dir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $tag${spec.name} failed: ${e.getMessage}")
         }
-        val (b1, s1) = cpuTicks()
-        val other =
-          if (b0 < 0 || b1 < 0 || sec <= 0) -1.0
-          else math.max(0.0, ((b1 - b0) - (s1 - s0)).toDouble / (sec * 100.0))
-        RunStamp(sec, lb, loadAvg(), rssMb(), other)
       }
       var runs = Seq(one(), one())
       // Second tie-break trigger (r11 ADVICE): if interference inflates
@@ -135,10 +98,15 @@ object Bench {
       // total runs: if no quiet window existed, the emitted quiet=false +
       // otherCores stamps prove it in one glance instead of overstating
       // silently. On a quiet machine this adds zero runs.
-      while (!runs.exists(isQuiet) && runs.size < 5) {
+      // (skipped entirely when /proc is unreadable: quietness is then
+      // unmeasurable, not false — r16 ADVICE)
+      while (cpuMeasurable && !runs.exists(isQuiet) && runs.size < 5) {
         System.err.println(
-          f"[bench] $tag${spec.name}: no quiet run yet " +
-            f"(otherCores ${runs.map(r => f"${r.otherCores}%.1f").mkString(", ")}) — retrying")
+          s"[bench] $tag${spec.name}: no quiet run yet (otherCores " +
+            runs.map(r => fmt2(r.otherCores)).mkString(", ") +
+            "; foreignMBps " + runs.map(r => fmt2(r.foreignMbps)).mkString(", ") +
+            "; devBusy " + runs.map(r => fmt2(r.devBusy)).mkString(", ") +
+            ") — retrying")
         runs = runs :+ one()
       }
       spec.name -> runs
@@ -152,7 +120,8 @@ object Bench {
     def stampsJson(rs: Seq[(String, Seq[RunStamp])]): String =
       rs.map { case (k, v) =>
         "\"" + k + "\":" + v.map(r =>
-          f"[${r.loadBefore},${r.loadAfter},${r.rssAfterMb},${r.otherCores}%.2f]")
+          s"[${r.loadBefore},${r.loadAfter},${r.rssAfterMb},${fmt2(r.otherCores)}," +
+            s"${fmt2(r.foreignMbps)},${fmt2(r.devBusy)}]")
           .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     // Quiet qualification per query: true iff at least one run executed
@@ -164,13 +133,20 @@ object Bench {
     // unquiet queries are enumerable from queries_quiet when it isn't.
     // The headline is load-qualified by construction, not by forensic
     // stamp-reading (r15 VERDICT item 1).
+    // All three emit null when quietness is unmeasurable (no /proc): a
+    // missing measurement must not masquerade as quiet_total=0 /
+    // all-unquiet (r16 ADVICE).
     def quietJson(rs: Seq[(String, Seq[RunStamp])]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v.exists(isQuiet) }
-        .mkString("{", ",", "}")
-    def quietTotal(rs: Seq[(String, Seq[RunStamp])]): Double =
-      rs.collect { case (_, v) if v.exists(isQuiet) => v.map(_.sec).min }.sum
-    def unquietCount(rs: Seq[(String, Seq[RunStamp])]): Int =
-      rs.count { case (_, v) => !v.exists(isQuiet) }
+      rs.map { case (k, v) =>
+        "\"" + k + "\":" + (if (!cpuMeasurable) "null" else v.exists(isQuiet).toString)
+      }.mkString("{", ",", "}")
+    def quietTotal(rs: Seq[(String, Seq[RunStamp])]): String =
+      if (!cpuMeasurable) "null"
+      else rs.collect { case (_, v) if v.exists(isQuiet) => v.map(_.sec).min }
+        .sum.toString
+    def unquietCount(rs: Seq[(String, Seq[RunStamp])]): String =
+      if (!cpuMeasurable) "null"
+      else rs.count { case (_, v) => !v.exists(isQuiet) }.toString
     val results = Registry.headline.map(spec => runPair(spec, sfDir, ""))
     val qs = minsJson(results)
     val total = results.map(_._2.map(_.sec).min).sum
@@ -346,7 +322,11 @@ object Bench {
         // t25b (the serve-configuration ensemble: bounded truncated-LM
         // vote — the shape the streaming gate broadcasts), c32b (the
         // pruned-model KN serve — same chain, CASE'd max-term)
-        "t25b_ensemble_serve", "c32b_kn_pruned_score")
+        "t25b_ensemble_serve", "c32b_kn_pruned_score",
+        // ... and the round-17 additions: s18b/s19b (the SAMPLED-training
+        // IVF-PQ deployment configs — training cost decoupled from corpus
+        // size, now oracled AND benched)
+        "s18b_ivfpq_sampled", "s19b_ivfpq_residual_sampled")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

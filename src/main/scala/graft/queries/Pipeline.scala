@@ -1030,9 +1030,14 @@ object Pipeline {
           col("value"), col("event_id"))
         // bounded driver collect by construction: ONE max over event_id,
         // needed as a pushdown-able literal for the append cutoff (a
-        // crossJoin'd scalar would block partition pruning of the slices)
-        val mx = ev.agg(max(col("event_id"))).head.getLong(0)
-        val cut = mx * 4 / 5
+        // crossJoin'd scalar would block partition pruning of the slices).
+        // max() over an empty table is NULL — treat it as cut=MinValue
+        // (everything lands in the delta, merge of an empty manifest),
+        // matching p13's clean empty result instead of an opaque NPE on
+        // getLong (r16 ADVICE).
+        val mxRow = ev.agg(max(col("event_id"))).head
+        val cut = if (mxRow.isNullAt(0)) Long.MinValue
+          else mxRow.getLong(0) * 4 / 5
         val base = ev.filter(col("event_id") <= cut)
           .select("shard", "tsu", "value")
         val delta = ev.filter(col("event_id") > cut)

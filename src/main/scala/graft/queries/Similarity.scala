@@ -27,6 +27,16 @@ object Similarity {
 
   private def emb(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
 
+  /** Quantizer-training sample bound for the s18b/s19b deployment-config
+    * contract rows: train on vec_id < 200 — a deterministic prefix (plain
+    * SQL on both engines), a genuine subsample at every test SF (500 /
+    * 2000 / 20000 embeddings), and a superset of both seed prefixes
+    * (vec_id < 16 IVF seeds, vec_id < 8 PQ seeds). At deployment scale
+    * the analogous bound is ~40·k training points (FAISS's guidance) —
+    * the probes time that configuration at 200k/1M.
+    */
+  private[graft] val SampledTrainN = 200
+
   /** Σ aᵢ·bᵢ in double precision, sequential fold. */
   def ddot(a: Column, b: Column): Column =
     aggregate(
@@ -1657,6 +1667,56 @@ object Similarity {
            |$pqRerankOracleTail""".stripMargin
       },
     ),
+    // SAMPLED-training IVF-PQ — the configuration a 100 TB deployment
+    // actually ships (r16 VERDICT item 2): quantizers train on the
+    // deterministic vec_id-prefix sample (FAISS's own guidance — ~O(k)
+    // training points suffice; full-corpus quantizer training is the one
+    // stage of s18 that does NOT scale), while encode, routing and serve
+    // stay corpus-wide and bit-identical in structure to s18. Until this
+    // row the sampled config was only probe-timed; now the shipped
+    // config is itself hash-verified (the s17b precedent). The oracle is
+    // s18's with the training CTEs re-pointed at the sample: Lloyd reads
+    // `tr`, PQ seeds/rounds read `t{s}v`, everything downstream is
+    // unchanged SQL. SimilaritySpec pins the recall-vs-full law.
+    QuerySpec(
+      "s18b_ivfpq_sampled",
+      (s, d) => ivfPqAnn(emb(s, d).select(col("vec_id"), col("embedding")),
+        k = 16, nprobe = 4, ivfIters = 3,
+        m = 4, subDim = 16, ksub = 8, pqIters = 2,
+        nQ = 5, shortlist = 32, topK = 5,
+        trainPred = Some(col("vec_id") < SampledTrainN)),
+      Some {
+        s"""${lloydOracleCtesSampled(SampledTrainN)},
+           |${pqOracleSubCtes(4, 16, 8, 2, 5, tsrc = "tr").mkString(",\n")},
+           |idx AS MATERIALIZED (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c) t WHERE rn = 1),
+           |probes AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT e.vec_id AS q_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c WHERE e.vec_id < 5) t WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.q_id, i.vec_id,
+           |    l0.lv + l1.lv + l2.lv + l3.lv AS adc
+           |  FROM probes p
+           |  JOIN idx i USING (cell)
+           |  JOIN s0e e0 ON e0.vec_id = i.vec_id
+           |  JOIN s1e e1 ON e1.vec_id = i.vec_id
+           |  JOIN s2e e2 ON e2.vec_id = i.vec_id
+           |  JOIN s3e e3 ON e3.vec_id = i.vec_id
+           |  JOIN s0l l0 ON l0.code = e0.code AND l0.q_id = p.q_id
+           |  JOIN s1l l1 ON l1.code = e1.code AND l1.q_id = p.q_id
+           |  JOIN s2l l2 ON l2.code = e2.code AND l2.q_id = p.q_id
+           |  JOIN s3l l3 ON l3.code = e3.code AND l3.q_id = p.q_id
+           |  WHERE i.vec_id != p.q_id),
+           |$pqRerankOracleTail""".stripMargin
+      },
+    ),
     // Residual IVF-PQ — see [[ivfPqResidualAnn]]: the actual FAISS IVFPQ
     // encoding (PQ over residuals against the assigned coarse centroid;
     // ADC decomposes exactly as dot(q,c) + LUT lookups). The oracle is
@@ -1689,6 +1749,66 @@ object Similarity {
            |  JOIN cent3 c ON c.cell = i.cell),
            |${pqOracleSubCtes(4, 16, 8, 2, 5, src = "res",
               qsrc = "embeddings").mkString(",\n")},
+           |probes AS (
+           |  SELECT q_id, cell, qc FROM (
+           |    SELECT e.vec_id AS q_id, c.cell,
+           |      ${dot("e.embedding", "c.cvec")} AS qc,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c WHERE e.vec_id < 5) t WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.q_id, i.vec_id,
+           |    p.qc + l0.lv + l1.lv + l2.lv + l3.lv AS adc
+           |  FROM probes p
+           |  JOIN res i USING (cell)
+           |  JOIN s0e e0 ON e0.vec_id = i.vec_id
+           |  JOIN s1e e1 ON e1.vec_id = i.vec_id
+           |  JOIN s2e e2 ON e2.vec_id = i.vec_id
+           |  JOIN s3e e3 ON e3.vec_id = i.vec_id
+           |  JOIN s0l l0 ON l0.code = e0.code AND l0.q_id = p.q_id
+           |  JOIN s1l l1 ON l1.code = e1.code AND l1.q_id = p.q_id
+           |  JOIN s2l l2 ON l2.code = e2.code AND l2.q_id = p.q_id
+           |  JOIN s3l l3 ON l3.code = e3.code AND l3.q_id = p.q_id
+           |  WHERE i.vec_id != p.q_id),
+           |$pqRerankOracleTail""".stripMargin
+      },
+    ),
+    // SAMPLED-training residual IVF-PQ — s19's deployment config (r16
+    // VERDICT item 2, same adjudication as s18b): coarse centroids train
+    // on the vec_id-prefix sample, residual codebooks train on the
+    // SAMPLE's residuals (sliced from the corpus-wide assignment frame,
+    // which encoding needs anyway); encode/probe/serve corpus-wide. The
+    // oracle re-points Lloyd at `tr` and the PQ chains' training at
+    // `rtr` (the residual rows of the sample); the serve SQL is s19's
+    // verbatim.
+    QuerySpec(
+      "s19b_ivfpq_residual_sampled",
+      (s, d) => ivfPqResidualAnn(emb(s, d).select(col("vec_id"), col("embedding")),
+        k = 16, nprobe = 4, ivfIters = 3,
+        m = 4, subDim = 16, ksub = 8, pqIters = 2,
+        nQ = 5, shortlist = 32, topK = 5,
+        trainPred = Some(col("vec_id") < SampledTrainN)),
+      Some {
+        val dot = (a: String, b: String) =>
+          s"""list_sum(list_transform(list_zip($a, $b),
+             |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
+        s"""${lloydOracleCtesSampled(SampledTrainN)},
+           |idx0 AS MATERIALIZED (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c) t WHERE rn = 1),
+           |res AS MATERIALIZED (
+           |  SELECT i.vec_id, i.cell,
+           |    list_transform(list_zip(e.embedding, c.cvec),
+           |      p -> CAST(p[1] AS DOUBLE) - p[2]) AS embedding
+           |  FROM idx0 i JOIN e ON e.vec_id = i.vec_id
+           |  JOIN cent3 c ON c.cell = i.cell),
+           |rtr AS MATERIALIZED (
+           |  SELECT vec_id, cell, embedding FROM res WHERE vec_id < $SampledTrainN),
+           |${pqOracleSubCtes(4, 16, 8, 2, 5, src = "res",
+              qsrc = "embeddings", tsrc = "rtr").mkString(",\n")},
            |probes AS (
            |  SELECT q_id, cell, qc FROM (
            |    SELECT e.vec_id AS q_id, c.cell,
@@ -2178,14 +2298,14 @@ object Similarity {
     * cell tie-break), recompute decimal-exact means — mirrors one
     * [[ivfCentroids]] iteration. Shared by the s04 and c24 oracles.
     */
-  private def lloydStepSql(n: Int, prev: String): String = {
+  private def lloydStepSql(n: Int, prev: String, src: String = "e"): String = {
     import graft.engine.Exact
     s"""a$n AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
-       |    FROM e CROSS JOIN $prev c) t WHERE rn = 1),
+       |    FROM $src e CROSS JOIN $prev c) t WHERE rn = 1),
        |cd$n AS (
        |  SELECT cell, dim,
        |    ${Exact.sqlSum("CAST(embedding[dim+1] AS DOUBLE)")}
@@ -2205,7 +2325,7 @@ object Similarity {
     */
   private def pqOracleSubCtes(m: Int, subDim: Int, ksub: Int, iters: Int,
       nQ: Int, src: String = "embeddings",
-      qsrc: String = "embeddings"): Seq[String] = {
+      qsrc: String = "embeddings", tsrc: String = ""): Seq[String] = {
     import graft.engine.Exact
     def sl(s: Int) =
       s"list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}], x -> CAST(x AS DOUBLE))"
@@ -2224,9 +2344,18 @@ object Similarity {
       val qvCte =
         if (qsrc == src) Seq.empty
         else Seq(s"$qv AS (SELECT vec_id, ${sl(s)} AS svec FROM $qsrc)")
+      // when codebook TRAINING reads a sample while encoding stays
+      // corpus-wide (s18b/s19b sampled-training deployment config), an
+      // extra t{s}v CTE carries the training subvectors; seeds and every
+      // Lloyd round read it, s{s}e (encode) and s{s}l (LUT) do not
+      val tv = if (tsrc.isEmpty || tsrc == src) v else s"t${s}v"
+      val tvCte =
+        if (tv == v) Seq.empty
+        else Seq(s"$tv AS MATERIALIZED (SELECT vec_id, ${sl(s)} AS svec FROM $tsrc)")
       Seq(
-        s"$v AS MATERIALIZED (SELECT vec_id, ${sl(s)} AS svec FROM $src)",
-        s"s${s}c0 AS (SELECT vec_id AS code, svec AS cvec FROM $v WHERE vec_id < $ksub)") ++
+        s"$v AS MATERIALIZED (SELECT vec_id, ${sl(s)} AS svec FROM $src)") ++
+        tvCte ++ Seq(
+        s"s${s}c0 AS (SELECT vec_id AS code, svec AS cvec FROM $tv WHERE vec_id < $ksub)") ++
         qvCte ++
         (1 to iters).flatMap { n =>
           Seq(
@@ -2235,7 +2364,7 @@ object Similarity {
                |    SELECT v.vec_id, v.svec, c.code,
                |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
                |        ORDER BY ${dL2("v.svec", "c.cvec")}, c.code) AS rn
-               |    FROM $v v CROSS JOIN s${s}c${n - 1} c) t WHERE rn = 1)""".stripMargin,
+               |    FROM $tv v CROSS JOIN s${s}c${n - 1} c) t WHERE rn = 1)""".stripMargin,
             s"""s${s}m$n AS (
                |  SELECT code, dim,
                |    ${Exact.sqlSum("svec[dim+1]")} / CAST(COUNT(*) AS DOUBLE) AS mv
@@ -2291,6 +2420,19 @@ object Similarity {
        |${lloydStepSql(1, "seeds")},
        |${lloydStepSql(2, "cent1")},
        |${lloydStepSql(3, "cent2")}""".stripMargin
+
+  /** [[lloydOracleCtes]] with Lloyd TRAINED on the vec_id-prefix sample
+    * (the s18b/s19b deployment config — r16 VERDICT item 2): seeds and
+    * every assignment round read `tr` (vec_id < trainN); everything
+    * downstream (encode, probes) still reads the full `e`.
+    */
+  private def lloydOracleCtesSampled(trainN: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |tr AS MATERIALIZED (SELECT vec_id, embedding FROM e WHERE vec_id < $trainN),
+       |seeds AS (SELECT vec_id AS cell, embedding AS cvec FROM tr WHERE vec_id < 16),
+       |${lloydStepSql(1, "seeds", "tr")},
+       |${lloydStepSql(2, "cent1", "tr")},
+       |${lloydStepSql(3, "cent2", "tr")}""".stripMargin
 
   /** The all-queries sign-LSH kNN pipeline (s10's contract: 4 tables,
     * 8 bits, cap 1000, 3 probes) as a WITH body ending at `ranked`

@@ -305,7 +305,11 @@ object TextOps {
     * nearest double.
     */
   private[graft] val T23Grid: Seq[String] =
-    (-5 to 5).map(i => f"${i / 100.0}%.2f")
+    // BigDecimal rendering, not f"%.2f": the f-interpolator formats with
+    // the JVM default locale, and a comma-decimal locale would produce
+    // literals that neither .toDouble nor DuckDB's UNNEST parse (r16
+    // ADVICE — same fix as T26Grid).
+    (-5 to 5).map(i => BigDecimal(i).bigDecimal.movePointLeft(2).toPlainString)
 
   /** t23's engine — classifier threshold calibration: keep-rate,
     * precision and recall of the t13 score against the Gopher rule-based
@@ -537,7 +541,8 @@ object TextOps {
     * spread is ~unit, not t13's ~0.01): −2.5 … 2.5 step 0.5.
     */
   private[graft] val T26Grid: Seq[String] =
-    (-5 to 5).map(i => f"${i / 2.0}%.1f")
+    // locale-independent rendering — see T23Grid (r16 ADVICE)
+    (-5 to 5).map(i => BigDecimal(i * 5).bigDecimal.movePointLeft(1).toPlainString)
 
   /** t25's signal + ensemble frame — ONE definition shared by the t25
     * contract query, the t26 sweep, and EdgeSpec:

@@ -653,6 +653,59 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s18b/s19b sampled training: full-sample identity; recall tracks full-train") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    // Identity law: a trainPred that keeps every row IS full training —
+    // the sampled path may not touch anything but the training input
+    // (the s13/s17b "rule applied outside the pipeline" discipline).
+    val full = rows(Similarity.ivfPqAnn(e, k = 16, nprobe = 4, ivfIters = 3,
+      m = 4, subDim = 16, ksub = 8, pqIters = 2,
+      nQ = 5, shortlist = 32, topK = 5))
+    val allIn = rows(Similarity.ivfPqAnn(e, k = 16, nprobe = 4, ivfIters = 3,
+      m = 4, subDim = 16, ksub = 8, pqIters = 2,
+      nQ = 5, shortlist = 32, topK = 5, trainPred = Some(lit(true))))
+    assert(allIn == full, "trainPred=true must reproduce full training exactly")
+    // Recall-vs-full law (the r16 verdict's ask for the oracled
+    // deployment config): against the exact brute-force top-5, the
+    // sampled-train index recalls within slack of the full-train index —
+    // quantizer quality degrades gracefully with 200-of-500 training
+    // points, it doesn't fall off a cliff.
+    val embMap = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val exact = (0L until 5L).map { q =>
+      q -> embMap.keys.filter(_ != q).toSeq
+        .sortBy(v => (-dot(embMap(q), embMap(v)) / (norm(embMap(q)) * norm(embMap(v))), v))
+        .take(5).toSet
+    }.toMap
+    def recallVsExact(out: Seq[(Long, Int, Long, Double, Double)]): Double =
+      out.groupBy(_._1).map { case (q, rs) =>
+        rs.map(_._3).count(exact(q).contains)
+      }.sum.toDouble / 25.0
+    val rFull = recallVsExact(full)
+    for (name <- Seq("s18b_ivfpq_sampled", "s19b_ivfpq_residual_sampled")) {
+      val out = rows(Registry.byName(name).run(spark, sf))
+      // well-formed: 5 queries × 5 dense ranks, no self-neighbors
+      assert(out.length == 25, s"$name rows")
+      out.groupBy(_._1).foreach { case (q, rs) =>
+        assert(rs.map(_._2).sorted.toSeq == (1 to 5), s"$name query $q ranks")
+        assert(rs.forall(_._3 != q), s"$name query $q self-neighbor")
+      }
+      val r = recallVsExact(out)
+      assert(r >= rFull - 0.25 && r >= 0.3,
+        s"$name recall $r vs full-train $rFull — sampled training cliff")
+    }
+  }
+
   test("s17b deployment-width survivors: width lockstep at rule boundaries, same keep laws") {
     import org.apache.spark.sql.functions._
     import graft.queries.Similarity.scaledBits
