@@ -325,8 +325,10 @@ object Bench {
         "t25b_ensemble_serve", "c32b_kn_pruned_score",
         // ... and the round-17 additions: s18b/s19b (the SAMPLED-training
         // IVF-PQ deployment configs — training cost decoupled from corpus
-        // size, now oracled AND benched)
-        "s18b_ivfpq_sampled", "s19b_ivfpq_residual_sampled")
+        // size, now oracled AND benched), s20 (frozen-quantizer append +
+        // union-merge index maintenance)
+        "s18b_ivfpq_sampled", "s19b_ivfpq_residual_sampled",
+        "s20_ann_index_append")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

@@ -335,6 +335,45 @@ object Similarity {
     * lives in exactly one cell, so no candidate dedup is needed); the
     * shortlist is the bounded TopK.perKey partial top-k.
     */
+  /** IVF-PQ quantizer training: coarse centroids ([[ivfCentroids]]) +
+    * PQ codebooks ([[pqCodebooks]]) folded to the single broadcast-ready
+    * row the encode pass consumes. Split out so [[ivfPqAnn]] (train =
+    * encode corpus) and [[ivfPqIndexAppend]] (train frozen on the BASE,
+    * encode also the append batch) share one training definition.
+    */
+  private[graft] def ivfPqQuantizers(trainE: DataFrame, k: Int, ivfIters: Int,
+      m: Int, subDim: Int, ksub: Int, pqIters: Int): (DataFrame, DataFrame) = {
+    val centArr = ivfCentroids(trainE, k, ivfIters)
+    val cbRow = pqCodebooks(trainE, m, subDim, ksub, pqIters)
+      .agg(array_sort(collect_list(struct(col("sub"), col("codes")))).as("cb"))
+    (centArr, cbRow)
+  }
+
+  /** The IVF-PQ encode pass: one map-side sweep stamping each vector with
+    * its coarse cell and m PQ codes against ALREADY-TRAINED quantizers.
+    * ONE definition for the s18 full build, the s20 base/delta append
+    * passes, and the streaming ingest twin ([[graft.streaming.Streams]]
+    * annIndexEncode) — which is why the 1-row quantizer frames attach via
+    * broadcast EQUI-joins on a literal key rather than crossJoin: the
+    * semantics are identical for batch, and stream-static equi-joins are
+    * supported where stream crossJoins are not. No shuffle, no state:
+    * encoding cost is proportional to the batch, never to the standing
+    * index — the property that makes appends cheap at 100 TB.
+    */
+  private[graft] def ivfPqEncode(e: DataFrame, centArr: DataFrame,
+      cbRow: DataFrame, m: Int, subDim: Int): DataFrame =
+    e.withColumn("_j", lit(1))
+      .join(broadcast(centArr.withColumn("_j", lit(1))), "_j")
+      .join(broadcast(cbRow.withColumn("_j", lit(1))), "_j")
+      .select(col("vec_id"),
+        nearestCell(col("cents"), col("embedding")).as("cell"),
+        transform(sequence(lit(0), lit(m - 1)), si =>
+          array_min(transform(
+            element_at(col("cb"), si + 1).getField("codes"), c =>
+              struct(l2(subVec(col("embedding"), si, subDim),
+                c.getField("cvec")).as("d"),
+                c.getField("code").as("code")))).getField("code")).as("codes"))
+
   def ivfPqAnn(e: DataFrame, k: Int, nprobe: Int, ivfIters: Int,
       m: Int, subDim: Int, ksub: Int, pqIters: Int,
       nQ: Int, shortlist: Int, topK: Int,
@@ -345,23 +384,26 @@ object Similarity {
     // structurally identical. The oracle-gated contract trains full
     // (trainPred = None); the scale probe times the sampled deployment.
     val trainE = trainPred.map(e.filter).getOrElse(e)
-    val centArr = ivfCentroids(trainE, k, ivfIters)
-    val cb = pqCodebooks(trainE, m, subDim, ksub, pqIters)
-    val cbRow = cb.agg(array_sort(collect_list(struct(col("sub"),
-      col("codes")))).as("cb"))
+    val (centArr, cbRow) = ivfPqQuantizers(trainE, k, ivfIters,
+      m, subDim, ksub, pqIters)
     // ONE pass over the corpus: coarse cell + m PQ codes per vector —
     // the narrow index rows (vec_id, cell, m codes) are all that any
     // downstream stage touches until the final rerank
-    val index = e.crossJoin(broadcast(centArr)).crossJoin(broadcast(cbRow))
-      .select(col("vec_id"),
-        nearestCell(col("cents"), col("embedding")).as("cell"),
-        transform(sequence(lit(0), lit(m - 1)), si =>
-          array_min(transform(
-            element_at(col("cb"), si + 1).getField("codes"), c =>
-              struct(l2(subVec(col("embedding"), si, subDim),
-                c.getField("cvec")).as("d"),
-                c.getField("code").as("code")))).getField("code")).as("codes"))
+    val index = ivfPqEncode(e, centArr, cbRow, m, subDim)
       .localCheckpoint(true)
+    ivfPqServe(e, index, centArr, cbRow, m, subDim, ksub, nprobe,
+      nQ, shortlist, topK)
+  }
+
+  /** The IVF-PQ serve path over a built `index(vec_id, cell, codes)`:
+    * per-query LUT + nprobe cell routing + ADC scoring + bounded
+    * shortlist + exact-cosine rerank. Shared by [[ivfPqAnn]] and
+    * [[ivfPqIndexAppend]] — the append op must serve through the SAME
+    * path as the full build or its equivalence row proves nothing.
+    */
+  private[graft] def ivfPqServe(e: DataFrame, index: DataFrame,
+      centArr: DataFrame, cbRow: DataFrame, m: Int, subDim: Int, ksub: Int,
+      nprobe: Int, nQ: Int, shortlist: Int, topK: Int): DataFrame = {
     val q = e.filter(col("vec_id") < nQ)
     // s08's densified per-query LUT (slot j = dot(q_sub, cvec of code j))
     val qlut = q.crossJoin(broadcast(cbRow))
@@ -403,6 +445,47 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("adc"), col("cos"))
       .orderBy("q_id", "rank")
+  }
+
+  /** Incremental ANN index maintenance (r16 VERDICT item 3): a standing
+    * IVF-PQ index absorbs an APPEND batch without retraining or
+    * re-encoding the base. Quantizers are trained on the BASE corpus
+    * only and FROZEN (the real-world constraint: a 100 TB store can't
+    * retrain per append — FAISS's `add()` contract); the base index is
+    * built once (checkpointed, simulating the persisted artifact); the
+    * append batch is encoded against the frozen quantizers in one
+    * map-side pass ([[ivfPqEncode]] — cost proportional to the BATCH,
+    * never the standing index); the merged index is the flat union of
+    * postings (a vector lives in exactly one cell, so merge is
+    * concatenation — no rebucketing). Serving reads the merged index
+    * through the unchanged [[ivfPqServe]] path.
+    *
+    * The oracle is the FULL-REBUILD SQL — train on base, encode
+    * EVERYTHING in one pass — so a green row proves
+    * `encode(base) ∪ encode(delta) ≡ encode(base ∪ delta)` under frozen
+    * quantizers: the d10/p15 incremental-equivalence pattern, here a
+    * theorem of per-row encoding. The streaming twin
+    * ([[graft.streaming.Streams]] annIndexEncode) runs the identical
+    * encode pass over the ingest stream; StreamingSpec pins parity.
+    */
+  def ivfPqIndexAppend(e: DataFrame, k: Int, nprobe: Int, ivfIters: Int,
+      m: Int, subDim: Int, ksub: Int, pqIters: Int,
+      nQ: Int, shortlist: Int, topK: Int): DataFrame = {
+    // bounded driver collect (the p15 pattern): ONE max over vec_id for
+    // the base/append cutoff literal; empty input → empty base+delta
+    val mxRow = e.agg(max(col("vec_id"))).head
+    val cut = if (mxRow.isNullAt(0)) Long.MinValue else mxRow.getLong(0) * 4 / 5
+    val base = e.filter(col("vec_id") <= cut)
+    val delta = e.filter(col("vec_id") > cut)
+    val (centArr, cbRow) = ivfPqQuantizers(base, k, ivfIters,
+      m, subDim, ksub, pqIters)
+    // the persisted artifacts: base index checkpointed once; the delta
+    // encode stays lazy — it is the per-append work
+    val baseIdx = ivfPqEncode(base, centArr, cbRow, m, subDim)
+      .localCheckpoint(true)
+    val merged = baseIdx.union(ivfPqEncode(delta, centArr, cbRow, m, subDim))
+    ivfPqServe(e, merged, centArr, cbRow, m, subDim, ksub, nprobe,
+      nQ, shortlist, topK)
   }
 
   /** Residual IVF-PQ ANN — the ACTUAL FAISS `IVFPQ` encoding (s18 is
@@ -1833,6 +1916,52 @@ object Similarity {
            |$pqRerankOracleTail""".stripMargin
       },
     ),
+    // Incremental ANN index maintenance — see [[ivfPqIndexAppend]]: the
+    // engine trains quantizers on the BASE (vec_id ≤ 80% cutoff),
+    // freezes them, encodes the append batch separately, and serves the
+    // union; the oracle trains on the same base but encodes EVERYTHING
+    // in one pass (the full rebuild). Green row = append ≡ rebuild (the
+    // d10/p15 equivalence pattern). The cutoff is derived in both
+    // engines from MAX(vec_id)*4/5 under floor division.
+    QuerySpec(
+      "s20_ann_index_append",
+      (s, d) => ivfPqIndexAppend(emb(s, d).select(col("vec_id"), col("embedding")),
+        k = 16, nprobe = 4, ivfIters = 3,
+        m = 4, subDim = 16, ksub = 8, pqIters = 2,
+        nQ = 5, shortlist = 32, topK = 5),
+      Some {
+        s"""${lloydOracleCtesTrained(
+             "vec_id <= (SELECT (MAX(vec_id) * 4) // 5 FROM embeddings)")},
+           |${pqOracleSubCtes(4, 16, 8, 2, 5, tsrc = "tr").mkString(",\n")},
+           |idx AS MATERIALIZED (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c) t WHERE rn = 1),
+           |probes AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT e.vec_id AS q_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c WHERE e.vec_id < 5) t WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.q_id, i.vec_id,
+           |    l0.lv + l1.lv + l2.lv + l3.lv AS adc
+           |  FROM probes p
+           |  JOIN idx i USING (cell)
+           |  JOIN s0e e0 ON e0.vec_id = i.vec_id
+           |  JOIN s1e e1 ON e1.vec_id = i.vec_id
+           |  JOIN s2e e2 ON e2.vec_id = i.vec_id
+           |  JOIN s3e e3 ON e3.vec_id = i.vec_id
+           |  JOIN s0l l0 ON l0.code = e0.code AND l0.q_id = p.q_id
+           |  JOIN s1l l1 ON l1.code = e1.code AND l1.q_id = p.q_id
+           |  JOIN s2l l2 ON l2.code = e2.code AND l2.q_id = p.q_id
+           |  JOIN s3l l3 ON l3.code = e3.code AND l3.q_id = p.q_id
+           |  WHERE i.vec_id != p.q_id),
+           |$pqRerankOracleTail""".stripMargin
+      },
+    ),
     // Range (radius) search — the similarity-ball primitive top-k can't
     // express: EVERYTHING with cos >= tau per query, however many that
     // is (what a semantic-dedup threshold sweep or a recall audit asks
@@ -2427,8 +2556,14 @@ object Similarity {
     * downstream (encode, probes) still reads the full `e`.
     */
   private def lloydOracleCtesSampled(trainN: Int): String =
+    lloydOracleCtesTrained(s"vec_id < $trainN")
+
+  /** The general form: Lloyd trained on `tr` = e WHERE `trainWhere`
+    * (s18b/s19b: the vec_id-prefix sample; s20: the base slice below the
+    * append cutoff), everything downstream reading the full `e`. */
+  private def lloydOracleCtesTrained(trainWhere: String): String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |tr AS MATERIALIZED (SELECT vec_id, embedding FROM e WHERE vec_id < $trainN),
+       |tr AS MATERIALIZED (SELECT vec_id, embedding FROM e WHERE $trainWhere),
        |seeds AS (SELECT vec_id AS cell, embedding AS cvec FROM tr WHERE vec_id < 16),
        |${lloydStepSql(1, "seeds", "tr")},
        |${lloydStepSql(2, "cent1", "tr")},

@@ -304,6 +304,60 @@ object Streams {
     graft.queries.EventsOps.scoreAnomalies(readEvents(spark, dir), model)
   }
 
+  /** embeddings.parquet schema, for streaming reads of a vector ingest dir. */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType),
+  ))
+
+  /** Streaming read of the embeddings table (file-source dir staging, the
+    * readEvents pattern — in production this is the embedding-job output
+    * dir new vector shards land in).
+    */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    graft.engine.GraftSession.tune(spark)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(dir, "embeddings.parquet")
+    val stage = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-stream-emb-${math.abs(dir.hashCode)}")
+    Files.createDirectories(stage)
+    Files.copy(src, stage.resolve("embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    spark.readStream
+      .schema(embSchema)
+      .parquet(stage.toString)
+  }
+
+  /** Streaming ANN index ingest — the streaming half of batch s20
+    * ([[graft.queries.Similarity]] ivfPqIndexAppend): quantizers are
+    * trained ONCE on the static base corpus (below the same 80% vec_id
+    * cutoff as s20) and frozen; each arriving micro-batch of vectors is
+    * encoded to (vec_id, cell, codes) postings by the IDENTICAL
+    * [[graft.queries.Similarity]] ivfPqEncode pass — a stateless map-side
+    * sweep against the broadcast quantizers (stream-static equi-join, no
+    * shuffle, no state), so ingest cost is proportional to the batch and
+    * any number of executors scale it linearly. Appending the encoded
+    * batch to the standing index is a file append (cell is carried on
+    * each row — no rebucketing), which is what makes the maintenance
+    * story hold at 100 TB. StreamingSpec pins streaming == batch encode
+    * rows exactly.
+    */
+  def annIndexEncode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Similarity
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val mxRow = e.agg(max(col("vec_id"))).head
+    val cut = if (mxRow.isNullAt(0)) Long.MinValue else mxRow.getLong(0) * 4 / 5
+    val (centArr, cbRow) = Similarity.ivfPqQuantizers(
+      e.filter(col("vec_id") <= cut), k = 16, ivfIters = 3,
+      m = 4, subDim = 16, ksub = 8, pqIters = 2)
+    Similarity.ivfPqEncode(
+      readEmbeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      centArr.localCheckpoint(true), cbRow.localCheckpoint(true),
+      m = 4, subDim = 16)
+  }
+
   /** documents.parquet schema, for streaming reads of a docs ingest dir. */
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

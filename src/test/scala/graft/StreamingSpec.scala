@@ -49,6 +49,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN index ingest equals batch encode (frozen quantizers)") {
+    val q = Streams.annIndexEncode(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_s20")
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("cell"), col("codes"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2).toList))
+        .toMap
+      val streamed = key(spark.table("stream_s20"))
+      // batch side: the identical frozen-quantizer encode — train on the
+      // same base cut, encode the whole corpus in one pass (what s20's
+      // oracle proves the union equals)
+      import graft.queries.Similarity
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val cut = e.agg(max(col("vec_id"))).head.getLong(0) * 4 / 5
+      val (cA, cR) = Similarity.ivfPqQuantizers(
+        e.filter(col("vec_id") <= cut), k = 16, ivfIters = 3,
+        m = 4, subDim = 16, ksub = 8, pqIters = 2)
+      val batch = key(Similarity.ivfPqEncode(e, cA, cR, m = 4, subDim = 16))
+      assert(streamed == batch,
+        "streaming ingest encode must reproduce the batch encode exactly")
+    } finally q.stop()
+  }
+
   test("streaming ensemble gate equals batch t25b bit-for-bit (frozen serve model)") {
     val q = Streams.ensembleGate(spark, sf)
       .writeStream.outputMode("append")
