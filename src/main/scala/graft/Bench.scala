@@ -328,7 +328,10 @@ object Bench {
         // size, now oracled AND benched), s20 (frozen-quantizer append +
         // union-merge index maintenance)
         "s18b_ivfpq_sampled", "s19b_ivfpq_residual_sampled",
-        "s20_ann_index_append")
+        "s20_ann_index_append",
+        // c35 (order-5 KN — one 5-gram-keyed model shuffle, the widest
+        // n-gram key in the suite, + the size-gated scoring join)
+        "c35_kn5_score")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

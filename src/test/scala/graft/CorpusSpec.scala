@@ -499,6 +499,53 @@ class CorpusSpec extends AnyFunSuite {
     kn.unpersist()
   }
 
+  test("c35: generic KN chain at order 3 reproduces c32 bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    // the order-parameterized model is only trustworthy if its recursion
+    // IS the trigram model's — pinned as bit-equality of every score, not
+    // approximate agreement (the two Column trees must be the same IEEE
+    // tree, which is also why the c35 oracle can share c32's shape)
+    val in = docs.select(col("doc_id"), col("text"))
+    val tri = Corpus.knTrigramScore(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val gen = Corpus.knNgramScore(in, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gen == tri, "order-3 generic chain must equal knTrigramScore")
+  }
+
+  test("c35: 5-gram separates trigram-preserving recombinations beyond c32") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Two fluent templates spliced at a SHARED trigram ("sat on the"):
+    // every trigram of the recombined probe is corpus-frequent, but the
+    // 4/5-grams spanning the splice are novel — the failure mode a
+    // trigram filter cannot see and the reason KenLM/CCNet default to
+    // order 5. The recombination gap must be positive at order 5 and
+    // LARGER than order 3's.
+    val t1 = "the big cat sat on the mat today"
+    val t2 = "an old dog sat on the rug nightly"
+    val corpus = ((1L to 50L).map(i => (i, t1)) ++
+      (101L to 150L).map(i => (i, t2)) :+
+      (200L, t1) :+ (201L, "the big cat sat on the rug nightly"))
+      .toDF("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def gap(s: Map[Long, Double]): Double = s(201L) - s(200L)
+    val k5 = scores(Corpus.knNgramScore(corpus, 5))
+    val k3 = scores(Corpus.knTrigramScore(corpus))
+    assert(gap(k5) > 0, s"5-gram KN must penalize the splice: ${gap(k5)}")
+    assert(gap(k5) > gap(k3),
+      s"5-gram gap ${gap(k5)} must beat trigram gap ${gap(k3)}")
+    // docs with < 5 tokens contribute no 5-gram positions and drop out
+    val tiny = Seq((1L, "a b c d e"), (2L, "v w x y")).toDF("doc_id", "text")
+    assert(Corpus.knNgramScore(tiny, 5).collect().map(_.getLong(0)).toSet
+      == Set(1L))
+    // size-gated join: broadcast and shuffle paths are value-identical
+    val viaShuffle = scores(Corpus.knNgramScore(corpus, 5,
+      broadcastTypesMax = 0))
+    assert(k5 == viaShuffle, "broadcast/shuffle paths must agree exactly")
+  }
+
   test("c32b: pruning can only raise NLL; strict where singleton trigrams occur") {
     import org.apache.spark.sql.functions._
     val in = docs.select(col("doc_id"), col("text"))
