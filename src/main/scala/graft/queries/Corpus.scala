@@ -1113,6 +1113,73 @@ object Corpus {
              |  pair_count
              |FROM pairs ORDER BY pair_count DESC, l, r LIMIT 1""".stripMargin),
     ),
+    // c17's chained-state contract pressed further (r16 VERDICT item 6):
+    // the FIRST THREE merges, each round's argmax plain SQL. The state
+    // SQL "can't carry" for K=20 becomes carryable at small K through
+    // the c18a marker-alphabet trick: every symbol (char or fused piece)
+    // is exactly ONE char in the marker representation, so round i+1's
+    // re-tokenization is replace(s, l||r, marker_i) — greedy
+    // left-to-right, provably ≡ the applyMerge fold — and each round's
+    // merge is a scalar CTE feeding the next round's replace and the
+    // tie-break TEXT mapping (ties order by symbol text, not marker
+    // codepoint). A green row vouches at the driver for the chained
+    // re-tokenize→count→argmax machinery all 20 c17 rounds reuse;
+    // CorpusSpec still pins the full sequence vs the reference BPE.
+    QuerySpec(
+      "c17b_bpe_merge_chain",
+      (s, d) => bpeMerges(Tables(s, d, "documents"), 3),
+      Some {
+        def pairs(src: String, sym: String) =
+          s"""SELECT substr($sym, CAST(i AS INT), 1) AS lc,
+             |    substr($sym, CAST(i AS INT) + 1, 1) AS rc,
+             |    CAST(SUM(cnt) AS BIGINT) AS pc
+             |  FROM (SELECT $sym, cnt, unnest(range(1, len($sym))) AS i
+             |        FROM $src WHERE len($sym) >= 2)
+             |  GROUP BY 1, 2""".stripMargin
+        s"""WITH types AS (
+           |  SELECT w, COUNT(*) AS cnt
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE len(w) > 0 GROUP BY w),
+           |p1 AS (
+           |  ${pairs("types", "w")}),
+           |m1 AS (SELECT lc AS l, rc AS r, pc, lc || rc AS fused FROM p1
+           |  ORDER BY pc DESC, l, r LIMIT 1),
+           |s1 AS (SELECT cnt,
+           |  replace(w, (SELECT l FROM m1) || (SELECT r FROM m1),
+           |    chr(57345)) AS s
+           |  FROM types),
+           |p2 AS (
+           |  ${pairs("s1", "s")}),
+           |m2 AS (SELECT lc, rc, pc,
+           |    CASE WHEN lc = chr(57345) THEN (SELECT fused FROM m1)
+           |         ELSE lc END AS l,
+           |    CASE WHEN rc = chr(57345) THEN (SELECT fused FROM m1)
+           |         ELSE rc END AS r
+           |  FROM p2 ORDER BY pc DESC, l, r LIMIT 1),
+           |s2 AS (SELECT cnt,
+           |  replace(s, (SELECT lc FROM m2) || (SELECT rc FROM m2),
+           |    chr(57346)) AS s
+           |  FROM s1),
+           |p3 AS (
+           |  ${pairs("s2", "s")}),
+           |m3 AS (SELECT lc, rc, pc,
+           |    CASE WHEN lc = chr(57345) THEN (SELECT fused FROM m1)
+           |         WHEN lc = chr(57346) THEN (SELECT l || r FROM m2)
+           |         ELSE lc END AS l,
+           |    CASE WHEN rc = chr(57345) THEN (SELECT fused FROM m1)
+           |         WHEN rc = chr(57346) THEN (SELECT l || r FROM m2)
+           |         ELSE rc END AS r
+           |  FROM p3 ORDER BY pc DESC, l, r LIMIT 1)
+           |SELECT step, "left", "right", pair_count FROM (
+           |  SELECT CAST(1 AS BIGINT) AS step, l AS "left", r AS "right",
+           |    pc AS pair_count FROM m1
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT), l, r, pc FROM m2
+           |  UNION ALL
+           |  SELECT CAST(3 AS BIGINT), l, r, pc FROM m3)
+           |ORDER BY step""".stripMargin
+      },
+    ),
     // BPE encode (the c17 tokenizer, applied): per-source token stats
     // under the learned merges — the serving half of tokenizer training.
     // See [[bpeEncodeStats]] for the type-table scale shape. Rows-only

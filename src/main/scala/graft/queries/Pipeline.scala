@@ -1046,6 +1046,75 @@ object Pipeline {
       },
       Some(zoneOracleSql),
     ),
+    // Ensemble-gated publish — p01 with its rule-battery quality stage
+    // (t09 Gopher) swapped for the round's best filter, the t25b
+    // serve-mode ensemble (r16 VERDICT item 5): plant → line-dedup →
+    // MAD-calibrated ensemble keep (ens > 0, model trained on the
+    // CLEANED corpus — self-consistent, and exactly what CCNet does:
+    // calibrate on the corpus being filtered) → exact dedup → manifest.
+    // The whole chain is ONE oracle (the p01 pattern): the ensemble CTEs
+    // are the t25b oracle's re-pointed at the cleaned relation
+    // (ensembleOracleCtesFrom), so the published artifact's gate is
+    // hash-verified end-to-end, not per-stage.
+    QuerySpec(
+      "p16_ensemble_publish",
+      (s, d) => {
+        val planted = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            LineDedup.plantText(col("doc_id"), col("text")).as("text"))
+        // line-deduped text feeds the ensemble's several derivations
+        // (t13 scan, LM model build, LM serve join, stats) — checkpoint
+        // pins ONE derivation of the shuffle-heavy dedup stage
+        val cleaned = Dedup.lineKeep(planted.select("doc_id", "text"))
+          .groupBy("doc_id")
+          .agg(LineDedup.keptTextAgg.as("text"))
+          .join(planted.select("doc_id", "source"), "doc_id")
+          .localCheckpoint(true)
+        val ens = TextOps.qualityEnsembleServe(
+            cleaned.select(col("doc_id"), col("text")))
+          .filter(col("keep"))
+          .select(col("doc_id"), col("ens"))
+        val kept = cleaned.join(ens, "doc_id")
+          .withColumn("n_words",
+            size(split(col("text"), " ")).cast(LongType))
+        val keeper = kept.groupBy(md5(col("text")).as("digest"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        kept.join(keeper, Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("n_words"), col("ens"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        s"""WITH planted AS (
+           |  SELECT doc_id, source,
+           |    ${LineDedup.plantSqlExpr} AS text
+           |  FROM documents),
+           |${LineDedup.lineKeepSqlCtes},
+           |cleaned AS (
+           |  SELECT k.doc_id,
+           |    COALESCE(string_agg(CASE WHEN keep THEN line END, ' '
+           |      ORDER BY pos), '') AS text
+           |  FROM k GROUP BY k.doc_id),
+           |withsrc AS (
+           |  SELECT c.doc_id, p.source, c.text FROM cleaned c
+           |  JOIN planted p ON c.doc_id = p.doc_id),
+           |${TextOps.ensembleOracleCtesFrom(
+              TextOps.truncLmOracleCtesFrom("withsrc"), "withsrc")},
+           |kept AS (
+           |  SELECT w.doc_id, w.source, w.text,
+           |    CAST(len(string_split(w.text, ' ')) AS BIGINT) AS n_words,
+           |    e.ens
+           |  FROM withsrc w JOIN ensemble e USING (doc_id)
+           |  WHERE e.ens > 0.0),
+           |keeper AS (
+           |  SELECT md5(text) AS digest, MIN(doc_id) AS doc_id
+           |  FROM kept GROUP BY md5(text))
+           |SELECT k.doc_id, k.source, k.n_words, k.ens,
+           |  md5(k.text) AS text_md5
+           |FROM kept k JOIN keeper USING (doc_id)
+           |ORDER BY k.doc_id""".stripMargin
+      },
+    ),
     // Bucketed co-located join — the layout that PRE-PAYS the shuffle:
     // both sides are written `bucketBy(8, doc_id)` + `sortBy(doc_id)`
     // (Spark's bucketed parquet tables), so the subsequent join reads

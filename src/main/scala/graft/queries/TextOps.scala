@@ -252,10 +252,12 @@ object TextOps {
     * `sc(doc_id, n_feats, score)` — ONE oracle-side definition shared by
     * t13 and every oracle that consumes the classifier score (t23, t24).
     */
-  private def t13ScoreCtes: String = {
+  private def t13ScoreCtes: String = t13ScoreCtesFrom("documents")
+
+  private def t13ScoreCtesFrom(src: String): String = {
     import graft.engine.DuckHash
     s"""tk AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
        |ft AS (
        |  SELECT doc_id, list_concat(toks,
        |    list_transform(range(1, len(toks)),
@@ -434,11 +436,13 @@ object TextOps {
     * `usc(doc_id, lm_nll)` — t25b's serve-model vote, mirroring
     * [[graft.queries.Corpus.unigramLmScoreTruncated]] term for term.
     */
-  private def truncLmOracleCtes: String = {
+  private def truncLmOracleCtes: String = truncLmOracleCtesFrom("documents")
+
+  private[graft] def truncLmOracleCtesFrom(src: String): String = {
     import graft.engine.Exact
     s"""utoks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |  FROM documents),
+       |  FROM $src),
        |ucounts AS (SELECT tok, COUNT(*) AS c FROM utoks GROUP BY tok),
        |ufull AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
        |  COUNT(*) AS v_full FROM ucounts),
@@ -467,13 +471,20 @@ object TextOps {
 
   private def ensembleOracleCtes: String = ensembleOracleCtesWith(fullLmOracleCtes)
 
-  private def ensembleOracleCtesWith(lmCtes: String): String = {
+  private def ensembleOracleCtesWith(lmCtes: String): String =
+    ensembleOracleCtesFrom(lmCtes, "documents")
+
+  /** [[ensembleOracleCtesWith]] with the scored relation parameterized —
+    * p16 runs the whole ensemble chain on the line-deduped `withsrc`
+    * CTE instead of raw `documents`. */
+  private[graft] def ensembleOracleCtesFrom(lmCtes: String,
+      src: String): String = {
     import graft.engine.Exact
     import Gopher._
-    s"""$t13ScoreCtes,
+    s"""${t13ScoreCtesFrom(src)},
        |gt AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS toks
-       |  FROM documents),
+       |  FROM $src),
        |gg AS (
        |  SELECT doc_id, text, toks,
        |    list_transform(

@@ -41,6 +41,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p16 ensemble publish: stage monotonicity; gate genuinely differs from t09's") {
+    val docsN = spark.read.parquet(s"$sf/documents.parquet").count()
+    val out = Registry.byName("p16_ensemble_publish").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+    // each stage only shrinks the survivor set: |manifest| <= |corpus|
+    // (line dedup is doc-preserving, the ensemble and exact-dedup gates
+    // only drop), and something must actually be dropped or the planted
+    // chain lost its point
+    assert(out.length > 0 && out.length < docsN,
+      s"manifest ${out.length} of $docsN")
+    // exact-dedup stage: the published digests are unique by construction
+    // (keeper = min doc_id per digest)
+    assert(out.map(_._5).distinct.length == out.length, "dup digest published")
+    // every published row passed the ensemble gate
+    assert(out.forall(_._4 > 0.0), "manifest row with ens <= 0")
+    // the ensemble gate must actually differ from p01's t09 rule gate —
+    // if the two manifests kept identical doc sets, swapping the filter
+    // changed nothing and p16 is p01
+    val p01 = Registry.byName("p01_publish_manifest").run(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet != p01,
+      "ensemble gate kept exactly the t09 set — decision-irrelevant")
+  }
+
   test("p04 reuse rows are byte-valid: manifest equals a from-scratch v2 rebuild") {
     // from-scratch v2 manifest (rebuild EVERY shard — the thing p04 avoids)
     val docs = graft.engine.Tables(spark, sf, "documents")
