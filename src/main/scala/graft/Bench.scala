@@ -329,9 +329,10 @@ object Bench {
         // union-merge index maintenance)
         "s18b_ivfpq_sampled", "s19b_ivfpq_residual_sampled",
         "s20_ann_index_append",
-        // c35 (order-5 KN — one 5-gram-keyed model shuffle, the widest
-        // n-gram key in the suite, + the size-gated scoring join)
-        "c35_kn5_score")
+        // c35/c35b (order-5 KN — one 5-gram-keyed model shuffle, the
+        // widest n-gram key in the suite, + the size-gated scoring
+        // join; c35b adds the CASE'd pruned max-term)
+        "c35_kn5_score", "c35b_kn5_pruned_score")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

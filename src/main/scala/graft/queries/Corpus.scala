@@ -530,7 +530,7 @@ object Corpus {
     * emitted by the SAME bottom-up fold so the two engines' IEEE trees
     * are identical by construction at every order.
     */
-  private def knNgramScoreCtes(n: Int): String = {
+  private def knNgramScoreCtes(n: Int, minCount: Int = 1): String = {
     def glist(from: Int, to: Int): String =
       (from to to).map(i => s"g$i").mkString(", ")
     val p1 = "(CAST(m1 AS DOUBLE) / CAST(nb AS DOUBLE))"
@@ -538,9 +538,14 @@ object Corpus {
       s"""((CAST(m$k AS DOUBLE) - 0.75) / CAST(n$k AS DOUBLE)
          |       + 0.75 * CAST(t$k AS DOUBLE) / CAST(n$k AS DOUBLE) * $prev)""".stripMargin
     }
+    // full and pruned share the SAME max-term / backoff sub-texts (the
+    // knScoreCtesPruned discipline) so c35 and c35b can never drift
+    val maxTerm = "(CAST(c AS DOUBLE) - 0.75) / CAST(cn AS DOUBLE)"
+    val bo = s"0.75 * CAST(tn AS DOUBLE) / CAST(cn AS DOUBLE) * $pMid"
     val pExpr =
-      s"""(CAST(c AS DOUBLE) - 0.75) / CAST(cn AS DOUBLE)
-         |       + 0.75 * CAST(tn AS DOUBLE) / CAST(cn AS DOUBLE) * $pMid""".stripMargin
+      if (minCount <= 1) s"$maxTerm\n       + $bo"
+      else s"CASE WHEN c >= $minCount THEN $maxTerm\n       + $bo\n" +
+        s"         ELSE $bo END"
     val gramStruct = (1 to n).map(j =>
       s"'g$j': ts[i+${j - 1}]").mkString(", ")
     val contCtes = (
@@ -1112,6 +1117,21 @@ object Corpus {
              |SELECT CAST(1 AS BIGINT) AS step, l AS "left", r AS "right",
              |  pair_count
              |FROM pairs ORDER BY pair_count DESC, l, r LIMIT 1""".stripMargin),
+    ),
+    // Pruned order-5 KN (c32b's KenLM knob at the order where it
+    // matters): the 1M probe measured 50M 5-gram types — mostly
+    // singletons, which is exactly the mass KenLM's pruning drops to
+    // fit a web-scale model's serving budget. Pruned types score
+    // through the context's backoff mass; statistics stay the full
+    // model's. CorpusSpec pins the order-5 NLL-monotonicity law.
+    QuerySpec(
+      "c35b_kn5_pruned_score",
+      (s, d) => knNgramScore(Tables(s, d, "documents"), n = 5, minCount = 2),
+      Some {
+        s"""WITH ${knNgramScoreCtes(5, minCount = 2)}
+           |SELECT doc_id, n_grams, avg_nll FROM sc
+           |ORDER BY doc_id""".stripMargin
+      },
     ),
     // c17's chained-state contract pressed further (r16 VERDICT item 6):
     // the FIRST THREE merges, each round's argmax plain SQL. The state
@@ -2109,7 +2129,8 @@ object Corpus {
     * model's, so order 3 reproduces [[knTrigramModel]] bit-for-bit
     * (CorpusSpec pins it) and the oracle SQL shares the tree shape.
     */
-  private[graft] def knNgramModel(tc: DataFrame, n: Int): DataFrame = {
+  private[graft] def knNgramModel(tc: DataFrame, n: Int,
+      minCount: Int = 1): DataFrame = {
     val D = 0.75
     def gcols(from: Int, to: Int): Seq[String] = (from to to).map(i => s"g$i")
     // top-order context: (SUM of raw counts, distinct continuations)
@@ -2142,8 +2163,18 @@ object Corpus {
         lit(D) * col(s"t$k").cast(DoubleType) / col(s"n$k").cast(DoubleType) *
           pPrev
     }
-    val p = (col("c").cast(DoubleType) - lit(D)) / col("cn").cast(DoubleType) +
-      lit(D) * col("tn").cast(DoubleType) / col("cn").cast(DoubleType) * pMid
+    // top-order pruning (the c32b KenLM knob at order n): a pruned
+    // n-gram type loses its max-term and scores through the context's
+    // backoff mass alone; every statistic stays the FULL model's. At
+    // order 5 this is where pruning actually matters — the 1M probe
+    // measured 50M 5-gram types, mostly singletons.
+    val maxTerm = (col("c").cast(DoubleType) - lit(D)) /
+      col("cn").cast(DoubleType)
+    val bo = lit(D) * col("tn").cast(DoubleType) /
+      col("cn").cast(DoubleType) * pMid
+    val p =
+      if (minCount <= 1) maxTerm + bo
+      else when(col("c") >= minCount, maxTerm + bo).otherwise(bo)
     val joined = (2 to n - 1).foldLeft(
       tc.join(ctxTop, gcols(1, n - 1)).join(conts(n - 1), gcols(2, n))) {
       (df, k) => df.join(conts(k - 1), gcols(n - k + 2, n))
@@ -2161,13 +2192,13 @@ object Corpus {
     * semantics, same contract both engines).
     */
   def knNgramScore(docs: DataFrame, n: Int,
-      broadcastTypesMax: Long = 4L << 20): DataFrame = {
+      broadcastTypesMax: Long = 4L << 20, minCount: Int = 1): DataFrame = {
     val gk = (1 to n).map(i => s"g$i")
     val tg = knNgramStream(docs, n)
     val tc = tg.groupBy(gk.map(col): _*).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val nTypes = tc.count()
-    val lm = knNgramModel(tc, n)
+    val lm = knNgramModel(tc, n, minCount)
       .select((gk.map(col) :+ log(col("p")).as("logp")): _*)
     val joined =
       if (nTypes <= broadcastTypesMax) tg.join(broadcast(lm), gk)

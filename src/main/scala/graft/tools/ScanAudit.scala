@@ -110,6 +110,9 @@ object ScanAudit {
     "p15_zone_map_incremental" -> Map("events" -> "base-manifest vs appended-delta role slices (+1 bounded max scan for the cutoff literal) — the incremental contract IS the split"),
     "s18_ivfpq_ann" -> Map("embeddings" -> "corpus index pass vs query slice (LUT+probes) vs rerank re-attach — the s08 role split with IVF routing added"),
     "s19_ivfpq_residual" -> Map("embeddings" -> "corpus assign+encode pass vs query slice vs rerank re-attach — s18's split on the residual encoding"),
+    "s18b_ivfpq_sampled" -> Map("embeddings" -> "s18's role split plus the TRAIN slice (pushed vec_id < 200 sample filter) — sampled training IS a fourth role"),
+    "s19b_ivfpq_residual_sampled" -> Map("embeddings" -> "s19's role split plus the train-sample slice (pushed vec_id < 200)"),
+    "s20_ann_index_append" -> Map("embeddings" -> "base slice (vec_id <= cut) vs append slice (> cut) vs query slice vs rerank — the base/delta partition is the operator under test (p15's split, vectors)"),
     // surfaced once the r16 tuning hoist un-blinded the e-group: the
     // range join's two sides carry DIFFERENT pushed filters (chunked
     // probe slice vs value scan) — a role split, not a mergeable re-read

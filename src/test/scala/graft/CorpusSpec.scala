@@ -546,6 +546,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(k5 == viaShuffle, "broadcast/shuffle paths must agree exactly")
   }
 
+  test("c35b: order-5 pruning can only raise NLL; strict where singleton 5-grams occur") {
+    import org.apache.spark.sql.functions._
+    val in = docs.select(col("doc_id"), col("text"))
+    val full = Corpus.knNgramScore(in, 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pruned = Corpus.knNgramScore(in, 5, minCount = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(full.keySet == pruned.keySet)
+    full.keys.foreach { d =>
+      assert(pruned(d) >= full(d), s"doc $d: pruning lowered NLL")
+    }
+    assert(full.keys.exists(d => pruned(d) > full(d)),
+      "no doc was affected — singleton 5-grams must exist")
+  }
+
   test("c32b: pruning can only raise NLL; strict where singleton trigrams occur") {
     import org.apache.spark.sql.functions._
     val in = docs.select(col("doc_id"), col("text"))
