@@ -332,7 +332,10 @@ object Bench {
         // c35/c35b (order-5 KN — one 5-gram-keyed model shuffle, the
         // widest n-gram key in the suite, + the size-gated scoring
         // join; c35b adds the CASE'd pruned max-term)
-        "c35_kn5_score", "c35b_kn5_pruned_score")
+        "c35_kn5_score", "c35b_kn5_pruned_score",
+        // c36 (base+delta count merge + the same scoring tail — times
+        // the incremental maintenance overhead against c35's one-shot)
+        "c36_kn5_count_merge")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

@@ -1118,6 +1118,23 @@ object Corpus {
              |  pair_count
              |FROM pairs ORDER BY pair_count DESC, l, r LIMIT 1""".stripMargin),
     ),
+    // Incremental n-gram count maintenance — see
+    // [[knNgramScoreIncremental]]: the stored base count table absorbs
+    // the append batch's counts through one n-gram-keyed SUM merge
+    // (only the batch re-tokenizes); the oracle is c35's FULL-RECOUNT
+    // SQL, so the green row proves count-merge ≡ recount and therefore
+    // that the whole KN model (every statistic a rollup of tc) is
+    // maintainable per-append at 100 TB. The third member of the
+    // incremental-equivalence family (p15 zone maps, s20 ANN postings).
+    QuerySpec(
+      "c36_kn5_count_merge",
+      (s, d) => knNgramScoreIncremental(Tables(s, d, "documents"), n = 5),
+      Some {
+        s"""WITH ${knNgramScoreCtes(5)}
+           |SELECT doc_id, n_grams, avg_nll FROM sc
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
     // Pruned order-5 KN (c32b's KenLM knob at the order where it
     // matters): the 1M probe measured 50M 5-gram types — mostly
     // singletons, which is exactly the mass KenLM's pruning drops to
@@ -2197,6 +2214,19 @@ object Corpus {
     val tg = knNgramStream(docs, n)
     val tc = tg.groupBy(gk.map(col): _*).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
+    knScoreFromCounts(tg, tc, n, broadcastTypesMax, minCount)
+  }
+
+  /** The KN scoring tail from an n-gram stream + its TYPE-COUNT table —
+    * shared by [[knNgramScore]] (one-shot count) and
+    * [[knNgramScoreIncremental]] (base counts merged with an append
+    * batch's counts), so the incremental path's equivalence row proves
+    * the COUNT MAINTENANCE, with everything downstream literally the
+    * same code.
+    */
+  private def knScoreFromCounts(tg: DataFrame, tc: DataFrame, n: Int,
+      broadcastTypesMax: Long, minCount: Int): DataFrame = {
+    val gk = (1 to n).map(i => s"g$i")
     val nTypes = tc.count()
     val lm = knNgramModel(tc, n, minCount)
       .select((gk.map(col) :+ log(col("p")).as("logp")): _*)
@@ -2209,6 +2239,44 @@ object Corpus {
         ((lit(0.0) - Exact.dsum(col("logp"))) /
           count(lit(1)).cast(DoubleType)).as("avg_nll"))
       .orderBy("doc_id")
+  }
+
+  /** Incremental n-gram MODEL-COUNT maintenance (the round's third
+    * incremental-equivalence member, after p15 zone maps and s20 ANN
+    * postings): the stored base count table (docs at or below the
+    * ingest cutoff, checkpointed — what a 100 TB store persists)
+    * absorbs an append batch's counts through one n-gram-keyed SUM
+    * merge; only the BATCH is re-tokenized. Raw n-gram counts are the
+    * ONE mergeable statistic the whole KN stack derives from — every
+    * continuation/context table is a rollup of `tc` — so maintaining
+    * `tc` maintains the model. The oracle is c35's FULL-RECOUNT SQL:
+    * a green row proves count-merge ≡ recount (the d10/p15/s20
+    * pattern), and the scoring tail is [[knScoreFromCounts]], shared
+    * code with c35. Streaming twin: Streams.ngramCounts runs the same
+    * count aggregation as a stateful stream.
+    *
+    * `cutOverride` exists for the spec's edge cutoffs (all-base /
+    * all-delta); the contract derives the cutoff from max(doc_id)
+    * (bounded driver scalar, p15's pattern incl. the empty guard).
+    */
+  def knNgramScoreIncremental(docs: DataFrame, n: Int,
+      broadcastTypesMax: Long = 4L << 20,
+      cutOverride: Option[Long] = None): DataFrame = {
+    val gk = (1 to n).map(i => s"g$i")
+    val cut = cutOverride.getOrElse {
+      val mxRow = docs.agg(max(col("doc_id"))).head
+      if (mxRow.isNullAt(0)) Long.MinValue else mxRow.getLong(0) * 4 / 5
+    }
+    val tg = knNgramStream(docs, n).localCheckpoint(true)
+    val baseTc = tg.filter(col("doc_id") <= cut)
+      .groupBy(gk.map(col): _*).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // the persisted model counts
+    val deltaTc = tg.filter(col("doc_id") > cut)
+      .groupBy(gk.map(col): _*).agg(count(lit(1)).as("c"))
+    val tc = baseTc.unionByName(deltaTc)
+      .groupBy(gk.map(col): _*).agg(sum(col("c")).as("c"))
+      .localCheckpoint(true)
+    knScoreFromCounts(tg, tc, n, broadcastTypesMax, minCount = 1)
   }
 
   /** DSIR importance selection — see the c20 QuerySpec doc-comment. The

@@ -358,6 +358,21 @@ object Streams {
       m = 4, subDim = 16)
   }
 
+  /** Streaming n-gram count maintenance — the streaming half of batch
+    * c36 ([[graft.queries.Corpus]] knNgramScoreIncremental): raw n-gram
+    * TYPE counts are the one mergeable statistic the whole KN stack
+    * derives from, so the identical map-side extraction
+    * (knNgramStream — zip_with over the token array, no window) feeds a
+    * stateful streaming count whose per-micro-batch merge IS c36's
+    * base+delta SUM merge. StreamingSpec pins streaming == batch count
+    * rows exactly.
+    */
+  def ngramCounts(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
+    graft.queries.Corpus.knNgramStream(
+        readDocs(spark, dir).select(col("doc_id"), col("text")), n)
+      .groupBy((1 to n).map(i => col(s"g$i")): _*)
+      .agg(count(lit(1)).as("c"))
+
   /** documents.parquet schema, for streaming reads of a docs ingest dir. */
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -118,6 +118,22 @@ object ProbeR17 {
         println(s"""{"probe":"p16","n":$n,"manifest_rows":$rows,"sec":$t,""" +
           s""""p16_ok":${rows > 0 && rows <= n}}""")
 
+      case "c36" =>
+        // incremental count maintenance at scale: the claim is that the
+        // per-append work (delta re-tokenize + keyed SUM merge) tracks
+        // the BATCH, so time the merge-maintained scoring against the
+        // one-shot recount on the same corpus
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val docs = gen(n).localCheckpoint(true)
+        val (_, tOne) = time {
+          graft.queries.Corpus.knNgramScore(docs, 5).count()
+        }
+        val (_, tInc) = time {
+          graft.queries.Corpus.knNgramScoreIncremental(docs, 5).count()
+        }
+        println(s"""{"probe":"c36","n":$n,"oneshot_sec":$tOne,""" +
+          s""""incremental_sec":$tInc,"c36_ok":${tInc < 2.5 * tOne}}""")
+
       case other =>
         System.err.println(s"unknown section: $other")
     }

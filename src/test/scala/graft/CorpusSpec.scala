@@ -561,6 +561,22 @@ class CorpusSpec extends AnyFunSuite {
       "no doc was affected — singleton 5-grams must exist")
   }
 
+  test("c36: incremental count merge equals full recount at ANY cutoff") {
+    import org.apache.spark.sql.functions._
+    // the p15 edge discipline: empty delta (cut above every doc_id),
+    // empty base (cut below), and the contract's derived 80% cut must
+    // ALL reproduce the one-shot c35 scores bit-for-bit — mergeability
+    // is a theorem, so any deviation is a bug in the merge, not noise
+    val in = docs.select(col("doc_id"), col("text"))
+    val oneShot = Corpus.knNgramScore(in, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (cut <- Seq(None, Some(Long.MinValue), Some(Long.MaxValue))) {
+      val inc = Corpus.knNgramScoreIncremental(in, 5, cutOverride = cut)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(inc == oneShot, s"cutOverride=$cut diverged from recount")
+    }
+  }
+
   test("c32b: pruning can only raise NLL; strict where singleton trigrams occur") {
     import org.apache.spark.sql.functions._
     val in = docs.select(col("doc_id"), col("text"))

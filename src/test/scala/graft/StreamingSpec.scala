@@ -78,6 +78,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming n-gram counts equal batch c36's merged count table") {
+    val q = Streams.ngramCounts(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_c36")
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4)) -> r.getLong(5)).toMap
+      val streamed = key(spark.table("stream_c36"))
+      val batch = key(graft.queries.Corpus.knNgramStream(
+          spark.read.parquet(s"$sf/documents.parquet")
+            .select(col("doc_id"), col("text")), 5)
+        .groupBy("g1", "g2", "g3", "g4", "g5")
+        .agg(count(lit(1)).as("c")))
+      assert(streamed == batch,
+        "stateful streaming count must equal the batch count table")
+    } finally q.stop()
+  }
+
   test("streaming ensemble gate equals batch t25b bit-for-bit (frozen serve model)") {
     val q = Streams.ensembleGate(spark, sf)
       .writeStream.outputMode("append")
