@@ -328,7 +328,7 @@ object Bench {
         // size, now oracled AND benched), s20 (frozen-quantizer append +
         // union-merge index maintenance)
         "s18b_ivfpq_sampled", "s19b_ivfpq_residual_sampled",
-        "s20_ann_index_append",
+        "s20_ann_index_append", "s20b_ann_index_delete",
         // c35/c35b (order-5 KN — one 5-gram-keyed model shuffle, the
         // widest n-gram key in the suite, + the size-gated scoring
         // join; c35b adds the CASE'd pruned max-term)

@@ -470,7 +470,8 @@ object Similarity {
     */
   def ivfPqIndexAppend(e: DataFrame, k: Int, nprobe: Int, ivfIters: Int,
       m: Int, subDim: Int, ksub: Int, pqIters: Int,
-      nQ: Int, shortlist: Int, topK: Int): DataFrame = {
+      nQ: Int, shortlist: Int, topK: Int,
+      deletes: Option[DataFrame] = None): DataFrame = {
     // bounded driver collect (the p15 pattern): ONE max over vec_id for
     // the base/append cutoff literal; empty input → empty base+delta
     val mxRow = e.agg(max(col("vec_id"))).head
@@ -484,7 +485,15 @@ object Similarity {
     val baseIdx = ivfPqEncode(base, centArr, cbRow, m, subDim)
       .localCheckpoint(true)
     val merged = baseIdx.union(ivfPqEncode(delta, centArr, cbRow, m, subDim))
-    ivfPqServe(e, merged, centArr, cbRow, m, subDim, ksub, nprobe,
+    // tombstone deletion (s20b — FAISS remove_ids semantics): the
+    // delete list is a RELATION anti-joined against the postings;
+    // quantizers stay frozen, nothing re-encodes, and the per-delete
+    // cost is one broadcast anti-join over the narrow index rows. The
+    // s20b oracle proves delete ≡ rebuild-encode-over-survivors.
+    val live = deletes.map(dl =>
+        merged.join(broadcast(dl.select("vec_id")), Seq("vec_id"), "left_anti"))
+      .getOrElse(merged)
+    ivfPqServe(e, live, centArr, cbRow, m, subDim, ksub, nprobe,
       nQ, shortlist, topK)
   }
 
@@ -1939,6 +1948,59 @@ object Similarity {
            |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
            |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
            |    FROM e CROSS JOIN cent3 c) t WHERE rn = 1),
+           |probes AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT e.vec_id AS q_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c WHERE e.vec_id < 5) t WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.q_id, i.vec_id,
+           |    l0.lv + l1.lv + l2.lv + l3.lv AS adc
+           |  FROM probes p
+           |  JOIN idx i USING (cell)
+           |  JOIN s0e e0 ON e0.vec_id = i.vec_id
+           |  JOIN s1e e1 ON e1.vec_id = i.vec_id
+           |  JOIN s2e e2 ON e2.vec_id = i.vec_id
+           |  JOIN s3e e3 ON e3.vec_id = i.vec_id
+           |  JOIN s0l l0 ON l0.code = e0.code AND l0.q_id = p.q_id
+           |  JOIN s1l l1 ON l1.code = e1.code AND l1.q_id = p.q_id
+           |  JOIN s2l l2 ON l2.code = e2.code AND l2.q_id = p.q_id
+           |  JOIN s3l l3 ON l3.code = e3.code AND l3.q_id = p.q_id
+           |  WHERE i.vec_id != p.q_id),
+           |$pqRerankOracleTail""".stripMargin
+      },
+    ),
+    // Tombstone deletion on the maintained index — s20 with a delete
+    // LIST (vec_id % 17 = 3, a deterministic relation both engines
+    // derive in SQL) anti-joined against the merged postings: FAISS
+    // remove_ids semantics — quantizers frozen, nothing re-encodes,
+    // per-delete cost one broadcast anti-join over narrow index rows.
+    // The oracle rebuilds from scratch and encodes only the SURVIVORS
+    // into the candidate set, so the green row proves tombstone-delete
+    // ≡ survivor rebuild (append + delete close the index-maintenance
+    // lifecycle: a 100 TB store does both per ingest cycle).
+    QuerySpec(
+      "s20b_ann_index_delete",
+      (s, d) => {
+        val e = emb(s, d).select(col("vec_id"), col("embedding"))
+        ivfPqIndexAppend(e,
+          k = 16, nprobe = 4, ivfIters = 3,
+          m = 4, subDim = 16, ksub = 8, pqIters = 2,
+          nQ = 5, shortlist = 32, topK = 5,
+          deletes = Some(e.filter(pmod(col("vec_id"), lit(17)) === 3)))
+      },
+      Some {
+        s"""${lloydOracleCtesTrained(
+             "vec_id <= (SELECT (MAX(vec_id) * 4) // 5 FROM embeddings)")},
+           |${pqOracleSubCtes(4, 16, 8, 2, 5, tsrc = "tr").mkString(",\n")},
+           |idx AS MATERIALIZED (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent3 c
+           |    WHERE e.vec_id % 17 != 3) t WHERE rn = 1),
            |probes AS (
            |  SELECT q_id, cell FROM (
            |    SELECT e.vec_id AS q_id, c.cell,

@@ -113,6 +113,7 @@ object ScanAudit {
     "s18b_ivfpq_sampled" -> Map("embeddings" -> "s18's role split plus the TRAIN slice (pushed vec_id < 200 sample filter) — sampled training IS a fourth role"),
     "s19b_ivfpq_residual_sampled" -> Map("embeddings" -> "s19's role split plus the train-sample slice (pushed vec_id < 200)"),
     "s20_ann_index_append" -> Map("embeddings" -> "base slice (vec_id <= cut) vs append slice (> cut) vs query slice vs rerank — the base/delta partition is the operator under test (p15's split, vectors)"),
+    "s20b_ann_index_delete" -> Map("embeddings" -> "s20's split plus the tombstone-list slice (pushed vec_id % 17 filter) — the delete list is a fifth role"),
     // surfaced once the r16 tuning hoist un-blinded the e-group: the
     // range join's two sides carry DIFFERENT pushed filters (chunked
     // probe slice vs value scan) — a role split, not a mergeable re-read

@@ -706,6 +706,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s20b tombstone delete: no deleted neighbor; empty delete list is s20") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val out = Registry.byName("s20b_ann_index_delete").run(spark, sf).collect()
+    // deleted ids (vec_id % 17 == 3) must never surface as neighbors
+    assert(out.forall(r => r.getLong(2) % 17 != 3), "deleted id served")
+    // 5 queries × 5 dense ranks survive the ~6% deletion
+    assert(out.length == 25)
+    // identity law: an EMPTY delete list must reproduce s20 exactly —
+    // the tombstone path may touch nothing but the postings filter
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    val noDel = rows(Similarity.ivfPqIndexAppend(e,
+      k = 16, nprobe = 4, ivfIters = 3, m = 4, subDim = 16, ksub = 8,
+      pqIters = 2, nQ = 5, shortlist = 32, topK = 5,
+      deletes = Some(e.filter(lit(false)))))
+    val s20 = rows(Registry.byName("s20_ann_index_append").run(spark, sf))
+    assert(noDel == s20, "empty delete list must equal s20 exactly")
+  }
+
   test("s17b deployment-width survivors: width lockstep at rule boundaries, same keep laws") {
     import org.apache.spark.sql.functions._
     import graft.queries.Similarity.scaledBits
