@@ -35,11 +35,19 @@ import java.nio.file.{Files, Paths}
   *    spread over the flusher's ~30 s horizon stays under the rate
   *    ceiling; a dd co-load is hundreds of MB/s at ~100% busy, trips both;
   *    validated by tools/IoLoadProbe, dev/ioloadprobe_r17.jsonl).
+  *
+  *    Completion-time accounting can land a co-load's bytes in the
+  *    bracket BEFORE the one it delays (r17 verdict item 5: a dd window
+  *    stamped foreignMbps 0.0 at devBusy 0.69 and read quiet), so each
+  *    stamp also carries the foreign rate observed over the PREVIOUS
+  *    window and the inter-run gap; a busy device plus heavy trailing
+  *    foreign traffic is unquiet even when this window's own foreign
+  *    bytes read zero.
   */
 object BenchGate {
   final case class RunStamp(sec: Double, loadBefore: Double, loadAfter: Double,
       rssAfterMb: Long, otherCores: Double, foreignMbps: Double,
-      devBusy: Double)
+      devBusy: Double, prevForeignMbps: Double = 0.0)
 
   val clkTck: Double =
     try {
@@ -78,12 +86,18 @@ object BenchGate {
       (busy, f(11).toLong + f(12).toLong) // utime + stime
     } catch { case _: Throwable => (-1L, -1L) }
 
-  /** (system device bytes, this JVM's storage bytes, busiest-device
-    * io_ticks ms); (-1,-1,-1) when unreadable. */
-  def ioBytes(): (Long, Long, Long) =
+  /** (system device bytes, this JVM's storage bytes, io_ticks ms PER
+    * DEVICE); (-1, -1, empty) when unreadable. Ticks are returned keyed by
+    * device name so busy fraction is computed as the max over PER-DEVICE
+    * deltas — on a multi-disk host the device with the largest cumulative
+    * since-boot io_ticks is not necessarily the one saturated during the
+    * run, so a delta of per-sample maxima could read the wrong disk and
+    * understate busy (r17 ADVICE). */
+  def ioBytes(): (Long, Long, Map[String, Long]) =
     try {
       import scala.jdk.CollectionConverters._
-      var sys = 0L; var busyMs = 0L
+      var sys = 0L
+      var ticks = Map.empty[String, Long]
       Files.readAllLines(Paths.get("/proc/diskstats")).asScala.foreach { l =>
         val f = l.trim.split("\\s+")
         if (f.length >= 13) {
@@ -98,32 +112,51 @@ object BenchGate {
              name.matches("mmcblk\\d+"))
           if (whole) {
             sys += (f(5).toLong + f(9).toLong) * 512L
-            busyMs = math.max(busyMs, f(12).toLong)
+            ticks += name -> f(12).toLong
           }
         }
       }
       val self = Files.readAllLines(Paths.get("/proc/self/io")).asScala
         .filter(l => l.startsWith("read_bytes:") || l.startsWith("write_bytes:"))
         .map(_.split("\\s+")(1).toLong).sum
-      (sys, self, busyMs)
-    } catch { case _: Throwable => (-1L, -1L, -1L) }
+      (sys, self, ticks)
+    } catch { case _: Throwable => (-1L, -1L, Map.empty[String, Long]) }
 
   /** Quietness is unmeasurable (non-Linux /proc, hardened container) →
     * callers skip the retry machinery entirely and emit quiet fields as
     * null rather than burning the retry cap on every query and degrading
-    * quiet_total to 0 (r16 ADVICE). */
-  lazy val cpuMeasurable: Boolean = cpuTicks() != ((-1L, -1L))
-  lazy val ioMeasurable: Boolean = { val (s, _, _) = ioBytes(); s >= 0 }
+    * quiet_total to 0 (r16 ADVICE). Re-probed on every call — a one-shot
+    * lazy val latched a single transient /proc read failure into
+    * permanently-disabled gating for the whole bench run (r17 ADVICE). */
+  def cpuMeasurable: Boolean = cpuTicks() != ((-1L, -1L))
+  def ioMeasurable: Boolean = { val (s, _, _) = ioBytes(); s >= 0 }
+
+  // end-of-last-window I/O sample + its foreign rate: the trailing memory
+  // the writeback-attribution fix reads (r17 verdict item 5). Benches run
+  // queries sequentially; volatile is enough.
+  @volatile private var lastIoEnd: (Long, Long, Long) = (-1L, -1L, 0L)
+  @volatile private var lastForeignMbps: Double = 0.0
 
   /** Run `f`, bracketing it with every interference signal. */
   def stampRun(f: => Unit): RunStamp = {
     val lb = loadAvg(); val (b0, s0) = cpuTicks()
-    val (io0, self0, t0) = ioBytes()
+    val (io0, self0, tk0) = ioBytes()
     val t = System.nanoTime()
+    // foreign rate over the gap since the previous window's end sample —
+    // completion-time accounting can drop a co-load's bytes between
+    // brackets, so the gap is evidence too
+    val gapMbps = {
+      val (gSys, gSelf, gAt) = lastIoEnd
+      val gs = (t - gAt) / 1e9
+      if (gSys < 0 || io0 < 0 || gs <= 0.05) 0.0
+      else math.max(0.0,
+        ((io0 - gSys) - (self0 - gSelf)).toDouble / (gs * 1048576.0))
+    }
+    val prevMbps = math.max(lastForeignMbps, gapMbps)
     f
     val sec = (System.nanoTime() - t) / 1e9
     val (b1, s1) = cpuTicks()
-    val (io1, self1, t1) = ioBytes()
+    val (io1, self1, tk1) = ioBytes()
     val other =
       if (b0 < 0 || b1 < 0 || sec <= 0) -1.0
       else math.max(0.0, ((b1 - b0) - (s1 - s0)).toDouble / (sec * clkTck))
@@ -131,9 +164,13 @@ object BenchGate {
       if (io0 < 0 || io1 < 0 || sec <= 0) -1.0
       else math.max(0.0, ((io1 - io0) - (self1 - self0)).toDouble / (sec * 1048576.0))
     val busy =
-      if (t0 < 0 || t1 < 0 || sec <= 0) -1.0
-      else math.min(1.0, (t1 - t0).toDouble / (sec * 1000.0))
-    RunStamp(sec, lb, loadAvg(), rssMb(), other, fMbps, busy)
+      if (io0 < 0 || io1 < 0 || sec <= 0) -1.0
+      else if (tk0.isEmpty || tk1.isEmpty) 0.0
+      else math.min(1.0, tk1.map { case (d, v) =>
+        v - tk0.getOrElse(d, v) }.max.toDouble / (sec * 1000.0))
+    lastIoEnd = (io1, self1, System.nanoTime())
+    lastForeignMbps = math.max(0.0, fMbps)
+    RunStamp(sec, lb, loadAvg(), rssMb(), other, fMbps, busy, prevMbps)
   }
 
   /** CPU term: other processes averaged under `quietCeil` cores during the
@@ -147,12 +184,18 @@ object BenchGate {
     * backup job runs hundreds), or under 256 MB absolute (small transfers
     * can't inflate a multi-second run), or the busiest device under 50%
     * busy (foreign bytes against an unsaturated disk don't delay us — and
-    * our own delayed writeback rarely saturates). */
+    * our own delayed writeback rarely saturates). Regardless of those
+    * escapes, a busy device combined with heavy TRAILING foreign traffic
+    * (previous window or inter-run gap over the rate ceiling) is unquiet:
+    * completion-time accounting let a sustained dd co-load stamp
+    * foreignMbps 0.0 at devBusy 0.69 and alias into a quiet window
+    * (r17 verdict item 5, dev/ioloadprobe_r17.jsonl line 5). */
   def ioQuiet(r: RunStamp): Boolean =
     r.foreignMbps < 0 || // unmeasurable → don't gate on it
-      r.foreignMbps <= 64.0 ||
-      r.foreignMbps * r.sec <= 256.0 ||
-      r.devBusy <= 0.5
+      ((r.foreignMbps <= 64.0 ||
+        r.foreignMbps * r.sec <= 256.0 ||
+        r.devBusy <= 0.5) &&
+       !(r.devBusy > 0.5 && r.prevForeignMbps > 64.0))
 
   def isQuiet(r: RunStamp, quietCeil: Double): Boolean =
     !cpuMeasurable || (r.otherCores >= 0 && cpuQuiet(r, quietCeil) && ioQuiet(r))

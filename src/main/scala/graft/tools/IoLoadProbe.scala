@@ -24,7 +24,7 @@ object IoLoadProbe {
   def main(args: Array[String]): Unit = {
     val name = args.lift(0).getOrElse("c20_dsir_select")
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(2).getOrElse("dev/ioloadprobe_r17.jsonl")
+    val out = args.lift(2).getOrElse("dev/ioloadprobe_r18.jsonl")
     val ddFile = "local/ioloadprobe_dd.bin"
     val spark = GraftSession.build("io-load-probe")
     val spec = graft.Registry.byName(name)
@@ -35,7 +35,8 @@ object IoLoadProbe {
       import BenchGate.fmt2
       val line = s"""{"query":"$name","phase":"$phase","sec":${fmt2(r.sec)},""" +
         s""""otherCores":${fmt2(r.otherCores)},"foreignMbps":${fmt2(r.foreignMbps)},""" +
-        s""""devBusy":${fmt2(r.devBusy)},"cpuQuiet":${BenchGate.cpuQuiet(r, quietCeil)},""" +
+        s""""devBusy":${fmt2(r.devBusy)},"prevForeignMbps":${fmt2(r.prevForeignMbps)},""" +
+        s""""cpuQuiet":${BenchGate.cpuQuiet(r, quietCeil)},""" +
         s""""ioQuiet":${BenchGate.ioQuiet(r)},"quiet":${BenchGate.isQuiet(r, quietCeil)}}"""
       println(line)
       Files.writeString(Paths.get(out), line + "\n",
@@ -54,19 +55,34 @@ object IoLoadProbe {
     // dd loop: rewrite the same 2 GiB with O_DIRECT until stopped — a
     // bounded-footprint stand-in for a co-located backup/ingest job
     @volatile var stop = false
+    @volatile var ddFailed = false
     val dd = new Thread(() => {
+      var first = true
       while (!stop) {
         val p = new ProcessBuilder("dd", "if=/dev/zero", s"of=$ddFile",
           "bs=1M", "count=2048", "oflag=direct", "conv=notrunc")
           .redirectErrorStream(true).start()
-        p.getInputStream.readAllBytes()
+        val ddOut = new String(p.getInputStream.readAllBytes())
         p.waitFor()
+        // O_DIRECT is unsupported on some filesystems (tmpfs, overlayfs):
+        // dd then fails instantly, the loop would hot-spin respawning it,
+        // and the dd_coload stamps would record NO actual disk load —
+        // silently vacuous validation (r17 ADVICE). Abort loudly instead.
+        if (first && p.exitValue() != 0) {
+          System.err.println("[ioprobe] dd co-load FAILED (exit " +
+            s"${p.exitValue()}): $ddOut")
+          System.err.println("[ioprobe] aborting — dd_coload stamps would " +
+            "be vacuous on this filesystem")
+          ddFailed = true
+          stop = true
+        }
+        first = false
       }
     })
     dd.setDaemon(true)
     dd.start()
     Thread.sleep(2000) // let the co-load reach steady state
-    try run("dd_coload", 2)
+    try { if (!ddFailed) run("dd_coload", 2) }
     finally {
       stop = true
       // dd iterations are bounded (2 GiB each) — wait one out, then clean up

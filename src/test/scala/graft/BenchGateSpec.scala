@@ -10,8 +10,8 @@ class BenchGateSpec extends AnyFunSuite {
   import BenchGate._
 
   private def st(sec: Double, other: Double, mbps: Double,
-      busy: Double): RunStamp =
-    RunStamp(sec, 0.5, 0.5, 1000L, other, mbps, busy)
+      busy: Double, prevMbps: Double = 0.0): RunStamp =
+    RunStamp(sec, 0.5, 0.5, 1000L, other, mbps, busy, prevMbps)
 
   test("CPU term: ceiling and the absolute sub-core-second floor") {
     val ceil = 4.0
@@ -36,6 +36,21 @@ class BenchGateSpec extends AnyFunSuite {
     assert(ioQuiet(st(1.0, 0.1, 100.0, 0.9)))
     // unmeasurable I/O never gates
     assert(ioQuiet(st(5.0, 0.1, -1.0, -1.0)))
+  }
+
+  test("I/O term: trailing foreign memory closes the writeback window") {
+    // the r17 verdict item-5 shape (dev/ioloadprobe_r17.jsonl line 5): a
+    // sustained dd co-load whose bytes landed in the PREVIOUS bracket —
+    // this window reads foreignMbps 0.0 at devBusy 0.69 and used to stamp
+    // quiet. With the trailing memory it must not.
+    assert(!ioQuiet(st(5.0, 0.1, 0.0, 0.69, prevMbps = 320.0)))
+    // quiet box: busy device from our OWN reads, no trailing foreign →
+    // quiet, unchanged
+    assert(ioQuiet(st(5.0, 0.1, 0.0, 0.69)))
+    // trailing foreign against an idle device can't have delayed us
+    assert(ioQuiet(st(5.0, 0.1, 0.0, 0.2, prevMbps = 320.0)))
+    // light trailing traffic (our own drained writeback) never gates
+    assert(ioQuiet(st(5.0, 0.1, 0.0, 0.9, prevMbps = 40.0)))
   }
 
   test("overall verdict composes both axes; unmeasurable CPU never blocks") {
