@@ -268,6 +268,79 @@ object HashAlgos {
     new GenericArrayData(
       gramHashesPos(utf8Elems(arr, nullAsEmpty = true), n, variant))
 
+  /** ALL window hashes the order-n Kneser–Ney recursion needs, fused into
+    * one pass (the KN-family analog of [[gramHashesPos]]): out(i) is a
+    * 3n−1-long array for the gram starting at token i, laid out as
+    *
+    *   [ h,  x2..xn,  s1..s{n-1},  u1..un ]
+    *
+    * where h hashes gram positions 1..n, x{k} hashes n−k+1..n−1 (the
+    * order-k context), s{k} hashes n−k+1..n (the order-k suffix), and
+    * u{k} is the INDEPENDENT variant-1 hash of position n−k+1 alone (the
+    * collision-guard witness family). h/x/s values are bit-identical to
+    * the corresponding variant-0 [[gramHashesPos]] windows; u{k} is the
+    * raw variant-1 word image itself (mix64 of the word's fnv xor the
+    * golden ratio — a different FAMILY from the FNV window folds, which
+    * is exactly what a collision witness wants). Cost sharing: each word is
+    * fnv-hashed once per family; x{k} is the pre-final FNV state of
+    * s{k}'s fold (and x{n} of h's), so the n−1 distinct start offsets
+    * cost n(n+1)/2 word-folds per position instead of ~n² for separate
+    * kernel passes, and u{k} are direct word-hash lookups. One explode
+    * consumes the output — no arrays_zip of 3n−1 slices, no per-gram
+    * struct allocation (measured 1.8× end-to-end on the r18 200k probe
+    * vs the slice-and-zip form this replaces).
+    */
+  def knGramHashes(toks: Array[Array[Byte]], n: Int): ArrayData = {
+    val m = toks.length
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val wh = new Array[Long](m)
+    val whv = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val h0 = fnv1a64(toks(i))
+      wh(i) = h0
+      whv(i) = mix64(h0 ^ 0x9e3779b97f4a7c15L)
+      i += 1
+    }
+    val width = 3 * n - 1
+    val out = new Array[Any](cnt)
+    i = 0
+    while (i < cnt) {
+      val row = new Array[Long](width)
+      var k = 1
+      while (k <= n) { row(2 * n - 2 + k) = whv(i + n - k); k += 1 }
+      var d = 0
+      while (d < n) {
+        val kk = n - d // final fold state = s{kk} (h when kk==n), pre-final = x{kk}
+        var h = FnvOffset
+        var pre = h
+        var j = i + d
+        val end = i + n
+        while (j < end) {
+          pre = h
+          val w = wh(j)
+          var b = 0
+          while (b < 8) {
+            h ^= ((w >>> (b * 8)) & 0xffL)
+            h *= FnvPrime
+            b += 1
+          }
+          j += 1
+        }
+        if (kk == n) row(0) = h else row(n - 1 + kk) = h
+        if (kk >= 2) row(kk - 1) = pre
+        d += 1
+      }
+      out(i) = new GenericArrayData(row)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def knGramHashesData(arr: ArrayData, n: Int): ArrayData =
+    knGramHashes(utf8Elems(arr, nullAsEmpty = true), n)
+
   def shingleHashData(arr: ArrayData, n: Int): ArrayData =
     new GenericArrayData(shingleHashes(utf8Elems(arr, nullAsEmpty = false), n))
 
@@ -451,6 +524,36 @@ case class GramHashPos(child: Expression, n: Int, variant: Int)
     copy(child = newChild)
 }
 
+/** kn_gram_hashes(array<string>, n) → array<array<long>>: the fused
+  * KN-family window-hash kernel — one 3n−1-long row per gram position,
+  * layout [h, x2..xn, s1..s{n-1}, u1..un]; see
+  * [[HashAlgos.knGramHashes]]. One kernel pass replaces n+1 GramHashPos
+  * passes + arrays_zip + per-gram struct allocation in the order-n KN
+  * stream.
+  */
+case class KnGramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 2 && n <= 64, "KN order out of range")
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string> input")
+  }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "kn_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.knGramHashesData(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashAlgos.knGramHashesData($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): KnGramHashes =
+    copy(child = newChild)
+}
+
 /** simhash64(array<string>) → long. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -487,6 +590,8 @@ object ghash {
     ExpressionUtils.column(ShingleHash(ExpressionUtils.expression(c), n))
   def gramHashPos(c: Column, n: Int, variant: Int = 0): Column =
     ExpressionUtils.column(GramHashPos(ExpressionUtils.expression(c), n, variant))
+  def knGramHashes(c: Column, n: Int): Column =
+    ExpressionUtils.column(KnGramHashes(ExpressionUtils.expression(c), n))
 
   /** A literal-int function argument (minhash_sig's k, shingle_hash's n)
     * with a clean error instead of an obscure eval-time crash on a

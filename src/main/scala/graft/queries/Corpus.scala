@@ -261,7 +261,57 @@ object Corpus {
     * literals/evaluation order in both engines; idf's ln runs on the same
     * double in both. Returns (doc_id, score) for docs matching ≥1 term.
     */
-  def bm25Scores(docs: DataFrame, qt: Seq[String]): DataFrame = {
+  /** One sharded-inverted-index build over `docs` — the c10 shape
+    * ((token, shard = doc_id div B) → df_shard + sorted postings),
+    * factored so the incremental path (c39) builds its base and delta
+    * from the SAME definition. `min_id` rides along purely as the merge
+    * ordering key ([[invertedIndexMerge]]).
+    */
+  private[graft] def invertedIndexRows(docs: DataFrame,
+      shardB: Long): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .withColumn("shard", expr(s"doc_id div $shardB"))
+      .groupBy("token", "shard")
+      .agg(count(lit(1)).as("df_shard"),
+        min(col("doc_id")).as("min_id"),
+        concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("postings"))
+
+  /** Incremental inverted-index maintenance (r17 verdict item 4 — the
+    * c36 count-merge theorem applied to the retrieval artifact): a
+    * stored index absorbs an append batch's index rows by one
+    * (token, shard)-keyed merge — df_shard is a SUM, and because the
+    * sides partition the doc_id range, per-key posting fragments are
+    * internally sorted AND mutually ordered by their min doc_id, so the
+    * merged posting list is min_id-ordered CONCAT, never a re-sort of
+    * base data. Only the batch tokenizes; only the boundary shard has
+    * fragments from both sides. Provably ≡ rebuilding the index over
+    * the union — the c39 oracle is c10's full-rebuild SQL.
+    */
+  private[graft] def invertedIndexMerge(base: DataFrame,
+      delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+      .groupBy("token", "shard")
+      .agg(sum(col("df_shard")).as("df_shard"),
+        min(col("min_id")).as("min_id"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("min_id"), col("postings")))),
+          s => s.getField("postings")), ",").as("postings"))
+
+  def bm25Scores(docs: DataFrame, qt: Seq[String]): DataFrame =
+    bm25Scores(docs, qt, dfreqOverride = None)
+
+  /** [[bm25Scores]] with the document-frequency table read from a
+    * MAINTAINED index instead of recomputed — the c39b serving path.
+    * `dfreqOverride` rows are (tok, df: double); values are identical to
+    * the recomputed table by the index's own df definition (distinct
+    * tokens per doc), so the score arithmetic — and the c11 oracle — is
+    * unchanged.
+    */
+  def bm25Scores(docs: DataFrame, qt: Seq[String],
+      dfreqOverride: Option[DataFrame]): DataFrame = {
     // ONE text pass: the un-factored form scanned + split the corpus three
     // times (lens, the stats agg over lens, and the tf explode). Extract
     // the per-doc length and the MATCHING tokens in a single scan-side
@@ -283,7 +333,8 @@ object Corpus {
       Exact.davg(col("len")).as("avglen"))
     val tf = base.select(col("doc_id"), explode(col("mtoks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    val dfreq = dfreqOverride.getOrElse(
+      tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df")))
     tf.join(broadcast(dfreq), "tok")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
@@ -530,7 +581,8 @@ object Corpus {
     * emitted by the SAME bottom-up fold so the two engines' IEEE trees
     * are identical by construction at every order.
     */
-  private def knNgramScoreCtes(n: Int, minCount: Int = 1): String = {
+  private def knNgramScoreCtes(n: Int, minCount: Int = 1,
+      where: String = ""): String = {
     def glist(from: Int, to: Int): String =
       (from to to).map(i => s"g$i").mkString(", ")
     val p1 = "(CAST(m1 AS DOUBLE) / CAST(nb AS DOUBLE))"
@@ -561,7 +613,7 @@ object Corpus {
     val lmJoins = (2 to n - 1).map(k =>
       s"JOIN k${k - 1} USING (${glist(n - k + 2, n)}) " +
         s"JOIN x$k USING (${glist(n - k + 1, n - 1)})").mkString("\n    ")
-    s"""tt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    s"""tt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents$where),
        |tgl AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - ${n - 2}),
        |    i -> {$gramStruct})) AS t
@@ -583,6 +635,101 @@ object Corpus {
        |    (0.0 - ${Exact.sqlSum("logp")}) / CAST(COUNT(*) AS DOUBLE)
        |      AS avg_nll
        |  FROM tg JOIN lm USING (${glist(1, n)}) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The reference-trained OPEN-VOCAB order-n KN chain as DuckDB CTEs
+    * ending in `sc(doc_id, n_grams, n_oov, avg_nll)` — the oracle for
+    * [[knNgramScoreOpenVocab]]. String-keyed throughout while the Spark
+    * side joins on window hashes, so a green row proves BOTH the OOV
+    * backoff logic and the hash keying. Per-order probabilities are
+    * materialized CTEs (pk2..pk{n-1}, p1t) and the scoring query is the
+    * same LEFT JOIN + nested-COALESCE tree the Spark side builds, with
+    * every arithmetic expression emitted by the same fold so the IEEE
+    * trees agree by construction.
+    */
+  private def knOpenScoreCtes(n: Int, trainPredSql: String): String = {
+    def glist(from: Int, to: Int): String =
+      (from to to).map(i => s"g$i").mkString(", ")
+    val gramStruct = (1 to n).map(j =>
+      s"'g$j': ts[i+${j - 1}]").mkString(", ")
+    val contCtes = (
+      Seq(s"""k${n - 1} AS (SELECT ${glist(2, n)}, COUNT(*) AS m${n - 1}
+             |  FROM tc GROUP BY ${glist(2, n)})""".stripMargin) ++
+      ((n - 2) to 1 by -1).map(k =>
+        s"""k$k AS (SELECT ${glist(n - k + 1, n)}, COUNT(*) AS m$k
+           |  FROM k${k + 1} GROUP BY ${glist(n - k + 1, n)})""".stripMargin) ++
+      (2 to n - 1).map(k =>
+        s"""x$k AS (SELECT ${glist(n - k + 1, n - 1)}, SUM(m$k) AS n$k,
+           |  COUNT(*) AS t$k FROM k$k GROUP BY ${glist(n - k + 1, n - 1)})""".stripMargin)
+      ).mkString(",\n")
+    val pkCtes = (
+      Seq(s"""p1t AS (SELECT g$n, CAST(m1 AS DOUBLE) / CAST(nb AS DOUBLE)
+             |  AS pk1 FROM k1, tot)""".stripMargin) ++
+      (2 to n - 1).map { k =>
+        val prevName = if (k == 2) "p1t" else s"pk${k - 1}"
+        s"""pk$k AS (SELECT ${glist(n - k + 1, n)},
+           |    (CAST(m$k AS DOUBLE) - 0.75) / CAST(n$k AS DOUBLE)
+           |      + 0.75 * CAST(t$k AS DOUBLE) / CAST(n$k AS DOUBLE) * pk${k - 1}
+           |      AS pk$k
+           |  FROM k$k JOIN x$k USING (${glist(n - k + 1, n - 1)})
+           |    JOIN $prevName USING (${glist(n - k + 2, n)}))""".stripMargin
+      }).mkString(",\n")
+    val boCtes = (
+      Seq(s"""bon AS (SELECT ${glist(1, n - 1)},
+             |  0.75 * CAST(tn AS DOUBLE) / CAST(cn AS DOUBLE) AS bon
+             |  FROM xn)""".stripMargin) ++
+      (2 to n - 1).map(k =>
+        s"""bo$k AS (SELECT ${glist(n - k + 1, n - 1)},
+           |  0.75 * CAST(t$k AS DOUBLE) / CAST(n$k AS DOUBLE) AS bo$k
+           |  FROM x$k)""".stripMargin)).mkString(",\n")
+    // the nested-COALESCE open-vocab probability, emitted by the same
+    // fold as the Spark Column tree
+    val pd1 = "COALESCE(pk1, 1.0 / (CAST(nb AS DOUBLE) + 1.0))"
+    val pdTop = (2 to n - 1).foldLeft(pd1) { (prev, k) =>
+      s"COALESCE(pk$k, COALESCE(bo$k, 1.0) * $prev)"
+    }
+    val pExpr = s"COALESCE(ptop, COALESCE(bon, 1.0) * $pdTop)"
+    val scoreJoins = (
+      Seq(s"LEFT JOIN lmtop USING (${glist(1, n)})",
+        s"LEFT JOIN bon USING (${glist(1, n - 1)})") ++
+      ((n - 1) to 2 by -1).flatMap(k => Seq(
+        s"LEFT JOIN pk$k USING (${glist(n - k + 1, n)})",
+        s"LEFT JOIN bo$k USING (${glist(n - k + 1, n - 1)})")) ++
+      Seq(s"LEFT JOIN p1t USING (g$n)")).mkString("\n      ")
+    s"""tt AS (SELECT doc_id,
+       |    CASE WHEN $trainPredSql THEN 1 ELSE 0 END AS is_tr,
+       |    string_split(text, ' ') AS ts FROM documents),
+       |tgl AS (
+       |  SELECT doc_id, is_tr, unnest(list_transform(range(1, len(ts) - ${n - 2}),
+       |    i -> {$gramStruct})) AS t
+       |  FROM tt),
+       |tg AS (SELECT doc_id, is_tr, ${(1 to n).map(j => s"t.g$j AS g$j").mkString(", ")} FROM tgl),
+       |tc AS (SELECT ${glist(1, n)}, COUNT(*) AS c FROM tg
+       |  WHERE is_tr = 1 GROUP BY ${glist(1, n)}),
+       |xn AS (SELECT ${glist(1, n - 1)}, SUM(c) AS cn, COUNT(*) AS tn
+       |  FROM tc GROUP BY ${glist(1, n - 1)}),
+       |$contCtes,
+       |tot AS (SELECT COUNT(*) AS nb FROM k2),
+       |$pkCtes,
+       |$boCtes,
+       |lmtop AS (
+       |  SELECT ${(1 to n).map(j => s"tc.g$j").mkString(", ")},
+       |    (CAST(c AS DOUBLE) - 0.75) / CAST(cn AS DOUBLE)
+       |      + 0.75 * CAST(tn AS DOUBLE) / CAST(cn AS DOUBLE) * pk${n - 1}
+       |      AS ptop
+       |  FROM tc JOIN xn USING (${glist(1, n - 1)})
+       |    JOIN pk${n - 1} USING (${glist(2, n)})),
+       |q AS (
+       |  SELECT doc_id, ptop, ln($pExpr) AS logp
+       |  FROM tg
+       |      $scoreJoins, tot),
+       |sc AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN ptop IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_oov,
+       |    (0.0 - ${Exact.sqlSum("logp")}) / CAST(COUNT(*) AS DOUBLE)
+       |      AS avg_nll
+       |  FROM q GROUP BY doc_id)""".stripMargin
   }
 
   /** The per-language tertile assignment as oracle SQL, reading an
@@ -927,6 +1074,68 @@ object Corpus {
               |SELECT doc_id, score FROM bm25
               |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
     ),
+    // Incremental inverted-index maintenance — see [[invertedIndexMerge]]:
+    // the stored sharded index (docs at or below the 80% ingest cutoff,
+    // checkpointed) absorbs the append batch's index rows through one
+    // (token, shard)-keyed merge: df SUM + min_id-ordered posting concat
+    // (fragments partition the id range, so concat IS the sorted merge).
+    // Only the batch tokenizes. The oracle is c10's FULL-REBUILD SQL, so
+    // the green row proves merge ≡ rebuild — the retrieval artifact
+    // joins the incremental-equivalence family (d10 dedup, p15 zones,
+    // s20 ANN postings, c36 counts). Streaming twin: Streams
+    // .invertedIndex runs the same (token, shard) aggregation stateful;
+    // CorpusSpec pins merge ≡ rebuild at edge cutoffs.
+    QuerySpec(
+      "c39_inverted_index_incremental",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val mxRow = docs.agg(max(col("doc_id"))).head
+        val cut = if (mxRow.isNullAt(0)) Long.MinValue
+          else mxRow.getLong(0) * 4 / 5
+        val base = invertedIndexRows(
+          docs.filter(col("doc_id") <= cut), 100L).localCheckpoint(true)
+        val delta = invertedIndexRows(docs.filter(col("doc_id") > cut), 100L)
+        invertedIndexMerge(base, delta)
+          .select("token", "shard", "df_shard", "postings")
+          .orderBy("token", "shard")
+      },
+      Some("""WITH t AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents)
+             |SELECT token, doc_id // 100 AS shard, COUNT(*) AS df_shard,
+             |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+             |FROM t GROUP BY token, shard ORDER BY token, shard""".stripMargin),
+    ),
+    // BM25 served FROM the maintained index — c11's ranking with the
+    // document-frequency table read off the incrementally-merged c39
+    // artifact (df = SUM(df_shard) per query term) instead of
+    // recomputed from the corpus; tf/length are query-time per-doc
+    // stats as in c11. The oracle is c11's FULL-REBUILD SQL verbatim,
+    // so the green row proves serve-from-maintained-index ≡
+    // serve-from-rebuild — the retrieval half of the c36 theorem.
+    QuerySpec(
+      "c39b_bm25_from_index",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val mxRow = docs.agg(max(col("doc_id"))).head
+        val cut = if (mxRow.isNullAt(0)) Long.MinValue
+          else mxRow.getLong(0) * 4 / 5
+        val base = invertedIndexRows(
+          docs.filter(col("doc_id") <= cut), 100L).localCheckpoint(true)
+        val delta = invertedIndexRows(docs.filter(col("doc_id") > cut), 100L)
+        val merged = invertedIndexMerge(base, delta).localCheckpoint(true)
+        val dfreq = merged
+          .filter(col("token").isin(BmQueryTerms: _*))
+          .groupBy(col("token").as("tok"))
+          .agg(sum(col("df_shard")).cast("double").as("df"))
+        bm25Scores(docs, BmQueryTerms, Some(dfreq))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH ${bm25Sql(BmQueryTerms)}
+              |SELECT doc_id, score FROM bm25
+              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+    ),
     // Data-mixing weights: per-source token share vs a uniform target —
     // the knob a pretraining pipeline turns to up/down-sample sources
     // (weight = target_share / actual_share; >1 means oversample). One
@@ -1120,11 +1329,12 @@ object Corpus {
     ),
     // Incremental n-gram count maintenance — see
     // [[knNgramScoreIncremental]]: the stored base count table absorbs
-    // the append batch's counts through one n-gram-keyed SUM merge
-    // (only the batch re-tokenizes); the oracle is c35's FULL-RECOUNT
-    // SQL, so the green row proves count-merge ≡ recount and therefore
-    // that the whole KN model (every statistic a rollup of tc) is
-    // maintainable per-append at 100 TB. The third member of the
+    // the append batch's counts through one SUM merge keyed on the
+    // 8-byte gram hash (only the batch re-tokenizes); the oracle is
+    // c35's FULL-RECOUNT string-keyed SQL, so the green row proves
+    // count-merge ≡ recount AND hash-keying ≡ string-keying, and
+    // therefore that the whole KN model (every statistic a rollup of
+    // tc) is maintainable per-append at 100 TB. The third member of the
     // incremental-equivalence family (p15 zone maps, s20 ANN postings).
     QuerySpec(
       "c36_kn5_count_merge",
@@ -1617,15 +1827,59 @@ object Corpus {
     // order's statistics are rollups of the ONE 5-gram count table; the
     // oracle CTEs are generated by the same fold as the Column tree, so
     // engine and oracle share one IEEE expression shape by construction.
-    // CorpusSpec pins order-3 == c32 bit-for-bit and that order 5
-    // separates trigram-preserving recombinations MORE than c32 (the
-    // failure mode a trigram filter cannot see).
+    // Since r18 the Spark side is HASH-KEYED throughout (r17 item 1 —
+    // knNgramHashStream: fused 8-byte window hashes, guarded rollups, no
+    // gram string in any exchange; PlanSpec gates it) while this oracle
+    // stays string-keyed, so the green row is ALSO the hash≡string
+    // equivalence proof at full model depth. CorpusSpec pins order-3 ==
+    // c32 (string-keyed) bit-for-bit and that order 5 separates
+    // trigram-preserving recombinations MORE than c32 (the failure mode
+    // a trigram filter cannot see).
     QuerySpec(
       "c35_kn5_score",
       (s, d) => knNgramScore(Tables(s, d, "documents"), n = 5),
       Some {
         s"""WITH ${knNgramScoreCtes(5)}
            |SELECT doc_id, n_grams, avg_nll FROM sc
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
+    // Takedown propagation into the model counts — see
+    // [[knNgramScoreRetract]]: the stored count table absorbs a ~4%
+    // delete list by negative-delta SUM merge (only deleted docs
+    // re-tokenize), survivors re-score on the corrected model; the
+    // oracle is c35's full recount over the survivors, so the green row
+    // proves retraction ≡ rebuild. With c36 (append) this closes the
+    // count artifact's lifecycle the way s20/s20b closed the ANN
+    // index's.
+    QuerySpec(
+      "c38_kn5_count_retract",
+      (s, d) => knNgramScoreRetract(Tables(s, d, "documents"), n = 5,
+        delPred = col("doc_id") % 23 === 7),
+      Some {
+        s"""WITH ${knNgramScoreCtes(5,
+          where = " WHERE NOT (doc_id % 23 = 7)")}
+           |SELECT doc_id, n_grams, avg_nll FROM sc
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
+    // CCNet's real configuration (r17 VERDICT item 2): order-5 KN
+    // trained on a deterministic clean reference slice (sources
+    // src0-src3, the Wikipedia stand-in), scoring the WHOLE corpus
+    // open-vocab — unseen grams back off through the context chain to a
+    // <unk> unigram floor. See [[knNgramScoreOpenVocab]]. The oracle is
+    // string-keyed with the same LEFT JOIN + nested-COALESCE tree, so
+    // the green row proves the OOV path AND the hash keying at once;
+    // CorpusSpec pins training-slice scores ≡ the closed-vocab scorer
+    // trained there bit-for-bit, and that OOV-heavy docs rank worse.
+    QuerySpec(
+      "c37_kn5_ref_trained",
+      (s, d) => knNgramScoreOpenVocab(Tables(s, d, "documents"), n = 5,
+        trainPred = col("source").isin("src0", "src1", "src2", "src3")),
+      Some {
+        s"""WITH ${knOpenScoreCtes(5,
+          "source IN ('src0', 'src1', 'src2', 'src3')")}
+           |SELECT doc_id, n_grams, n_oov, avg_nll FROM sc
            |ORDER BY doc_id""".stripMargin
       },
     ),
@@ -2112,66 +2366,170 @@ object Corpus {
       .orderBy("doc_id")
   }
 
-  /** Order-parameterized n-gram stream (the [[knTrigramStream]] move for
-    * any n): the token array zipped with its own n−1 tails — map-side,
-    * no window, no self-join; docs shorter than n tokens drop at the
-    * explode. Columns g1..gn.
+  /** Order-parameterized n-gram HASH stream — the d15/GramHashPos
+    * discipline applied to the KN family (r17 verdict item 1: past the
+    * broadcast gate the old string-keyed form shuffled the corpus-sized
+    * gram stream AND the model on five full string columns — the suite's
+    * largest avoidable shuffle-byte mass at 100 TB). Every window the
+    * order-n KN recursion groups or joins on is emitted as a fused 8-byte
+    * FNV hash computed MAP-SIDE from the token array, so no gram string
+    * ever enters an exchange (PlanSpec gates it). Columns per gram
+    * occurrence (positions are 1-based within the gram):
+    *
+    *   - `h`            full-gram hash (count-shuffle + score-join key)
+    *   - `x{k}` k=2..n  hash of positions n−k+1..n−1 — the order-k
+    *                    context (`x{n}` = top-order context 1..n−1)
+    *   - `s{k}` k=1..n−1 hash of positions n−k+1..n — the order-k suffix
+    *   - `u{k}` k=1..n  INDEPENDENT (variant-1) hash of position n−k+1
+    *                    alone — the collision-guard witness family
+    *
+    * Every column is a contiguous window of the token array, so all 3n−1
+    * hashes come from ONE pass of the fused
+    * [[graft.functions.KnGramHashes]] kernel (FNV prefix-state sharing:
+    * x{k} is the pre-final state of s{k}'s fold), exploded once —
+    * map-side, no window function, no self-join, no per-gram struct
+    * allocation; docs shorter than n tokens drop at the explode (empty
+    * kernel output), same contract as before.
     */
-  private[graft] def knNgramStream(docs: DataFrame, n: Int): DataFrame = {
-    val ts = split(col("text"), " ")
-    val cnt = greatest(size(ts) - (n - 1), lit(0))
-    val first = transform(slice(ts, lit(1), cnt), x => struct(x.as("g1")))
-    val grams = (2 to n).foldLeft(first) { (acc, i) =>
-      zip_with(acc, slice(ts, lit(i), cnt), (p, c) =>
-        struct(((1 until i).map(j => p.getField(s"g$j").as(s"g$j")) :+
-          c.as(s"g$i")): _*))
-    }
-    docs.select(col("doc_id"), explode(grams).as("g"))
-      .select(col("doc_id") +: (1 to n).map(i => col(s"g.g$i").as(s"g$i")): _*)
+  private[graft] def knNgramHashStream(docs: DataFrame, n: Int): DataFrame = {
+    import graft.functions.ghash
+    docs.select(col("doc_id"),
+        explode(ghash.knGramHashes(split(col("text"), " "), n)).as("z"))
+      .select(col("doc_id") +: knHashCols(n).zipWithIndex.map {
+        case (nm, i) => col("z").getItem(i).as(nm) }: _*)
   }
 
-  /** Interpolated Kneser–Ney at ORDER n from the n-gram TYPE table
-    * `tc(g1..gn, c)` — [[knTrigramModel]]'s recursion generalized the way
-    * the r16 verdict prescribed (item 4): every statistic of every order
-    * is a rollup of the ONE n-gram count table, never a second corpus
-    * pass. The continuation chain: m_{n−1}(g2..gn) counts distinct first
-    * tokens per (n−1)-suffix type; each m_k is COUNT(*) over m_{k+1}
-    * grouped one token shorter; each context table x_k carries
-    * (SUM(m_k), COUNT(*)) over m_k grouped by its context. The top order
-    * discounts raw counts; the lower orders discount continuation
-    * counts; D = 0.75 (Chen–Goodman) at every order. Closed vocabulary
-    * (trained on the scored corpus), so every term is strictly positive
-    * and the probability tree needs no max(·,0)/OOV path. The Column
-    * tree is built with EXACTLY the same association as the trigram
-    * model's, so order 3 reproduces [[knTrigramModel]] bit-for-bit
-    * (CorpusSpec pins it) and the oracle SQL shares the tree shape.
+  /** Column names of [[knNgramHashStream]] in kernel layout order. */
+  private def knHashCols(n: Int): Seq[String] =
+    Seq("h") ++ (2 to n).map(k => s"x$k") ++
+      (1 to n - 1).map(k => s"s$k") ++ (1 to n).map(k => s"u$k")
+
+  /** Hash-keyed groupBy with the d15 collision guard generalized. Every
+    * `guard` and `carry` column is a pure function of the key's token
+    * window, so it is constant within each group unless two DISTINCT
+    * token windows collided on the 64-bit key. The `guard` columns get
+    * min+max aggregates and a mismatch raise_errors instead of silently
+    * merging KN statistics; each call's guard pair COVERS every token
+    * position of the key's window (one witness in the independent
+    * variant-1 `u` family or a different-window FNV fold), so a silent
+    * escape needs two simultaneous 64-bit collisions (~2^-128 — the
+    * d15/d12 bar). The `carry` columns ride as plain min() — once the
+    * guard proves the group is a single window, the min IS the value
+    * (min/max-ing all 3n−2 sub-hashes doubled the agg state for no
+    * added coverage; measured on the r18 200k probe). The guard is
+    * folded into the FIRST aggregate output so column pruning can never
+    * optimize it away.
     */
-  private[graft] def knNgramModel(tc: DataFrame, n: Int,
-      minCount: Int = 1): DataFrame = {
-    val D = 0.75
-    def gcols(from: Int, to: Int): Seq[String] = (from to to).map(i => s"g$i")
-    // top-order context: (SUM of raw counts, distinct continuations)
-    val ctxTop = tc.groupBy(gcols(1, n - 1).map(col): _*)
-      .agg(sum(col("c")).as("cn"), count(lit(1)).as("tn"))
-    // continuation tables m_{n-1} .. m_1, each checkpoint-free rollup of
-    // the previous (all dictionary-sized); contexts x_k over each
+  private[graft] def knGroupGuarded(df: DataFrame, key: String,
+      aggs: Seq[(String, Column)], guard: Seq[String], carry: Seq[String],
+      label: String): DataFrame = {
+    val aggCols = aggs.map { case (nm, c) => c.as(nm) } ++
+      guard.flatMap(c => Seq(min(col(c)).as(s"__lo_$c"),
+        max(col(c)).as(s"__hi_$c"))) ++
+      carry.map(c => min(col(c)).as(s"__lo_$c"))
+    val g = df.groupBy(col(key)).agg(aggCols.head, aggCols.tail: _*)
+    val mismatch = guard.map(c => col(s"__lo_$c") =!= col(s"__hi_$c"))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val firstAgg = when(mismatch,
+      raise_error(lit(s"$label 64-bit gram-hash collision on $key: " +
+        "distinct token windows share one fnv1a64 key; KN statistics " +
+        "would be silently wrong"))).otherwise(col(aggs.head._1))
+      .as(aggs.head._1)
+    g.select((col(key) +: (firstAgg +: aggs.tail.map(a => col(a._1)))) ++
+      (guard ++ carry).map(c => col(s"__lo_$c").as(c)): _*)
+  }
+
+  /** The guarded n-gram TYPE-COUNT table from a hash stream: one count
+    * shuffle keyed by the 8-byte full-gram hash, carrying every
+    * sub-window hash the model recursion needs (all functions of the
+    * gram, so constant per group — the x{n}+s{n-1} guard pair, covering
+    * positions 1..n−1 and 2..n, proves it).
+    */
+  private[graft] def knGramHashCounts(tg: DataFrame, n: Int,
+      label: String): DataFrame =
+    knGroupGuarded(tg.drop("doc_id"), "h",
+      Seq("c" -> count(lit(1))), Seq(s"x$n", s"s${n - 1}"),
+      knSubCols(n).filterNot(Set(s"x$n", s"s${n - 1}")), label)
+
+  /** The non-key hash columns of [[knNgramHashStream]] at order n. */
+  private[graft] def knSubCols(n: Int): Seq[String] =
+    (2 to n).map(k => s"x$k") ++ (1 to n - 1).map(k => s"s$k") ++
+      (1 to n).map(k => s"u$k")
+
+  /** Interpolated Kneser–Ney at ORDER n from the HASH-KEYED n-gram TYPE
+    * table `tc` ([[knGramHashCounts]] output: `h`, sub-window hashes, `c`)
+    * — [[knTrigramModel]]'s recursion generalized (r16 item 4), re-keyed
+    * on fused 8-byte window hashes (r17 item 1) so no gram string exists
+    * anywhere in the model build: every group key and join key below is
+    * one long column, every rollup re-guarded by [[knGroupGuarded]].
+    * Every statistic of every order is still a rollup of the ONE n-gram
+    * count table, never a second corpus pass. The continuation chain:
+    * m_{n−1} (keyed by `s{n-1}`, the (n−1)-suffix hash) counts distinct
+    * first tokens per suffix type; each m_k is COUNT(*) over m_{k+1}
+    * grouped one window shorter (`s{k}`); each context table carries
+    * (SUM(m_k), COUNT(*)) grouped by `x{k}`. The top order discounts raw
+    * counts; lower orders discount continuation counts; D = 0.75
+    * (Chen–Goodman) at every order. Closed vocabulary (trained on the
+    * scored corpus), so every term is strictly positive and the
+    * probability tree needs no max(·,0)/OOV path. The Column tree keeps
+    * EXACTLY the trigram model's association, so order 3 reproduces
+    * [[knTrigramModel]] bit-for-bit (CorpusSpec pins it — which, now
+    * that knTrigramScore stays string-keyed, is also a hash-keyed ≡
+    * string-keyed equivalence proof) and the oracle SQL shares the tree
+    * shape. Output: (`h`, `p`).
+    */
+  /** The order-n KN statistic tables from a guarded hash-keyed count
+    * table — shared by the closed-vocab model ([[knNgramModel]]) and the
+    * open-vocab reference-trained model ([[knNgramScoreOpenVocab]]).
+    */
+  private case class KnTables(ctxTop: DataFrame, conts: Map[Int, DataFrame],
+      ctxs: Map[Int, DataFrame], tot: DataFrame)
+
+  private def knNgramTables(tc: DataFrame, n: Int): KnTables = {
+    // top-order context (keyed by the 1..n−1 window hash): (SUM of raw
+    // counts, distinct continuations). Witnesses u{n} (position 1,
+    // variant 1) + x{n-1} (positions 2..n−1) cover the key's window.
+    val ctxTop = knGroupGuarded(tc, s"x$n",
+      Seq("cn" -> sum(col("c")), "tn" -> count(lit(1))),
+      if (n >= 3) Seq(s"u$n", s"x${n - 1}") else Seq(s"u$n"), Nil,
+      "knModel ctxTop")
+    // continuation tables m_{n-1} .. m_1, each a guarded rollup of the
+    // previous (all dictionary-sized; carry = every hash that is a
+    // function of the suffix window, which later rollups/joins need);
+    // contexts over each. Witness coverage of s{k}'s window n−k+1..n:
+    // u{k} (position n−k+1, variant 1) + s{k-1} (n−k+2..n).
     var conts = Map.empty[Int, DataFrame]
     var cur = tc
     for (k <- (n - 1) to 1 by -1) {
-      val keys = gcols(n - k + 1, n)
+      val guard = if (k >= 2) Seq(s"u$k", s"s${k - 1}") else Seq(s"u$k")
+      val carry = ((2 to k).map(j => s"x$j") ++
+        (1 until k).map(j => s"s$j") ++ (1 to k).map(j => s"u$j"))
+        .filterNot(guard.toSet)
       // checkpoint each rollup (the vw discipline in knTrigramModel):
       // every m_k feeds BOTH the score join and the next rollup —
       // dictionary-sized, so the checkpoint is cheap and the plan stays
       // flat instead of re-deriving the whole chain per consumer
-      cur = cur.groupBy(keys.map(col): _*).agg(count(lit(1)).as(s"m$k"))
+      cur = knGroupGuarded(cur, s"s$k",
+        Seq(s"m$k" -> count(lit(1))), guard, carry, s"knModel m$k")
         .localCheckpoint(true)
       conts += k -> cur
     }
     val ctxs = (2 to n - 1).map { k =>
-      k -> conts(k).groupBy(gcols(n - k + 1, n - 1).map(col): _*)
-        .agg(sum(col(s"m$k")).as(s"n$k"), count(lit(1)).as(s"t$k"))
+      // witness coverage of x{k}'s window n−k+1..n−1: u{k} + x{k-1}
+      // (for k=2 the window is the single position n−1, u2 alone covers)
+      k -> knGroupGuarded(conts(k), s"x$k",
+        Seq(s"n$k" -> sum(col(s"m$k")), s"t$k" -> count(lit(1))),
+        if (k >= 3) Seq(s"u$k", s"x${k - 1}") else Seq(s"u$k"), Nil,
+        s"knModel ctx$k")
     }.toMap
     val tot = broadcast(conts(2).agg(count(lit(1)).as("nb")))
+    KnTables(ctxTop, conts, ctxs, tot)
+  }
+
+  private[graft] def knNgramModel(tc: DataFrame, n: Int,
+      minCount: Int = 1): DataFrame = {
+    val D = 0.75
+    val KnTables(ctxTop, conts, ctxs, tot) = knNgramTables(tc, n)
     // the interpolated probability tree, built bottom-up with the same
     // association as knTrigramModel's
     val p1 = col("m1").cast(DoubleType) / col("nb").cast(DoubleType)
@@ -2192,28 +2550,33 @@ object Corpus {
     val p =
       if (minCount <= 1) maxTerm + bo
       else when(col("c") >= minCount, maxTerm + bo).otherwise(bo)
+    // score-join chain: every join a single 8-byte key against a
+    // guarded-unique-keyed rollup
     val joined = (2 to n - 1).foldLeft(
-      tc.join(ctxTop, gcols(1, n - 1)).join(conts(n - 1), gcols(2, n))) {
-      (df, k) => df.join(conts(k - 1), gcols(n - k + 2, n))
-        .join(ctxs(k), gcols(n - k + 1, n - 1))
+      tc.join(ctxTop.select(s"x$n", "cn", "tn"), Seq(s"x$n"))
+        .join(conts(n - 1).select(s"s${n - 1}", s"m${n - 1}"),
+          Seq(s"s${n - 1}"))) { (df, k) =>
+      df.join(conts(k - 1).select(s"s${k - 1}", s"m${k - 1}"),
+          Seq(s"s${k - 1}"))
+        .join(ctxs(k).select(s"x$k", s"n$k", s"t$k"), Seq(s"x$k"))
     }
-    joined.crossJoin(tot)
-      .select((gcols(1, n).map(col) :+ p.as("p")): _*)
+    joined.crossJoin(tot).select(col("h"), p.as("p"))
   }
 
   /** Kneser–Ney LM perplexity scoring at ORDER n — c35 runs it at
     * KenLM's (and CCNet's shipped filter's) default order 5. Same scale
     * shape as [[knTrigramScore]]: map-side n-gram extraction, ONE
-    * n-gram-keyed count shuffle, dictionary-sized rollups, size-gated
-    * scoring join. Docs shorter than n tokens drop (inner-join
-    * semantics, same contract both engines).
+    * count shuffle, dictionary-sized rollups, size-gated scoring join —
+    * but every key is a fused 8-byte window hash ([[knNgramHashStream]],
+    * r17 item 1), so past the broadcast gate the corpus-sized scoring
+    * join moves 16-byte rows instead of five strings per gram. Docs
+    * shorter than n tokens drop (inner-join semantics, same contract
+    * both engines).
     */
   def knNgramScore(docs: DataFrame, n: Int,
       broadcastTypesMax: Long = 4L << 20, minCount: Int = 1): DataFrame = {
-    val gk = (1 to n).map(i => s"g$i")
-    val tg = knNgramStream(docs, n)
-    val tc = tg.groupBy(gk.map(col): _*).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+    val tg = knNgramHashStream(docs, n)
+    val tc = knGramHashCounts(tg, n, "knNgramScore").localCheckpoint(true)
     knScoreFromCounts(tg, tc, n, broadcastTypesMax, minCount)
   }
 
@@ -2224,15 +2587,19 @@ object Corpus {
     * the COUNT MAINTENANCE, with everything downstream literally the
     * same code.
     */
-  private def knScoreFromCounts(tg: DataFrame, tc: DataFrame, n: Int,
+  private[graft] def knScoreFromCounts(tg: DataFrame, tc: DataFrame, n: Int,
       broadcastTypesMax: Long, minCount: Int): DataFrame = {
-    val gk = (1 to n).map(i => s"g$i")
     val nTypes = tc.count()
     val lm = knNgramModel(tc, n, minCount)
-      .select((gk.map(col) :+ log(col("p")).as("logp")): _*)
+      .select(col("h"), log(col("p")).as("logp"))
+    // the corpus-sized side of the scoring join is now (doc_id, h) — 16
+    // bytes per gram occurrence instead of five string columns, and past
+    // the broadcast gate the shuffle moves 8-byte keys on BOTH sides
+    // (r17 item 1's actual payoff; the model side is (h, logp))
+    val stream = tg.select(col("doc_id"), col("h"))
     val joined =
-      if (nTypes <= broadcastTypesMax) tg.join(broadcast(lm), gk)
-      else tg.join(lm, gk)
+      if (nTypes <= broadcastTypesMax) stream.join(broadcast(lm), "h")
+      else stream.join(lm, "h")
     joined
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
@@ -2262,21 +2629,195 @@ object Corpus {
   def knNgramScoreIncremental(docs: DataFrame, n: Int,
       broadcastTypesMax: Long = 4L << 20,
       cutOverride: Option[Long] = None): DataFrame = {
-    val gk = (1 to n).map(i => s"g$i")
     val cut = cutOverride.getOrElse {
       val mxRow = docs.agg(max(col("doc_id"))).head
       if (mxRow.isNullAt(0)) Long.MinValue else mxRow.getLong(0) * 4 / 5
     }
-    val tg = knNgramStream(docs, n).localCheckpoint(true)
-    val baseTc = tg.filter(col("doc_id") <= cut)
-      .groupBy(gk.map(col): _*).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // the persisted model counts
-    val deltaTc = tg.filter(col("doc_id") > cut)
-      .groupBy(gk.map(col): _*).agg(count(lit(1)).as("c"))
-    val tc = baseTc.unionByName(deltaTc)
-      .groupBy(gk.map(col): _*).agg(sum(col("c")).as("c"))
+    // NOT checkpointed (re-measured r18 after the fused-kernel rewrite):
+    // tg feeds three consumers, but materializing the 3n-1-column hash
+    // stream cost more than twice the recompute once the kernel became
+    // one cheap map-side pass — the d15 recompute-over-materialize
+    // doctrine for fan-out streams; the dictionary-sized tc tables
+    // below stay checkpointed
+    val tg = knNgramHashStream(docs, n)
+    val baseTc = knGramHashCounts(tg.filter(col("doc_id") <= cut), n,
+      "c36 base").localCheckpoint(true) // the persisted model counts
+    val deltaTc = knGramHashCounts(tg.filter(col("doc_id") > cut), n,
+      "c36 delta")
+    // the merge re-guards: a base-only gram and a delta-only gram
+    // colliding on `h` is caught here (neither side's own guard saw both)
+    val tc = knGroupGuarded(baseTc.unionByName(deltaTc), "h",
+      Seq("c" -> sum(col("c"))), Seq(s"x$n", s"s${n - 1}"),
+      knSubCols(n).filterNot(Set(s"x$n", s"s${n - 1}")), "c36 merge")
       .localCheckpoint(true)
     knScoreFromCounts(tg, tc, n, broadcastTypesMax, minCount = 1)
+  }
+
+  /** Takedown propagation into the n-gram model counts (r17 verdict item
+    * 3 — the s20b delete pattern applied to c36's artifact): the stored
+    * full-corpus count table absorbs the delete list through c36's SUM
+    * merge with NEGATED deltas — only the DELETED docs re-tokenize,
+    * counts are exactly subtractable (the one statistic the whole KN
+    * stack derives from), fully-retracted types (c = 0) drop from the
+    * model, and the SURVIVORS re-score against the corrected model
+    * through the shared [[knScoreFromCounts]] tail. The oracle is c35's
+    * FULL-RECOUNT SQL over the survivors, so a green row proves
+    * retraction ≡ rebuild (d10/p15/s20b pattern); CorpusSpec pins
+    * delete∘append ≡ rebuild on interleaved batches.
+    */
+  def knNgramScoreRetract(docs: DataFrame, n: Int, delPred: Column,
+      broadcastTypesMax: Long = 4L << 20): DataFrame = {
+    // recompute-over-materialize for the fan-out hash stream (see
+    // knNgramScoreIncremental's measured note)
+    val tg = knNgramHashStream(docs, n)
+    val tcFull = knGramHashCounts(tg, n, "c38 base")
+      .localCheckpoint(true) // the persisted full-corpus model counts
+    val neg = knGramHashCounts(tg.filter(delPred), n, "c38 delta")
+      .withColumn("c", lit(0L) - col("c"))
+    // the merge re-guards (a deleted-only gram colliding with a
+    // surviving gram on `h` is caught here); types with every
+    // occurrence retracted leave the model exactly as a recount would
+    val tc = knGroupGuarded(tcFull.unionByName(neg), "h",
+      Seq("c" -> sum(col("c"))), Seq(s"x$n", s"s${n - 1}"),
+      knSubCols(n).filterNot(Set(s"x$n", s"s${n - 1}")), "c38 merge")
+      .filter(col("c") > 0)
+      .localCheckpoint(true)
+    knScoreFromCounts(tg.filter(!delPred), tc, n, broadcastTypesMax,
+      minCount = 1)
+  }
+
+  /** CCNet's ACTUAL deployment configuration (Wenzek et al.; r17 verdict
+    * item 2): the order-n KN model is trained on a deterministic CLEAN
+    * REFERENCE SLICE (their Wikipedia; here `trainPred`) and scores the
+    * WHOLE corpus open-vocab — the one LM row where model-corpus ≠
+    * scored-corpus. Unseen n-grams back off through the context chain
+    * (KenLM semantics: seen type → its interpolated probability; unseen
+    * type under a SEEN context → the context's withheld backoff mass ×
+    * the next-lower-order probability; unseen context → backoff weight
+    * 1) down to a `<unk>` unigram floor of 1/(nb+1) — strictly below
+    * the smallest seen continuation unigram 1/nb, so an OOV token
+    * always scores worse than any in-vocabulary token.
+    *
+    * Per-order probabilities and backoff masses are MATERIALIZED per
+    * seen type (pk/bo tables) with the same expression association as
+    * [[knNgramModel]]'s inline tree, so on the training slice itself —
+    * where every gram is in-vocabulary — scores reproduce the
+    * closed-vocab scorer trained on that slice BIT-FOR-BIT (CorpusSpec
+    * pins it; the oracle, string-keyed and left-join+COALESCE shaped,
+    * independently proves the whole OOV path).
+    *
+    * Scale shape: the reference corpus is BOUNDED BY DESIGN (CCNet's
+    * per-language wiki LMs are a few GB against 100 TB of web text), so
+    * the deployment path broadcasts every model table and the corpus
+    * stream is scored in ONE map-side pass — zero shuffles of corpus
+    * data past the map-side gram hashing; the size-gated shuffle
+    * fallback exists for completeness. Every model join key is an
+    * 8-byte window hash, and every LEFT join carries the d15-style
+    * witness guard: a matched row whose independent witness hashes
+    * disagree is a 64-bit collision against out-of-vocabulary data and
+    * raise_errors (the closed-vocab family needs no score-join guard
+    * because its stream IS the count table's source; here they differ).
+    */
+  def knNgramScoreOpenVocab(docs: DataFrame, n: Int, trainPred: Column,
+      broadcastTypesMax: Long = 4L << 20): DataFrame = {
+    val D = 0.75
+    val tcT = knGramHashCounts(knNgramHashStream(docs.filter(trainPred), n),
+      n, "c37 train").localCheckpoint(true)
+    val trainTypes = tcT.count()
+    val KnTables(ctxTop, conts, ctxs, tot) = knNgramTables(tcT, n)
+    // per-order interpolated continuation probabilities, materialized
+    // bottom-up per seen suffix type; witness columns renamed w_* so the
+    // scoring join can compare them against the stream's own hashes
+    var pks = Map(1 -> conts(1).crossJoin(tot).select(col("s1"),
+      col("u1").as("w_pk1_u"),
+      (col("m1").cast(DoubleType) / col("nb").cast(DoubleType)).as("pk1")))
+    for (k <- 2 to n - 1) {
+      val pkv = (col(s"m$k").cast(DoubleType) - lit(D)) /
+        col(s"n$k").cast(DoubleType) +
+        lit(D) * col(s"t$k").cast(DoubleType) /
+          col(s"n$k").cast(DoubleType) * col(s"pk${k - 1}")
+      pks += k -> conts(k)
+        .join(ctxs(k).select(col(s"x$k"), col(s"n$k"), col(s"t$k")),
+          Seq(s"x$k"))
+        .join(pks(k - 1).select(col(s"s${k - 1}"), col(s"pk${k - 1}")),
+          Seq(s"s${k - 1}"))
+        .select(col(s"s$k"), col(s"u$k").as(s"w_pk${k}_u"),
+          col(s"s${k - 1}").as(s"w_pk${k}_s"), pkv.as(s"pk$k"))
+    }
+    // backoff-mass tables per seen context
+    val bos = (2 to n - 1).map { k =>
+      val wits =
+        if (k >= 3) Seq(col(s"u$k").as(s"w_bo${k}_u"),
+          col(s"x${k - 1}").as(s"w_bo${k}_x"))
+        else Seq(col(s"u$k").as(s"w_bo${k}_u"))
+      k -> ctxs(k).select((col(s"x$k") +: wits) :+
+        (lit(D) * col(s"t$k").cast(DoubleType) /
+          col(s"n$k").cast(DoubleType)).as(s"bo$k"): _*)
+    }.toMap
+    val boN = ctxTop.select((col(s"x$n") +:
+      (if (n >= 3) Seq(col(s"u$n").as("w_bon_u"),
+        col(s"x${n - 1}").as("w_bon_x"))
+      else Seq(col(s"u$n").as("w_bon_u")))) :+
+      (lit(D) * col("tn").cast(DoubleType) /
+        col("cn").cast(DoubleType)).as("bon"): _*)
+    // top-order probability per seen n-gram type — maxTerm + backoff
+    // mass × the materialized (n−1)-order probability, the same tree as
+    // the closed model's
+    val ptopExpr = (col("c").cast(DoubleType) - lit(D)) /
+      col("cn").cast(DoubleType) +
+      lit(D) * col("tn").cast(DoubleType) /
+        col("cn").cast(DoubleType) * col(s"pk${n - 1}")
+    val lmTop = tcT
+      .join(ctxTop.select(s"x$n", "cn", "tn"), Seq(s"x$n"))
+      .join(pks(n - 1).select(col(s"s${n - 1}"), col(s"pk${n - 1}")),
+        Seq(s"s${n - 1}"))
+      .select(col("h"), col(s"x$n").as("w_top_x"),
+        col(s"s${n - 1}").as("w_top_s"), ptopExpr.as("ptop"))
+    // score the WHOLE corpus: left-join chain over the model tables
+    val sAll = knNgramHashStream(docs, n)
+    def gate(df: DataFrame): DataFrame =
+      if (trainTypes <= broadcastTypesMax) broadcast(df) else df
+    var sc = sAll
+      .join(gate(lmTop), Seq("h"), "left")
+      .join(gate(boN), Seq(s"x$n"), "left")
+    for (k <- (n - 1) to 2 by -1)
+      sc = sc.join(gate(pks(k)), Seq(s"s$k"), "left")
+        .join(gate(bos(k)), Seq(s"x$k"), "left")
+    sc = sc.join(gate(pks(1)), Seq("s1"), "left").crossJoin(tot)
+    // collision guard: any MATCHED model row whose witnesses disagree
+    // with the stream's own window hashes is a 64-bit key collision
+    val clashes = Seq(
+      col("ptop").isNotNull && (col("w_top_x") =!= col(s"x$n") ||
+        col("w_top_s") =!= col(s"s${n - 1}")),
+      col("bon").isNotNull && (col("w_bon_u") =!= col(s"u$n") ||
+        (if (n >= 3) col("w_bon_x") =!= col(s"x${n - 1}") else lit(false))),
+      col("pk1").isNotNull && col("w_pk1_u") =!= col("u1")) ++
+      (2 to n - 1).map(k =>
+        col(s"pk$k").isNotNull && (col(s"w_pk${k}_u") =!= col(s"u$k") ||
+          col(s"w_pk${k}_s") =!= col(s"s${k - 1}"))) ++
+      (2 to n - 1).map(k =>
+        col(s"bo$k").isNotNull && (col(s"w_bo${k}_u") =!= col(s"u$k") ||
+          (if (k >= 3) col(s"w_bo${k}_x") =!= col(s"x${k - 1}")
+          else lit(false))))
+    val clash = clashes.reduce(_ || _)
+    // the open-vocab probability: per order, seen-suffix probability if
+    // present, else backoff mass (1 when the context is unseen too) ×
+    // the next order down, bottoming out at the <unk> unigram floor
+    val punk = lit(1.0) / (col("nb").cast(DoubleType) + lit(1.0))
+    val pd1 = coalesce(col("pk1"), punk)
+    val pdTop = (2 to n - 1).foldLeft(pd1) { (prev, k) =>
+      coalesce(col(s"pk$k"), coalesce(col(s"bo$k"), lit(1.0)) * prev)
+    }
+    val p = coalesce(col("ptop"), coalesce(col("bon"), lit(1.0)) * pdTop)
+    val pG = when(clash, raise_error(lit("c37 64-bit gram-hash collision " +
+      "between corpus and reference-model windows; open-vocab scores " +
+      "would be silently wrong"))).otherwise(p)
+    sc.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ptop").isNull, 1L).otherwise(0L)).as("n_oov"),
+        ((lit(0.0) - Exact.dsum(log(pG))) /
+          count(lit(1)).cast(DoubleType)).as("avg_nll"))
+      .orderBy("doc_id")
   }
 
   /** DSIR importance selection — see the c20 QuerySpec doc-comment. The

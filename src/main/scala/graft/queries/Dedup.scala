@@ -576,7 +576,9 @@ object Dedup {
     */
   def connectedComponentsWithRounds(
       pairs: DataFrame, maxRounds: Int = 50,
-      localThreshold: Long = 1L << 20): (DataFrame, Int) = {
+      localThreshold: Long = 1L << 20,
+      loopStorage: Option[org.apache.spark.storage.StorageLevel] = None)
+      : (DataFrame, Int) = {
     require(maxRounds > 0, "maxRounds must be positive")
     // Materialize the input ONCE before deriving anything: vertices and
     // edges below are two independent consumers, and without this the
@@ -657,7 +659,18 @@ object Dedup {
     var converged = edges.isEmpty
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      // per-round frames are narrow long pairs bounded by |edges| (and
+      // shrinking); loopStorage lets an I/O-variance-sensitive caller pin
+      // them MEMORY_ONLY — localCheckpoint's MEMORY_AND_DISK default
+      // writes every round's blocks to disk even when they'd trivially
+      // fit in memory, which is what made the checkpoint-heavy family
+      // track foreign disk traffic (r17 verdict item 6; ProbeR18 s17
+      // measures the cadence)
+      val next = smallStar(largeStar(edges))
+      edges = loopStorage match {
+        case Some(lvl) => next.localCheckpoint(true, lvl)
+        case None => next.localCheckpoint(true)
+      }
       converged = violations(edges) == 0
       rounds += 1
     }

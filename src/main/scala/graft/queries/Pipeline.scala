@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -237,21 +237,53 @@ object Pipeline {
     */
   private[graft] def zoneMapMerge(manifest: DataFrame,
       delta: DataFrame): DataFrame =
-    zoneVerdict(
-      manifest.unionByName(zoneStats(delta))
-        .groupBy("shard").agg(
-          sum(col("n_rows")).as("n_rows"),
-          min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"),
-          min(col("min_value")).as("min_value"),
-          max(col("max_value")).as("max_value"))
-        .localCheckpoint(true))
+    zoneVerdict(zoneMergeRaw(manifest, delta))
+
+  /** The pre-verdict zone-grain merge of a stored manifest with an
+    * append batch — split out of [[zoneMapMerge]] so takedown
+    * ([[zoneDeleteRaw]]) and the interleaved delete∘append spec can
+    * compose maintenance steps before the one verdict pass.
+    */
+  private[graft] def zoneMergeRaw(manifest: DataFrame,
+      delta: DataFrame): DataFrame =
+    manifest.unionByName(zoneStats(delta))
+      .groupBy("shard").agg(
+        sum(col("n_rows")).as("n_rows"),
+        min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+      .localCheckpoint(true)
+
+  /** Takedown propagation into a stored zone manifest (r17 verdict item
+    * 3, the s20b pattern applied to p15's artifact). min/max zone
+    * statistics are append-mergeable but NOT delete-mergeable (a min
+    * cannot be subtracted), so the honest delete path is SCOPED
+    * RECOMPUTE: the delete list names its affected shards (a relation,
+    * broadcast — at real takedown rates a handful of zones), untouched
+    * manifest rows pass through byte-identical, and ONLY the affected
+    * shards' surviving rows re-aggregate. On a 100 TB store the
+    * affected-shard join is exactly the partition predicate a columnar
+    * layout prunes by, so the rescan cost is proportional to the zones
+    * a takedown touches, never the corpus. Zones whose every row is
+    * deleted vanish (zoneStats over zero rows yields no group) — same
+    * as a rebuild. Result is PROVABLY identical to rebuilding over the
+    * survivors, which is what the p17 oracle checks (the d10/s20b
+    * rebuild-over-survivors pattern).
+    */
+  private[graft] def zoneDeleteRaw(manifest: DataFrame, rows: DataFrame,
+      delPred: Column): DataFrame = {
+    val affected = rows.filter(delPred).select("shard").distinct()
+    manifest.join(broadcast(affected), Seq("shard"), "left_anti")
+      .unionByName(zoneStats(
+        rows.filter(!delPred).join(broadcast(affected), Seq("shard"))))
+  }
 
   /** The skip verdict over a zone frame: global bounds FROM the zone
     * rows (|shards| rows), not a second corpus scan — min(min) = min,
     * and the caller's checkpoint pins the one scan that both the
     * manifest rows and the bounds derive from.
     */
-  private def zoneVerdict(zones: DataFrame): DataFrame = {
+  private[graft] def zoneVerdict(zones: DataFrame): DataFrame = {
     val bounds = zones.agg(
       min(col("min_ts")).as("gmin"), max(col("max_ts")).as("gmax"))
     zones.crossJoin(broadcast(bounds))
@@ -264,14 +296,63 @@ object Pipeline {
       .orderBy("shard")
   }
 
-  /** p13's full-rebuild zone manifest as oracle SQL — ONE definition
-    * shared by p13 and p15: the incremental path's contract IS that it
-    * equals the rebuild on the same data.
+  /** The per-doc post-gate table (Gopher-scored, content-digested) — the
+    * artifact a publish run persists alongside its manifest; the
+    * takedown path reads it instead of re-running the gate (the gate is
+    * per-doc, so it is deletion-stable by construction).
     */
-  private def zoneOracleSql: String =
-    """WITH e AS (
+  private[graft] def gateScored(docs: DataFrame): DataFrame = {
+    val Seq(nw, mwl, nst, rep) = TextOps.Gopher.signals(col("text"))
+    docs
+      .withColumn("n_words", nw).withColumn("mwl", mwl)
+      .withColumn("n_stop", nst).withColumn("rep", rep)
+      .filter(TextOps.Gopher.keep(
+        col("n_words"), col("mwl"), col("n_stop"), col("rep")))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        md5(col("text")).as("text_md5"))
+  }
+
+  /** The published manifest from a scored table: exact-dedup keeper
+    * election (min doc_id per content digest), keeper rows only. */
+  private[graft] def manifestFrom(scored: DataFrame): DataFrame =
+    scored.join(
+      scored.groupBy("text_md5").agg(min(col("doc_id")).as("doc_id")),
+      Seq("text_md5", "doc_id"))
+      .select("doc_id", "source", "n_words", "text_md5")
+
+  /** Takedown propagation into the published manifest (r17 verdict item
+    * 3): the delete list removes its manifest rows, and every digest
+    * whose KEEPER died re-elects the smallest surviving duplicate from
+    * the stored scored table — deleting a non-keeper changes nothing
+    * (its row was never published). Work is delete-proportional: dead
+    * rows and their digests are a broadcast-sized relation; untouched
+    * manifest rows pass through byte-identical; only affected digests'
+    * survivor groups re-aggregate. Provably ≡ rebuilding the manifest
+    * over the survivors (the gate is per-doc and min() over a digest
+    * group minus its dead members IS the survivor election) — which is
+    * what the p18 oracle checks.
+    */
+  private[graft] def manifestDelete(manifest: DataFrame, scored: DataFrame,
+      delPred: Column): DataFrame = {
+    val dead = manifest.filter(delPred)
+    val survivors = scored.filter(!delPred)
+    val reelect = survivors
+      .join(broadcast(dead.select("text_md5")), Seq("text_md5"))
+      .groupBy("text_md5").agg(min(col("doc_id")).as("doc_id"))
+    manifest.filter(!delPred)
+      .unionByName(survivors.join(reelect, Seq("text_md5", "doc_id"))
+        .select("doc_id", "source", "n_words", "text_md5"))
+  }
+
+  /** p13's full-rebuild zone manifest as oracle SQL — ONE definition
+    * shared by p13, p15, and p17: the incremental/takedown paths'
+    * contract IS that they equal the rebuild on the same (surviving)
+    * data. `where` restricts the rebuild to survivors for p17.
+    */
+  private def zoneOracleSql(where: String = ""): String =
+    s"""WITH e AS (
       |  SELECT event_id // 256 AS shard, epoch_us(ts) AS tsu, value
-      |  FROM events),
+      |  FROM events$where),
       |z AS (
       |  SELECT shard, COUNT(*) AS n_rows,
       |    MIN(tsu) AS min_ts, MAX(tsu) AS max_ts,
@@ -1008,7 +1089,7 @@ object Pipeline {
         expr("event_id div 256").as("shard"),
         expr(EventsOps.TsUsSql).as("tsu"),
         col("value"))),
-      Some(zoneOracleSql),
+      Some(zoneOracleSql()),
     ),
     // Incremental zone-map maintenance — see [[zoneMapMerge]]: the base
     // MANIFEST (zone-grain rows, simulating what p13 persisted — here
@@ -1044,7 +1125,98 @@ object Pipeline {
           .select("shard", "tsu", "value")
         zoneMapMerge(zoneStats(base).localCheckpoint(true), delta)
       },
-      Some(zoneOracleSql),
+      Some(zoneOracleSql()),
+    ),
+    // Takedown propagation into the zone manifest — see [[zoneDeleteRaw]]:
+    // the stored manifest (p13's persisted artifact, checkpointed) is
+    // corrected under a delete list (a clustered ~3% of event_ids — the
+    // takedown-notice shape: partial zones, plus untouched zones that
+    // must pass through byte-identical) by recomputing ONLY the affected
+    // shards from their surviving rows; min/max stats are not
+    // delete-mergeable, so scoped recompute IS the honest 100 TB path.
+    // The oracle is p13's FULL-REBUILD SQL over the survivors, so the
+    // green row proves correction ≡ rebuild (the s20b pattern);
+    // PipelineSpec pins delete∘append ≡ rebuild on interleaved batches.
+    QuerySpec(
+      "p17_zone_map_takedown",
+      (s, d) => {
+        val ev = Tables(s, d, "events").select(
+          expr("event_id div 256").as("shard"),
+          expr(EventsOps.TsUsSql).as("tsu"),
+          col("value"), col("event_id"))
+        val delPred = col("event_id") % 4096 < 128
+        val manifest = zoneStats(ev).localCheckpoint(true)
+        zoneVerdict(zoneDeleteRaw(manifest, ev, delPred)
+          .localCheckpoint(true))
+      },
+      Some(zoneOracleSql(" WHERE NOT (event_id % 4096 < 128)")),
+    ),
+    // Takedown propagation into the PUBLISHED manifest — see
+    // [[manifestDelete]]: stage 0 plants whole-doc duplicates (groups of
+    // 4 consecutive ids share the leader's text — the p01 banner-plant
+    // move, here so the keeper-election correction has work: the raw
+    // corpus has no exact whole-doc dups); the stored scored table +
+    // manifest (checkpointed, what a publish run persists) are then
+    // corrected under a ~20% delete list that kills keepers (ids ≡ 0
+    // mod 20), non-keeper members, and untouched groups alike. The
+    // oracle REBUILDS the manifest over the survivors, so the green row
+    // proves drop + re-election ≡ rebuild; PipelineSpec pins the
+    // re-elections actually fire and the delete∘append interleave.
+    QuerySpec(
+      "p18_publish_takedown",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val base = docs.select(col("doc_id").as("src_id"),
+          col("text").as("leader"))
+        val planted = docs
+          .select(col("doc_id"), col("source"),
+            (col("doc_id") - col("doc_id") % 4).as("src_id"),
+            col("text").as("own"))
+          .join(base, Seq("src_id"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("leader"), col("own")).as("text"))
+        val delPred = col("doc_id") % 5 === 0
+        val scored = gateScored(planted).localCheckpoint(true)
+        val manifest = manifestFrom(scored).localCheckpoint(true)
+        manifestDelete(manifest, scored, delPred).orderBy("doc_id")
+      },
+      Some {
+        import TextOps.Gopher
+        s"""WITH planted AS (
+           |  SELECT d.doc_id, d.source, COALESCE(b.text, d.text) AS text
+           |  FROM documents d
+           |  LEFT JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 4),
+           |surv AS (
+           |  SELECT doc_id, source, text FROM planted
+           |  WHERE NOT (doc_id % 5 = 0)),
+           |g AS (
+           |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+           |    list_transform(
+           |      range(1, CASE WHEN len(toks) - 2 > 1
+           |                    THEN len(toks) - 2
+           |                    ELSE 1 END + 1),
+           |      i -> array_to_string(toks[i:i+2], ' '))
+           |      AS grams
+           |  FROM surv),
+           |scored AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(toks) AS BIGINT) AS n_words, md5(text) AS text_md5
+           |  FROM g
+           |  WHERE len(toks) BETWEEN ${Gopher.MinWords} AND ${Gopher.MaxWords}
+           |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE)
+           |      BETWEEN ${Gopher.MwlLo} AND ${Gopher.MwlHi}
+           |    AND len(list_filter(toks, x -> list_contains([${Gopher.stopsSql}], x)))
+           |      >= ${Gopher.MinStops}
+           |    AND CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+           |      / CAST(len(grams) AS DOUBLE) < ${Gopher.RepMax}),
+           |keeper AS (
+           |  SELECT text_md5, MIN(doc_id) AS doc_id
+           |  FROM scored GROUP BY text_md5)
+           |SELECT s.doc_id, s.source, s.n_words, s.text_md5
+           |FROM scored s JOIN keeper USING (text_md5, doc_id)
+           |ORDER BY s.doc_id""".stripMargin
+      },
     ),
     // Ensemble-gated publish — p01 with its rule-battery quality stage
     // (t09 Gopher) swapped for the round's best filter, the t25b

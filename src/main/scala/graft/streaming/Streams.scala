@@ -21,6 +21,17 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** Collision-resistant staging-dir key for a source dir: MD5 hex of the
+    * absolute path. The previous `math.abs(dir.hashCode)` could collide
+    * two distinct datasets onto one scratch dir (and Int.MinValue stays
+    * negative under math.abs), letting one session's staged parquet
+    * overwrite another's (r17 ADVICE). */
+  private def stageKey(dir: String): String = {
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** events.parquet schema (`ts` is µs-precision no-timezone → NTZ). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -41,7 +52,7 @@ object Streams {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(dir, "events.parquet")
     val stage = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-stream-${math.abs(dir.hashCode)}")
+      s"graft-stream-${stageKey(dir)}")
     Files.createDirectories(stage)
     Files.copy(src, stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     spark.readStream
@@ -219,7 +230,7 @@ object Streams {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val stage = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-stream-docs-${math.abs(dir.hashCode)}")
+      s"graft-stream-docs-${stageKey(dir)}")
     Files.createDirectories(stage)
     Files.copy(Paths.get(dir, "documents.parquet"),
       stage.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -320,7 +331,7 @@ object Streams {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(dir, "embeddings.parquet")
     val stage = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-stream-emb-${math.abs(dir.hashCode)}")
+      s"graft-stream-emb-${stageKey(dir)}")
     Files.createDirectories(stage)
     Files.copy(src, stage.resolve("embeddings.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
@@ -362,16 +373,38 @@ object Streams {
     * c36 ([[graft.queries.Corpus]] knNgramScoreIncremental): raw n-gram
     * TYPE counts are the one mergeable statistic the whole KN stack
     * derives from, so the identical map-side extraction
-    * (knNgramStream — zip_with over the token array, no window) feeds a
-    * stateful streaming count whose per-micro-batch merge IS c36's
-    * base+delta SUM merge. StreamingSpec pins streaming == batch count
-    * rows exactly.
+    * (knNgramHashStream — fused 8-byte window hashes, no gram strings,
+    * no window function) feeds a stateful streaming count whose
+    * per-micro-batch merge IS c36's base+delta SUM merge. Keyed on the
+    * full-gram hash, so streaming STATE rows are 8-byte keys too — the
+    * r17-item-1 shuffle discipline applied to the state store.
+    * StreamingSpec pins streaming == batch count rows exactly.
     */
   def ngramCounts(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
-    graft.queries.Corpus.knNgramStream(
+    graft.queries.Corpus.knNgramHashStream(
         readDocs(spark, dir).select(col("doc_id"), col("text")), n)
-      .groupBy((1 to n).map(i => col(s"g$i")): _*)
+      .groupBy(col("h"))
       .agg(count(lit(1)).as("c"))
+
+  /** Streaming inverted-index maintenance — the streaming half of batch
+    * c39 ([[graft.queries.Corpus]] invertedIndexMerge): the same
+    * distinct-token explode feeds a stateful (token, shard)-keyed
+    * aggregation whose per-micro-batch fold IS the df SUM + posting
+    * accumulation of the batch merge. Per-key state is one shard's
+    * postings (bounded by the shard width B, the c10 guarantee), never
+    * a stopword's corpus-wide list. StreamingSpec pins streaming ==
+    * batch index rows exactly.
+    */
+  def invertedIndex(spark: SparkSession, dir: String,
+      shardB: Long = 100L): DataFrame =
+    readDocs(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .withColumn("shard", expr(s"doc_id div $shardB"))
+      .groupBy("token", "shard")
+      .agg(count(lit(1)).as("df_shard"),
+        concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("postings"))
 
   /** documents.parquet schema, for streaming reads of a docs ingest dir. */
   val docSchema: StructType = StructType(Seq(
@@ -390,7 +423,7 @@ object Streams {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(dir, "documents.parquet")
     val stage = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-docstream-${math.abs(dir.hashCode)}")
+      s"graft-docstream-${stageKey(dir)}")
     Files.createDirectories(stage)
     Files.copy(src, stage.resolve("documents.parquet"),
       StandardCopyOption.REPLACE_EXISTING)

@@ -84,8 +84,8 @@ object ProbeR17 {
         val docs = gen(n).localCheckpoint(true)
         val scorable = docs
           .filter(size(split(col("text"), " ")) >= 5).count()
-        val nTypes = graft.queries.Corpus.knNgramStream(docs, 5)
-          .groupBy("g1", "g2", "g3", "g4", "g5").count().count()
+        val nTypes = graft.queries.Corpus.knNgramHashStream(docs, 5)
+          .groupBy("h").count().count()
         val (scored, t) = time {
           graft.queries.Corpus.knNgramScore(docs, 5).count()
         }

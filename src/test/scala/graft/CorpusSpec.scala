@@ -577,6 +577,127 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("c38: delete ∘ append ≡ rebuild on interleaved KN count batches") {
+    import org.apache.spark.sql.functions._
+    // the r17 verdict item-3 pin at the count artifact: a count table
+    // maintained through c36's append merge AND THEN c38's negative
+    // retraction must score the survivors exactly like a one-shot
+    // recount over them — deletes span both the base and append epochs
+    val in = docs.select(col("doc_id"), col("text"))
+    val mx = in.agg(max(col("doc_id"))).head.getLong(0)
+    val cut = mx * 3 / 5
+    val delPred = col("doc_id") % 7 === 3
+    val n = 5
+    val tg = Corpus.knNgramHashStream(in, n)
+    val guard = Seq(s"x$n", s"s${n - 1}")
+    val carry = Corpus.knSubCols(n).filterNot(guard.toSet)
+    val base = Corpus.knGramHashCounts(tg.filter(col("doc_id") <= cut), n, "sp base")
+    val delta = Corpus.knGramHashCounts(tg.filter(col("doc_id") > cut), n, "sp delta")
+    val merged = Corpus.knGroupGuarded(base.unionByName(delta), "h",
+      Seq("c" -> sum(col("c"))), guard, carry, "sp merge")
+    val neg = Corpus.knGramHashCounts(tg.filter(delPred), n, "sp del")
+      .withColumn("c", lit(0L) - col("c"))
+    val corrected = Corpus.knGroupGuarded(merged.unionByName(neg), "h",
+      Seq("c" -> sum(col("c"))), guard, carry, "sp retract")
+      .filter(col("c") > 0).localCheckpoint(true)
+    val maintained = Corpus.knScoreFromCounts(tg.filter(!delPred),
+        corrected, n, broadcastTypesMax = 4L << 20, minCount = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val rebuilt = Corpus.knNgramScore(in.filter(!delPred), n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(maintained == rebuilt, "delete∘append diverged from recount")
+    // and the contract query's one-step retraction agrees too
+    val oneStep = Corpus.knNgramScoreRetract(in, n, delPred).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(oneStep == rebuilt)
+  }
+
+  test("c39: index merge ≡ rebuild at ANY cutoff; concat IS the sorted merge") {
+    import org.apache.spark.sql.functions._
+    val in = docs.select(col("doc_id"), col("text"))
+    val full = Corpus.invertedIndexRows(in, 100L)
+      .select("token", "shard", "df_shard", "postings")
+      .collect().map(_.toSeq).toSet
+    val mx = in.agg(max(col("doc_id"))).head.getLong(0)
+    // 0% (all-delta), a boundary-shard-splitting cut, and 100% (all-base)
+    for (cut <- Seq(-1L, mx / 2 + 1, mx)) {
+      val base = Corpus.invertedIndexRows(in.filter(col("doc_id") <= cut), 100L)
+      val delta = Corpus.invertedIndexRows(in.filter(col("doc_id") > cut), 100L)
+      val merged = Corpus.invertedIndexMerge(base, delta)
+        .select("token", "shard", "df_shard", "postings")
+        .collect().map(_.toSeq).toSet
+      assert(merged == full, s"cut=$cut: merge != rebuild")
+    }
+    // postings in every merged row are ascending (the concat-not-resort
+    // claim holds only because fragments partition the id range)
+    full.foreach { r =>
+      val ids = r(3).asInstanceOf[String].split(",").map(_.toLong)
+      assert(ids.sameElements(ids.sorted), s"unsorted postings: $r")
+    }
+  }
+
+  test("c37: on the training slice, open-vocab ≡ closed-vocab trained there, bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    // CCNet's reference-trained scorer must be the SAME model where the
+    // vocabularies coincide: for docs inside the training slice every
+    // gram is seen, so the left-join + coalesce tree must collapse to
+    // the closed scorer's materialized probabilities exactly
+    val in = docs.select(col("doc_id"), col("text"), col("source"))
+    val trainPred = col("source").isin("src0", "src1", "src2", "src3")
+    val closed = Corpus.knNgramScore(
+        in.filter(trainPred).select(col("doc_id"), col("text")), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val open = Corpus.knNgramScoreOpenVocab(in, 5, trainPred).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val trainIds = closed.map(_._1).toSet
+    val openOnTrain = open.filter(r => trainIds.contains(r._1))
+      .map(r => (r._1, r._2, r._4)).toSeq
+    assert(openOnTrain == closed,
+      "training-slice scores must equal the closed-vocab scorer's")
+    // and every training-slice gram is in-vocabulary: zero OOV there
+    assert(open.filter(r => trainIds.contains(r._1)).forall(_._3 == 0L))
+    // out-of-slice docs exist and at least one carries a novel 5-gram
+    assert(open.exists(r => !trainIds.contains(r._1) && r._3 > 0L),
+      "no OOV grams outside the training slice — fixture too uniform")
+    // every >= 5-token doc scores (left joins keep OOV grams)
+    val scorable = in.filter(size(split(col("text"), " ")) >= 5).count()
+    assert(open.length.toLong == scorable)
+  }
+
+  test("c37: OOV-heavy docs rank worse; unseen contexts back off to the unk floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val train = "the quick brown fox jumps over the lazy dog today"
+    val corpus = ((1L to 20L).map(i => (i, train, "ref")) :+
+      (100L, train, "web") :+ // in-vocab web doc
+      (101L, "zqx wvu tsr qpo nml kji hgf edc", "web")) // fully OOV
+      .toDF("doc_id", "text", "source")
+    val open = Corpus.knNgramScoreOpenVocab(corpus, 5,
+        col("source") === "ref").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // the in-vocab web doc scores exactly like a training doc
+    assert(open(100L) == open(1L))
+    // the all-OOV doc: every gram misses every order → p = unk floor;
+    // nb = distinct bigram-suffix types of the train text
+    assert(open(101L)._2 == open(101L)._1, "every gram of doc 101 is OOV")
+    assert(open(101L)._3 > open(100L)._3,
+      "OOV-heavy doc must rank worse (higher avg NLL)")
+    // nb = distinct (g4,g5) pairs over the 6 train 5-gram types:
+    // (fox,jumps),(jumps,over),(over,the),(the,lazy),(lazy,dog),(dog,today)
+    val nb = 6.0
+    // Exact.dsum carries DECIMAL(38,10), so per-gram logp rounds at the
+    // 10th decimal place — the bound reflects that, not IEEE noise
+    assert(math.abs(open(101L)._3 - (0.0 - math.log(1.0 / (nb + 1)))) < 1e-9,
+      s"all-OOV doc must sit exactly on the unk floor, got ${open(101L)._3}")
+    // broadcast and shuffle paths agree exactly
+    val viaShuffle = Corpus.knNgramScoreOpenVocab(corpus, 5,
+        col("source") === "ref", broadcastTypesMax = 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(open == viaShuffle)
+  }
+
   test("c32b: pruning can only raise NLL; strict where singleton trigrams occur") {
     import org.apache.spark.sql.functions._
     val in = docs.select(col("doc_id"), col("text"))

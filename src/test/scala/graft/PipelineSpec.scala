@@ -244,4 +244,65 @@ class PipelineSpec extends AnyFunSuite {
       assert(inc == full, s"cutoff $pct%: incremental != rebuild")
     }
   }
+
+  test("p17: delete ∘ append ≡ rebuild on interleaved zone batches") {
+    // the r17 verdict item-3 pin: a manifest maintained through an
+    // append merge AND THEN a takedown must equal rebuilding over the
+    // final survivor set — deletes hitting base-epoch rows, append-epoch
+    // rows, whole zones, and no zone at all are all covered by the
+    // clustered pred
+    import graft.queries.Pipeline
+    val ev = spark.read.parquet(s"$sf/events.parquet").select(
+      expr("event_id div 256").as("shard"),
+      expr(graft.queries.EventsOps.TsUsSql).as("tsu"),
+      col("value"), col("event_id"))
+    val mx = ev.agg(max(col("event_id"))).head.getLong(0)
+    val cut = mx * 3 / 5
+    val delPred = col("event_id") % 4096 < 128
+    val base = ev.filter(col("event_id") <= cut)
+    val appended = ev.filter(col("event_id") > cut)
+    val maintained = Pipeline.zoneVerdict(Pipeline.zoneDeleteRaw(
+      Pipeline.zoneMergeRaw(
+        Pipeline.zoneStats(base.select("shard", "tsu", "value")),
+        appended.select("shard", "tsu", "value")),
+      ev, delPred)).collect().map(_.toSeq).toSet
+    val rebuilt = Pipeline.zoneMapPrune(
+      ev.filter(!delPred).select("shard", "tsu", "value"))
+      .collect().map(_.toSeq).toSet
+    assert(maintained == rebuilt, "delete∘append diverged from rebuild")
+    // and the takedown genuinely removed zone mass somewhere
+    val before = Pipeline.zoneMapPrune(ev.select("shard", "tsu", "value"))
+      .collect().map(_.toSeq).toSet
+    assert(maintained != before, "delete list touched nothing — fixture bug")
+  }
+
+  test("p18: keeper re-election fires; delete ≡ rebuild incl. all-dead groups") {
+    import spark.implicits._
+    import graft.queries.Pipeline
+    // 3 duplicate groups of Gopher-passing text + a singleton:
+    //  g1 (ids 10,11,12): keeper 10 deleted → must re-elect 11
+    //  g2 (ids 20,21):    non-keeper 21 untouched by pred → row unchanged
+    //  g3 (ids 30,31):    BOTH deleted → digest vanishes
+    //  s  (id 41):        untouched singleton
+    val passText = ("the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to find some more food before the night comes")
+    def t(seed: Int) = passText + s" variant $seed end of document text here"
+    val docs = Seq(
+      (10L, "a", t(1)), (11L, "a", t(1)), (12L, "b", t(1)),
+      (20L, "a", t(2)), (21L, "b", t(2)),
+      (30L, "a", t(3)), (31L, "b", t(3)),
+      (41L, "c", t(4))).toDF("doc_id", "source", "text")
+    val delPred = col("doc_id").isin(10L, 30L, 31L)
+    val scored = Pipeline.gateScored(docs)
+    assert(scored.count() == 8, "fixture must pass the Gopher gate")
+    val manifest = Pipeline.manifestFrom(scored)
+    val corrected = Pipeline.manifestDelete(manifest, scored, delPred)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val rebuilt = Pipeline.manifestFrom(
+      Pipeline.gateScored(docs.filter(!delPred)))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(corrected == rebuilt)
+    assert(corrected.map(_._1) == Set(11L, 20L, 41L),
+      s"re-election must promote 11, keep 20/41, drop g3: $corrected")
+  }
 }

@@ -417,6 +417,32 @@ class PlanSpec extends AnyFunSuite {
       s"gram text leaks into a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("c35/c36 KN: no gram strings in any exchange — hashes only") {
+    // r17 verdict item 1: past the broadcast gate the order-5 KN family
+    // used to shuffle the corpus-sized gram stream AND the model on five
+    // full string columns. Now every group/join key is a fused 8-byte
+    // window hash computed map-side (knNgramHashStream); the token array
+    // and the text column must be consumed before any exchange.
+    for (q <- Seq("c35_kn5_score", "c36_kn5_count_merge",
+        "c37_kn5_ref_trained", "c38_kn5_count_retract")) {
+      val p = plan(q)
+      val exchanges = p.linesIterator
+        .filter(l => l.contains("Arguments: hashpartitioning") ||
+          l.contains("Arguments: SinglePartition")).toList
+      assert(exchanges.nonEmpty, p)
+      assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")),
+        s"$q: doc text leaks into a shuffle:\n${exchanges.mkString("\n")}")
+      assert(!exchanges.exists(_.matches(".*\\bg\\d+#\\d+.*")),
+        s"$q: gram strings leak into a shuffle:\n${exchanges.mkString("\n")}")
+    }
+    // c37's deployment path: the reference model is bounded by design, so
+    // every scoring-side model join must broadcast — a SortMergeJoin
+    // anywhere means the corpus stream got shuffled for a model lookup
+    val p37 = plan("c37_kn5_ref_trained")
+    assert(!p37.contains("SortMergeJoin"),
+      s"c37 scoring must be all-broadcast:\n$p37")
+  }
+
   test("d16 bloom guard probes map-side; only positives reach the anti join") {
     val p = plan("d16_dedup_bloom_incremental")
     assert(p.contains("might_contain"), p)

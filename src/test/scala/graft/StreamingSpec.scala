@@ -85,17 +85,48 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
-        .map(r => (r.getString(0), r.getString(1), r.getString(2),
-          r.getString(3), r.getString(4)) -> r.getLong(5)).toMap
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("h"), col("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val streamed = key(spark.table("stream_c36"))
-      val batch = key(graft.queries.Corpus.knNgramStream(
-          spark.read.parquet(s"$sf/documents.parquet")
-            .select(col("doc_id"), col("text")), 5)
-        .groupBy("g1", "g2", "g3", "g4", "g5")
-        .agg(count(lit(1)).as("c")))
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val batch = key(graft.queries.Corpus.knNgramHashStream(docs, 5)
+        .groupBy("h").agg(count(lit(1)).as("c")))
       assert(streamed == batch,
         "stateful streaming count must equal the batch count table")
+      // and the hash-keyed count table loses nothing vs counting the
+      // gram STRINGS: same number of types, same occurrence total
+      import org.apache.spark.sql.functions.{concat_ws, slice, split, size => asize, greatest, transform => atransform}
+      val ts = split(col("text"), " ")
+      val cnt = greatest(asize(ts) - 4, lit(0))
+      val gstr = docs.filter(asize(ts) >= 5).select(explode(atransform(
+        org.apache.spark.sql.functions.sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(ts, i, lit(5))))).as("g"))
+      val strTypes = gstr.groupBy("g").count().count()
+      assert(batch.size.toLong == strTypes, "hash types == string types")
+      assert(batch.values.sum == gstr.count(), "occurrence totals agree")
+    } finally q.stop()
+  }
+
+  test("streaming inverted index equals batch c39's merged index") {
+    val q = Streams.invertedIndex(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_c39")
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("token"), col("shard"), col("df_shard"), col("postings"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getString(3))).toMap
+      val streamed = key(spark.table("stream_c39"))
+      val batch = key(graft.queries.Corpus.invertedIndexRows(
+        spark.read.parquet(s"$sf/documents.parquet")
+          .select(col("doc_id"), col("text")), 100L))
+      assert(streamed == batch,
+        "stateful streaming index must equal the batch index")
     } finally q.stop()
   }
 
