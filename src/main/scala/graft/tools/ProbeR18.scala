@@ -1,0 +1,238 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-18 scale probes (one JSONL line per section, appended to
+  * dev/scaleprobe_r18.jsonl). House rule: ONE section per JVM.
+  *
+  *   runMain graft.tools.ProbeR18 <section> [n]
+  *
+  * Sections:
+  *   - `c35` (n=200k, then 1M): order-5 KN scoring, now HASH-KEYED
+  *     (r17 item 1) — wall time to compare against
+  *     scaleprobe_r17.jsonl's string-keyed 53.7 s / 295.3 s, plus total
+  *     shuffle-write bytes from a stage listener.
+  *   - `c36` (n=200k, then 1M): incremental count maintenance, same
+  *     comparison vs r17's 93.4 s / 169.3 s.
+  *   - `c35keys` (n=200k, then 1M): the isolated key-width experiment —
+  *     the count shuffle + scoring join SKELETON (no model math) run
+  *     once keyed on the five gram STRINGS (the r17 shape) and once on
+  *     the fused 8-byte hash, reporting each variant's wall time and
+  *     shuffle-write bytes. This is the like-for-like shuffle-byte
+  *     drop the r17 verdict's done-criterion asks for (the full-path
+  *     c35 numbers fold in model-build changes too).
+  *
+  * Run with SPARK_DRIVER_MEM=48g.
+  */
+object ProbeR18 {
+  def main(args: Array[String]): Unit = {
+    val section = args.headOption.getOrElse("c35")
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors().toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // total shuffle-write bytes across completed stages (listener events
+    // are async: snapshot after a short drain sleep)
+    val shuffleBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def timeSb[A](f: => A): (A, Double, Long) = {
+      Thread.sleep(1500)
+      val sb0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val a = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // drain listener queue
+      (a, sec, shuffleBytes.get() - sb0)
+    }
+    def gen(n: Long): DataFrame = spark.read.format("graft-gen")
+      .option("rows", n.toString).option("parts", "64").load()
+      .select(col("doc_id"), col("text"), col("lang"))
+
+    section match {
+      case "c35" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val docs = gen(n).localCheckpoint(true)
+        val scorable = docs
+          .filter(size(split(col("text"), " ")) >= 5).count()
+        val (scored, t, sb) = timeSb {
+          graft.queries.Corpus.knNgramScore(docs, 5).count()
+        }
+        println(s"""{"probe":"c35","n":$n,"scored":$scored,""" +
+          s""""scorable":$scorable,"sec":$t,"shuffle_mb":${sb / 1048576},""" +
+          s""""r17_string_sec":${if (n >= 1000000) 295.3 else 53.7},""" +
+          s""""c35_ok":${scored == scorable}}""")
+
+      case "c36" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val docs = gen(n).localCheckpoint(true)
+        val (_, tOne, sbOne) = timeSb {
+          graft.queries.Corpus.knNgramScore(docs, 5).count()
+        }
+        val (_, tInc, sbInc) = timeSb {
+          graft.queries.Corpus.knNgramScoreIncremental(docs, 5).count()
+        }
+        println(s"""{"probe":"c36","n":$n,"oneshot_sec":$tOne,""" +
+          s""""incremental_sec":$tInc,"oneshot_shuffle_mb":${sbOne / 1048576},""" +
+          s""""incremental_shuffle_mb":${sbInc / 1048576},""" +
+          s""""r17_string_inc_sec":${if (n >= 1000000) 169.3 else 93.4},""" +
+          s""""c36_ok":${tInc < 2.5 * tOne}}""")
+
+      case "c35keys" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val docs = gen(n).localCheckpoint(true)
+        // string-keyed skeleton: the r17 stream shape (struct zip of the
+        // token array with its tails), count shuffle + scoring join on
+        // five string columns
+        val ts = split(col("text"), " ")
+        val cnt = greatest(size(ts) - 4, lit(0))
+        val first = transform(slice(ts, lit(1), cnt), x => struct(x.as("g1")))
+        val grams = (2 to 5).foldLeft(first) { (acc, i) =>
+          zip_with(acc, slice(ts, lit(i), cnt), (p, c) =>
+            struct(((1 until i).map(j => p.getField(s"g$j").as(s"g$j")) :+
+              c.as(s"g$i")): _*))
+        }
+        val tgStr = docs.select(col("doc_id"), explode(grams).as("g"))
+          .select(col("doc_id") +: (1 to 5).map(i =>
+            col(s"g.g$i").as(s"g$i")): _*)
+        val gk = (1 to 5).map(i => s"g$i")
+        val (rs, tStr, sbStr) = timeSb {
+          val tc = tgStr.groupBy(gk.map(col): _*)
+            .agg(count(lit(1)).as("c")).localCheckpoint(true)
+          tgStr.join(tc, gk).groupBy("doc_id")
+            .agg(sum(col("c")).as("s")).count()
+        }
+        // hash-keyed skeleton: same shuffles keyed on the fused hash
+        val tgHash = graft.queries.Corpus.knNgramHashStream(docs, 5)
+          .select("doc_id", "h")
+        val (rh, tHash, sbHash) = timeSb {
+          val tc = tgHash.groupBy("h").agg(count(lit(1)).as("c"))
+            .localCheckpoint(true)
+          tgHash.join(tc, Seq("h")).groupBy("doc_id")
+            .agg(sum(col("c")).as("s")).count()
+        }
+        println(s"""{"probe":"c35keys","n":$n,"string_sec":$tStr,""" +
+          s""""hash_sec":$tHash,"string_shuffle_mb":${sbStr / 1048576},""" +
+          s""""hash_shuffle_mb":${sbHash / 1048576},""" +
+          s""""rows_agree":${rs == rh},""" +
+          s""""keys_ok":${sbHash < sbStr}}""")
+
+      case "c37" =>
+        // reference-trained open-vocab scoring: model cost tracks the
+        // 20% clean slice; serving cost is the corpus-wide left-join
+        // chain (broadcast path — the deployment config)
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val docs = gen(n).localCheckpoint(true)
+        val (scored, t, sb) = timeSb {
+          graft.queries.Corpus.knNgramScoreOpenVocab(docs, 5,
+            col("doc_id") % 5 === 0).count()
+        }
+        println(s"""{"probe":"c37","n":$n,"scored":$scored,"sec":$t,""" +
+          s""""shuffle_mb":${sb / 1048576}}""")
+
+      case "c38" =>
+        // takedown retraction: only the ~4% delete list re-tokenizes;
+        // compare against rebuilding the model over the survivors
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val docs = gen(n).localCheckpoint(true)
+        val del = col("doc_id") % 23 === 7
+        val (_, tRe, _) = timeSb {
+          graft.queries.Corpus.knNgramScore(docs.filter(!del), 5).count()
+        }
+        val (_, tRet, _) = timeSb {
+          graft.queries.Corpus.knNgramScoreRetract(docs, 5, del).count()
+        }
+        println(s"""{"probe":"c38","n":$n,"retract_sec":$tRet,""" +
+          s""""rebuild_sec":$tRe}""")
+
+      case "c39" =>
+        // incremental index maintenance: delta build + merge vs full
+        // rebuild — the batch-proportional claim
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val docs = gen(n).localCheckpoint(true)
+        val cut = n * 4 / 5
+        val base = graft.queries.Corpus.invertedIndexRows(
+            docs.filter(col("doc_id") <= cut), 100L)
+          .localCheckpoint(true) // the stored artifact
+        val (_, tInc, sbInc) = timeSb {
+          graft.queries.Corpus.invertedIndexMerge(base,
+            graft.queries.Corpus.invertedIndexRows(
+              docs.filter(col("doc_id") > cut), 100L))
+            .write.format("noop").mode("overwrite").save()
+        }
+        val (_, tFull, sbFull) = timeSb {
+          graft.queries.Corpus.invertedIndexRows(docs, 100L)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(s"""{"probe":"c39","n":$n,"merge_sec":$tInc,""" +
+          s""""rebuild_sec":$tFull,"merge_shuffle_mb":${sbInc / 1048576},""" +
+          s""""rebuild_shuffle_mb":${sbFull / 1048576},""" +
+          s""""c39_ok":${tInc < tFull}}""")
+
+      case "p1718" =>
+        // takedown correction of zone manifest + publish manifest vs
+        // rebuild-over-survivors at scale (events surrogate: synthetic
+        // shards over generated docs' ids; publish over generated docs)
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val docs = gen(n).localCheckpoint(true)
+        val delPred = col("doc_id") % 5 === 0
+        val scored = graft.queries.Pipeline.gateScored(
+          docs.select(col("doc_id"), col("lang").as("source"), col("text")))
+          .localCheckpoint(true)
+        val manifest = graft.queries.Pipeline.manifestFrom(scored)
+          .localCheckpoint(true)
+        val (_, tCor, _) = timeSb {
+          graft.queries.Pipeline.manifestDelete(manifest, scored, delPred)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val (_, tReb, _) = timeSb {
+          graft.queries.Pipeline.manifestFrom(scored.filter(!delPred))
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(s"""{"probe":"p1718","n":$n,"correct_sec":$tCor,""" +
+          s""""rebuild_sec":$tReb,"p18_ok":${tCor < 2.0 * tReb}}""")
+
+      case "s17" =>
+        // r17 verdict item 6: pin the s17 exact-CC run variance. Five
+        // consecutive runs in ONE JVM with full BenchGate stamps — if the
+        // intra-JVM spread is tight on a quiet box, the driver-artifact
+        // spread (11.3–25 s across r17 benches, code untouched) is
+        // cross-run I/O interference on the localCheckpoint cadence, now
+        // visible to the r18-extended gate rather than mysterious.
+        val dir = args.lift(1).getOrElse("/root/repo/local/sf1")
+        val spec = graft.Registry.byName("s17_semantic_survivors")
+        val secs = (1 to 5).map { i =>
+          val st = graft.BenchGate.stampRun {
+            spec.run(spark, dir).write.format("noop")
+              .mode("overwrite").save()
+          }
+          import graft.BenchGate.fmt2
+          println(s"""{"probe":"s17","run":$i,"sec":${fmt2(st.sec)},""" +
+            s""""otherCores":${fmt2(st.otherCores)},""" +
+            s""""foreignMbps":${fmt2(st.foreignMbps)},""" +
+            s""""devBusy":${fmt2(st.devBusy)},""" +
+            s""""prevForeignMbps":${fmt2(st.prevForeignMbps)}}""")
+          st.sec
+        }
+        val spread = secs.max / math.max(secs.min, 1e-9)
+        println(s"""{"probe":"s17","runs":5,"min_sec":${secs.min},""" +
+          s""""max_sec":${secs.max},"spread":$spread,""" +
+          s""""within_1p5":${spread <= 1.5}}""")
+
+      case other =>
+        System.err.println(s"unknown section: $other")
+    }
+    spark.stop()
+  }
+}
