@@ -281,24 +281,65 @@ object Corpus {
 
   /** Incremental inverted-index maintenance (r17 verdict item 4 — the
     * c36 count-merge theorem applied to the retrieval artifact): a
-    * stored index absorbs an append batch's index rows by one
+    * stored index absorbs an append batch's index rows by a
     * (token, shard)-keyed merge — df_shard is a SUM, and because the
     * sides partition the doc_id range, per-key posting fragments are
     * internally sorted AND mutually ordered by their min doc_id, so the
     * merged posting list is min_id-ordered CONCAT, never a re-sort of
-    * base data. Only the batch tokenizes; only the boundary shard has
-    * fragments from both sides. Provably ≡ rebuilding the index over
-    * the union — the c39 oracle is c10's full-rebuild SQL.
+    * base data. Only the batch tokenizes, and only the shards the
+    * delta TOUCHES re-aggregate (ID-range sharding means an append
+    * lands in the boundary shard plus new shards — a broadcast-sized
+    * set): untouched base rows pass through without entering any
+    * exchange, so merge shuffle mass is batch-proportional, never
+    * index-proportional (the first cut re-shuffled the whole postings
+    * mass and LOST to a rebuild at the 200k probe; this is the p17
+    * affected-shard discipline applied to the index). Provably ≡
+    * rebuilding the index over the union — the c39 oracle is c10's
+    * full-rebuild SQL. Deployment writes only the re-aggregated shards
+    * ([[invertedIndexMergeDelta]]) via dynamic partition overwrite;
+    * this full view exists for serving and for the oracle proof.
     */
   private[graft] def invertedIndexMerge(base: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val (untouched, merged) = indexMergeParts(base, delta)
+    untouched.select("token", "shard", "df_shard", "min_id", "postings")
+      .unionByName(merged.select("token", "shard", "df_shard", "min_id",
+        "postings"))
+  }
+
+  /** Only the RE-AGGREGATED shards of [[invertedIndexMerge]] — what an
+    * incremental maintenance job actually writes. The stored index is
+    * partitioned by `shard`; with dynamic partition overwrite the
+    * untouched partitions never leave disk, so the write (like the
+    * merge shuffle) is batch-proportional. [[invertedIndexMerge]]'s
+    * full logical view (= untouched ∪ this) is what the c39 oracle
+    * proves ≡ a rebuild, which makes this frame's correctness a
+    * corollary: it is that view minus an identity passthrough.
+    */
+  private[graft] def invertedIndexMergeDelta(base: DataFrame,
       delta: DataFrame): DataFrame =
-    base.unionByName(delta)
+    indexMergeParts(base, delta)._2
+      .select("token", "shard", "df_shard", "min_id", "postings")
+
+  private def indexMergeParts(base: DataFrame,
+      delta: DataFrame): (DataFrame, DataFrame) = {
+    // The delta index is batch-sized by definition; pin it so the
+    // batch tokenizes ONCE (it feeds both the affected-shard probe and
+    // the merge — left lazy, Spark re-derives it per consumer and the
+    // 200k probe read the batch cost twice).
+    val d = delta.localCheckpoint(true)
+    val affected = d.select("shard").distinct()
+    val untouched = base.join(broadcast(affected), Seq("shard"), "left_anti")
+    val merged = base.join(broadcast(affected), Seq("shard"))
+      .unionByName(d)
       .groupBy("token", "shard")
       .agg(sum(col("df_shard")).as("df_shard"),
         min(col("min_id")).as("min_id"),
         array_join(transform(
           sort_array(collect_list(struct(col("min_id"), col("postings")))),
           s => s.getField("postings")), ",").as("postings"))
+    (untouched, merged)
+  }
 
   def bm25Scores(docs: DataFrame, qt: Seq[String]): DataFrame =
     bm25Scores(docs, qt, dfreqOverride = None)
@@ -1781,6 +1822,20 @@ object Corpus {
              |  ORDER BY wt DESC, piece LIMIT 300)
              |ORDER BY piece""".stripMargin),
     ),
+    // One FULL EM round driver-verified (r17 VERDICT item 7, the last
+    // chained-state frontier): E-step Viterbi re-segmentation + M-step
+    // re-estimation, oracled by unrolling the word-length-bounded DP
+    // into lateral-aliased struct columns whose lexicographic max IS
+    // viterbiSegment's pinned tie rule — see [[unigramEmRoundSql]]. A
+    // green row vouches at the driver for the re-segment→re-estimate
+    // machinery every c26 round reuses; CorpusSpec additionally pins
+    // the round against an independent driver-side segmentation.
+    QuerySpec(
+      "c26b_unigram_em_round",
+      (s, d) => unigramEmRound(Tables(s, d, "documents")),
+      Some(s"""WITH ${unigramEmRoundSql(300, 4, 12)}
+              |SELECT piece, wt FROM emr ORDER BY piece""".stripMargin),
+    ),
     // CCNet perplexity buckets — see [[perplexityBuckets]] for the design
     // narrative (c13 LM scores → per-lang rank-based head/middle/tail,
     // discrete order-statistic thresholds because interpolated
@@ -3225,6 +3280,153 @@ object Corpus {
   def unigramSeed(docs: DataFrame, seedPieces: Int = 300,
       maxPieceLen: Int = 4): DataFrame =
     seedFrom(wordTypes(docs), seedPieces, maxPieceLen).orderBy("piece")
+
+  /** ONE full Viterbi-EM round from the seed state — c26's first E-step
+    * (Viterbi re-segmentation of every word type) plus M-step (piece
+    * mass re-estimation with the single-char coverage floor), exactly
+    * [[unigramTrain]]'s round-1 semantics, exposed as a standalone
+    * query (r17 verdict item 7): the chained-state boundary pushed one
+    * genuine EM step past c26a's seed. Output: the post-round weight
+    * table (piece, wt) — multi-char pieces that win no Viterbi mass
+    * self-prune, mass-less single chars floor-keep at 1.
+    */
+  def unigramEmRound(docs: DataFrame, seedPieces: Int = 300,
+      maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val types = wordTypes(docs).localCheckpoint(true)
+    val weights = seedFrom(types, seedPieces, maxPieceLen)
+      .as[(String, Long)].collect().toMap // dictionary-sized
+    val total = weights.valuesIterator.sum.toDouble
+    val logp = weights.map { case (p, w) => p -> StrictMath.log(w / total) }
+    val maxLen = weights.keysIterator.map(_.length).max
+    val bc = spark.sparkContext.broadcast((logp, maxLen))
+    val counted = types.select(col("w"), col("cnt")).as[(String, Long)]
+      .mapPartitions { it =>
+        val (lp, ml) = bc.value
+        it.flatMap { case (w, cnt) =>
+          viterbiSegment(w, lp, ml).iterator.map(p => (p, cnt))
+        }
+      }
+      .toDF("piece", "cnt")
+      .groupBy("piece").agg(sum(col("cnt")).as("wt"))
+      .localCheckpoint(true)
+    val floorChars = weights.keysIterator.filter(_.length == 1)
+      .map(Tuple1(_)).toSeq.toDF("piece")
+      .join(counted, Seq("piece"), "left_anti")
+      .select(col("piece"), lit(1L).as("wt"))
+    counted.unionByName(floorChars).orderBy("piece")
+  }
+
+  /** The c26b oracle: one EM round in pure DuckDB SQL — the c17b move
+    * (unroll data-bounded chained state into a fixed expression chain)
+    * applied to segmentation. The Viterbi DP over a word is bounded by
+    * word length, so positions 1..`maxWordLen` unroll into struct
+    * columns c1..cW: each c_j is the max over ≤ `maxPieceLen`
+    * candidate structs {'b': score, 'nn': -pieces, 'k': last-piece
+    * length} — struct comparison is lexicographic, so the max
+    * implements EXACTLY [[viterbiSegment]]'s pinned tie rule (score
+    * desc, then fewer pieces, then longer last piece). The backtrack
+    * is a second unrolled chain walking ks[p] from len(w) down.
+    *
+    * Each DP/backtrack step is its OWN `AS MATERIALIZED` CTE, never a
+    * lateral alias in one SELECT: DuckDB inlines lateral references
+    * textually, so a c12 that references c11..c8, each referencing
+    * four predecessors, explodes to ~4^W expression nodes — the
+    * one-SELECT form of this oracle planned for >20 min / 21 GB at
+    * sf0.01, while a 12-step materialized chain of the same arithmetic
+    * binds in milliseconds (measured both ways). Materialization also
+    * pins each c_j to evaluate once, which is the DP's own contract.
+    *
+    * Words longer than `maxWordLen` would segment to nothing and
+    * hash-mismatch loudly (none exist at any shipped SF; max is 10 at
+    * sf1). The log-prob model is a DuckDB MAP built from the same seed
+    * CTE as c26a's oracle; ln runs on the same double (w/total) in
+    * both engines.
+    */
+  private def unigramEmRoundSql(seedPieces: Int, maxPieceLen: Int,
+      maxWordLen: Int): String = {
+    val W = maxWordLen
+    def lp(start: Int, k: Int): String =
+      s"list_extract(map_extract(m, substr(w, $start, $k)), 1)"
+    // struct fields of a prior-CTE column go through struct_extract —
+    // the dot form parses as table.column and fails to bind
+    val dpCtes = (1 to W).map { j =>
+      val cands = (1 to math.min(maxPieceLen, j)).map { k =>
+        val prevOk =
+          if (j - k == 0) "TRUE" else s"c${j - k} IS NOT NULL"
+        val prevB =
+          if (j - k == 0) "0.0" else s"struct_extract(c${j - k}, 'b')"
+        val prevN =
+          if (j - k == 0) "0" else s"struct_extract(c${j - k}, 'nn')"
+        s"""CASE WHEN $j <= len(w) AND $prevOk
+           |      AND ${lp(j - k + 1, k)} IS NOT NULL
+           |      THEN {'b': $prevB + ${lp(j - k + 1, k)},
+           |            'nn': $prevN - 1, 'k': $k} END""".stripMargin
+      }.mkString(",\n      ")
+      val src = if (j == 1) "types" else s"dp${j - 1}"
+      s"""dp$j AS MATERIALIZED (
+         |  SELECT $src.*, list_aggregate(list_filter([
+         |      $cands
+         |    ], x -> x IS NOT NULL), 'max') AS c$j
+         |  FROM $src, mdl)""".stripMargin
+    }.mkString(",\n")
+    val ks = (1 to W).map(j => s"struct_extract(c$j, 'k')").mkString(", ")
+    val btCtes = (0 until W).map { s =>
+      val src = if (s == 0) "dpk" else s"bt${s - 1}"
+      val prevP = if (s == 0) "len(w)" else s"p${s - 1} - k${s - 1}"
+      s"""bt$s AS MATERIALIZED (
+         |  SELECT $src.*, $prevP AS p$s,
+         |    CASE WHEN p$s > 0 THEN ks[p$s] END AS k$s,
+         |    CASE WHEN p$s > 0 THEN substr(w, p$s - k$s + 1, k$s) END
+         |      AS pc$s
+         |  FROM $src)""".stripMargin
+    }.mkString(",\n")
+    val pcs = (0 until W).map(j => s"pc$j").mkString(", ")
+    s"""types AS MATERIALIZED (
+       |  SELECT w, cnt FROM (
+       |    SELECT w, COUNT(*) AS cnt
+       |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |    WHERE len(w) > 0 GROUP BY w)),
+       |st AS (SELECT w, cnt, unnest(range(1, len(w) + 1)) AS i FROM types),
+       |pcand AS (
+       |  SELECT w, cnt, i,
+       |    unnest(range(1, least($maxPieceLen, len(w) - i + 1) + 1)) AS l
+       |  FROM st),
+       |wts AS (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |    CAST(SUM(cnt) AS BIGINT) AS wt
+       |  FROM pcand GROUP BY 1),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, wt FROM wts WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, wt FROM (
+       |    SELECT piece, wt FROM wts WHERE len(piece) > 1
+       |    ORDER BY wt DESC, piece LIMIT $seedPieces)),
+       |tot AS (SELECT CAST(SUM(wt) AS DOUBLE) AS total FROM seed),
+       |mdl AS MATERIALIZED (
+       |  SELECT map(list(piece), list(ln(CAST(wt AS DOUBLE) / total))) AS m
+       |  FROM seed, tot),
+       |$dpCtes,
+       |dpk AS MATERIALIZED (
+       |  SELECT w, cnt, [$ks] AS ks FROM dp$W),
+       |$btCtes,
+       |bt AS (
+       |  SELECT w, cnt,
+       |    list_filter([$pcs], x -> x IS NOT NULL) AS pieces
+       |  FROM bt${W - 1}),
+       |seg AS (SELECT unnest(pieces) AS piece, cnt FROM bt),
+       |counted AS (
+       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS wt
+       |  FROM seg GROUP BY piece),
+       |flchars AS (
+       |  SELECT piece, CAST(1 AS BIGINT) AS wt FROM seed
+       |  WHERE len(piece) = 1
+       |    AND piece NOT IN (SELECT piece FROM counted)),
+       |emr AS (
+       |  SELECT piece, wt FROM counted
+       |  UNION ALL SELECT piece, wt FROM flchars)""".stripMargin
+  }
 
   private def seedFrom(types: DataFrame, seedPieces: Int,
       maxPieceLen: Int): DataFrame = {

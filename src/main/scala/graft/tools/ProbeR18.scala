@@ -158,14 +158,33 @@ object ProbeR18 {
 
       case "c39" =>
         // incremental index maintenance: delta build + merge vs full
-        // rebuild — the batch-proportional claim
+        // rebuild. Batch-proportionality is a FIXED batch against a
+        // growing corpus — merge cost tracks the 50k batch (plus an
+        // index scan) while rebuild re-tokenizes everything; scaling
+        // the batch with n (the first cut of this probe) conflates the
+        // two and at probe scale job overhead hides the asymmetry.
         val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val batch = 50000L
         val docs = gen(n).localCheckpoint(true)
-        val cut = n * 4 / 5
+        val cut = n - batch
         val base = graft.queries.Corpus.invertedIndexRows(
             docs.filter(col("doc_id") <= cut), 100L)
           .localCheckpoint(true) // the stored artifact
+        // deployment shape: only re-aggregated shards are written
+        // (dynamic partition overwrite leaves untouched partitions on
+        // disk), so the maintenance job is delta-build + touched-shard
+        // merge — NOT a full index rewrite
         val (_, tInc, sbInc) = timeSb {
+          graft.queries.Corpus.invertedIndexMergeDelta(base,
+            graft.queries.Corpus.invertedIndexRows(
+              docs.filter(col("doc_id") > cut), 100L))
+            .write.format("noop").mode("overwrite").save()
+        }
+        // serving/oracle shape: the full logical view (untouched ∪
+        // merged) — shuffle stays batch-proportional but the noop sink
+        // re-streams the whole index, so wall time reads as an index
+        // scan, not maintenance cost
+        val (_, tView, sbView) = timeSb {
           graft.queries.Corpus.invertedIndexMerge(base,
             graft.queries.Corpus.invertedIndexRows(
               docs.filter(col("doc_id") > cut), 100L))
@@ -175,10 +194,12 @@ object ProbeR18 {
           graft.queries.Corpus.invertedIndexRows(docs, 100L)
             .write.format("noop").mode("overwrite").save()
         }
-        println(s"""{"probe":"c39","n":$n,"merge_sec":$tInc,""" +
+        println(s"""{"probe":"c39","n":$n,"batch":$batch,""" +
+          s""""merge_write_sec":$tInc,"full_view_sec":$tView,""" +
           s""""rebuild_sec":$tFull,"merge_shuffle_mb":${sbInc / 1048576},""" +
+          s""""view_shuffle_mb":${sbView / 1048576},""" +
           s""""rebuild_shuffle_mb":${sbFull / 1048576},""" +
-          s""""c39_ok":${tInc < tFull}}""")
+          s""""c39_ok":${tInc < tFull && sbView < sbFull}}""")
 
       case "p1718" =>
         // takedown correction of zone manifest + publish manifest vs

@@ -577,6 +577,40 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("c26b: one EM round equals an independent driver-side segmentation") {
+    import org.apache.spark.sql.functions._
+    // independent reference: collect the seed, rebuild logp with the
+    // same StrictMath.log, segment every type word with viterbiSegment
+    // directly, re-estimate, floor-keep chars — then compare the
+    // distributed round bit-for-bit
+    val in = docs.select(col("doc_id"), col("text"))
+    val seed = Corpus.unigramSeed(in).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = seed.values.sum.toDouble
+    val logp = seed.map { case (p, w) => p -> StrictMath.log(w / total) }
+    val maxLen = seed.keys.map(_.length).max
+    val types = in.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val counted = scala.collection.mutable.Map.empty[String, Long]
+    types.foreach { case (w, cnt) =>
+      Corpus.viterbiSegment(w, logp, maxLen).foreach { p =>
+        counted(p) = counted.getOrElse(p, 0L) + cnt
+      }
+    }
+    val expected = (counted.toMap ++
+      seed.keys.filter(p => p.length == 1 && !counted.contains(p))
+        .map(_ -> 1L)).toSeq.sortBy(_._1)
+    val got = Corpus.unigramEmRound(in).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == expected)
+    // the round genuinely moves mass: some seed multi-char piece pruned
+    val gotMap = got.toMap
+    assert(seed.keys.exists(p => p.length > 1 && !gotMap.contains(p)),
+      "no multi-char piece self-pruned — fixture too small?")
+  }
+
   test("c38: delete ∘ append ≡ rebuild on interleaved KN count batches") {
     import org.apache.spark.sql.functions._
     // the r17 verdict item-3 pin at the count artifact: a count table
