@@ -2506,6 +2506,51 @@ object Corpus {
       Seq("c" -> count(lit(1))), Seq(s"x$n", s"s${n - 1}"),
       knSubCols(n).filterNot(Set(s"x$n", s"s${n - 1}")), label)
 
+  /** [[knGramHashCounts]] straight from docs — the count-table build a
+    * maintenance job persists (ProbeR18 c36counts measures this against
+    * [[knCountsMerge]]; the contract row c36 proves merge ≡ recount
+    * through the shared scoring tail).
+    */
+  private[graft] def knGramHashCountsPublic(docs: DataFrame,
+      n: Int): DataFrame =
+    knGramHashCounts(knNgramHashStream(docs, n), n, "c36 recount")
+
+  /** Stored base count table + append batch → merged count table (the
+    * c36 merge step in isolation: only the batch tokenizes). The merge
+    * is a FULL OUTER equi-join on the 8-byte gram hash, not a
+    * union+re-group: the stored base is hash-partitioned on `h` by the
+    * very shuffle that built it (bucketed-by-h layout in production),
+    * and a join lets Catalyst reuse that partitioning so ONLY the
+    * delta's counts move — a union would re-shuffle the whole
+    * index-proportional base table (measured 521 MB vs the delta's few
+    * MB at the 1M/50k probe). Cross-side collision guard: a base row
+    * and delta row meeting on `h` with different covering witnesses is
+    * a 64-bit collision between distinct token windows — raise_error
+    * folded into the count column so pruning can't drop it (the
+    * knGroupGuarded discipline in join form).
+    */
+  private[graft] def knCountsMerge(base: DataFrame, deltaDocs: DataFrame,
+      n: Int): DataFrame = {
+    val deltaTc = knGramHashCounts(knNgramHashStream(deltaDocs, n), n,
+      "c36 delta")
+    val sub = knSubCols(n)
+    val guard = Seq(s"x$n", s"s${n - 1}")
+    val d = deltaTc.select(col("h").as("__dh") +: col("c").as("__dc") +:
+      sub.map(c => col(c).as(s"__d_$c")): _*)
+    val both = col("c").isNotNull && col("__dc").isNotNull
+    val clash = both && guard.map(g => col(g) =!= col(s"__d_$g"))
+      .reduce(_ || _)
+    val mergedC = when(clash,
+      raise_error(lit("c36 merge 64-bit gram-hash collision on h: " +
+        "distinct token windows share one fnv1a64 key; KN statistics " +
+        "would be silently wrong")))
+      .otherwise(coalesce(col("c"), lit(0L)) +
+        coalesce(col("__dc"), lit(0L))).as("c")
+    base.join(d, col("h") === col("__dh"), "full_outer")
+      .select(coalesce(col("h"), col("__dh")).as("h") +: mergedC +:
+        sub.map(c => coalesce(col(c), col(s"__d_$c")).as(c)): _*)
+  }
+
   /** The non-key hash columns of [[knNgramHashStream]] at order n. */
   private[graft] def knSubCols(n: Int): Seq[String] =
     (2 to n).map(k => s"x$k") ++ (1 to n - 1).map(k => s"s$k") ++
@@ -2697,13 +2742,10 @@ object Corpus {
     val tg = knNgramHashStream(docs, n)
     val baseTc = knGramHashCounts(tg.filter(col("doc_id") <= cut), n,
       "c36 base").localCheckpoint(true) // the persisted model counts
-    val deltaTc = knGramHashCounts(tg.filter(col("doc_id") > cut), n,
-      "c36 delta")
-    // the merge re-guards: a base-only gram and a delta-only gram
-    // colliding on `h` is caught here (neither side's own guard saw both)
-    val tc = knGroupGuarded(baseTc.unionByName(deltaTc), "h",
-      Seq("c" -> sum(col("c"))), Seq(s"x$n", s"s${n - 1}"),
-      knSubCols(n).filterNot(Set(s"x$n", s"s${n - 1}")), "c36 merge")
+    // join-form merge ([[knCountsMerge]]): only the delta's counts need
+    // an exchange when the base artifact is stored bucketed by h; the
+    // cross-side collision guard rides the join
+    val tc = knCountsMerge(baseTc, docs.filter(col("doc_id") > cut), n)
       .localCheckpoint(true)
     knScoreFromCounts(tg, tc, n, broadcastTypesMax, minCount = 1)
   }

@@ -62,32 +62,138 @@ object ProbeR18 {
 
     section match {
       case "c35" =>
+        // this family writes ~20 GB of shuffle per pass: a PREDECESSOR
+        // JVM's exiting shuffle files flush as foreign writeback under
+        // the next timed run (up to ~3x wall inflation, the same
+        // blind spot BenchGate closed for the bench) — so each pass
+        // carries a full quiet stamp and cross-JVM comparisons must
+        // read them
         val n = args.lift(1).map(_.toLong).getOrElse(200000L)
         val docs = gen(n).localCheckpoint(true)
         val scorable = docs
           .filter(size(split(col("text"), " ")) >= 5).count()
-        val (scored, t, sb) = timeSb {
-          graft.queries.Corpus.knNgramScore(docs, 5).count()
+        var scored = 0L
+        var sb0 = 0L
+        Thread.sleep(1500); val sbA = shuffleBytes.get()
+        val st = graft.BenchGate.stampRun {
+          scored = graft.queries.Corpus.knNgramScore(docs, 5).count()
         }
+        Thread.sleep(1500); sb0 = shuffleBytes.get() - sbA
+        import graft.BenchGate.fmt2
         println(s"""{"probe":"c35","n":$n,"scored":$scored,""" +
-          s""""scorable":$scorable,"sec":$t,"shuffle_mb":${sb / 1048576},""" +
+          s""""scorable":$scorable,"sec":${st.sec},""" +
+          s""""shuffle_mb":${sb0 / 1048576},""" +
+          s""""foreignMbps":${fmt2(st.foreignMbps)},""" +
+          s""""devBusy":${fmt2(st.devBusy)},""" +
+          s""""otherCores":${fmt2(st.otherCores)},""" +
           s""""r17_string_sec":${if (n >= 1000000) 295.3 else 53.7},""" +
           s""""c35_ok":${scored == scorable}}""")
 
       case "c36" =>
+        // same-JVM ordered pair (oneshot first): the incremental pass
+        // absorbs the oneshot's writeback, so tInc < tOne is evidence
+        // DESPITE interference, and the stamps say how much there was
         val n = args.lift(1).map(_.toLong).getOrElse(200000L)
         val docs = gen(n).localCheckpoint(true)
-        val (_, tOne, sbOne) = timeSb {
-          graft.queries.Corpus.knNgramScore(docs, 5).count()
+        Thread.sleep(1500); val sbA = shuffleBytes.get()
+        val stOne = graft.BenchGate.stampRun {
+          graft.queries.Corpus.knNgramScore(docs, 5).count(): Unit
         }
-        val (_, tInc, sbInc) = timeSb {
-          graft.queries.Corpus.knNgramScoreIncremental(docs, 5).count()
+        Thread.sleep(1500); val sbOne = shuffleBytes.get() - sbA
+        val stInc = graft.BenchGate.stampRun {
+          graft.queries.Corpus.knNgramScoreIncremental(docs, 5).count(): Unit
         }
-        println(s"""{"probe":"c36","n":$n,"oneshot_sec":$tOne,""" +
-          s""""incremental_sec":$tInc,"oneshot_shuffle_mb":${sbOne / 1048576},""" +
+        Thread.sleep(1500); val sbInc = shuffleBytes.get() - sbA - sbOne
+        import graft.BenchGate.fmt2
+        println(s"""{"probe":"c36","n":$n,"oneshot_sec":${stOne.sec},""" +
+          s""""incremental_sec":${stInc.sec},""" +
+          s""""oneshot_shuffle_mb":${sbOne / 1048576},""" +
           s""""incremental_shuffle_mb":${sbInc / 1048576},""" +
+          s""""oneshot_foreignMbps":${fmt2(stOne.foreignMbps)},""" +
+          s""""inc_foreignMbps":${fmt2(stInc.foreignMbps)},""" +
+          s""""oneshot_devBusy":${fmt2(stOne.devBusy)},""" +
+          s""""inc_devBusy":${fmt2(stInc.devBusy)},""" +
           s""""r17_string_inc_sec":${if (n >= 1000000) 169.3 else 93.4},""" +
-          s""""c36_ok":${tInc < 2.5 * tOne}}""")
+          s""""c36_ok":${stInc.sec < 2.5 * stOne.sec}}""")
+
+      case "c36counts" =>
+        // the maintained ARTIFACT is the count table — the stamped c36
+        // pair showed the corpus-wide scoring tail (identical work in
+        // both configs) dominating at ~50M types and masking the
+        // count-phase asymmetry, so this measures count maintenance
+        // alone: stored base counts absorbing a 50k batch by one SUM
+        // merge vs recounting the whole corpus
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val batch = 50000L
+        val docs = gen(n).localCheckpoint(true)
+        val cut = n - batch
+        val base = graft.queries.Corpus.knGramHashCountsPublic(
+            docs.filter(col("doc_id") <= cut), 5)
+          .localCheckpoint(true) // the persisted model counts
+        Thread.sleep(1500); val sbA = shuffleBytes.get()
+        val stM = graft.BenchGate.stampRun {
+          graft.queries.Corpus.knCountsMerge(base,
+            docs.filter(col("doc_id") > cut), 5).count(): Unit
+        }
+        Thread.sleep(1500); val sbM = shuffleBytes.get() - sbA
+        val stR = graft.BenchGate.stampRun {
+          graft.queries.Corpus.knGramHashCountsPublic(docs, 5)
+            .count(): Unit
+        }
+        Thread.sleep(1500); val sbR = shuffleBytes.get() - sbA - sbM
+        // production layout: the stored count table is BUCKETED BY h
+        // (localCheckpoint does not carry HashPartitioning into
+        // Catalyst — the partcheck section measures an Exchange over
+        // Scan ExistingRDD — but a bucketed parquet table does), so
+        // the join-form merge moves ONLY the delta
+        spark.sql("DROP TABLE IF EXISTS c36_base_counts")
+        try {
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), "c36_base_counts")
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        } catch { case _: Throwable => () }
+        base.write.mode("overwrite").format("parquet")
+          .bucketBy(64, "h").saveAsTable("c36_base_counts")
+        val baseT = spark.table("c36_base_counts")
+        Thread.sleep(1500); val sbB0 = shuffleBytes.get()
+        val stB = graft.BenchGate.stampRun {
+          graft.queries.Corpus.knCountsMerge(baseT,
+            docs.filter(col("doc_id") > cut), 5).count(): Unit
+        }
+        Thread.sleep(1500); val sbB = shuffleBytes.get() - sbB0
+        import graft.BenchGate.fmt2
+        println(s"""{"probe":"c36counts","n":$n,"batch":$batch,""" +
+          s""""merge_sec":${stM.sec},"recount_sec":${stR.sec},""" +
+          s""""bucketed_merge_sec":${stB.sec},""" +
+          s""""merge_shuffle_mb":${sbM / 1048576},""" +
+          s""""recount_shuffle_mb":${sbR / 1048576},""" +
+          s""""bucketed_merge_shuffle_mb":${sbB / 1048576},""" +
+          s""""merge_foreignMbps":${fmt2(stM.foreignMbps)},""" +
+          s""""recount_foreignMbps":${fmt2(stR.foreignMbps)},""" +
+          s""""bucketed_foreignMbps":${fmt2(stB.foreignMbps)},""" +
+          s""""c36counts_ok":${stB.sec < stR.sec && sbB < sbR / 4}}""")
+
+      case "partcheck" =>
+        // does a localCheckpoint carry HashPartitioning into a later
+        // join under AQE? (decides whether the c36counts merge can
+        // dodge re-shuffling the stored base in-JVM, or whether that
+        // claim belongs to bucketed parquet storage only)
+        val base0 = spark.range(1000000)
+          .select((col("id") % 100000).as("k"), col("id").as("v"))
+          .groupBy("k").agg(sum(col("v")).as("s")).localCheckpoint(true)
+        val delta0 = spark.range(1000)
+          .select(col("id").as("k2"), lit(1L).as("w"))
+          .groupBy("k2").agg(sum(col("w")).as("t"))
+        val j = base0.join(delta0, col("k") === col("k2"), "full_outer")
+        val plan = j.queryExecution.executedPlan.toString
+        Thread.sleep(500); val sb1 = shuffleBytes.get()
+        j.count()
+        Thread.sleep(1500)
+        val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+        println(s"""{"probe":"partcheck","exchanges":$exchanges,""" +
+          s""""shuffle_kb":${(shuffleBytes.get() - sb1) / 1024}}""")
+        System.err.println(plan.take(4000))
 
       case "c35keys" =>
         val n = args.lift(1).map(_.toLong).getOrElse(200000L)
