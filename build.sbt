@@ -39,4 +39,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the heap: Xms = Xmx + pre-touch every page at JVM start.
+  // Root-caused r18 (ProbeR18 s17, per-thread /proc/self/task split):
+  // the two-round-old "checkpoint-heavy variance family" (s17 reading
+  // 14.5–376 s for IDENTICAL work on a stamped-quiet box) was task
+  // threads burning up to 10x their user CPU in KERNEL time (run 3:
+  // 76 s utime vs 1013 s stime) — page-fault/reclaim storms as 32
+  // threads concurrently fault heap pages that G1 grew or re-committed
+  // mid-query against a page cache full of parquet/shuffle data. With
+  // the heap committed and faulted ONCE at startup the storms are gone:
+  // same probe reads 33.8→8.8 s monotonically (JIT warm-up curve),
+  // sys time ≤ 36 s. Costs ~0.3 s/GiB at JVM start, outside any timed
+  // region (the bench warms up first).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -335,7 +335,19 @@ object Bench {
         "c35_kn5_score", "c35b_kn5_pruned_score",
         // c36 (base+delta count merge + the same scoring tail — times
         // the incremental maintenance overhead against c35's one-shot)
-        "c36_kn5_count_merge")
+        "c36_kn5_count_merge",
+        // ... and the round-18 additions (the mid-build contract rows,
+        // added so the driver's own artifact carries their scale
+        // numbers): c37 (reference-trained open-vocab KN — the CCNet
+        // deployment config: bounded model, corpus-wide broadcast
+        // left-join chain), c38 (count retraction — takedown against
+        // the KN artifact), c39/c39b (incremental inverted index and
+        // BM25 from the maintained index), p17/p18 (takedown through
+        // zone + publish manifests), c26b (one full unigram-EM round)
+        "c37_kn5_ref_trained", "c38_kn5_count_retract",
+        "c39_inverted_index_incremental", "c39b_bm25_from_index",
+        "p17_zone_map_takedown", "p18_publish_takedown",
+        "c26b_unigram_em_round")
       val rExt = extNames.flatMap(Registry.byName.get).map(timed)
       val q1 = minsJson(r1 ++ rExt)
       val q1runs = runsJson(r1 ++ rExt)

@@ -337,25 +337,171 @@ object ProbeR18 {
         // spread (11.3–25 s across r17 benches, code untouched) is
         // cross-run I/O interference on the localCheckpoint cadence, now
         // visible to the r18-extended gate rather than mysterious.
+        // (First run of this section read 14.5–376 s across 5 runs with
+        // ZERO foreign CPU/IO — so the variance is INTRINSIC to the
+        // JVM/run, not interference. The counters below split wall into
+        // own-CPU vs GC vs scheduler idle, and name the slowest stages.)
         val dir = args.lift(1).getOrElse("/root/repo/local/sf1")
         val spec = graft.Registry.byName("s17_semantic_survivors")
+        import java.lang.management.ManagementFactory
+        import scala.jdk.CollectionConverters._
+        val osBean = ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        def gcMs: Long = ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+        // per-stage wall + max task time, drained per run
+        val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Int, String, Long, Long, Int, Long)]()
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onStageCompleted(
+              sc: SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = (for {
+              a <- si.completionTime; b <- si.submissionTime
+            } yield a - b).getOrElse(-1L)
+            stageLog.add((si.stageId,
+              si.name.takeWhile(_ != '\n').take(60), wall,
+              si.taskMetrics.executorRunTime, si.numTasks,
+              si.taskMetrics.memoryBytesSpilled +
+                si.taskMetrics.diskBytesSpilled))
+          }
+        })
+        // JIT visibility: codegen classes are new per query plan, so a
+        // long-lived multi-query JVM can exhaust the reserved code cache
+        // (JDK17 default 240 MB) — when that happens the JIT stops
+        // compiling and generated code runs INTERPRETED, a silent 10-100x
+        // CPU inflation no /proc stamp can see
+        def codeCacheMb: (Long, Long) = {
+          val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+            .filter(_.getName.startsWith("CodeHeap"))
+          (pools.map(_.getUsage.getUsed).sum / 1048576,
+            pools.map(_.getUsage.getMax).sum / 1048576)
+        }
+        val compBean = ManagementFactory.getCompilationMXBean
+        // per-THREAD cpu from /proc/self/task, bucketed by comm prefix,
+        // split user/sys — tells GC threads from C2 from task workers
+        // from kernel time (none of which the MXBeans separate)
+        def threadCpu(): Map[String, (Long, Long)] = {
+          val tk = new java.io.File("/proc/self/task").listFiles()
+          if (tk == null) Map.empty
+          else tk.flatMap { t =>
+            try {
+              val s = java.nio.file.Files.readString(
+                java.nio.file.Paths.get(t.getPath, "stat"))
+              val comm = s.substring(s.indexOf('(') + 1, s.lastIndexOf(')'))
+              val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+              val key = comm.replaceAll("[0-9#-]+.*$", "").trim match {
+                case "" => comm.take(12)
+                case k => k.take(20)
+              }
+              Some((key, rest(11).toLong, rest(12).toLong)) // utime, stime
+            } catch { case _: Throwable => None }
+          }.groupBy(_._1).map { case (k, v) =>
+            k -> (v.map(_._2).sum, v.map(_._3).sum) }
+        }
+        val clkTck = 100.0
         val secs = (1 to 5).map { i =>
+          stageLog.clear()
+          val cpu0 = osBean.getProcessCpuTime; val gc0 = gcMs
+          val jit0 = compBean.getTotalCompilationTime
+          val tc0 = threadCpu()
           val st = graft.BenchGate.stampRun {
             spec.run(spark, dir).write.format("noop")
               .mode("overwrite").save()
           }
+          val cpuS = (osBean.getProcessCpuTime - cpu0) / 1e9
+          val gcS = (gcMs - gc0) / 1e3
+          val jitS = (compBean.getTotalCompilationTime - jit0) / 1e3
+          val (ccUsed, ccMax) = codeCacheMb
+          val tc1 = threadCpu()
+          // top thread-groups by cpu delta; "(u,s)" in seconds
+          val tcTop = tc1.map { case (k, (u, s)) =>
+            val (u0, s0) = tc0.getOrElse(k, (0L, 0L))
+            (k, (u - u0) / clkTck, (s - s0) / clkTck)
+          }.toVector.sortBy(t => -(t._2 + t._3)).take(5)
+            .map { case (k, u, s) => s"""["$k",${u},${s}]""" }
+            .mkString("[", ",", "]")
+          Thread.sleep(1500)
+          val stages = stageLog.asScala.toVector.sortBy(-_._3)
+          // per stage: [id+name, wall s, task-cpu s, numTasks, spilled MB]
+          val slow = stages.take(4).map { case (id, nm, w, rt, nt, sp) =>
+            s"""["$id $nm",${w / 1000.0},${rt / 1000.0},$nt,${sp / 1048576}]"""
+          }.mkString("[", ",", "]")
           import graft.BenchGate.fmt2
           println(s"""{"probe":"s17","run":$i,"sec":${fmt2(st.sec)},""" +
+            s""""own_cpu_sec":${fmt2(cpuS)},"gc_sec":${fmt2(gcS)},""" +
+            s""""jit_sec":${fmt2(jitS)},""" +
+            s""""code_cache_mb":$ccUsed,"code_cache_max_mb":$ccMax,""" +
+            s""""thread_cpu_top":$tcTop,""" +
+            s""""stage_wall_sum":${fmt2(stages.map(_._3).sum / 1000.0)},""" +
+            s""""n_stages":${stages.size},""" +
             s""""otherCores":${fmt2(st.otherCores)},""" +
             s""""foreignMbps":${fmt2(st.foreignMbps)},""" +
             s""""devBusy":${fmt2(st.devBusy)},""" +
-            s""""prevForeignMbps":${fmt2(st.prevForeignMbps)}}""")
+            s""""slowest_stages":$slow}""")
           st.sec
         }
         val spread = secs.max / math.max(secs.min, 1e-9)
         println(s"""{"probe":"s17","runs":5,"min_sec":${secs.min},""" +
           s""""max_sec":${secs.max},"spread":$spread,""" +
           s""""within_1p5":${spread <= 1.5}}""")
+
+      case "t20" =>
+        // t20 is the slowest non-KN sf1 row (40–90 s across benches).
+        // Its training loop joins the corpus-feature frame against the
+        // per-doc residual on doc_id every round. Question for the
+        // optimizer: does AQE already turn that into a broadcast join at
+        // bench scale (residual post-shuffle is ~1 MB at 50k docs), or
+        // is the feature frame re-exchanged per round? This measures the
+        // 6-round gradient skeleton both ways in ONE JVM (same feature
+        // frame, same residual), with shuffle bytes + the final adaptive
+        // plan's join node named.
+        val dir = args.lift(1).getOrElse("/root/repo/local/sf1")
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        // t13/t20 feature shape: unigrams+bigrams hashed into 2^18 buckets
+        val toks = split(col("text"), " ")
+        val fc = docs
+          .select(col("doc_id"), explode(concat(toks,
+            zip_with(slice(toks, lit(1), size(toks) - 1),
+              slice(toks, lit(2), size(toks) - 1),
+              (a, b) => concat(a, lit(" "), b)))).as("feat"))
+          .select(col("doc_id"),
+            pmod(graft.functions.ghash.fnv1a64(col("feat")),
+              lit(262144L)).as("fid"))
+          .groupBy("doc_id", "fid").agg(count(lit(1)).as("c"))
+          .select(col("doc_id"), col("fid"),
+            col("c").cast("double").as("x"))
+          .localCheckpoint(true)
+        val resid = docs.select(col("doc_id"),
+          (col("doc_id") % 7).cast("double").as("r")).localCheckpoint(true)
+        def rounds(bcast: Boolean): (Double, Long, String) = {
+          var strategy = ""
+          val (_, t, sb) = timeSb {
+            for (_ <- 1 to 6) {
+              val rhs = if (bcast) broadcast(resid) else resid
+              val g = fc.join(rhs, "doc_id").groupBy("fid")
+                .agg(sum(col("r") * col("x")).as("g"))
+              g.write.format("noop").mode("overwrite").save()
+              if (strategy.isEmpty) {
+                val p = g.queryExecution.executedPlan.toString
+                strategy =
+                  if (p.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+                  else if (p.contains("SortMergeJoin")) "SortMergeJoin"
+                  else if (p.contains("ShuffledHashJoin")) "ShuffledHashJoin"
+                  else "?"
+              }
+            }
+          }
+          (t, sb, strategy)
+        }
+        val (tPlain, sbPlain, jPlain) = rounds(bcast = false)
+        val (tB, sbB, jB) = rounds(bcast = true)
+        println(s"""{"probe":"t20","dir":"$dir",""" +
+          s""""plain_sec":$tPlain,"plain_shuffle_mb":${sbPlain / 1048576},""" +
+          s""""plain_join":"$jPlain",""" +
+          s""""bcast_sec":$tB,"bcast_shuffle_mb":${sbB / 1048576},""" +
+          s""""bcast_join":"$jB"}""")
 
       case other =>
         System.err.println(s"unknown section: $other")
