@@ -47,7 +47,38 @@ import java.nio.file.{Files, Paths}
 object BenchGate {
   final case class RunStamp(sec: Double, loadBefore: Double, loadAfter: Double,
       rssAfterMb: Long, otherCores: Double, foreignMbps: Double,
-      devBusy: Double, prevForeignMbps: Double = 0.0)
+      devBusy: Double, prevForeignMbps: Double = 0.0,
+      topStageSec: Double = -1.0, stages: Int = -1,
+      codeCacheMb: Long = -1L)
+
+  /** JIT code-cache occupancy (MB) across the CodeHeap pools. A long
+    * multi-query bench JVM compiles fresh codegen classes for every plan;
+    * when the reserved code cache (JDK 17 default 240 MB) fills, the JIT
+    * flushes hot methods or stops compiling and generated code runs
+    * INTERPRETED — a silent 10-100x CPU inflation on expression-heavy
+    * queries that no /proc interference stamp can see (the r18 s17 probe
+    * measured 66/240 MB from a single query's 5 runs). Stamped per run so
+    * the artifact itself shows whether late-series queries ran against a
+    * saturated cache. */
+  def codeCacheMb(): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum / 1048576
+    } catch { case _: Throwable => -1L }
+
+  /** Pluggable per-run stage-wall window (r18 VERDICT item 7): the bench
+    * installs a SparkListener-backed implementation, and [[stampRun]]
+    * brackets each run with reset()/snapshot() so every stamp carries the
+    * slowest completed stage's wall plus the stage count. That lets the
+    * next adjudication separate scheduler/box noise (run slower, top stage
+    * flat, many stages) from a real plan change (top-stage wall moves with
+    * the run). Listener events are posted asynchronously, so the snapshot
+    * can miss a stage that completes within the last few ms — diagnostic
+    * precision, not a gate input. */
+  trait StageWindow { def reset(): Unit; def snapshot(): (Double, Int) }
+  @volatile var stageWindow: Option[StageWindow] = None
 
   val clkTck: Double =
     try {
@@ -139,6 +170,7 @@ object BenchGate {
 
   /** Run `f`, bracketing it with every interference signal. */
   def stampRun(f: => Unit): RunStamp = {
+    stageWindow.foreach(_.reset())
     val lb = loadAvg(); val (b0, s0) = cpuTicks()
     val (io0, self0, tk0) = ioBytes()
     val t = System.nanoTime()
@@ -170,7 +202,10 @@ object BenchGate {
         v - tk0.getOrElse(d, v) }.max.toDouble / (sec * 1000.0))
     lastIoEnd = (io1, self1, System.nanoTime())
     lastForeignMbps = math.max(0.0, fMbps)
-    RunStamp(sec, lb, loadAvg(), rssMb(), other, fMbps, busy, prevMbps)
+    val (topStage, nStages) =
+      stageWindow.map(_.snapshot()).getOrElse((-1.0, -1))
+    RunStamp(sec, lb, loadAvg(), rssMb(), other, fMbps, busy, prevMbps,
+      topStage, nStages, codeCacheMb())
   }
 
   /** CPU term: other processes averaged under `quietCeil` cores during the
