@@ -1386,6 +1386,25 @@ object Corpus {
            |ORDER BY doc_id""".stripMargin
       },
     ),
+    // c36 over the PRODUCTION STORAGE LAYOUT (r18 VERDICT item 5): the
+    // base count table is written BUCKETED BY the 8-byte gram hash and
+    // the merge consumes it from storage, so the base side enters the
+    // full-outer merge join with no exchange — the delta-only-shuffle
+    // claim the r18 probe proved (5.5 s / 49 MB vs 497 MB re-shuffle)
+    // now lives in a driver-timed, driver-oracled row. Same oracle as
+    // c36 (c35's full-recount SQL): bucketed-merge ≡ recount. The write
+    // happens inside the query, per-run, per-data-dir table name — no
+    // state crosses runs.
+    QuerySpec(
+      "c36b_kn5_bucketed_merge",
+      (s, d) => knNgramScoreBucketed(s, Tables(s, d, "documents"), n = 5,
+        table = s"c36b_base_${graft.queries.Pipeline.dirTag(d)}"),
+      Some {
+        s"""WITH ${knNgramScoreCtes(5)}
+           |SELECT doc_id, n_grams, avg_nll FROM sc
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
     // Pruned order-5 KN (c32b's KenLM knob at the order where it
     // matters): the 1M probe measured 50M 5-gram types — mostly
     // singletons, which is exactly the mass KenLM's pruning drops to
@@ -2459,6 +2478,22 @@ object Corpus {
     Seq("h") ++ (2 to n).map(k => s"x$k") ++
       (1 to n - 1).map(k => s"s$k") ++ (1 to n).map(k => s"u$k")
 
+  /** [[knNgramHashStream]] with the gram's POSITION in its doc (r19: the
+    * compacted c37 completeness path needs a deterministic per-gram
+    * identity to reassemble exploded model probes — duplicate grams
+    * within a doc must stay distinct rows, and a synthetic id from
+    * monotonically_increasing_id would not survive task retries).
+    */
+  private[graft] def knNgramHashStreamPos(docs: DataFrame,
+      n: Int): DataFrame = {
+    import graft.functions.ghash
+    docs.select(col("doc_id"),
+        posexplode(ghash.knGramHashes(split(col("text"), " "), n)))
+      .select(col("doc_id") +: col("pos") +:
+        knHashCols(n).zipWithIndex.map {
+          case (nm, i) => col("col").getItem(i).as(nm) }: _*)
+  }
+
   /** Hash-keyed groupBy with the d15 collision guard generalized. Every
     * `guard` and `carry` column is a pure function of the key's token
     * window, so it is constant within each group unless two DISTINCT
@@ -2750,6 +2785,46 @@ object Corpus {
     knScoreFromCounts(tg, tc, n, broadcastTypesMax, minCount = 1)
   }
 
+  /** c36's scenario over the PRODUCTION STORAGE LAYOUT (r18 VERDICT item
+    * 5): the base count table is persisted BUCKETED BY `h` (the p14
+    * pattern — a managed parquet table whose bucket spec Catalyst reads
+    * back as a real HashPartitioning) and the merge join consumes it from
+    * storage, so the base side enters [[knCountsMerge]]'s full-outer join
+    * with NO exchange and NO sort (one file per bucket: the count shuffle
+    * that builds the base is already hash-partitioned on `h` with the
+    * same partition count, so each write task emits exactly one sorted
+    * bucket file) — only the delta's counts move. Everything, including
+    * the bucketed write itself, happens inside the query (recomputed from
+    * the parquet inputs every run; nothing persists across runs — the
+    * table is dropped and rewritten each invocation). Values are
+    * identical to [[knNgramScoreIncremental]] by construction (same
+    * counts, same merge, same scoring tail; storage cannot change a SUM),
+    * so the oracle stays c35's full-recount SQL: a green row proves
+    * bucketed-merge ≡ recount the same way c36's proves checkpoint-merge
+    * ≡ recount — but this row's plan carries the delta-only-shuffle claim
+    * in the driver-timed artifact instead of a probe. Bucket count =
+    * session shuffle partitions (env-derived cores — scale-adaptive, not
+    * a local constant).
+    */
+  def knNgramScoreBucketed(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, n: Int, table: String,
+      broadcastTypesMax: Long = 4L << 20,
+      cutOverride: Option[Long] = None): DataFrame = {
+    val cut = cutOverride.getOrElse {
+      val mxRow = docs.agg(max(col("doc_id"))).head
+      if (mxRow.isNullAt(0)) Long.MinValue else mxRow.getLong(0) * 4 / 5
+    }
+    val tg = knNgramHashStream(docs, n)
+    val baseTc = knGramHashCounts(tg.filter(col("doc_id") <= cut), n,
+      "c36b base")
+    val buckets = scala.util.Try(
+      s.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
+    graft.queries.Pipeline.bucketedWriteBy(s, table, baseTc, buckets, "h")
+    val tc = knCountsMerge(s.table(table), docs.filter(col("doc_id") > cut), n)
+      .localCheckpoint(true)
+    knScoreFromCounts(tg, tc, n, broadcastTypesMax, minCount = 1)
+  }
+
   /** Takedown propagation into the n-gram model counts (r17 verdict item
     * 3 — the s20b delete pattern applied to c36's artifact): the stored
     * full-corpus count table absorbs the delete list through c36's SUM
@@ -2816,7 +2891,12 @@ object Corpus {
     * because its stream IS the count table's source; here they differ).
     */
   def knNgramScoreOpenVocab(docs: DataFrame, n: Int, trainPred: Column,
-      broadcastTypesMax: Long = 4L << 20): DataFrame = {
+      broadcastTypesMax: Long = 4L << 20,
+      // probe/spec-only escape hatch: serve through the PRE-r19 join
+      // chain even beyond the broadcast gate (the old completeness
+      // path), so the chain-vs-compacted A/B stays measurable in one
+      // JVM. Defaults off; no declared query sets it.
+      serveChain: Boolean = false): DataFrame = {
     val D = 0.75
     val tcT = knGramHashCounts(knNgramHashStream(docs.filter(trainPred), n),
       n, "c37 train").localCheckpoint(true)
@@ -2870,51 +2950,134 @@ object Corpus {
         Seq(s"s${n - 1}"))
       .select(col("h"), col(s"x$n").as("w_top_x"),
         col(s"s${n - 1}").as("w_top_s"), ptopExpr.as("ptop"))
-    // score the WHOLE corpus: left-join chain over the model tables
-    val sAll = knNgramHashStream(docs, n)
-    def gate(df: DataFrame): DataFrame =
-      if (trainTypes <= broadcastTypesMax) broadcast(df) else df
-    var sc = sAll
-      .join(gate(lmTop), Seq("h"), "left")
-      .join(gate(boN), Seq(s"x$n"), "left")
-    for (k <- (n - 1) to 2 by -1)
-      sc = sc.join(gate(pks(k)), Seq(s"s$k"), "left")
-        .join(gate(bos(k)), Seq(s"x$k"), "left")
-    sc = sc.join(gate(pks(1)), Seq("s1"), "left").crossJoin(tot)
-    // collision guard: any MATCHED model row whose witnesses disagree
-    // with the stream's own window hashes is a 64-bit key collision
-    val clashes = Seq(
-      col("ptop").isNotNull && (col("w_top_x") =!= col(s"x$n") ||
-        col("w_top_s") =!= col(s"s${n - 1}")),
-      col("bon").isNotNull && (col("w_bon_u") =!= col(s"u$n") ||
-        (if (n >= 3) col("w_bon_x") =!= col(s"x${n - 1}") else lit(false))),
-      col("pk1").isNotNull && col("w_pk1_u") =!= col("u1")) ++
-      (2 to n - 1).map(k =>
-        col(s"pk$k").isNotNull && (col(s"w_pk${k}_u") =!= col(s"u$k") ||
-          col(s"w_pk${k}_s") =!= col(s"s${k - 1}"))) ++
-      (2 to n - 1).map(k =>
-        col(s"bo$k").isNotNull && (col(s"w_bo${k}_u") =!= col(s"u$k") ||
-          (if (k >= 3) col(s"w_bo${k}_x") =!= col(s"x${k - 1}")
-          else lit(false))))
-    val clash = clashes.reduce(_ || _)
-    // the open-vocab probability: per order, seen-suffix probability if
-    // present, else backoff mass (1 when the context is unseen too) ×
-    // the next order down, bottoming out at the <unk> unigram floor
-    val punk = lit(1.0) / (col("nb").cast(DoubleType) + lit(1.0))
-    val pd1 = coalesce(col("pk1"), punk)
-    val pdTop = (2 to n - 1).foldLeft(pd1) { (prev, k) =>
-      coalesce(col(s"pk$k"), coalesce(col(s"bo$k"), lit(1.0)) * prev)
+    // the open-vocab probability tree + collision-guarded doc rollup,
+    // shared by both serve paths below. Inputs: one row per gram carrying
+    // (doc_id, ptop, bon, pk1..pk{n−1}, bo2..bo{n−1}, nb, __clash) — per
+    // order, seen-suffix probability if present, else backoff mass (1
+    // when the context is unseen too) × the next order down, bottoming
+    // out at the <unk> unigram floor.
+    def scoreTail(perGram: DataFrame): DataFrame = {
+      val punk = lit(1.0) / (col("nb").cast(DoubleType) + lit(1.0))
+      val pd1 = coalesce(col("pk1"), punk)
+      val pdTop = (2 to n - 1).foldLeft(pd1) { (prev, k) =>
+        coalesce(col(s"pk$k"), coalesce(col(s"bo$k"), lit(1.0)) * prev)
+      }
+      val p = coalesce(col("ptop"), coalesce(col("bon"), lit(1.0)) * pdTop)
+      val pG = when(col("__clash"), raise_error(lit("c37 64-bit " +
+        "gram-hash collision between corpus and reference-model windows; " +
+        "open-vocab scores would be silently wrong"))).otherwise(p)
+      perGram.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("ptop").isNull, 1L).otherwise(0L)).as("n_oov"),
+          ((lit(0.0) - Exact.dsum(log(pG))) /
+            count(lit(1)).cast(DoubleType)).as("avg_nll"))
+        .orderBy("doc_id")
     }
-    val p = coalesce(col("ptop"), coalesce(col("bon"), lit(1.0)) * pdTop)
-    val pG = when(clash, raise_error(lit("c37 64-bit gram-hash collision " +
-      "between corpus and reference-model windows; open-vocab scores " +
-      "would be silently wrong"))).otherwise(p)
-    sc.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("ptop").isNull, 1L).otherwise(0L)).as("n_oov"),
-        ((lit(0.0) - Exact.dsum(log(pG))) /
-          count(lit(1)).cast(DoubleType)).as("avg_nll"))
-      .orderBy("doc_id")
+    if (trainTypes <= broadcastTypesMax || serveChain) {
+      // DEPLOYMENT PATH (the CCNet config — bounded reference model):
+      // broadcast left-join chain, one map-side pass over the corpus
+      // stream, zero shuffles of corpus data. Unchanged from r18.
+      // (With serveChain beyond the gate, gate() degrades to identity —
+      // exactly the pre-r19 completeness chain, kept A/B-able.)
+      def gate(df: DataFrame): DataFrame =
+        if (trainTypes <= broadcastTypesMax) broadcast(df) else df
+      val sAll = knNgramHashStream(docs, n)
+      var sc = sAll
+        .join(gate(lmTop), Seq("h"), "left")
+        .join(gate(boN), Seq(s"x$n"), "left")
+      for (k <- (n - 1) to 2 by -1)
+        sc = sc.join(gate(pks(k)), Seq(s"s$k"), "left")
+          .join(gate(bos(k)), Seq(s"x$k"), "left")
+      sc = sc.join(gate(pks(1)), Seq("s1"), "left").crossJoin(tot)
+      // collision guard: any MATCHED model row whose witnesses disagree
+      // with the stream's own window hashes is a 64-bit key collision
+      val clashes = Seq(
+        col("ptop").isNotNull && (col("w_top_x") =!= col(s"x$n") ||
+          col("w_top_s") =!= col(s"s${n - 1}")),
+        col("bon").isNotNull && (col("w_bon_u") =!= col(s"u$n") ||
+          (if (n >= 3) col("w_bon_x") =!= col(s"x${n - 1}") else lit(false))),
+        col("pk1").isNotNull && col("w_pk1_u") =!= col("u1")) ++
+        (2 to n - 1).map(k =>
+          col(s"pk$k").isNotNull && (col(s"w_pk${k}_u") =!= col(s"u$k") ||
+            col(s"w_pk${k}_s") =!= col(s"s${k - 1}"))) ++
+        (2 to n - 1).map(k =>
+          col(s"bo$k").isNotNull && (col(s"w_bo${k}_u") =!= col(s"u$k") ||
+            (if (k >= 3) col(s"w_bo${k}_x") =!= col(s"x${k - 1}")
+            else lit(false))))
+      scoreTail(sc.withColumn("__clash", clashes.reduce(_ || _)))
+    } else {
+      // COMPLETENESS PATH (model beyond the broadcast gate), r18 VERDICT
+      // item 6: the former serve was this same chain WITHOUT broadcast —
+      // 2n−1 = 9 sequential shuffled left-joins, each re-exchanging the
+      // whole corpus stream (plus every model column joined so far) on a
+      // different key. Compacted (guide §3): the 2n−1 model tables union
+      // into ONE frame keyed by (kind, key); every gram explodes into its
+      // 2n−1 (kind, key, expected-witness) probe rows — ~36 bytes each,
+      // far narrower than the 15-hash stream row — ONE left join resolves
+      // every probe, and a pivot keyed by the gram's deterministic
+      // (doc_id, pos) identity reassembles the model columns. 9 corpus
+      // exchanges + 9 joins → 1 probe exchange + 1 join + 1 pivot agg.
+      // Values are the chain's exactly: model keys are guarded-unique so
+      // each probe matches ≤ 1 row, the per-kind witness clash conditions
+      // are identical, and scoreTail computes the same probability tree
+      // over the same doubles. The broadcast branch above stays the
+      // deployment truth; CorpusSpec pins the two paths equal.
+      val longNull = lit(null).cast("long")
+      val model = (Seq(
+          lmTop.select(lit(1).as("kind"), col("h").as("key"),
+            col("ptop").as("v"), col("w_top_x").as("w1"),
+            col("w_top_s").as("w2")),
+          boN.select(lit(2).as("kind"), col(s"x$n").as("key"),
+            col("bon").as("v"), col("w_bon_u").as("w1"),
+            (if (n >= 3) col("w_bon_x") else longNull).as("w2"))) ++
+        (1 to n - 1).map(k => pks(k).select(lit(10 + k).as("kind"),
+          col(s"s$k").as("key"), col(s"pk$k").as("v"),
+          col(s"w_pk${k}_u").as("w1"),
+          (if (k >= 2) col(s"w_pk${k}_s") else longNull).as("w2"))) ++
+        (2 to n - 1).map(k => bos(k).select(lit(20 + k).as("kind"),
+          col(s"x$k").as("key"), col(s"bo$k").as("v"),
+          col(s"w_bo${k}_u").as("w1"),
+          (if (k >= 3) col(s"w_bo${k}_x") else longNull).as("w2"))))
+        .reduce(_ unionByName _)
+      val sPos = knNgramHashStreamPos(docs, n)
+      val probeStructs = Seq(
+          struct(lit(1).as("kind"), col("h").as("key"),
+            col(s"x$n").as("ew1"), col(s"s${n - 1}").as("ew2")),
+          struct(lit(2).as("kind"), col(s"x$n").as("key"),
+            col(s"u$n").as("ew1"),
+            (if (n >= 3) col(s"x${n - 1}") else longNull).as("ew2"))) ++
+        (1 to n - 1).map(k => struct(lit(10 + k).as("kind"),
+          col(s"s$k").as("key"), col(s"u$k").as("ew1"),
+          (if (k >= 2) col(s"s${k - 1}") else longNull).as("ew2"))) ++
+        (2 to n - 1).map(k => struct(lit(20 + k).as("kind"),
+          col(s"x$k").as("key"), col(s"u$k").as("ew1"),
+          (if (k >= 3) col(s"x${k - 1}") else longNull).as("ew2")))
+      val probes = sPos.select(col("doc_id"), col("pos"),
+          explode(array(probeStructs: _*)).as("pr"))
+        .select(col("doc_id"), col("pos"), col("pr.kind").as("kind"),
+          col("pr.key").as("key"), col("pr.ew1").as("ew1"),
+          col("pr.ew2").as("ew2"))
+      // per-probe clash: matched model row whose witnesses disagree with
+      // the stream's expected window hashes (kinds without a second
+      // witness carry null on BOTH sides — the coalesce keeps null-safe
+      // semantics identical to the chain's per-kind conditions)
+      val probeClash = col("v").isNotNull &&
+        (col("w1") =!= col("ew1") ||
+          coalesce(col("w2") =!= col("ew2"), lit(false)))
+      val pivotAggs =
+        (Seq(max(when(col("kind") === 1, col("v"))).as("ptop"),
+          max(when(col("kind") === 2, col("v"))).as("bon")) ++
+        (1 to n - 1).map(k =>
+          max(when(col("kind") === 10 + k, col("v"))).as(s"pk$k")) ++
+        (2 to n - 1).map(k =>
+          max(when(col("kind") === 20 + k, col("v"))).as(s"bo$k"))) :+
+        (max(when(probeClash, 1L).otherwise(0L)) === 1L).as("__clash")
+      val piv = probes.join(model, Seq("kind", "key"), "left")
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(pivotAggs.head, pivotAggs.tail: _*)
+        .crossJoin(tot)
+      scoreTail(piv)
+    }
   }
 
   /** DSIR importance selection — see the c20 QuerySpec doc-comment. The

@@ -38,7 +38,7 @@ object Dedup {
     * URL-dedup and the c19 domain-stats contract queries so the two
     * oracles stay in lockstep.
     */
-  private[queries] def syntheticUrl: Column = {
+  private[graft] def syntheticUrl: Column = {
     val a = (col("doc_id") % 50).cast("string")
     val b = (col("doc_id") % 20).cast("string")
     val v = col("doc_id") % 4
@@ -57,7 +57,7 @@ object Dedup {
     * port/WWW/trailing slash, force https) — lower/regexp steps in the
     * Java∩RE2 dialect so Spark and DuckDB agree byte-for-byte.
     */
-  private[queries] def canonicalUrl(url: Column): Column =
+  private[graft] def canonicalUrl(url: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(

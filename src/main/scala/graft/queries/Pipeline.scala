@@ -137,7 +137,15 @@ object Pipeline {
     * catalog — is cleared before writing.
     */
   private[graft] def bucketedWrite(s: org.apache.spark.sql.SparkSession,
-      name: String, df: DataFrame): Unit = {
+      name: String, df: DataFrame): Unit =
+    bucketedWriteBy(s, name, df, 8, "doc_id")
+
+  /** Generalized bucketed write (r19: shared with c36b's bucketed KN base).
+    * Same catalog/orphan-location hygiene as [[bucketedWrite]], bucket
+    * column and count parameterised.
+    */
+  private[graft] def bucketedWriteBy(s: org.apache.spark.sql.SparkSession,
+      name: String, df: DataFrame, buckets: Int, bucketCol: String): Unit = {
     // Catalog-first drop (clears table + location through the right code
     // path), then clear only a still-ORPHANED location — on disk but
     // unknown to THIS session's catalog — via the Hadoop FileSystem,
@@ -153,7 +161,7 @@ object Pipeline {
       if (fs.exists(loc)) fs.delete(loc, true)
     } catch { case _: Throwable => () }
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(name)
   }
 

@@ -646,6 +646,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(oneStep == rebuilt)
   }
 
+  test("c36b: bucketed-base merge ≡ checkpointed merge; base side enters the merge unshuffled") {
+    import org.apache.spark.sql.functions._
+    val in = docs.select(col("doc_id"), col("text"))
+    val viaCkpt = Corpus.knNgramScoreIncremental(in, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaBucket = Corpus.knNgramScoreBucketed(spark, in, 5,
+        "c36b_spec_base").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaBucket == viaCkpt,
+      "bucketed-base merge diverged from the checkpointed contract row")
+    // the delta-only-shuffle claim, on the plan itself: the merge join
+    // consumes the bucketed base with NO exchange — the only shuffle in
+    // the merge step is the delta's own count aggregation
+    val mx = in.agg(max(col("doc_id"))).head.getLong(0)
+    val merge = Corpus.knCountsMerge(spark.table("c36b_spec_base"),
+      in.filter(col("doc_id") > mx * 4 / 5), 5)
+    val plan = merge.queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1,
+      s"expected 1 exchange (the delta count) in the merge plan, got $shuffles:\n" +
+        plan.take(3000))
+    assert(plan.contains("Scan parquet"), "base side must come from storage")
+  }
+
   test("c39: index merge ≡ rebuild at ANY cutoff; concat IS the sorted merge") {
     import org.apache.spark.sql.functions._
     val in = docs.select(col("doc_id"), col("text"))
@@ -724,12 +749,19 @@ class CorpusSpec extends AnyFunSuite {
     // 10th decimal place — the bound reflects that, not IEEE noise
     assert(math.abs(open(101L)._3 - (0.0 - math.log(1.0 / (nb + 1)))) < 1e-9,
       s"all-OOV doc must sit exactly on the unk floor, got ${open(101L)._3}")
-    // broadcast and shuffle paths agree exactly
+    // broadcast, compacted-shuffle, and pre-r19 chain paths agree exactly
     val viaShuffle = Corpus.knNgramScoreOpenVocab(corpus, 5,
         col("source") === "ref", broadcastTypesMax = 0).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
     assert(open == viaShuffle)
+    val viaChain = Corpus.knNgramScoreOpenVocab(corpus, 5,
+        col("source") === "ref", broadcastTypesMax = 0, serveChain = true)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(viaChain == viaShuffle,
+      "compacted completeness serve diverged from the pre-r19 join chain")
   }
 
   test("c32b: pruning can only raise NLL; strict where singleton trigrams occur") {

@@ -424,7 +424,8 @@ class PlanSpec extends AnyFunSuite {
     // window hash computed map-side (knNgramHashStream); the token array
     // and the text column must be consumed before any exchange.
     for (q <- Seq("c35_kn5_score", "c36_kn5_count_merge",
-        "c37_kn5_ref_trained", "c38_kn5_count_retract")) {
+        "c36b_kn5_bucketed_merge", "c37_kn5_ref_trained",
+        "c38_kn5_count_retract")) {
       val p = plan(q)
       val exchanges = p.linesIterator
         .filter(l => l.contains("Arguments: hashpartitioning") ||
