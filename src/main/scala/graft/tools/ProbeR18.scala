@@ -390,7 +390,10 @@ object ProbeR18 {
                 java.nio.file.Paths.get(t.getPath, "stat"))
               val comm = s.substring(s.indexOf('(') + 1, s.lastIndexOf(')'))
               val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
-              val key = comm.replaceAll("[0-9#-]+.*$", "").trim match {
+              // strip only a TRAILING numeric suffix (r18 ADVICE: the old
+              // "[0-9#-]+.*$" truncated 'C2 CompilerThread0' and
+              // 'C1 CompilerThread0' both to 'C', merging the JIT tiers)
+              val key = comm.replaceAll("[#-]?[0-9]+$", "").trim match {
                 case "" => comm.take(12)
                 case k => k.take(20)
               }
@@ -399,7 +402,8 @@ object ProbeR18 {
           }.groupBy(_._1).map { case (k, v) =>
             k -> (v.map(_._2).sum, v.map(_._3).sum) }
         }
-        val clkTck = 100.0
+        // real USER_HZ, not a hardcoded 100 (r18 ADVICE)
+        val clkTck = graft.BenchGate.clkTck
         val secs = (1 to 5).map { i =>
           stageLog.clear()
           val cpu0 = osBean.getProcessCpuTime; val gc0 = gcMs
@@ -415,17 +419,21 @@ object ProbeR18 {
           val (ccUsed, ccMax) = codeCacheMb
           val tc1 = threadCpu()
           // top thread-groups by cpu delta; "(u,s)" in seconds
+          // JSON-safe names (r18 ADVICE: a quote/backslash in a comm or
+          // stage name would emit an invalid JSONL line)
+          def esc(x: String): String =
+            x.replaceAll("[^A-Za-z0-9 _.:()\\[\\]=#-]", "_")
           val tcTop = tc1.map { case (k, (u, s)) =>
             val (u0, s0) = tc0.getOrElse(k, (0L, 0L))
             (k, (u - u0) / clkTck, (s - s0) / clkTck)
           }.toVector.sortBy(t => -(t._2 + t._3)).take(5)
-            .map { case (k, u, s) => s"""["$k",${u},${s}]""" }
+            .map { case (k, u, s) => s"""["${esc(k)}",${u},${s}]""" }
             .mkString("[", ",", "]")
           Thread.sleep(1500)
           val stages = stageLog.asScala.toVector.sortBy(-_._3)
           // per stage: [id+name, wall s, task-cpu s, numTasks, spilled MB]
           val slow = stages.take(4).map { case (id, nm, w, rt, nt, sp) =>
-            s"""["$id $nm",${w / 1000.0},${rt / 1000.0},$nt,${sp / 1048576}]"""
+            s"""["$id ${esc(nm)}",${w / 1000.0},${rt / 1000.0},$nt,${sp / 1048576}]"""
           }.mkString("[", ",", "]")
           import graft.BenchGate.fmt2
           println(s"""{"probe":"s17","run":$i,"sec":${fmt2(st.sec)},""" +
