@@ -138,9 +138,17 @@ object Corpus {
     * upgrade from a unigram to the KenLM-shaped filter is exactly a
     * scorer swap — which is the operational point of factoring the
     * pipeline this way.
+    *
+    * Since r19 the scorer is the HASH-KEYED order-3 chain
+    * ([[knNgramScore]] at n=3 — guide §2.3: fused 8-byte window hashes
+    * in every exchange instead of three token strings). CorpusSpec pins
+    * `knNgramScore(_, 3)` ≡ [[knTrigramScore]] bit-for-bit on every
+    * double, so the tertile cuts — and the c33/c34 oracles, which stay
+    * string-keyed — are unchanged by construction; c32 itself keeps the
+    * string-keyed scorer as the declared equivalence anchor.
     */
   def knPerplexityBuckets(docsDf: DataFrame): DataFrame =
-    tertileBuckets(knTrigramScore(docsDf)
+    tertileBuckets(knNgramScore(docsDf, 3)
       .select(col("doc_id"), col("avg_nll"))
       .join(docsDf.select(col("doc_id"), col("lang")), "doc_id"))
 
@@ -221,7 +229,7 @@ object Corpus {
     */
   def knPerplexityBucketsApprox(docsDf: DataFrame,
       accuracy: Int = 10000): DataFrame =
-    tertileBucketsApprox(knTrigramScore(docsDf)
+    tertileBucketsApprox(knNgramScore(docsDf, 3)
       .select(col("doc_id"), col("avg_nll"))
       .join(docsDf.select(col("doc_id"), col("lang")), "doc_id"), accuracy)
 
@@ -1964,9 +1972,17 @@ object Corpus {
     // dropping them is how a 100 TB-corpus model fits its serving
     // budget). Statistics stay the full model's; CorpusSpec pins the
     // NLL-monotonicity law (pruning can only raise a doc's NLL).
+    // Since r19 the engine side rides the HASH-KEYED order-3 chain
+    // (guide §2.3 — same swap as c33/c34; CorpusSpec pins the pruned
+    // variant bit-for-bit against the string-keyed knTrigramScore, and
+    // the oracle below STAYS string-keyed, so the green row is also the
+    // pruned-path hash≡string proof; c32 remains the unpruned anchor).
     QuerySpec(
       "c32b_kn_pruned_score",
-      (s, d) => knTrigramScore(Tables(s, d, "documents"), minCount = 2),
+      // n_grams → n_trigrams: the declared output schema predates the
+      // generic chain and is part of the contract (oracle column names)
+      (s, d) => knNgramScore(Tables(s, d, "documents"), 3, minCount = 2)
+        .withColumnRenamed("n_grams", "n_trigrams"),
       Some {
         s"""WITH ${knScoreCtesPruned(2)}
            |SELECT doc_id, n_trigrams, avg_nll FROM sc

@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   *     written bucketed-by-h and merged from storage (the p14 pattern,
   *     all inside the timed region) vs the current localCheckpoint row
   *     (r18 VERDICT item 5).
+  *   - `kn3` [dir]: string-keyed trigram scorer (c32 shape) vs the
+  *     hash-keyed order-3 chain — the c33/c34/c32b scorer decision, with
+  *     exact-agreement fingerprints for the full and pruned variants.
   */
 object ProbeR19 {
   def main(args: Array[String]): Unit = {
@@ -266,6 +269,80 @@ object ProbeR19 {
           s""""bucket_write_sec":$tW,"bucket_write_shuffle_mb":${sbW / 1048576},""" +
           s""""merge_from_table_sec":$tMT,"merge_from_table_shuffle_mb":${sbMT / 1048576},""" +
           s""""merge_from_ckpt_sec":$tMC,"merge_from_ckpt_shuffle_mb":${sbMC / 1048576}}""")
+
+      case "kn3" =>
+        // the c33/c34/c32b scorer decision (guide §2.3, the r18 c35keys
+        // experiment one order down): the string-keyed trigram scorer
+        // (knTrigramScore — c32's anchor shape) vs the hash-keyed generic
+        // chain at order 3 (knNgramScore(_, 3) — CorpusSpec pins them
+        // bit-for-bit). Two alternating rounds per leg so both report a
+        // JIT-warm number; exact-agreement fingerprints (xxhash64 sum over
+        // every row) for the full AND pruned (minCount=2) variants.
+        val dir = args.lift(1).getOrElse("/root/repo/local/sf1")
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")).localCheckpoint(true)
+        import graft.queries.Corpus
+        def leg(df: => DataFrame): (Double, Long) = {
+          val (_, t, sb) = timeSb {
+            df.write.format("noop").mode("overwrite").save()
+          }
+          (t, sb)
+        }
+        val s1 = leg(Corpus.knTrigramScore(docs))
+        val h1 = leg(Corpus.knNgramScore(docs, 3))
+        val s2 = leg(Corpus.knTrigramScore(docs))
+        val h2 = leg(Corpus.knNgramScore(docs, 3))
+        def fp(df: DataFrame): Long =
+          df.toDF("doc_id", "n", "avg_nll")
+            .select(xxhash64(col("doc_id"), col("n"), col("avg_nll")).as("x"))
+            .agg(expr("bit_xor(x)")).head.getLong(0)
+        val fpStr = fp(Corpus.knTrigramScore(docs))
+        val fpHash = fp(Corpus.knNgramScore(docs, 3))
+        val fpStrP = fp(Corpus.knTrigramScore(docs, minCount = 2))
+        val fpHashP = fp(Corpus.knNgramScore(docs, 3, minCount = 2))
+        println(s"""{"probe":"kn3","dir":"$dir",""" +
+          s""""string_sec":[${s1._1},${s2._1}],""" +
+          s""""string_shuffle_mb":[${s1._2 / 1048576},${s2._2 / 1048576}],""" +
+          s""""hash_sec":[${h1._1},${h2._1}],""" +
+          s""""hash_shuffle_mb":[${h1._2 / 1048576},${h2._2 / 1048576}],""" +
+          s""""rows_agree":${fpStr == fpHash},""" +
+          s""""pruned_rows_agree":${fpStrP == fpHashP},""" +
+          s""""stages":${slowStages(8)}}""")
+
+      case "ivfpq" =>
+        // stage attribution for the never-optimized IVF-PQ family (s18-
+        // s20b, ~66 s of the sf1 ext series): is the time in the
+        // contract-pinned training rounds (3 Lloyd + 2 PQ iterations the
+        // oracle unrolls — irreducible without changing results), the
+        // encode pass, or the serve tail? s19 (residual, the slowest
+        // full-train row) decomposed; every piece noop-sunk in order.
+        val dir = args.lift(1).getOrElse("/root/repo/local/sf1")
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        import graft.queries.Similarity
+        val (centArr, tCent, sbCent) = timeSb {
+          Similarity.ivfCentroids(e, 16, 3).localCheckpoint(true)
+        }
+        // s18-shaped quantizers: PQ codebooks on raw vectors
+        val (cbRow, tPq, sbPq) = timeSb {
+          Similarity.pqCodebooks(e, 4, 16, 8, 2)
+            .agg(array_sort(collect_list(struct(col("sub"), col("codes"))))
+              .as("cb")).localCheckpoint(true)
+        }
+        val (idx, tEnc, sbEnc) = timeSb {
+          Similarity.ivfPqEncode(e, centArr, cbRow, 4, 16)
+            .localCheckpoint(true)
+        }
+        val (_, tServe, sbServe) = timeSb {
+          Similarity.ivfPqServe(e, idx, centArr, cbRow, 4, 16, 8, 4, 5, 32, 5)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(s"""{"probe":"ivfpq","dir":"$dir",""" +
+          s""""lloyd3_sec":$tCent,"lloyd3_shuffle_mb":${sbCent / 1048576},""" +
+          s""""pqtrain_sec":$tPq,"pqtrain_shuffle_mb":${sbPq / 1048576},""" +
+          s""""encode_sec":$tEnc,"encode_shuffle_mb":${sbEnc / 1048576},""" +
+          s""""serve_sec":$tServe,"serve_shuffle_mb":${sbServe / 1048576},""" +
+          s""""stages":${slowStages(10)}}""")
 
       case other =>
         System.err.println(s"unknown section: $other")

@@ -513,6 +513,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(gen == tri, "order-3 generic chain must equal knTrigramScore")
   }
 
+  test("c32b: pruned order-3 generic chain reproduces pruned knTrigramScore bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    // the r19 scorer swap: c32b/c33/c34 ride the hash-keyed generic chain
+    // while their oracles stay string-keyed — sound only if the PRUNED
+    // variant (minCount's when() branch) is also the same IEEE tree
+    val in = docs.select(col("doc_id"), col("text"))
+    val tri = Corpus.knTrigramScore(in, minCount = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val gen = Corpus.knNgramScore(in, 3, minCount = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gen == tri,
+      "pruned order-3 generic chain must equal pruned knTrigramScore")
+  }
+
   test("c35: 5-gram separates trigram-preserving recombinations beyond c32") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -444,6 +444,25 @@ class PlanSpec extends AnyFunSuite {
       s"c37 scoring must be all-broadcast:\n$p37")
   }
 
+  test("c32b/c33/c34: order-3 scorer is hash-keyed — no token strings in any exchange") {
+    // the r19 scorer swap (c32 stays string-keyed as the equivalence
+    // anchor): the trigram stream's u/v/w token columns and the doc text
+    // must be consumed map-side; only 8-byte window hashes (h, x*, s*,
+    // u1..u3) and the tiny decision-layer keys (doc_id, lang) may shuffle
+    for (q <- Seq("c32b_kn_pruned_score", "c33_kn_perplexity_buckets",
+        "c34_kn_mixing_manifest")) {
+      val p = plan(q)
+      val exchanges = p.linesIterator
+        .filter(l => l.contains("Arguments: hashpartitioning") ||
+          l.contains("Arguments: SinglePartition")).toList
+      assert(exchanges.nonEmpty, p)
+      assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")),
+        s"$q: doc text leaks into a shuffle:\n${exchanges.mkString("\n")}")
+      assert(!exchanges.exists(_.matches(".*\\b[uvw]#\\d+.*")),
+        s"$q: token strings leak into a shuffle:\n${exchanges.mkString("\n")}")
+    }
+  }
+
   test("d16 bloom guard probes map-side; only positives reach the anti join") {
     val p = plan("d16_dedup_bloom_incremental")
     assert(p.contains("might_contain"), p)
